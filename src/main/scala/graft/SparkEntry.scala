@@ -13,7 +13,9 @@ import graft.util.Q
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.Windows.all ++
+      graft.queries.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -108,5 +108,188 @@ object Relational {
       .orderBy("n_name")
   }
 
-  def all: Seq[Q] = Seq(q_a1_agg, q_t1_topk, q_join_revenue_by_nation)
+  /** S10+P6+P7: projection + filter, both pushed into the parquet scan
+    * (PushedFilters + ReadSchema pruning — the reference reads everything
+    * then filters, generate_report.py:21,34; Catalyst gets this free).
+    */
+  val q_p6_filter_project: Q = Q(
+    "q_p6_filter_project",
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+      ORDER BY o_orderkey
+    """),
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one big order.
+    * Semi joins never materialize the probe side's payload — at scale this
+    * beats join+distinct by the width of the orders row.
+    */
+  val q_join_semi: Q = Q(
+    "q_join_semi",
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      ORDER BY c_custkey
+    """),
+  ) { (s, d) =>
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no pending ('P') order. */
+  val q_join_anti: Q = Q(
+    "q_join_anti",
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey
+    """),
+  ) { (s, d) =>
+    val pending = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+    Tables.customer(s, d)
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-outer join + aggregation with empty-group semantics: per-customer
+    * count/sum over only the very largest orders (most customers have none →
+    * count 0, sum NULL — exercised null handling on both sides).
+    */
+  val q_join_outer_agg: Q = Q(
+    "q_join_outer_agg",
+    Some("""
+      SELECT c_custkey,
+             COUNT(o_orderkey) AS n_big_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_big
+      FROM customer
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 490000) o
+        ON o_custkey = c_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey
+    """),
+  ) { (s, d) =>
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 490000)
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        sum(col("o_totalprice").cast(D182)).cast(D382).as("sum_big"),
+      )
+      .orderBy("c_custkey")
+  }
+
+  /** Equi + range join (§2.3): lineitems shipped within 90 days of their
+    * order's date. The equi key keeps this a sort-merge join — the range
+    * predicate is evaluated inside the merge, no nested loop.
+    */
+  val q_range_join: Q = Q(
+    "q_range_join",
+    Some("""
+      SELECT o_orderkey, COUNT(*) AS n_quick_ship
+      FROM orders
+      JOIN lineitem
+        ON l_orderkey = o_orderkey
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey
+    """),
+  ) { (s, d) =>
+    val o  = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(
+        li,
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+      )
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_quick_ship"))
+      .orderBy("o_orderkey")
+  }
+
+  /** ROLLUP (subtotals + grand total). Spark plans one Expand + single
+    * aggregate — no repeated scans.
+    */
+  val q_rollup: Q = Q(
+    "q_rollup",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """),
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D182)).cast(D382).as("sum_qty"),
+      )
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** Exact COUNT(DISTINCT) per group (partial-aggregated two-phase plan). */
+  val q_distinct_agg: Q = Q(
+    "q_distinct_agg",
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """),
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** UNION with dedup semantics (reference's list.extend merge → unionByName,
+    * SURVEY §2.5) — SQL UNION = union + distinct.
+    */
+  val q_union: Q = Q(
+    "q_union",
+    Some("""
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+      ORDER BY c_custkey
+    """),
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey", "c_mktsegment")
+      .unionByName(c.filter(col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment"))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  def all: Seq[Q] = Seq(
+    q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
+    q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
+    q_range_join, q_rollup, q_distinct_agg, q_union,
+  )
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.{Q, Tables}
+
+/** Window-function operators (SURVEY.md §2.6): the reference's group-scoped
+  * running max (P3/W1, transform_raw_data.py:114-116) and order-sensitive
+  * keep-first dedup (D1, transform_raw_data.py:182-189), generalized to the
+  * synthetic tables, plus as-of join and sessionization.
+  *
+  * Every window carries a TOTAL order ((l_shipdate, l_orderkey,
+  * l_linenumber) / (ts, event_id)) so results are deterministic under any
+  * partitioning — the reference gets this implicitly from file order; a
+  * distributed engine must pin it explicitly (SURVEY §7.1).
+  */
+object Windows {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.TimestampType
+
+  /** Epoch millis of an NTZ timestamp read as UTC wall time (session TZ is
+    * UTC, so the LTZ cast is exact) — mirrors DuckDB's epoch_ms(naive ts).
+    */
+  private def epochMs(c: Column): Column = unix_millis(c.cast(TimestampType))
+
+  /** W1/P3 running max per group. One shuffle on the partition key; the sort
+    * within partitions is spill-safe (sort-based window exec).
+    */
+  val q_w1_running_max: Q = Q(
+    "q_w1_running_max",
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             MAX(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max_qty
+      FROM lineitem
+      ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """),
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        max(col("l_quantity")).over(w).as("run_max_qty"),
+      )
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** D1 keep-first dedup: first lineitem per part in (shipdate, orderkey,
+    * linenumber) order. row_number + filter — deterministic survivor, unlike
+    * dropDuplicates (SURVEY §2.5).
+    */
+  val q_d1_dedup_first: Q = Q(
+    "q_d1_dedup_first",
+    Some("""
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate
+      FROM (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+      WHERE rn = 1
+      ORDER BY l_partkey
+    """),
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy("l_partkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("l_partkey")
+  }
+
+  /** As-of join: each purchase matched to the user's most recent strictly
+    * preceding click. Implemented as a single-pass tagged-union window (one
+    * shuffle on user_id) instead of a self-join — at 100 TB a ts-range
+    * self-join explodes; the union+last(ignoreNulls) form stays linear.
+    */
+  val q_asof_click_purchase: Q = Q(
+    "q_asof_click_purchase",
+    Some("""
+      WITH ce AS (
+        SELECT * FROM events WHERE event_type IN ('click', 'purchase')
+      ), w AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+        FROM ce)
+      SELECT event_id, user_id, ts, click_id,
+             epoch_ms(ts) - epoch_ms(click_ts) AS ms_since_click
+      FROM w
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """),
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w).as("click_id"),
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w).as("click_ts"),
+      )
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("click_id"),
+        (epochMs(col("ts")) - epochMs(col("click_ts"))).as("ms_since_click"),
+      )
+      .orderBy("event_id")
+  }
+
+  /** Sessionization (gaps-and-islands): 30-minute inactivity gap splits a
+    * user's events into sessions. lag → gap flag → running sum = session id;
+    * two window passes over one user_id shuffle. Streaming equivalent =
+    * session_window (graft.streaming).
+    */
+  val q_sessionize: Q = Q(
+    "q_sessionize",
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_ms(ts) - epoch_ms(
+                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800000 THEN 1
+                    WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+      ), sess AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             MIN(ts) AS session_start,
+             MAX(ts) AS session_end,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(order))
+      .withColumn(
+        "new_session",
+        when(epochMs(col("ts")) - epochMs(col("prev_ts")) > 1800000L, 1L)
+          .when(col("prev_ts").isNull, 1L)
+          .otherwise(0L),
+      )
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("session_value"),
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  def all: Seq[Q] =
+    Seq(q_w1_running_max, q_d1_dedup_first, q_asof_click_purchase, q_sessionize)
+}

@@ -1,6 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.TimestampNTZType
 
 /** Loaders for the driver's synthetic parquet tables (TESTDATA.md).
   *
@@ -20,7 +22,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot read
+    * natively: read it as a nanos long (legacy conf) and truncate to
+    * microseconds (verified lossless on this data; DuckDB does the same
+    * ns→µs truncation). Cast to NTZ so dumps compare naively against the
+    * oracle — the session runs in UTC so LTZ→NTZ preserves wall time.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn(
+      "ts",
+      timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType),
+    )
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
