@@ -12,14 +12,28 @@ import graft.util.Q
   */
 object SparkEntry {
 
+  /** The ad-library pipeline itself, exposed to the gate as rows-only
+    * checks: its raw nested-JSON input is not a DuckDB-queryable table, so
+    * no oracle SQL — correctness is pinned by AdPipelineSpec's goldens.
+    */
+  private def etlQueries: Seq[Q] = Seq(
+    Q("etl_report_top10", None)((s, _) => graft.etl.AdPipeline.fixtureRun(s).report),
+    Q("etl_curated", None)((s, _) => graft.etl.AdPipeline.fixtureRun(s).curated),
+    Q("etl_quarantine", None)((s, _) => graft.etl.AdPipeline.fixtureRun(s).quarantine),
+  )
+
   private def modules: Seq[Q] =
     graft.queries.Relational.all ++
       graft.queries.Windows.all ++
-      graft.queries.Scalars.all
+      graft.queries.Scalars.all ++
+      etlQueries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full reference pipeline (scan → flatten → derive →
+    * validate/quarantine → 3-pass dedup → top-10 report) on the fixture
+    * document. Driver smoke-checks rows>0 (7 report rows).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_a1_agg")(spark, "/root/testdata/sf0.001")
+    graft.etl.AdPipeline.fixtureRun(spark).report
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

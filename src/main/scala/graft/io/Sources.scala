@@ -1,0 +1,30 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-boundary sources (SURVEY.md §2.1 S7/S10). */
+object Sources {
+
+  /** S7: raw ad-library JSON. Each file is ONE pretty-printed document
+    * (collect_raw_data.py:202) — read wholetext so the document's array
+    * indices (not line splits) define ordering; one file = one task, so a
+    * 100 TB landing zone parallelizes by file count while each document
+    * keeps its internal order (SURVEY §7.1).
+    */
+  def rawAdsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(path)
+      .select(input_file_name().as("doc_id"), col("value"))
+
+  /** In-memory variant for fixtures/tests: (doc_id, json) pairs. */
+  def rawAdsFromStrings(spark: SparkSession, docs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("doc_id", "value")
+  }
+
+  /** S10: curated parquet scan — pushdown + pruning come free. */
+  def curatedParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
