@@ -26,6 +26,9 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Windows.all ++
       graft.queries.Scalars.all ++
+      graft.text.TextAnalysis.all ++
+      graft.dedup.Dedup.all ++
+      graft.similarity.Similarity.all ++
       etlQueries
 
   /** Flagship: the full reference pipeline (scan → flatten → derive →

@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Brute-force cosine top-k is the exact baseline (and the oracle-checked
+  * query); the LSH-bucketed variant is the 100 TB path: constant-cost
+  * signatures, candidates from an equi-join on bucket id — the index side
+  * shuffles once by bucket instead of broadcasting every row to every query.
+  *
+  * Float handling: all arithmetic in Double with a sequential left fold —
+  * bitwise identical to DuckDB's list_cosine_similarity over ::DOUBLE[]
+  * (verified empirically; scripts/check.py would flag drift).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (functions.zip_with + aggregate). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each query vector. The query side must be
+    * small (it is broadcast); the corpus side streams — at scale this is a
+    * broadcast nested-loop scan, the correct plan for exact ANN ground truth.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+    scored
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Oracle-checked: ranks only (ids are exact; the float value itself stays
+    * out of the hash scope by emitting rank not cosine).
+    */
+  val q_sim_topk_cosine: Q = Q(
+    "q_sim_topk_cosine",
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      p AS (
+        SELECT qid, c.vec_id AS cid,
+               list_cosine_similarity(qe::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        FROM q, embeddings c WHERE c.vec_id <> qid),
+      r AS (SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+            FROM p)
+      SELECT qid, cid, rn FROM r WHERE rn <= 5
+      ORDER BY qid, rn
+    """),
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      .select("qid", "cid", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  // ------------------------------------------------------------- LSH / IVF
+
+  /** Bucket count = 2^numPlanes; tune to corpus density. With multi-probe
+    * (own bucket + all Hamming-1 buckets) the scanned fraction is
+    * ≈ (numPlanes+1)/2^numPlanes of the corpus — 4 planes probes ~31%, 8
+    * planes ~3.5%. Recall falls as planes rise; pick by corpus size (a
+    * 100 TB corpus wants 12-16 planes + more probes or an IVF re-train).
+    */
+  val defaultPlanes = 4
+  val maxPlanes     = 16
+  val dim           = 64
+
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Fixed random hyperplanes (deterministic, embedded constants). */
+  val planes: Seq[Seq[Double]] = (0 until maxPlanes).map { p =>
+    (0 until dim).map { i =>
+      val u = splitmix(p.toLong * 1000 + i)
+      (u.toDouble / Long.MaxValue.toDouble) // uniform-ish in [-1, 1]
+    }
+  }
+
+  /** Sign-bit bucket id: random-hyperplane LSH — cosine-similar vectors
+    * collide with high probability.
+    */
+  def bucketId(emb: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      when(dot(emb, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN: probe the query's own bucket plus all Hamming-1 neighbor buckets
+    * (multi-probe — recovers most boundary losses). Candidates come from an
+    * equi-join on bucket id; only candidates get exact-scored.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = defaultPlanes): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      bucketId(col("embedding"), numPlanes).as("bucket"))
+    val probes = array(lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)): _*)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(transform(probes, m => bucketId(col("embedding"), numPlanes).bitwiseXOR(m)))
+          .as("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Rows-only (bucket hashes not SQL-expressible); recall vs. brute force
+    * pinned in SimilaritySpec.
+    */
+  val q_sim_ann_lsh: Q = Q("q_sim_ann_lsh", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    annTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      .select("qid", "cid", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  def all: Seq[Q] = Seq(q_sim_topk_cosine, q_sim_ann_lsh)
+}

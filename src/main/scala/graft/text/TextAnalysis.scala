@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.LangId
+import graft.util.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, language id, fingerprinting. All pure
+  * built-in expressions (codegen'd, no UDFs) so they run at scan speed and
+  * mirror 1:1 into the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens — shared with the dedup family. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish subword count: letter runs, digit runs, or single symbols. */
+  private val bpeIsh = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Canonical normalization for fingerprints/exact dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  private val normalizeSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Token counts: whitespace tokens, distinct types, BPE-ish subwords. */
+  val q_text_tokens: Q = Q(
+    "q_text_tokens",
+    Some(s"""
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(text, '\\s+'))) AS n_types,
+             len(regexp_extract_all(text, '$bpeIsh')) AS n_subwords,
+             length(text) AS n_chars_measured
+      FROM documents
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"),
+        regexp_count(col("text"), lit(bpeIsh)).as("n_subwords"),
+        length(col("text")).as("n_chars_measured"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: structural ratios a pretraining filter would gate on.
+    * All ratios are int/int double divisions — bitwise identical on both
+    * engines.
+    */
+  val q_text_quality: Q = Q(
+    "q_text_quality",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(text, '\s+') AS toks,
+               length(text) AS n_chars
+        FROM documents)
+      SELECT doc_id,
+             n_chars,
+             len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / n_chars AS punct_ratio,
+             len(list_intersect(toks,
+                 ['the','and','is','of','to','in','this','that','for','with']))
+               * 1.0 / len(toks) AS stopword_ratio,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio,
+             (length(replace(text, ' ', '')) * 1.0) / len(toks) AS avg_token_len,
+             (len(toks) BETWEEN 5 AND 100000)
+               AND len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / n_chars < 0.2
+               AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.1 AS passes_gate
+      FROM t
+      WHERE n_chars > 0
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val toks = tokens(col("text"))
+    val nChars = length(col("text"))
+    val punctRatio = regexp_count(col("text"), lit("[.,;:!?]")) * lit(1.0) / nChars
+    val ttr = size(array_distinct(toks)) * lit(1.0) / size(toks)
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        punctRatio.as("punct_ratio"),
+        (size(array_intersect(toks, lit(LangId.stopwords("en").toArray))) * lit(1.0)
+          / size(toks)).as("stopword_ratio"),
+        ttr.as("type_token_ratio"),
+        (length(regexp_replace(col("text"), " ", "")) * lit(1.0) / size(toks))
+          .as("avg_token_len"),
+        (size(toks).between(5, 100000) && punctRatio < 0.2 && ttr > 0.1)
+          .as("passes_gate"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Language identification vs. the labeled column (accuracy measurable
+    * downstream; the heuristic itself is the deterministic replacement for
+    * the reference's langdetect — SURVEY §2.7 F6).
+    */
+  val q_text_langid: Q = Q(
+    "q_text_langid",
+    Some(s"""
+      SELECT doc_id, lang,
+             ${LangId.duckDbSql("text")} AS lang_pred,
+             lang = ${LangId.duckDbSql("text")} AS lang_match
+      FROM documents
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        LangId.langId(col("text")).as("lang_pred"),
+        (col("lang") === LangId.langId(col("text"))).as("lang_match"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of normalized content — the exact-dedup
+    * key. (A non-cryptographic 64-bit variant via xxhash64 backs the
+    * dedup/minhash family; not oracle-expressible, see graft.dedup.)
+    */
+  val q_text_fingerprint: Q = Q(
+    "q_text_fingerprint",
+    Some(s"""
+      SELECT doc_id, md5($normalizeSql) AS fingerprint
+      FROM documents
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(normalize(col("text")).cast(BinaryType)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint)
+}

@@ -1,0 +1,57 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.util.Tables
+
+/** The probabilistic dedup paths (MinHash-LSH, SimHash) are not
+  * SQL-expressible, so their correctness is pinned here against the exact
+  * prefix-filtered set-similarity join (which IS oracle-checked).
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf())
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("prefix-filtered SSJ equals brute force (exact recall)") {
+    val fast = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
+    // brute force: rescore EVERY pair
+    val sets = Dedup.shingleSets(docs)
+    val a = sets.select(col("doc_id").as("i"), col("sh").as("sh_i"), col("sz").as("sz_i"))
+    val b = sets.select(col("doc_id").as("j"), col("sh").as("sh_j"), col("sz").as("sz_j"))
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    val brute = a.join(b, col("i") < col("j"))
+      .withColumn("jaccard", inter * lit(1.0) / (col("sz_i") + col("sz_j") - inter))
+      .filter(col("jaccard") >= 0.5)
+    assert(fast === pairSet(brute))
+    assert(fast.nonEmpty) // the datagen plants near-dups; empty would be vacuous
+  }
+
+  test("minhash-LSH: precision 1 (rescored) and high recall vs exact join") {
+    val exact = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
+    val lsh   = pairSet(Dedup.minHashLshJoin(docs, 0.5))
+    assert(lsh.subsetOf(exact), "rescoring guarantees no false positives")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below floor (16 bands x 4 rows at j>=0.8)")
+  }
+
+  test("simhash: hamming bound respected and pairs are true near-dups") {
+    val sh = Dedup.simHashJoin(docs).collect()
+    assert(sh.forall(_.getAs[Int]("hamming") <= 3))
+    assert(sh.nonEmpty)
+    // every simhash pair should be at least weakly similar by jaccard
+    // (planted near-dups sit at >=0.8; random pairs at <0.1 — a simhash
+    // collision across that gap would be a red flag)
+    val weak = pairSet(Dedup.setSimilarityJoin(docs, 0.3))
+    assert(pairSet(Dedup.simHashJoin(docs).select(col("i"), col("j"))).subsetOf(weak))
+  }
+
+  test("exact dedup groups by normalized content") {
+    val out = Dedup.q_dedup_exact.run(spark, sf())
+    val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total === docs.count())
+  }
+}

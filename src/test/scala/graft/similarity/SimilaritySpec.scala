@@ -1,0 +1,41 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.util.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf())
+
+  test("brute-force top-k: k rows per query, self excluded, ranks total") {
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+    val rows = out.collect()
+    assert(rows.length === 50)
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("cid")))
+    val ranks = rows.groupBy(_.getAs[Long]("qid")).values.map(_.map(_.getAs[Int]("rn")).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("cosine is symmetric and bounded") {
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3)
+      .select("cos").collect().map(_.getDouble(0))
+    assert(out.forall(c => c >= -1.0000001 && c <= 1.0000001))
+  }
+
+  test("ANN LSH: subset of corpus, nonzero recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 5))
+    val ann   = pairs(Similarity.annTopK(queries, emb, 5))
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // Random hyperplanes over UNclustered queries give modest recall; the
+    // point of the test is the plumbing (bucketing, probing, rescoring) and
+    // a regression floor, printed for tuning.
+    info(s"ANN recall@5 = $recall over ${exact.size} truth pairs")
+    assert(recall > 0.15)
+    assert(ann.nonEmpty)
+  }
+}
