@@ -12,14 +12,40 @@ import graft.util.Q
   */
 object SparkEntry {
 
-  /** The ad-library pipeline itself, exposed to the gate as rows-only
-    * checks: its raw nested-JSON input is not a DuckDB-queryable table, so
-    * no oracle SQL — correctness is pinned by AdPipelineSpec's goldens.
+  /** The ad-library pipeline itself. The oracle SQL re-implements the whole
+    * flatten→derive→validate→dedup→report lineage in self-contained DuckDB
+    * SQL over the inlined fixture document (graft.etl.EtlOracle) — the
+    * reference semantics are double-implemented and driver-hash-checked, not
+    * just golden-checked. One fixtureRun per session (memoized): the three
+    * dumps share the persisted parsed frame instead of recomputing it.
     */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.etl.AdPipeline.Outputs]()
+
+  private def fixture(s: SparkSession): graft.etl.AdPipeline.Outputs =
+    fixtureCache.computeIfAbsent(s, graft.etl.AdPipeline.fixtureRun(_))
+
   private def etlQueries: Seq[Q] = Seq(
-    Q("etl_report_top10", None)((s, _) => graft.etl.AdPipeline.fixtureRun(s).report),
-    Q("etl_curated", None)((s, _) => graft.etl.AdPipeline.fixtureRun(s).curated),
-    Q("etl_quarantine", None)((s, _) => graft.etl.AdPipeline.fixtureRun(s).quarantine),
+    // Timestamps dumped as NTZ: session TZ is UTC so the LTZ→NTZ cast is
+    // exact, and the oracle's make_timestamp(µs) is naive — both sides
+    // compare as wall-clock UTC (same pattern as Tables.events).
+    Q("etl_report_top10", Some(graft.etl.EtlOracle.reportSql)) { (s, _) =>
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.TimestampNTZType
+      fixture(s).report
+        .withColumn("start_date", col("start_date").cast(TimestampNTZType))
+        .withColumn("end_date", col("end_date").cast(TimestampNTZType))
+    },
+    Q("etl_curated", Some(graft.etl.EtlOracle.curatedSql))((s, _) => fixture(s).curated),
+    // The quarantine record struct is flattened to scalar columns for the
+    // dump (pandas can't sort/hash dict cells); the JSON sink keeps the
+    // struct shape.
+    Q("etl_quarantine", Some(graft.etl.EtlOracle.quarantineSql)) { (s, _) =>
+      import org.apache.spark.sql.functions.col
+      fixture(s).quarantine
+        .select(col("record.*"), col("validation_error"))
+        .orderBy("doc_id", "group_idx", "pos")
+    },
   )
 
   private def modules: Seq[Q] =

@@ -10,15 +10,16 @@ import graft.util.{Q, Tables}
   * driver's TPC-H-ish tables, each with a DuckDB oracle.
   *
   * Determinism rules (SURVEY.md §7): every output is totally ordered (ORDER
-  * BY with tie-breaks on both sides), aggregate sums go through DECIMAL so
-  * results are exact and order-independent, and averages are emitted as
-  * `CAST(decimal_sum AS DOUBLE) / count` so both engines compute the same
-  * IEEE division of identical inputs.
+  * BY with tie-breaks on both sides), and aggregate sums go through DECIMAL
+  * internally so results are exact and order-independent — but every FINAL
+  * numeric output column is cast to DOUBLE on both engine and oracle sides.
+  * Identical exact decimal → identical IEEE double → identical driver hash;
+  * leaving DECIMAL in the output makes the hash depend on each engine's
+  * trailing-zero rendering ('253942.00' vs '253942.0').
   */
 object Relational {
 
-  private val D182  = DecimalType(18, 2)
-  private val D382  = DecimalType(38, 2)
+  private val D182 = DecimalType(18, 2)
 
   /** A1 + pricing-summary aggregation (reference counts at
     * transform_raw_data.py:201,217,233 generalized to grouped aggregates).
@@ -29,8 +30,8 @@ object Relational {
     "q_a1_agg",
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
              COUNT(*) AS count_order,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem
@@ -38,14 +39,17 @@ object Relational {
       ORDER BY l_returnflag, l_linestatus
     """),
   ) { (s, d) =>
+    // Aggregate in exact DECIMAL (order-independent), then emit DOUBLE:
+    // identical exact sum → identical IEEE double on both engines, and the
+    // driver's string-hash never sees a trailing-zero scale artifact.
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(D182)).cast(D382).as("sum_qty"),
-        sum(col("l_extendedprice").cast(D182)).cast(D382).as("sum_base_price"),
+        sum(col("l_quantity").cast(D182)).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(D182)).cast(DoubleType).as("sum_base_price"),
         count(lit(1)).as("count_order"),
       )
-      .withColumn("avg_qty", col("sum_qty").cast(DoubleType) / col("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -78,7 +82,7 @@ object Relational {
     Some("""
       SELECT n_name,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -102,7 +106,7 @@ object Relational {
       .groupBy("n_name")
       .agg(
         sum(col("l_extendedprice").cast(D182) * (lit(1) - col("l_discount").cast(D182)))
-          .cast(DecimalType(38, 4)).as("revenue"),
+          .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"),
       )
       .orderBy("n_name")
@@ -175,7 +179,7 @@ object Relational {
     Some("""
       SELECT c_custkey,
              COUNT(o_orderkey) AS n_big_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_big
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
       FROM customer
       LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 490000) o
         ON o_custkey = c_custkey
@@ -189,7 +193,7 @@ object Relational {
       .groupBy("c_custkey")
       .agg(
         count(col("o_orderkey")).as("n_big_orders"),
-        sum(col("o_totalprice").cast(D182)).cast(D382).as("sum_big"),
+        sum(col("o_totalprice").cast(D182)).cast(DoubleType).as("sum_big"),
       )
       .orderBy("c_custkey")
   }
@@ -232,7 +236,7 @@ object Relational {
     Some("""
       SELECT l_returnflag, l_linestatus,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -242,7 +246,7 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(D182)).cast(D382).as("sum_qty"),
+        sum(col("l_quantity").cast(D182)).cast(DoubleType).as("sum_qty"),
       )
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }

@@ -120,7 +120,7 @@ object Scalars {
     "q_events_json_agg",
     Some("""
       SELECT event_type,
-             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              COUNT(*) AS n
       FROM events
       GROUP BY event_type
@@ -146,7 +146,7 @@ object Scalars {
       SELECT date_trunc('hour', ts) AS hour_start,
              event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2
@@ -159,7 +159,7 @@ object Scalars {
       )
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
       )
       .orderBy("hour_start", "event_type")
   }

@@ -146,21 +146,21 @@ object Windows {
         FROM events
       ), sess AS (
         SELECT user_id, ts, event_id, value,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id,
              COUNT(*) AS n_events,
              MIN(ts) AS session_start,
              MAX(ts) AS session_end,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sess
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id
     """),
   ) { (s, d) =>
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
@@ -178,7 +178,7 @@ object Windows {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("session_value"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("session_value"),
       )
       .orderBy("user_id", "session_id")
   }
