@@ -27,29 +27,48 @@ object Dedup {
 
   // -------------------------------------------------------------- shingles
 
-  /** Word 3-shingles as a distinct array (single-space split to match the
-    * oracle's string_split; element_at is 1-based on both engines).
+  /** Word 3-shingles from a pre-materialized token array (single-space split
+    * to match the oracle's string_split; element_at is 1-based on both
+    * engines). IMPORTANT: `toks` must be a bound column, not an inline
+    * `split(...)` — Catalyst does not common-subexpression-eliminate through
+    * lambda bodies, so an inline split would re-tokenize the whole document
+    * for every element of every shingle (O(words²) per doc; measured 6-9 s
+    * for 5k docs at sf0.1 vs sub-second with the projection split out).
     */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  def shingles(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2), i =>
           concat_ws(" ",
             element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array().cast(ArrayType(StringType))))
-  }
 
   private val shinglesSql =
     """list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
             || ' ' || string_split(text, ' ')[i+2]))"""
 
-  /** Shingle sets per doc: (doc_id, sh, sz), empty sets dropped. */
+  /** Shingle sets per doc: (doc_id, sh, sz). Tokenizes in its own projection
+    * so the lambda above sees a bound array.
+    *
+    * The repartition spreads the CPU-heavy shingle/hash derivation across
+    * all cores BEFORE computing: a small corpus arrives as one file = one
+    * scan partition, and at any scale shingling is compute-bound, so paying
+    * one cheap shuffle of (doc_id, text) to balance it is the right trade.
+    * The explicit partition count stops AQE coalescing the (tiny by bytes,
+    * huge by compute) shuffle back to one partition.
+    *
+    * Deliberately NO `sz > 0` filter here: predicate pushdown would
+    * substitute the whole shingle expression into a pre-projection Filter,
+    * evaluating the O(words²) lambda twice per row (measured 8× slowdown).
+    * Empty sets are harmless downstream — they explode to zero posting rows
+    * and inner-join away from every candidate path.
+    */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0)
 
   /** Exact jaccard re-score of candidate (i, j) pairs given both arrays. */
   private def rescore(cands: DataFrame, sets: DataFrame, t: Double): DataFrame = {
@@ -65,10 +84,20 @@ object Dedup {
 
   // ------------------------------------------------------- exact SSJ (oracle)
 
-  /** Exact all-pairs Jaccard join with prefix filtering. */
+  /** Exact all-pairs Jaccard join with full PPJoin-style candidate pruning:
+    * prefix filter + length filter + positional filter. The length/positional
+    * predicates sit INSIDE the candidate join, so a hot shingle shared by k
+    * docs emits far fewer than k² rows — the filters prune before the
+    * shuffle-write of the aggregation, which is what keeps the candidate
+    * stage from going quadratic on skewed vocabularies at 100 TB.
+    */
   def setSimilarityJoin(docs: DataFrame, t: Double): DataFrame = {
     val sets = shingleSets(docs)
-    val posting = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+    // explode_outer + null-filter for the same InferFiltersFromGenerate
+    // reason as hashedPosting above.
+    val posting = sets
+      .select(col("doc_id"), col("sz"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     val freq = posting.groupBy("shingle").agg(count(lit(1)).as("freq"))
     // Global total order: rare shingles first → prefixes are the most
     // selective tokens → smallest candidate fan-out.
@@ -78,10 +107,19 @@ object Dedup {
         row_number().over(Window.partitionBy("doc_id").orderBy(col("freq"), col("shingle"))))
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("shingle"), col("doc_id"))
+      .select(col("shingle"), col("doc_id"), col("sz"), col("rank"))
+    // Length filter: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ∧ t·|B| ≤ |A|.
+    // Positional filter: overlap still reachable after each side's matched
+    // prefix position must meet α = ⌈t/(1+t)·(|A|+|B|)⌉ (PPJoin, Xiao et
+    // al. 2008 — public algorithm).
+    val alpha = ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("b.sz") >= ceil(lit(t) * col("a.sz"))
+          && col("a.sz") >= ceil(lit(t) * col("b.sz"))
+          && least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1 >= alpha)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     rescore(cands, sets, t)
@@ -134,18 +172,36 @@ object Dedup {
   val numBands  = 16
   val rowsPerBand: Int = numHashes / numBands
 
-  /** MinHash signature as one narrow projection: hash each shingle once
-    * (xxhash64), then k array-min passes, each re-mixing with the hash index
-    * as seed material (avoids a*x+b modular arithmetic, which trips ANSI
-    * overflow checking) — no shuffle, no UDF.
+  /** One row per (doc, shingle-hash) — the vectorizable layout both sketches
+    * aggregate over. xxhash64 re-mixed with the hash index replaces a·x+b
+    * modular arithmetic (which trips ANSI overflow checking).
+    *
+    * explode_outer, NOT explode: plain explode lets Catalyst infer a
+    * `size(sh) > 0` filter (InferFiltersFromGenerate) which pushdown then
+    * rewrites in terms of the full shingle lambda and sinks below the
+    * balancing repartition — the O(words²) expression evaluated twice per
+    * row on the unbalanced scan partition (measured 8× slowdown). The
+    * outer variant infers nothing; the padded null row from an empty set
+    * is dropped by a cheap post-explode filter on the generated column,
+    * which cannot be pushed through the Generate.
+    */
+  private def hashedPosting(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+
+  /** MinHash signature via explode → 64 min-aggregates in ONE groupBy pass.
+    * The previous form (64 nested array-transform expressions per row) blew
+    * past the codegen method limit and fell back to interpreted eval — 64
+    * flat agg expressions stay codegen'd, partial-aggregate map-side, and
+    * shuffle only 64 longs per doc.
     */
   def withSignature(sets: DataFrame): DataFrame =
-    sets
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig", array((0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
-      }: _*))
-      .drop("hs")
+    hashedPosting(sets)
+      .groupBy("doc_id")
+      .agg(
+        min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
 
   /** LSH banding: 16 bands × 4 rows. Docs sharing any band hash become
     * candidates (pair probability ~1-(1-j⁴)¹⁶: >0.99 at j=0.7); candidates
@@ -156,7 +212,8 @@ object Dedup {
     val banded = withSignature(sets)
       .select(col("doc_id"),
         posexplode(array((0 until numBands).map { j =>
-          xxhash64(lit(j), slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))
+          xxhash64(lit(j) +: (0 until rowsPerBand)
+            .map(r => col(s"m${j * rowsPerBand + r}")): _*)
         }: _*)).as(Seq("band", "band_hash")))
     val cands = banded.as("a")
       .join(banded.as("b"),
@@ -176,22 +233,23 @@ object Dedup {
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash: majority vote per bit over shingle hashes. 64
-    * aggregate expressions over the hashed-shingle array — one projection,
-    * no shuffle.
+  /** 64-bit SimHash: majority vote per bit over shingle hashes, as explode →
+    * 64 sum-aggregates in one groupBy pass (same codegen-friendly layout as
+    * the MinHash signature; the old per-row 64-way array-aggregate tree was
+    * interpreted). Vote > 0 → bit set; vote = 0 ties → bit clear, matching
+    * the previous semantics.
     */
   def withSimHash(sets: DataFrame): DataFrame = {
     val votes = (0 until 64).map { b =>
-      aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
     }
-    val simhash = votes.zipWithIndex
-      .map { case (v, b) => when(v > 0, lit(1L << b)).otherwise(0L) }
+    val simhash = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
-    sets
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("simhash", simhash)
-      .drop("hs")
+    hashedPosting(sets)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ 3 via 4×16-bit band buckets

@@ -25,12 +25,22 @@ object Transform {
 
   /** P1: one row per ad with its positional ordinals. Input: one row per raw
     * JSON document with columns (doc_id: String, value: String).
+    *
+    * posexplode_outer, not posexplode: the plain variant makes Catalyst
+    * infer a `size(groups) > 0` filter that pushdown rewrites as a second
+    * from_json over the raw text — every document parsed twice. The outer
+    * variant infers nothing; its padding row (empty/null array) has a NULL
+    * ordinal, so filtering on the ordinal drops exactly the padding while
+    * keeping genuine null ELEMENTS (null ad in a group → quarantine, the
+    * engine's documented stricter-than-reference semantics, SURVEY §7.3).
     */
   def flatten(rawDocs: DataFrame): DataFrame =
     rawDocs
       .select(col("doc_id"), from_json(col("value"), AdSchema.rawDocument).as("groups"))
-      .select(col("doc_id"), posexplode(col("groups")).as(Seq("group_idx", "group")))
-      .select(col("doc_id"), col("group_idx"), posexplode(col("group")).as(Seq("pos", "ad")))
+      .select(col("doc_id"), posexplode_outer(col("groups")).as(Seq("group_idx", "group")))
+      .filter(col("group_idx").isNotNull)
+      .select(col("doc_id"), col("group_idx"), posexplode_outer(col("group")).as(Seq("pos", "ad")))
+      .filter(col("pos").isNotNull)
 
   // ----------------------------------------------------------------- derive
 

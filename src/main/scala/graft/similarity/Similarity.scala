@@ -35,7 +35,10 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    // Repartition the streaming side: cosine scoring is compute-bound and a
+    // small corpus is one scan partition — spread it before the BNLJ.
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("cid"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
     scored
@@ -109,8 +112,10 @@ object Similarity {
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = defaultPlanes): DataFrame = {
-    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      bucketId(col("embedding"), numPlanes).as("bucket"))
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        bucketId(col("embedding"), numPlanes).as("bucket"))
     val probes = array(lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)): _*)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(transform(probes, m => bucketId(col("embedding"), numPlanes).bitwiseXOR(m)))
