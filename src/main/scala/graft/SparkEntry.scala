@@ -55,6 +55,7 @@ object SparkEntry {
       graft.text.TextAnalysis.all ++
       graft.dedup.Dedup.all ++
       graft.similarity.Similarity.all ++
+      graft.multimodal.Multimodal.all ++
       etlQueries
 
   /** Flagship: the full reference pipeline (scan → flatten → derive →

@@ -43,6 +43,24 @@ object AdPipeline {
       .transform(Report.report(_, now)), reportDir)
   }
 
+  /** File-based run with the run-id artifact convention (F9): every stage
+    * output lands in a fresh `<name>_<runid>` directory under `baseDir`, so
+    * reruns never overwrite each other (reference utils/base.py:4-8
+    * semantics, bug excluded). Returns the three output dirs.
+    */
+  def runWithId(
+      spark: SparkSession,
+      rawJsonPath: String,
+      baseDir: String,
+      now: Instant,
+  ): (String, String, String) = {
+    val curatedDir = Sinks.runDir(baseDir, "curated", now)
+    val quarantineDir = Sinks.runDir(baseDir, "validation", now)
+    val reportDir = Sinks.runDir(baseDir, "reports", now)
+    runFiles(spark, rawJsonPath, curatedDir, quarantineDir, reportDir, now)
+    (curatedDir, quarantineDir, reportDir)
+  }
+
   /** The flagship fixture run (SparkEntry.entry). */
   def fixtureRun(spark: SparkSession): Outputs =
     run(Sources.rawAdsFromStrings(spark, Seq(("fixture", AdFixture.json))), AdFixture.frozenNow)

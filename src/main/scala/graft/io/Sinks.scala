@@ -1,5 +1,9 @@
 package graft.io
 
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
 import org.apache.spark.sql.DataFrame
 
 /** Engine-boundary sinks (SURVEY.md §2.1 S6/S8/S9/S11). Run artifacts are
@@ -7,6 +11,26 @@ import org.apache.spark.sql.DataFrame
   * minus its `filename_` bug — utils/base.py:4-8, semantics kept, bug not).
   */
 object Sinks {
+
+  /** F9: run id from an injected clock (reference strftime format,
+    * utils/base.py:6). Injected, not Instant.now(), so runs are reproducible
+    * and tests can pin collisions away (SURVEY §7.2).
+    */
+  def runId(now: Instant): String =
+    DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC).format(now)
+
+  /** `<base>/<name>_<runid>` — the non-overwriting run-artifact convention. */
+  def runDir(base: String, name: String, now: Instant): String =
+    s"$base/${name}_${runId(now)}"
+
+  /** S6: raw-JSON landing sink. Each document lands in its own
+    * `doc_id=<id>` directory (partitionBy), so a whole-text reader sees one
+    * document per file and array order inside a document survives — the
+    * property the ordinal-based semantics depend on (SURVEY §7.1). Append
+    * mode: landing is incremental by nature (collect_raw_data.py:150-171).
+    */
+  def rawJsonLanding(rawDocs: DataFrame, dir: String): Unit =
+    rawDocs.write.partitionBy("doc_id").mode("append").text(dir)
 
   /** S8: quarantine side-channel — record struct + validation_error. */
   def quarantineJson(quarantine: DataFrame, dir: String): Unit =

@@ -291,9 +291,43 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Star join over the supplier side: economy-part revenue per supplier
+    * nation. All three dims (supplier, nation, filtered part) broadcast —
+    * the fact table never shuffles before aggregation; the filter on
+    * p_type prunes the broadcast build side, not the probe.
+    */
+  val q_parts_by_supplier_nation: Q = Q(
+    "q_parts_by_supplier_nation",
+    Some("""
+      SELECT n_name,
+             COUNT(DISTINCT l_partkey) AS n_econ_parts,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS econ_revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      GROUP BY n_name
+      ORDER BY n_name
+    """),
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("n_name")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_econ_parts"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(D182)).cast(DoubleType).as("econ_revenue"),
+      )
+      .orderBy("n_name")
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
-    q_range_join, q_rollup, q_distinct_agg, q_union,
+    q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
   )
 }

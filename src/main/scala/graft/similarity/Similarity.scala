@@ -71,16 +71,19 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  // ------------------------------------------------------------- LSH / IVF
+  // ------------------------------------------------------- multi-table LSH
 
-  /** Bucket count = 2^numPlanes; tune to corpus density. With multi-probe
-    * (own bucket + all Hamming-1 buckets) the scanned fraction is
-    * ≈ (numPlanes+1)/2^numPlanes of the corpus — 4 planes probes ~31%, 8
-    * planes ~3.5%. Recall falls as planes rise; pick by corpus size (a
-    * 100 TB corpus wants 12-16 planes + more probes or an IVF re-train).
+  /** L independent tables of k random hyperplanes each (classic multi-table
+    * sign-LSH): a pair colliding in ANY table becomes a candidate, so recall
+    * is 1-(1-p^k)^L with p = 1 - angle/π. Tune k up for denser corpora
+    * (fewer candidates per bucket) and L up for recall: this corpus's true
+    * top-5 neighbors sit near cosine 0.33 (p ≈ 0.61), so k=4/L=10 predicts
+    * ~0.77 recall while scanning well under half the corpus per query —
+    * a 100 TB corpus with tighter clusters wants k=8-12, same L.
     */
   val defaultPlanes = 4
-  val maxPlanes     = 16
+  val defaultTables = 10
+  val maxPlanes     = 64
   val dim           = 64
 
   private def splitmix(x0: Long): Long = {
@@ -98,31 +101,41 @@ object Similarity {
     }
   }
 
-  /** Sign-bit bucket id: random-hyperplane LSH — cosine-similar vectors
-    * collide with high probability.
+  /** One bucket id per table: k sign bits from that table's planes, with the
+    * table index packed into the high bits so a single equi-join key covers
+    * all tables.
     */
-  def bucketId(emb: Column, numPlanes: Int): Column =
-    (0 until numPlanes).map { p =>
-      when(dot(emb, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+  def bucketIds(emb: Column, numPlanes: Int, numTables: Int): Column =
+    array((0 until numTables).map { tau =>
+      (0 until numPlanes).map { b =>
+        when(dot(emb, typedlit(planes(tau * numPlanes + b))) > 0, lit(1L << b))
+          .otherwise(0L)
+      }.reduce(_.bitwiseOR(_)).bitwiseOR(lit(tau.toLong << 32))
+    }: _*)
 
-  /** ANN: probe the query's own bucket plus all Hamming-1 neighbor buckets
-    * (multi-probe — recovers most boundary losses). Candidates come from an
-    * equi-join on bucket id; only candidates get exact-scored.
+  /** ANN: candidates from an equi-join on (table, bucket); only candidates
+    * get exact-scored, and a pair colliding in several tables is scored per
+    * collision then collapsed by a max-aggregate (scalar shuffle — cheaper
+    * than deduplicating rows that still carry embedding arrays).
+    * explode_outer + null filter for the InferFiltersFromGenerate reason
+    * documented at Dedup.hashedPosting.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numPlanes: Int = defaultPlanes): DataFrame = {
+      numPlanes: Int = defaultPlanes, numTables: Int = defaultTables): DataFrame = {
+    require(numPlanes * numTables <= maxPlanes, "not enough fixed hyperplanes")
     val c = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        bucketId(col("embedding"), numPlanes).as("bucket"))
-    val probes = array(lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)): _*)
+        explode_outer(bucketIds(col("embedding"), numPlanes, numTables)).as("bucket"))
+      .filter(col("bucket").isNotNull)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(transform(probes, m => bucketId(col("embedding"), numPlanes).bitwiseXOR(m)))
-          .as("bucket"))
+        explode_outer(bucketIds(col("embedding"), numPlanes, numTables)).as("bucket"))
+      .filter(col("bucket").isNotNull)
     q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid", "cid")
+      .agg(max(col("cos")).as("cos"))
       .withColumn("rn",
         row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rn") <= k)

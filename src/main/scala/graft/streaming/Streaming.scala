@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.etl.Transform
+
+/** Structured Streaming surface (SURVEY.md §2.10). The reference's ingestion
+  * is incremental by nature — the GraphQL response hook appends ad groups as
+  * they arrive (collect_raw_data.py:150-171) — and its batch landing-dir
+  * contract maps 1:1 onto a file-source stream: every landed document is one
+  * micro-batch input, processed exactly once via checkpointed offsets.
+  *
+  * Design rules at scale:
+  *  - watermarks bound ALL state (windows, sessions, dedup keys) — without
+  *    one, a 100 TB stream's state store grows forever;
+  *  - aggregations are the same declarative plans as their batch twins
+  *    (q_events_hourly / q_sessionize), so Catalyst plans partial
+  *    aggregation before the keyed state shuffle;
+  *  - the ad pipeline streams through foreachBatch reusing the BATCH
+  *    Transform unchanged — one code path, two execution modes.
+  */
+object Streaming {
+
+  /** events landing schema (TESTDATA.md events table, JSON-lines files). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** File-source stream over an events landing dir (JSON lines; new files =
+    * new micro-batches — the streaming analog of the response-hook appends).
+    * `options` passes source knobs through (e.g. maxFilesPerTrigger to bound
+    * batch size — at scale you always bound it so one listing burst cannot
+    * become one giant micro-batch).
+    */
+  def readEvents(
+      spark: SparkSession,
+      landingDir: String,
+      options: Map[String, String] = Map.empty,
+  ): DataFrame =
+    spark.readStream.options(options).schema(eventSchema).json(landingDir)
+
+  /** Streaming twin of q_events_hourly: tumbling 1-hour window per event
+    * type. Watermark bounds state to windows newer than (max ts − delay).
+    */
+  def hourlyCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming twin of q_sessionize: 30-minute-gap session windows per user.
+    * session_window merges as events arrive — the stateful equivalent of the
+    * batch lag/running-sum gaps-and-islands plan.
+    */
+  def sessionize(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** D1 keep-first dedup across micro-batches: first arrival of an event_id
+    * wins; watermark expires state for keys older than the delay (the
+    * arrival-order analog of the batch window dedup, SURVEY §2.10).
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Incremental ad-library ingestion: raw documents landing as whole files
+    * stream through the UNCHANGED batch transform (flatten → derive →
+    * validate → dedup-within-batch) via foreachBatch; curated parquet and
+    * quarantine JSON append per micro-batch. Cross-batch ad_id dedup is the
+    * curated reader's concern (keep-first by ordinal is already pinned
+    * within each document).
+    */
+  def adIngest(
+      spark: SparkSession,
+      landingDir: String,
+      curatedDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+  ): StreamingQuery = {
+    val rawDocs = spark.readStream
+      .option("wholetext", "true")
+      .text(landingDir)
+      .select(input_file_name().as("doc_id"), col("value"))
+    rawDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Same composition as Transform.transform, with the parsed frame
+        // persisted so the curated and quarantine branches share one scan.
+        val parsed = Transform.derive(Transform.flatten(batch)).persist()
+        try {
+          val (valid, quarantine) = Transform.validate(parsed)
+          val curated = Transform.dedup(valid)
+            .select(graft.etl.AdSchema.validated.fieldNames.map(col).toIndexedSeq: _*)
+          curated.write.mode("append").parquet(curatedDir)
+          quarantine.write.mode("append").json(quarantineDir)
+        } finally { parsed.unpersist(); () }
+      }
+      .start()
+  }
+}

@@ -24,18 +24,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(c => c >= -1.0000001 && c <= 1.0000001))
   }
 
-  test("ANN LSH: subset of corpus, nonzero recall vs brute force") {
+  test("ANN multi-table LSH: recall >= 0.6 vs brute force") {
     val queries = emb.filter(col("vec_id") < 20)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.bruteForceTopK(queries, emb, 5))
     val ann   = pairs(Similarity.annTopK(queries, emb, 5))
     val recall = (exact intersect ann).size.toDouble / exact.size
-    // Random hyperplanes over UNclustered queries give modest recall; the
-    // point of the test is the plumbing (bucketing, probing, rescoring) and
-    // a regression floor, printed for tuning.
+    // True top-5 neighbors in this corpus sit near cosine 0.33 (weak
+    // similarity), so k=4/L=10 multi-table predicts ~0.77 recall.
     info(s"ANN recall@5 = $recall over ${exact.size} truth pairs")
-    assert(recall > 0.15)
+    assert(recall >= 0.6)
     assert(ann.nonEmpty)
   }
 }

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.etl.{AdFixture, AdPipeline}
+import graft.io.Sources
+
+/** Pins the streaming surface with file-source micro-batches and compares
+  * against the batch twins (the same events through the batch plans).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Two JSON-lines event files — arriving as separate listing entries. */
+  private def landEvents(dir: String): Unit = {
+    Files.writeString(Paths.get(dir, "batch1.json"),
+      """{"event_id":1,"ts":"2024-06-01T10:05:00","user_id":1,"event_type":"click","value":1.0,"props":"{}"}
+        |{"event_id":2,"ts":"2024-06-01T10:20:00","user_id":1,"event_type":"click","value":2.0,"props":"{}"}
+        |{"event_id":3,"ts":"2024-06-01T11:15:00","user_id":2,"event_type":"view","value":3.0,"props":"{}"}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "batch2.json"),
+      """{"event_id":4,"ts":"2024-06-01T11:40:00","user_id":1,"event_type":"click","value":4.0,"props":"{}"}
+        |{"event_id":2,"ts":"2024-06-01T10:20:00","user_id":1,"event_type":"click","value":2.0,"props":"{}"}
+        |""".stripMargin)
+  }
+
+  test("hourly tumbling aggregation matches the batch twin") {
+    val dir = tmpDir("graft-stream-events")
+    landEvents(dir)
+    val out = Streaming.hourlyCounts(Streaming.readEvents(spark, dir))
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("hourly")
+      .select("hour_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // 5 events incl. a duplicate event_id=2 (dedup is a separate operator —
+    // the aggregation counts arrivals, like the batch plan over stored rows).
+    assert(got === Set(
+      ("2024-06-01 10:00:00.0", "click", 3L, 5.0),
+      ("2024-06-01 11:00:00.0", "view", 1L, 3.0),
+      ("2024-06-01 11:00:00.0", "click", 1L, 4.0),
+    ))
+  }
+
+  test("session windows split on the 30-minute gap") {
+    val dir = tmpDir("graft-stream-sess")
+    landEvents(dir)
+    // Session windows emit in APPEND mode only when the watermark passes the
+    // session end: use a zero-delay watermark, force one file per
+    // micro-batch in mod-time order, and land a next-day sentinel whose
+    // batch advances the watermark past every real session.
+    Files.writeString(Paths.get(dir, "batch3.json"),
+      """{"event_id":99,"ts":"2024-06-02T09:00:00","user_id":9,"event_type":"view","value":0.0,"props":"{}"}
+        |""".stripMargin)
+    Seq("batch1.json", "batch2.json", "batch3.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val events = Streaming.readEvents(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.sessionize(events, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sessions")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    // user 1: events at 10:05, 10:20, 10:20 (dup id, still an arrival) then a
+    // >30 min gap to 11:40 → two sessions; user 2: one session. The sentinel
+    // session is still open when the stream drains, so it does not emit.
+    assert(got === Set(
+      (1L, "2024-06-01 10:05:00.0", 3L),
+      (1L, "2024-06-01 11:40:00.0", 1L),
+      (2L, "2024-06-01 11:15:00.0", 1L),
+    ))
+  }
+
+  test("cross-batch keep-first dedup drops the replayed event_id") {
+    val dir = tmpDir("graft-stream-dedup")
+    landEvents(dir)
+    val out = Streaming.dedupEvents(Streaming.readEvents(spark, dir))
+    val q = out.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("streaming ad ingestion equals the batch pipeline on the fixture") {
+    val landing = tmpDir("graft-stream-ads")
+    val curated = tmpDir("graft-stream-curated") + "/out"
+    val quarantine = tmpDir("graft-stream-quar") + "/out"
+    val checkpoint = tmpDir("graft-stream-ckpt") + "/ckpt"
+    Files.writeString(Paths.get(landing, "doc1.json"), AdFixture.json)
+    val q = Streaming.adIngest(spark, landing, curated, quarantine, checkpoint)
+    q.awaitTermination()
+    val got = spark.read.parquet(curated)
+    val expected = AdPipeline.fixtureRun(spark).curated
+    assert(got.count() === expected.count())
+    assert(
+      got.select("ad_id").collect().map(_.getString(0)).sorted.toSeq ===
+        expected.select("ad_id").collect().map(_.getString(0)).sorted.toSeq)
+    // a second identical landing run with the same checkpoint is a no-op
+    // (exactly-once file-source offsets)
+    val q2 = Streaming.adIngest(spark, landing, curated, quarantine, checkpoint)
+    q2.awaitTermination()
+    assert(spark.read.parquet(curated).count() === expected.count())
+    // the quarantine side-channel captured the fixture's 6 invalid ads
+    assert(spark.read.json(quarantine).count() === 6)
+  }
+
+  test("raw landing round-trip: file source sees what Sources wrote") {
+    val landing = tmpDir("graft-raw-landing")
+    Files.writeString(Paths.get(landing, "docA.json"), AdFixture.json)
+    val batch = Sources.rawAdsJson(spark, landing)
+    assert(batch.count() === 1)
+    assert(batch.select("value").first().getString(0).contains("ad_archive_id"))
+  }
+}
