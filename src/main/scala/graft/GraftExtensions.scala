@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{VecDot, VectorFunctions}
+
+/** `spark.sql.extensions=graft.GraftExtensions` injects the engine's native
+  * functions at session build time — the config-file route to the same
+  * registration `VectorFunctions.ensureRegistered` performs at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(VectorFunctions.dotName),
+      new ExpressionInfo(classOf[VecDot].getName, VectorFunctions.dotName),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)),
+    ))
+  }
+}

@@ -93,21 +93,27 @@ object Dedup {
     */
   def setSimilarityJoin(docs: DataFrame, t: Double): DataFrame = {
     val sets = shingleSets(docs)
+    // Postings carry the shingle's 64-bit hash, not the string: the freq
+    // aggregation, rank window, and candidate equi-join all shuffle longs
+    // instead of ~25-byte strings. A 64-bit collision merging two distinct
+    // shingles can only create a spurious candidate (killed by the exact
+    // rescore) — never lose a true pair beyond ~2^-64 tie-order noise.
     // explode_outer + null-filter for the same InferFiltersFromGenerate
     // reason as hashedPosting above.
     val posting = sets
       .select(col("doc_id"), col("sz"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
-    val freq = posting.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("shingle")).as("sh_h"))
+    val freq = posting.groupBy("sh_h").agg(count(lit(1)).as("freq"))
     // Global total order: rare shingles first → prefixes are the most
     // selective tokens → smallest candidate fan-out.
     val ranked = posting
-      .join(freq, "shingle")
+      .join(freq, "sh_h")
       .withColumn("rank",
-        row_number().over(Window.partitionBy("doc_id").orderBy(col("freq"), col("shingle"))))
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("freq"), col("sh_h"))))
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("shingle"), col("doc_id"), col("sz"), col("rank"))
+      .select(col("sh_h"), col("doc_id"), col("sz"), col("rank"))
     // Length filter: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ∧ t·|B| ≤ |A|.
     // Positional filter: overlap still reachable after each side's matched
     // prefix position must meet α = ⌈t/(1+t)·(|A|+|B|)⌉ (PPJoin, Xiao et
@@ -115,7 +121,7 @@ object Dedup {
     val alpha = ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle")
+        col("a.sh_h") === col("b.sh_h")
           && col("a.doc_id") < col("b.doc_id")
           && col("b.sz") >= ceil(lit(t) * col("a.sz"))
           && col("a.sz") >= ceil(lit(t) * col("b.sz"))

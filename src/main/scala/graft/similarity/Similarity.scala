@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.VectorFunctions
 import graft.util.{Q, Tables}
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-dim).
@@ -20,11 +21,14 @@ import graft.util.{Q, Tables}
   */
 object Similarity {
 
-  /** Sequential-fold dot product (functions.zip_with + aggregate). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product: the native codegen'd kernel
+    * (graft.functions.VecDot) — bit-identical to the HOF form
+    * `aggregate(zip_with(a,b,*))` it replaced, but inside whole-stage
+    * codegen with no lambda dispatch or intermediate array. Callers must
+    * have run VectorFunctions.ensureRegistered on the session (every
+    * DataFrame entry point below does).
+    */
+  def dot(a: Column, b: Column): Column = VectorFunctions.vecDot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -34,6 +38,7 @@ object Similarity {
     * broadcast nested-loop scan, the correct plan for exact ANN ground truth.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
     // Repartition the streaming side: cosine scoring is compute-bound and a
     // small corpus is one scan partition — spread it before the BNLJ.
@@ -123,6 +128,7 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = defaultPlanes, numTables: Int = defaultTables): DataFrame = {
     require(numPlanes * numTables <= maxPlanes, "not enough fixed hyperplanes")
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -151,5 +157,76 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  def all: Seq[Q] = Seq(q_sim_topk_cosine, q_sim_ann_lsh)
+  // ------------------------------------------------- embedding near-dup
+
+  /** One side of a pair join: (id, embedding, norm). The norm materializes
+    * in its own projection so each pair later costs ONE dot product, not
+    * three.
+    */
+  private def normedSide(emb: DataFrame, idCol: String): DataFrame =
+    emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as(idCol), col("embedding").as(s"e_$idCol"),
+        sqrt(dot(col("embedding"), col("embedding"))).as(s"n_$idCol"))
+
+  /** Exact embedding-cosine near-duplicate pairs: every (i < j) with
+    * cosine ≥ t. Quadratic by construction (broadcast-NLJ) — this is the
+    * oracle-checkable ground truth; the linear-ish production path at scale
+    * is [[embeddingNearDupLsh]].
+    */
+  def embeddingNearDupExact(emb: DataFrame, t: Double): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val a = normedSide(emb, "i")
+    val b = normedSide(emb, "j")
+    broadcast(a).join(b, col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j"))).as("cos"))
+      .filter(col("cos") >= t)
+  }
+
+  /** Embedding near-dup at scale: multi-table LSH buckets → candidate
+    * equi-join → exact cosine rescore. Linear in corpus size per bucket
+    * load; recall is the multi-table curve (pinned vs exact in
+    * SimilaritySpec).
+    */
+  def embeddingNearDupLsh(emb: DataFrame, t: Double,
+      numPlanes: Int = defaultPlanes, numTables: Int = defaultTables): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val bucketed = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        explode_outer(bucketIds(col("embedding"), numPlanes, numTables)).as("bucket"))
+      .filter(col("bucket").isNotNull)
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+      .groupBy("i", "j")
+      .agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= t)
+  }
+
+  /** Oracle-checked against DuckDB's own all-pairs cosine join. Pair ids
+    * only — the float itself stays out of the hash scope, and 0.4 sits far
+    * from any pair's actual cosine so boundary ulps cannot flip membership.
+    */
+  val q_dedup_embedding: Q = Q(
+    "q_dedup_embedding",
+    Some("""
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+      ORDER BY i, j
+    """),
+  ) { (s, d) =>
+    embeddingNearDupExact(Tables.embeddings(s, d), 0.4)
+      .select("i", "j")
+      .orderBy("i", "j")
+  }
+
+  def all: Seq[Q] = Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_dedup_embedding)
 }

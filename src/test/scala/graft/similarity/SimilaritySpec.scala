@@ -37,4 +37,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
     assert(ann.nonEmpty)
   }
+
+  test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
+    val corpus = Tables.embeddings(spark, sf("sf0.01"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.embeddingNearDupExact(corpus, 0.4))
+    val lsh   = pairs(Similarity.embeddingNearDupLsh(corpus, 0.4))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // rescored → precision 1
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(s"near-dup recall = $recall over ${exact.size} truth pairs")
+    assert(recall >= 0.6)
+  }
 }
