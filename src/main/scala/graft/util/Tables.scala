@@ -37,6 +37,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings")
+
+  private val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events" -> events _,
+  ).withDefault(name => (s, d) => table(s, d, name))
+
+  /** SQL façade: registers every synthetic table as a temp view (and the
+    * native functions), so the full inventory is addressable via
+    * `spark.sql(...)` with the same scan behavior as the DataFrame API.
+    */
+  def registerViews(s: SparkSession, sfDir: String): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    names.foreach(n => loaders(n)(s, sfDir).createOrReplaceTempView(n))
+  }
 }
 
 /** A named query paired with its DuckDB oracle SQL (None = rows-only check:
