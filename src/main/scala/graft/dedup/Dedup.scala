@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextAnalysis
 import graft.util.{Q, Tables}
@@ -92,7 +93,12 @@ object Dedup {
     * stage from going quadratic on skewed vocabularies at 100 TB.
     */
   def setSimilarityJoin(docs: DataFrame, t: Double): DataFrame = {
-    val sets = shingleSets(docs)
+    // The shingle table is consumed three times (postings + both rescore
+    // sides). Persisting materializes it once per action; Spark's
+    // CacheManager keys entries by logical plan, so repeated calls over the
+    // same input reuse one entry instead of stacking copies. At 100 TB this
+    // is the "materialize the tokenized corpus" step every dedup run wants.
+    val sets = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // Postings carry the shingle's 64-bit hash, not the string: the freq
     // aggregation, rank window, and candidate equi-join all shuffle longs
     // instead of ~25-byte strings. A 64-bit collision merging two distinct
@@ -214,13 +220,17 @@ object Dedup {
     * are exact-rescored so precision is 1, recall is the LSH curve.
     */
   def minHashLshJoin(docs: DataFrame, t: Double): DataFrame = {
-    val sets = shingleSets(docs)
+    // sets feeds the signature AND both rescore sides; banded feeds both
+    // sides of the candidate self-join (plan-keyed cache, see
+    // setSimilarityJoin).
+    val sets = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withSignature(sets)
       .select(col("doc_id"),
         posexplode(array((0 until numBands).map { j =>
           xxhash64(lit(j) +: (0 until rowsPerBand)
             .map(r => col(s"m${j * rowsPerBand + r}")): _*)
         }: _*)).as(Seq("band", "band_hash")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
@@ -264,6 +274,7 @@ object Dedup {
     */
   def simHashJoin(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val hashed = withSimHash(shingleSets(docs)).select(col("doc_id"), col("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
