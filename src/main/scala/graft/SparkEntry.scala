@@ -52,6 +52,7 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Windows.all ++
       graft.queries.Scalars.all ++
+      graft.queries.Skew.all ++
       graft.text.TextAnalysis.all ++
       graft.dedup.Dedup.all ++
       graft.similarity.Similarity.all ++

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.{Q, Tables}
+
+/** Explicit skew mitigation (SURVEY.md §4 / builder brief "salting for
+  * skew"). AQE rebalances skewed JOIN partitions at runtime, but a groupBy
+  * whose key space is tiny (here: 3 return flags over every lineitem row)
+  * puts each key's entire partial-aggregate merge on one reducer no matter
+  * how large the data. Salting splits each hot key across `nSalts` reducers
+  * and re-merges — same result for any decomposable aggregate, hottest
+  * reducer bounded to ~1/nSalts of the hottest key.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy(key, salt) partial →
+    * groupBy(key) final. The salt is a per-row round-robin id — its values
+    * never reach the result, so determinism of the salt assignment is not
+    * required for correctness (every row lands in exactly one salt bucket).
+    */
+  def saltedAgg(df: DataFrame, key: String, nSalts: Int)(
+      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAgg.head, finalAgg.tail: _*)
+
+  /** Salted sum/count over the 3-value l_returnflag key — the same answer
+    * as a direct groupBy (the oracle is the plain SQL aggregate), computed
+    * through the two-phase plan.
+    */
+  val q_skew_salted_agg: Q = Q(
+    "q_skew_salted_agg",
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """),
+  ) { (s, d) =>
+    saltedAgg(Tables.lineitem(s, d), "l_returnflag", nSalts = 16)(
+      partial = Seq(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("p_sum"),
+        count(lit(1)).as("p_n")),
+      finalAgg = Seq(
+        sum(col("p_sum")).cast(DoubleType).as("sum_qty"),
+        sum(col("p_n")).as("n")),
+    ).orderBy("l_returnflag")
+  }
+
+  /** Approximate COUNT(DISTINCT) via HyperLogLog++ — at 100 TB an exact
+    * distinct count shuffles every distinct value; the sketch shuffles a
+    * fixed-size buffer per group. Rows-only (DuckDB's approx algorithm
+    * differs); the error bound vs exact is pinned in SkewSpec.
+    */
+  val q_approx_distinct: Q = Q("q_approx_distinct", None) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  def all: Seq[Q] = Seq(q_skew_salted_agg, q_approx_distinct)
+}

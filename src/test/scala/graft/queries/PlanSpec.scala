@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Pins the PHYSICAL plans the scale story depends on — a regression here
+  * means a future change silently traded away pushdown, top-k, or a
+  * broadcast (SURVEY.md §4: these rewrites are the point of being
+  * declarative).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf())
+      .queryExecution.executedPlan.toString
+
+  test("filter and projection reach the parquet scan") {
+    val p = plan("q_p6_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), IsNotNull(o_totalprice)"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double,o_orderpriority:string>"))
+    assert(!p.contains("o_custkey"), "scan reads columns the query never uses")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    assert(plan("q_t1_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("star joins broadcast every dimension") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_join_revenue_by_nation")).size >= 3)
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_parts_by_supplier_nation")).size >= 3)
+  }
+
+  test("semi and anti joins keep their physical join types") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("equi+range join never degrades to a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
