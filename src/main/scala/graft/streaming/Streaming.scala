@@ -79,6 +79,43 @@ object Streaming {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Typed event row for the custom-state operators. */
+  final case class EventRow(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user running state (the streaming twin of P3/W1's group-scoped
+    * running max, transform_raw_data.py:114-116 — arrival order replaces
+    * file order).
+    */
+  final case class RunningMax(maxValue: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState (SURVEY §2.10): each
+    * user's running max survives across micro-batches in the state store;
+    * within a batch events apply in (ts, event_id) order so output is
+    * deterministic for a given batch split. Built-in windows cover
+    * tumbling/session aggregation; this is the escape hatch for state
+    * machines they cannot express.
+    */
+  def runningMaxByUser(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningMax, (Long, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[RunningMax]) =>
+          var m = state.getOption.map(_.maxValue).getOrElse(Double.NegativeInfinity)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            m = math.max(m, e.value)
+            (e.event_id, uid, e.value, m)
+          }
+          state.update(RunningMax(m))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "value", "run_max_value")
+  }
+
   /** Incremental ad-library ingestion: raw documents landing as whole files
     * stream through the UNCHANGED batch transform (flatten → derive →
     * validate → dedup-within-batch) via foreachBatch; curated parquet and

