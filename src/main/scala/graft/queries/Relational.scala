@@ -325,9 +325,38 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Exact top-3 order totals per market segment via the custom typed
+    * Aggregator (graft.functions.TopKAgg): partial aggregation keeps a
+    * k-element buffer per group map-side, so the shuffle carries k doubles
+    * per (group × partition) — the window row_number() formulation the
+    * oracle uses shuffles and sorts every row. Same rows, k-sized shuffle.
+    */
+  val q_topk_by_group: Q = Q(
+    "q_topk_by_group",
+    Some("""
+      SELECT c_mktsegment, rnk, price
+      FROM (SELECT c_mktsegment, o_totalprice AS price,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC) AS rnk
+            FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rnk <= 3
+      ORDER BY c_mktsegment, rnk
+    """),
+  ) { (s, d) =>
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(top3(col("o_totalprice")).as("tops"))
+      .select(col("c_mktsegment"), posexplode(col("tops")).as(Seq("pos", "price")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast(LongType).as("rnk"), col("price"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
+    q_topk_by_group,
   )
 }
