@@ -25,7 +25,13 @@ object Bench {
     // pipeline's shared persist, excluded from timings.
     exec("q_t1_topk")
     exec("etl_quarantine")
-    val results = names.map(n => n -> exec(n))
+    // min of two runs per query: this host shows 5-10x random spikes from
+    // external load; the min approximates the noise-free cost of the plan.
+    // The cache clears before every timed run so operators with internal
+    // persists (dedup/minhash, the etl fixture) are measured COLD — the min
+    // dampens noise, not materialization cost.
+    def timed(n: String): Double = { spark.catalog.clearCache(); exec(n) }
+    val results = names.map(n => n -> math.min(timed(n), timed(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
