@@ -105,7 +105,7 @@ object Dedup {
     // shingles can only create a spurious candidate (killed by the exact
     // rescore) — never lose a true pair beyond ~2^-64 tie-order noise.
     // explode_outer + null-filter for the same InferFiltersFromGenerate
-    // reason as hashedPosting above.
+    // reason as hashedPosting below.
     val posting = sets
       .select(col("doc_id"), col("sz"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
