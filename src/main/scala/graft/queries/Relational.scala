@@ -353,10 +353,121 @@ object Relational {
       .orderBy("c_mktsegment", "rnk")
   }
 
+  /** CUBE: all grouping-set combinations in one Expand + aggregate pass
+    * (completes the rollup family; same single-scan property).
+    */
+  val q_cube: Q = Q(
+    "q_cube",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """),
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D182)).cast(DoubleType).as("sum_qty"),
+      )
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** INTERSECT / EXCEPT set operations (distinct semantics on both engines):
+    * customers in BUILDING with a big order, minus those with any pending
+    * order.
+    */
+  val q_setops: Q = Q(
+    "q_setops",
+    Some("""
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                    AND o_totalprice > 300000)
+      EXCEPT
+      SELECT c_custkey FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                    AND o_orderstatus = 'P')
+      ORDER BY c_custkey
+    """),
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val big = c.join(o.filter(col("o_totalprice") > 300000),
+      col("c_custkey") === col("o_custkey"), "left_semi").select("c_custkey")
+    val pending = c.join(o.filter(col("o_orderstatus") === "P"),
+      col("c_custkey") === col("o_custkey"), "left_semi").select("c_custkey")
+    building.intersect(big).except(pending).orderBy("c_custkey")
+  }
+
+  /** Ranking/offset window suite: rank, dense_rank, ntile, lag, lead over
+    * one keyed sort — all share a single shuffle+sort (one Window exec).
+    */
+  val q_window_suite: Q = Q(
+    "q_window_suite",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile,
+             LAG(o_totalprice) OVER w AS prev_price,
+             LEAD(o_totalprice) OVER w AS next_price
+      FROM orders
+      WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, rnk, o_orderkey
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      )
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** PIVOT: order counts by status per market segment — Spark's pivot and
+    * the oracle's conditional aggregation are the same single-pass plan.
+    */
+  val q_pivot: Q = Q(
+    "q_pivot",
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """),
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map("O" -> "n_open", "F" -> "n_final", "P" -> "n_pending"))
+      .na.fill(0, Seq("n_open", "n_final", "n_pending"))
+      .orderBy("c_mktsegment")
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
-    q_topk_by_group,
+    q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot,
   )
 }
