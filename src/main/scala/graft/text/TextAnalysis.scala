@@ -143,5 +143,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint)
+  /** Corpus vocabulary: global token frequencies, top-50. The explode →
+    * groupBy plan partial-aggregates map-side, so the shuffle carries one
+    * row per distinct token per partition — corpus-size-independent for a
+    * bounded vocabulary. Deterministic under ties via the (count, token)
+    * total order.
+    */
+  val q_text_vocab: Q = Q(
+    "q_text_vocab",
+    Some("""
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+      ORDER BY freq DESC, token
+      LIMIT 50
+    """),
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode_outer(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+  }
+
+  /** PII-style redaction (training-data scrubbing): emails, URLs, and long
+    * digit runs replaced with typed placeholders. Patterns stay inside the
+    * RE2 ∩ Java-regex common dialect so both engines rewrite identically.
+    */
+  val q_text_redact: Q = Q(
+    "q_text_redact",
+    Some("""
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+             length(text) - length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+               'https?://[^ ]+', '', 'g'),
+               '[0-9]{6,}', '', 'g')) AS n_redacted_chars
+      FROM documents
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{6,}"
+    def scrub(c: Column, repl: String => String): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        email, repl("EMAIL")), url, repl("URL")), num, repl("NUM"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        scrub(col("text"), t => s"<$t>").as("redacted"),
+        (length(col("text")) - length(scrub(col("text"), _ => "")))
+          .as("n_redacted_chars"),
+      )
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(
+    q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
+    q_text_vocab, q_text_redact)
 }
