@@ -82,16 +82,19 @@ object Multimodal {
 
   /** STUB feature extraction: a real pipeline would decode the frame and run
     * a vision/audio encoder here; this derives a deterministic fake
-    * `dim`-dimensional vector in [0,1] from the frame's 64-bit hash, keeping
-    * the batch shape (one dense vector per frame) and everything downstream
-    * (ANN, dedup over embeddings) exercisable.
+    * `dim`-dimensional vector in [0,1] from the frame's md5 fingerprint (one
+    * byte of the digest per dimension), keeping the batch shape (one dense
+    * vector per frame) and everything downstream (ANN, dedup over
+    * embeddings) exercisable. md5-over-hex rather than xxhash64 so the
+    * DuckDB oracle reproduces the exact vector (integer byte / 255.0 is the
+    * same IEEE division on both engines).
     */
   def frameFeatures(framed: DataFrame, dim: Int = 8): DataFrame = {
-    require(dim <= 8, "stub packs at most 8 bytes from one 64-bit hash")
-    val h = xxhash64(col("frame"))
+    require(dim <= 16, "stub packs at most the md5 digest's 16 bytes")
+    val fp = fingerprint(col("frame"))
     framed.withColumn("feature",
       array((0 until dim).map { i =>
-        (shiftright(h, i * 8).bitwiseAND(lit(255L))).cast(DoubleType) / 255.0
+        conv(substring(fp, 2 * i + 1, 2), 16, 10).cast(DoubleType) / 255.0
       }: _*))
   }
 
@@ -158,13 +161,40 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Rows-only (the stub vector is not oracle-expressible as written):
-    * feature batch shape pinned in MultimodalSpec.
+  /** Oracle-checked feature extraction: the dump flattens the vector to one
+    * scalar row per (media_id, frame_idx, dim) — array cells would break the
+    * driver's pandas comparator — and DuckDB rebuilds the identical values
+    * from the frame fingerprint's hex pairs (strpos-based hex parse; its
+    * md5 is VARCHAR-only and it has no hex→int cast).
     */
-  val q_mm_features: Q = Q("q_mm_features", None) { (s, d) =>
+  val q_mm_features: Q = Q(
+    "q_mm_features",
+    Some(s"""
+      WITH m AS (SELECT doc_id AS media_id, $payloadCase AS payload FROM documents),
+      h AS (SELECT media_id, hex(payload) AS hx FROM m),
+      -- unnest(range(n)) rather than generate_series: the table function
+      -- cannot take lateral column parameters in this DuckDB build
+      u AS (
+        SELECT media_id, hx,
+               CAST(unnest(range(CAST(ceil(length(hx) / 128.0) AS BIGINT))) AS INT) AS frame_idx
+        FROM h
+      ),
+      f AS (
+        SELECT media_id, frame_idx,
+               md5(substring(hx, frame_idx * 128 + 1, 128)) AS fp
+        FROM u
+      )
+      SELECT media_id, frame_idx, CAST(dg.d AS INT) AS dim,
+             ((strpos('0123456789abcdef', substring(fp, CAST(dg.d AS INT) * 2 + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(fp, CAST(dg.d AS INT) * 2 + 2, 1)) - 1)) / 255.0 AS value
+      FROM f, generate_series(0, 7) AS dg(d)
+      ORDER BY media_id, frame_idx, dim
+    """),
+  ) { (s, d) =>
     frameFeatures(frames(mediaTable(Tables.documents(s, d)), frameSize = 64))
-      .select(col("media_id"), col("frame_idx"), col("feature"))
-      .orderBy("media_id", "frame_idx")
+      .select(col("media_id"), col("frame_idx"),
+        posexplode(col("feature")).as(Seq("dim", "value")))
+      .orderBy("media_id", "frame_idx", "dim")
   }
 
   def all: Seq[Q] = Seq(q_mm_metadata, q_mm_frames, q_mm_features)
