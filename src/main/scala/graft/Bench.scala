@@ -20,7 +20,11 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Optional comma-separated subset for local iteration
+    // (SPARK_GRAFT_ONLY=q_rollup,q_sessionize); driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up: JIT + codegen + parquet footer cache + the memoized fixture
     // pipeline's shared persist, excluded from timings.
     exec("q_t1_topk")
@@ -30,7 +34,15 @@ object Bench {
     // The cache clears before every timed run so operators with internal
     // persists (dedup/minhash, the etl fixture) are measured COLD — the min
     // dampens noise, not materialization cost.
-    def timed(n: String): Double = { spark.catalog.clearCache(); exec(n) }
+    // GC + settle between runs: the async ContextCleaner removes the
+    // previous query's shuffle files only when their RDDs are collected, and
+    // that cleanup otherwise lands INSIDE the next timed window (observed:
+    // a 1 s rollup billed 38 s right after the 21 s jaccard join).
+    def timed(n: String): Double = {
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(2000)
+      exec(n)
+    }
     val results = names.map(n => n -> math.min(timed(n), timed(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
