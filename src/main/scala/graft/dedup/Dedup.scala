@@ -157,6 +157,92 @@ object Dedup {
     setSimilarityJoin(Tables.documents(s, d), 0.5).orderBy("i", "j")
   }
 
+  // -------------------------------------------------- duplicate clustering
+
+  /** Distributed connected components over an undirected duplicate-pair
+    * list via min-label propagation: every node starts labeled with itself;
+    * each round every node takes the min label among itself and its
+    * neighbors (one equi-join + one union + one min-groupBy — all shuffle
+    * ops, no driver data). Converges in O(graph diameter) rounds, which for
+    * near-dup graphs is tiny (clusters are cliques-ish); the driver loop
+    * only runs scalar convergence actions (sum of labels — strictly
+    * decreasing until fixpoint), never collects rows. Each round
+    * localCheckpoints the label frame to truncate lineage (swap for
+    * `checkpoint` + a reliable dir on a real cluster); for graphs with long
+    * chains the O(log n) large-star/small-star variant is the upgrade path.
+    *
+    * Returns (node, label) where label = min doc_id reachable = canonical
+    * document id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var prevSum = BigDecimal(-1)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val msgs = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("node")
+        // decimal sum for the convergence checksum below would overflow
+        // longs at extreme ids; min itself is type-preserving
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val sum0 = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      val s = BigDecimal(sum0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster assignment for every document that participates in at least
+    * one exact-jaccard duplicate pair: (doc_id, cluster_id = canonical
+    * min-id member, cluster_size). The DuckDB oracle recomputes the same
+    * clusters with a recursive transitive-closure CTE — exponentially more
+    * expensive than label propagation, fine at oracle scale.
+    */
+  val q_dedup_clusters: Q = Q(
+    "q_dedup_clusters",
+    Some(s"""
+      WITH RECURSIVE s AS (
+        SELECT doc_id, $shinglesSql AS sh FROM documents
+      ), sz AS (
+        SELECT doc_id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) >= 0.5
+      ), edges AS (
+        SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs
+      ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      ), cl AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+      )
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cl
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val cc = connectedComponents(setSimilarityJoin(Tables.documents(s, d), 0.5))
+    cc.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup by normalized-content hash: canonical = min doc_id. */
@@ -294,5 +380,6 @@ object Dedup {
   }
 
   def all: Seq[Q] =
-    Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash)
+    Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash,
+      q_dedup_clusters)
 }

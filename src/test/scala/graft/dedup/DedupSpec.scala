@@ -49,6 +49,25 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(Dedup.simHashJoin(docs).select(col("i"), col("j"))).subsetOf(weak))
   }
 
+  test("connected components: valid partition of the dup-pair graph") {
+    val pairs = Dedup.setSimilarityJoin(docs, 0.5)
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairSet(pairs)
+    assert(ps.nonEmpty && cc.nonEmpty)
+    // every paired doc is labeled, endpoints of every edge share a cluster
+    assert(ps.forall { case (i, j) => cc(i) == cc(j) })
+    // each cluster's label is its minimum member (canonical id)
+    val byLabel = cc.groupBy(_._2).map { case (l, m) => l -> m.keys.min }
+    assert(byLabel.forall { case (l, minMember) => l == minMember })
+    // hand-built transitive chain: a-b, b-c, d-e → {a,b,c}, {d,e}
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup groups by normalized content") {
     val out = Dedup.q_dedup_exact.run(spark, sf())
     val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
