@@ -53,6 +53,7 @@ object SparkEntry {
       graft.queries.Windows.all ++
       graft.queries.Scalars.all ++
       graft.queries.Skew.all ++
+      graft.queries.Analytics.all ++
       graft.text.TextAnalysis.all ++
       graft.dedup.Dedup.all ++
       graft.similarity.Similarity.all ++

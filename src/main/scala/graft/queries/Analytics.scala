@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.{Q, Tables}
+
+/** Dataset-profiling analytics a training-data pipeline runs before and
+  * after every curation step: exact distribution quantiles, deterministic
+  * hash sampling, multi-grain grouping-set summaries, histogram binning,
+  * and time-series gap repair. All built-in expressions (codegen'd), all
+  * oracle-checked.
+  */
+object Analytics {
+
+  /** Exact interpolated percentiles per group. Spark's `percentile` is the
+    * exact sort-based aggregate (one shuffle on the group key; the
+    * per-group sort is distributed, not a driver sort) and matches DuckDB's
+    * `quantile_cont` linear interpolation bit-for-bit on doubles. For the
+    * 100 TB path swap in `percentile_approx` (GK sketch, mergeable,
+    * bounded memory) — kept exact here because the oracle is exact.
+    */
+  val q_quantiles: Q = Q(
+    "q_quantiles",
+    Some("""
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             quantile_cont(l_extendedprice, 0.25) AS p25,
+             quantile_cont(l_extendedprice, 0.50) AS p50,
+             quantile_cont(l_extendedprice, 0.75) AS p75,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """),
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+        percentile(col("l_extendedprice"), lit(0.50)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** Deterministic stratified hash sampling: a row is sampled iff the first
+    * hex digit of md5(orderkey-linenumber) is '0' (rate 1/16). Hash-based
+    * selection is the production sampling primitive — reproducible across
+    * runs/engines, no RNG state, stable under repartition, and uniform
+    * within every stratum. Output audits the realized rate per stratum.
+    */
+  val q_sample_hash: Q = Q(
+    "q_sample_hash",
+    Some("""
+      WITH k AS (
+        SELECT l_returnflag, l_linestatus,
+               substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0' AS sampled
+        FROM lineitem
+      )
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE sampled) AS n_sampled,
+             COUNT(*) FILTER (WHERE sampled) * 1.0 / COUNT(*) AS sample_rate
+      FROM k
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """),
+  ) { (s, d) =>
+    val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+    val sampled = substring(md5(key.cast(BinaryType)), 1, 1) === "0"
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(sampled, 1)).as("n_sampled"),
+        (count(when(sampled, 1)) * lit(1.0) / count(lit(1))).as("sample_rate"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** GROUPING SETS with explicit grain indicators — the general form behind
+    * rollup/cube (both already covered): three chosen grains in ONE scan +
+    * Expand, where naive SQL would union three aggregations (three scans).
+    * Expressed through the SQL façade: the DataFrame API has no grouping-
+    * sets verb, and the point of the façade is that SQL and DataFrame plans
+    * are the same Catalyst plans.
+    */
+  val q_grouping_sets: Q = Q(
+    "q_grouping_sets",
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus) AS g_status,
+             GROUPING(o_orderpriority) AS g_priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_status, g_priority,
+               o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """),
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_status, g_priority,
+               o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+  }
+
+  /** Fixed-bound equi-width histogram of order values: bucket arithmetic is
+    * a scan-speed expression (no shuffle beyond the 10-row aggregation).
+    * Fixed bounds rather than min/max so a single pass suffices; the
+    * overflow bucket is clamped into the last bin, as profilers do.
+    */
+  val q_histogram: Q = Q(
+    "q_histogram",
+    Some("""
+      SELECT bucket, bucket * 60000.0 AS lo, (bucket + 1) * 60000.0 AS hi, n, sum_price
+      FROM (
+        SELECT LEAST(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 9) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY 1
+      )
+      ORDER BY bucket
+    """),
+  ) { (s, d) =>
+    val bucket = least(floor(col("o_totalprice") / 60000.0).cast(LongType), lit(9L))
+    Tables.orders(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+      )
+      .select(
+        col("bucket"),
+        (col("bucket") * 60000.0).as("lo"),
+        ((col("bucket") + 1) * 60000.0).as("hi"),
+        col("n"), col("sum_price"),
+      )
+      .orderBy("bucket")
+  }
+
+  /** Time-series gap repair over the event stream: a generated hourly spine
+    * (sequence over the observed min/max — the 1-row bounds aggregate
+    * broadcasts) left-joined to the hourly rollup; missing hours get n = 0
+    * and carry the last observed hourly average forward (ignore-nulls
+    * last_value over a time order). The spine length is bounded by the time
+    * range, not the data volume, so this shape survives any scale.
+    */
+  val q_ts_gapfill: Q = Q(
+    "q_ts_gapfill",
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+      ), spine AS (
+        SELECT unnest(generate_series((SELECT MIN(h) FROM hourly),
+                                      (SELECT MAX(h) FROM hourly),
+                                      INTERVAL 1 HOUR)) AS h
+      )
+      SELECT spine.h AS hour_start,
+             COALESCE(hourly.n, 0) AS n,
+             last_value(hourly.avg_value IGNORE NULLS)
+               OVER (ORDER BY spine.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS avg_value_ff
+      FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+      ORDER BY hour_start
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+          .as("avg_value"),
+      )
+    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(
+        col("h").as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("avg_value"), ignoreNulls = true)
+          .over(Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("avg_value_ff"),
+      )
+      .orderBy("hour_start")
+  }
+
+  def all: Seq[Q] = Seq(
+    q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill)
+}

@@ -206,7 +206,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction: top-5 tokens per document by smoothed
+    * tf·idf (idf = ln((N+1)/(df+1)) + 1). The document-frequency table is
+    * vocabulary-sized, so it broadcasts; the corpus size N is a 1-row agg
+    * cross-joined in (a literal after AQE). ln on doubles is correctly
+    * rounded on both JVMs and libm, and ties (equal tf/df) break on the
+    * token string — so the top-5 cut is deterministic across engines.
+    */
+  val q_text_tfidf: Q = Q(
+    "q_text_tfidf",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents
+      ), tfr AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> ''
+        GROUP BY doc_id, token
+      ), dfr AS (
+        SELECT token, COUNT(*) AS df FROM tfr GROUP BY token
+      ), nr AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT doc_id, token, tf, df,
+             tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+      FROM tfr JOIN dfr USING (token) CROSS JOIN nr
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) <= 5
+      ORDER BY doc_id, token
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select(col("doc_id"), explode_outer(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "token")
+  }
+
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
-    q_text_vocab, q_text_redact)
+    q_text_vocab, q_text_redact, q_text_tfidf)
 }
