@@ -157,6 +157,97 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) coarse quantizer — the second ANN path, with the
+    * opposite trade to sign-LSH: data-dependent cells (better candidate
+    * quality on clustered corpora) at the cost of a training step.
+    *
+    * Seeds are the `numCells` corpus vectors with the smallest xxhash64 of
+    * their id — deterministic, size-independent, no RNG state — refined by
+    * `lloydIters` distributed Lloyd steps (assign = broadcast argmax join;
+    * re-center = per-(cell, dim) mean via posexplode, re-packed with
+    * sort_array(collect_list)). At 100 TB the same code trains on a hash
+    * sample and the centroid table stays broadcast-sized; assignment is one
+    * scan + argmax against broadcast centroids, so the corpus shuffles
+    * exactly once — by cell — to build the inverted file.
+    */
+  def ivfCentroids(corpus: DataFrame, numCells: Int, lloydIters: Int = 1): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    var cents = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCells) // TakeOrdered: top-C by hash, never a full sort at rest
+      .select(row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id")))
+        .as("cent_id"), col("embedding").as("cvec"))
+    (0 until lloydIters).foreach { _ =>
+      val assigned = assignCells(corpus, cents)
+        .join(corpus, "vec_id")
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell").as("cent_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).getField("m")
+          .as("cvec"))
+    }
+    cents
+  }
+
+  /** Nearest centroid per corpus vector: broadcast cross-score + argmax
+    * (`max_by` keeps the scalar aggregate shape — no window, no second
+    * pass; ties break to the lower cell id via the (cos, -cell) pair).
+    */
+  def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"),
+        col("cent_id"),
+        cosine(col("embedding"), col("cvec")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("cos"), -col("cent_id"))).as("cell"))
+
+  /** IVF ANN: queries probe their `nprobe` closest cells; only vectors
+    * filed under a probed cell get exact-scored. The inverted file is the
+    * cell-keyed equi-join — per query the scan is the probed cells' lists,
+    * a `nprobe / numCells` fraction of the corpus in expectation.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, numCells).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val file = assignCells(corpus, cents)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("ce"))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"),
+        cosine(col("qe"), col("cvec")).as("ccos"))
+      .withColumn("pr",
+        row_number().over(Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "qe", "cell")
+    probes.join(file, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid", "cid") // a pair can meet in several probed cells
+      .agg(max(col("cos")).as("cos"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Rows-only (centroid refinement isn't SQL-expressible); recall vs brute
+    * force pinned in SimilaritySpec alongside the LSH path.
+    */
+  val q_sim_ann_ivf: Q = Q("q_sim_ann_ivf", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    ivfTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      .select("qid", "cid", "rn")
+      .orderBy("qid", "rn")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** One side of a pair join: (id, embedding, norm). The norm materializes
@@ -228,5 +319,6 @@ object Similarity {
       .orderBy("i", "j")
   }
 
-  def all: Seq[Q] = Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_dedup_embedding)
+  def all: Seq[Q] =
+    Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding)
 }

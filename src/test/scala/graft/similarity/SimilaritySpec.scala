@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("ANN IVF: deterministic, and recall vs brute force at nprobe/numCells") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 5))
+    val ivf   = pairs(Similarity.ivfTopK(queries, emb, 5, numCells = 16, nprobe = 8))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall over ${exact.size} truth pairs (nprobe 8/16)")
+    assert(recall >= 0.6)
+    // deterministic end to end (hash-seeded centroids, fixed Lloyd steps)
+    assert(ivf === pairs(Similarity.ivfTopK(queries, emb, 5, numCells = 16, nprobe = 8)))
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
