@@ -175,8 +175,14 @@ object Dedup {
     * document id of the cluster.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+    // Both orientations from ONE pass over pairs (explode, not union —
+    // union's two branches would each recompute the upstream pair join,
+    // doubling the expensive similarity stage when the input isn't cached).
+    val edges = pairs
+      .select(explode(array(
+        struct(col("i").as("src"), col("j").as("dst")),
+        struct(col("j").as("src"), col("i").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))

@@ -34,14 +34,22 @@ object Analytics {
       ORDER BY l_returnflag
     """),
   ) { (s, d) =>
+    // ONE array-form percentile aggregate: four scalar percentile calls
+    // would each keep their own per-group value buffer (4x the aggregation
+    // state and sort work); the array form shares one buffer.
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-        percentile(col("l_extendedprice"), lit(0.50)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.50), lit(0.75), lit(0.95))).as("ps"),
+      )
+      .select(
+        col("l_returnflag"), col("n"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"),
+        element_at(col("ps"), 4).as("p95"),
       )
       .orderBy("l_returnflag")
   }
