@@ -464,10 +464,42 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** UNPIVOT — the inverse reshape of q_pivot: four metric columns melt
+    * into (metric, val) long format in the scan projection (an Expand of 4
+    * rows per input row, no shuffle), then a 4-group aggregate summarizes
+    * each metric. The long layout is what profilers and per-metric
+    * histogram jobs consume.
+    */
+  val q_unpivot: Q = Q(
+    "q_unpivot",
+    Some("""
+      SELECT metric, COUNT(*) AS n, MIN(val) AS min_v, MAX(val) AS max_v,
+             CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME metric VALUE val)
+      GROUP BY metric
+      ORDER BY metric
+    """),
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("metric")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("val")).as("min_v"),
+        max(col("val")).as("max_v"),
+        sum(col("val").cast(D182)).cast(DoubleType).as("sum_v"),
+      )
+      .orderBy("metric")
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
-    q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot,
+    q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot, q_unpivot,
   )
 }

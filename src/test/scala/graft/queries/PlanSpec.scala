@@ -40,4 +40,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("tf-idf broadcasts the vocabulary-sized df table") {
+    assert(plan("q_text_tfidf").contains("BroadcastHashJoin"))
+  }
+
+  test("histogram reads only the binned column") {
+    val p = plan("q_histogram")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"))
+  }
+
+  test("unpivot melts in the scan stage, no extra shuffle") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"))
+    // exactly one exchange pair: the 4-group aggregation (plus the sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+  }
 }
