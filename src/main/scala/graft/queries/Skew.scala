@@ -69,5 +69,47 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
-  def all: Seq[Q] = Seq(q_skew_salted_agg, q_approx_distinct)
+  /** Skew mitigation for WINDOWS: a running max partitioned only by
+    * user_id puts a hot user's entire history on one reducer. Because max
+    * is associative, the prefix aggregate decomposes into two levels:
+    * intra-chunk running max over (user, day) — many small partitions —
+    * plus an exclusive prefix max over the per-chunk summaries (a frame
+    * thousands of times smaller), combined with greatest(). Day chunks
+    * respect the (ts, event_id) total order since the day is a prefix of
+    * ts, so the result is row-identical to the single-partition window —
+    * which is exactly what the oracle checks.
+    */
+  val q_skew_chunked_window: Q = Q(
+    "q_skew_chunked_window",
+    Some("""
+      SELECT user_id, event_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max_value
+      FROM events
+      ORDER BY user_id, event_id
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("chunk", date_trunc("day", col("ts")))
+    val wIntra = Window.partitionBy("user_id", "chunk")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy("user_id").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = ev.groupBy("user_id", "chunk")
+      .agg(max(col("value")).as("chunk_max"))
+      .select(col("user_id"), col("chunk"),
+        max(col("chunk_max")).over(wPrev).as("prev_max"))
+    ev.withColumn("intra_max", max(col("value")).over(wIntra))
+      .join(summaries, Seq("user_id", "chunk"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        when(col("prev_max").isNull, col("intra_max"))
+          .otherwise(greatest(col("intra_max"), col("prev_max"))).as("run_max_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def all: Seq[Q] = Seq(q_skew_salted_agg, q_approx_distinct, q_skew_chunked_window)
 }
