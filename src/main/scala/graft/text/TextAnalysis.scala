@@ -238,7 +238,11 @@ object TextAnalysis {
     val tok = docs
       .select(col("doc_id"), explode_outer(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token").isNotNull && col("token") =!= "")
+    // tf feeds both the df aggregation and the final join — persist so the
+    // tokenize+count stage runs once (plan-keyed cache, same pattern as the
+    // dedup shingle sets).
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), "token")
