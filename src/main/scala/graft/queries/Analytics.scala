@@ -212,6 +212,74 @@ object Analytics {
       .orderBy("hour_start")
   }
 
+  /** Multi-step conversion funnel: users whose first view precedes a click
+    * which precedes a purchase (each step's anchor is the MIN timestamp at
+    * or after the previous step's anchor). Three per-user aggregates chained
+    * by equi-joins on user_id — each stage's frame shrinks, and every join
+    * key is the natural shuffle key, so the funnel is three map-side-partial
+    * aggregations + joins regardless of event volume.
+    */
+  val q_funnel: Q = Q(
+    "q_funnel",
+    Some("""
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+      ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+      )
+      SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+             (SELECT COUNT(*) FROM c) AS n_click_users,
+             (SELECT COUNT(*) FROM p) AS n_purchase_users
+    """),
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+  }
+
+  /** Approximate quantiles — the sketch path q_quantiles documents as its
+    * 100 TB swap, exposed as its own operator. Rows-only: DuckDB's
+    * approx_quantile uses a different sketch, so cross-engine values
+    * diverge by construction; the error bound vs exact is pinned in
+    * AnalyticsSpec instead.
+    */
+  val q_approx_quantiles: Q = Q("q_approx_quantiles", None) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.50), lit(0.75), lit(0.95)), lit(10000)).as("ps"),
+      )
+      .select(
+        col("l_returnflag"), col("n"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"),
+        element_at(col("ps"), 4).as("p95"),
+      )
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[Q] = Seq(
-    q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill)
+    q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
+    q_funnel, q_approx_quantiles)
 }
