@@ -279,7 +279,44 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group sampling cap — the "at most N documents per source" rule
+    * every training-data mixture applies. Selection order inside a group is
+    * the md5 of the key (a deterministic shuffle, not arrival order, so the
+    * kept subset is unbiased and reproducible); the cap is a row_number
+    * window per group — one shuffle on the group key, k-bounded output per
+    * group. Emits the per-language kept counts plus how many were dropped.
+    */
+  val q_sample_capped: Q = Q(
+    "q_sample_capped",
+    Some("""
+      WITH r AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+      )
+      SELECT lang,
+             COUNT(*) FILTER (WHERE rn <= 100) AS n_kept,
+             COUNT(*) FILTER (WHERE rn > 100) AS n_dropped
+      FROM r
+      GROUP BY lang
+      ORDER BY lang
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+      .groupBy("lang")
+      .agg(
+        count(when(col("rn") <= 100, 1)).as("n_kept"),
+        count(when(col("rn") > 100, 1)).as("n_dropped"),
+      )
+      .orderBy("lang")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
-    q_funnel, q_approx_quantiles)
+    q_funnel, q_approx_quantiles, q_sample_capped)
 }
