@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VecDot, VectorFunctions}
+import graft.functions.{TextFunctions, VecDot, VectorFunctions, WordShingles}
 
 /** `spark.sql.extensions=graft.GraftExtensions` injects the engine's native
   * functions at session build time — the config-file route to the same
@@ -16,6 +16,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.dotName),
       new ExpressionInfo(classOf[VecDot].getName, VectorFunctions.dotName),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(TextFunctions.shinglesName),
+      new ExpressionInfo(classOf[WordShingles].getName, TextFunctions.shinglesName),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int]),
     ))
   }
 }

@@ -49,6 +49,22 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(Dedup.simHashJoin(docs).select(col("i"), col("j"))).subsetOf(weak))
   }
 
+  test("native shingle kernel equals the HOF formulation, incl. edge strings") {
+    import spark.implicits._
+    val edge = Seq(
+      "", "a", "a b", "a b c", "a b c d",
+      "a  b  c", " a b c ", "   ", "é ü 嗨 x", "a b c b a b c",
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(
+      edge.withColumn("doc_id", col("doc_id") + 1000000L))
+    val hof = corpus.select(col("doc_id"),
+      Dedup.shingles(split(col("text"), " ")).as("sh_hof"))
+    val native = Dedup.shingleSets(corpus).select(col("doc_id"), col("sh").as("sh_native"))
+    val diff = native.join(hof, "doc_id")
+      .filter(array_sort(col("sh_native")) =!= array_sort(col("sh_hof")))
+    assert(diff.count() === 0)
+  }
+
   test("connected components: valid partition of the dup-pair graph") {
     val pairs = Dedup.setSimilarityJoin(docs, 0.5)
     val cc = Dedup.connectedComponents(pairs)
