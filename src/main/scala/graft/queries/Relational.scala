@@ -496,10 +496,53 @@ object Relational {
       .orderBy("metric")
   }
 
+  /** CDC-style keyed upsert — MERGE INTO semantics without a table format:
+    * full-outer join on the key, change rows win via coalesce. The change
+    * set here is derived deterministically (every 10th order re-priced, one
+    * synthetic insert) so the oracle can rebuild it; in production the
+    * change side is the incoming batch. One shuffle on the merge key; both
+    * sides hash-partition, so the plan co-locates at any scale (or goes
+    * zero-Exchange over bucketed layouts, io/Layout).
+    */
+  val q_upsert: Q = Q(
+    "q_upsert",
+    Some("""
+      WITH changes AS (
+        SELECT o_orderkey, o_totalprice + 1000.0 AS c_price, 'repriced' AS c_note
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT -1, 999.0, 'inserted'
+      )
+      SELECT COALESCE(o.o_orderkey, c.o_orderkey) AS o_orderkey,
+             COALESCE(c.c_price, o.o_totalprice) AS price,
+             COALESCE(c.c_note, 'unchanged') AS note
+      FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.o_orderkey
+      ORDER BY o_orderkey
+    """),
+  ) { (s, d) =>
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val changes = orders
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("c_key"),
+        (col("o_totalprice") + 1000.0).as("c_price"), lit("repriced").as("c_note"))
+      .unionByName {
+        import s.implicits._
+        Seq((-1L, 999.0, "inserted")).toDF("c_key", "c_price", "c_note")
+      }
+    orders.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
+        coalesce(col("c_price"), col("o_totalprice")).as("price"),
+        coalesce(col("c_note"), lit("unchanged")).as("note"),
+      )
+      .orderBy("o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
     q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot, q_unpivot,
+    q_upsert,
   )
 }
