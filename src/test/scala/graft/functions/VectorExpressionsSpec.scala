@@ -25,6 +25,21 @@ class VectorExpressionsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("word shingles addressable from SQL and null-safe") {
+    TextFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq(("a b c d", 1)).toDF("text", "id").createOrReplaceTempView("ws_t")
+    val viaSql = spark.sql(
+      s"SELECT ${TextFunctions.shinglesName}(text, 3) AS sh FROM ws_t")
+      .collect()(0).getSeq[String](0)
+    assert(viaSql === Seq("a b c", "b c d"))
+    // null text → null array (callers that want the empty-set contract
+    // coalesce, as Dedup.shingleSets does)
+    val nullOut = Seq((Option.empty[String], 1)).toDF("text", "id")
+      .select(TextFunctions.wordShingles(col("text"), 3).as("sh")).collect()
+    assert(nullOut(0).isNullAt(0))
+  }
+
   test("vec_dot handles mixed float/double arrays and nulls") {
     VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
