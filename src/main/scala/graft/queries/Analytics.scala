@@ -316,7 +316,59 @@ object Analytics {
       .orderBy("lang")
   }
 
+  /** Weighted (score-proportional) hash sampling — the mixture primitive:
+    * P(keep) = quality weight, realized deterministically by comparing a
+    * 16-bit hash of the key against weight·65536. Same reproducibility
+    * story as q_sample_hash; the weight here is the type-token ratio (an
+    * int/int double division, identical on both engines). DuckDB has no
+    * hex→int cast, so the oracle parses the 4 hex digits with strpos
+    * arithmetic. Output audits kept counts and mean weight per language —
+    * at corpus scale the realized rate converges to the mean weight.
+    */
+  val q_sample_weighted: Q = Q(
+    "q_sample_weighted",
+    Some("""
+      WITH w AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+                 / len(string_split_regex(text, '\s+')) AS weight,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+      ), k AS (
+        SELECT lang, weight,
+               (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) AS h16
+        FROM w
+      )
+      SELECT lang, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE h16 < weight * 65536.0) AS n_kept,
+             CAST(SUM(CAST(weight AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS mean_weight
+      FROM k
+      GROUP BY lang
+      ORDER BY lang
+    """),
+  ) { (s, d) =>
+    val toks = split(col("text"), "\\s+")
+    val weight = size(array_distinct(toks)) * lit(1.0) / size(toks)
+    val h16 = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 4),
+      16, 10).cast(DoubleType)
+    Tables.documents(s, d)
+      .select(col("lang"), weight.as("weight"), h16.as("h16"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("h16") < col("weight") * 65536.0, 1)).as("n_kept"),
+        // double sums merge in partition order (nondeterministic ulps);
+        // exact DECIMAL internally, DOUBLE out — the engine-wide rule
+        (sum(col("weight").cast(DecimalType(18, 12))).cast(DoubleType) / count(lit(1)))
+          .as("mean_weight"),
+      )
+      .orderBy("lang")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
-    q_funnel, q_approx_quantiles, q_sample_capped)
+    q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted)
 }
