@@ -197,5 +197,40 @@ object Multimodal {
       .orderBy("media_id", "frame_idx", "dim")
   }
 
-  def all: Seq[Q] = Seq(q_mm_metadata, q_mm_frames, q_mm_features)
+  /** STUB resize: byte-stride downsampling (every 4th payload byte) via the
+    * native [[graft.functions.ByteStride]] kernel — a real resize would
+    * decode, scale, re-encode; the stride keeps the deterministic
+    * binary-in/binary-out shape. Oracle-checked: DuckDB rebuilds the strided
+    * bytes from the hex rendering (it cannot slice blobs) and both engines
+    * fingerprint the result identically.
+    */
+  val q_mm_resize: Q = Q(
+    "q_mm_resize",
+    Some(s"""
+      WITH m AS (SELECT doc_id AS media_id, $payloadCase AS payload FROM documents),
+      h AS (SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS hx FROM m)
+      SELECT media_id,
+             n_bytes,
+             CAST(ceil(n_bytes / 4.0) AS BIGINT) AS n_bytes_resized,
+             md5(list_aggregate(
+               list_transform(range(CAST(ceil(n_bytes / 4.0) AS BIGINT)),
+                 i -> substring(hx, CAST(i AS INT) * 8 + 1, 2)),
+               'string_agg', '')) AS resized_fingerprint
+      FROM h
+      ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    graft.functions.BinaryFunctions.ensureRegistered(s)
+    val resized = graft.functions.BinaryFunctions.byteStride(col("payload"), 4)
+    mediaTable(Tables.documents(s, d))
+      .select(
+        col("media_id"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        length(resized).cast(LongType).as("n_bytes_resized"),
+        fingerprint(resized).as("resized_fingerprint"),
+      )
+      .orderBy("media_id")
+  }
+
+  def all: Seq[Q] = Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize)
 }
