@@ -205,7 +205,9 @@ object Dedup {
         // decimal sum for the convergence checksum below would overflow
         // longs at extreme ids; min itself is type-preserving
         .agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        // lazy: the convergence aggregate below is the materializing action,
+        // so each round runs ONE job, not checkpoint-then-sum
+        .localCheckpoint(false)
       val sum0 = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
       val s = BigDecimal(sum0)
       converged = s == prevSum
