@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property pins for the native kernels against reference formulations,
+  * over adversarial random inputs (fixed seeds — no scalatest-scalacheck
+  * bridge in the offline dependency set, same convention as
+  * TransformPropertySpec).
+  */
+class KernelPropertySpec extends SparkSpec {
+
+  /** Space-heavy strings over a mixed ascii/multibyte alphabet, biased
+    * toward the edge shapes: leading/trailing/consecutive spaces, empties.
+    */
+  private val genText: Gen[String] = {
+    val token = Gen.oneOf("a", "bb", "ccc", "é", "嗨", "x1", "")
+    for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, token)
+      sep <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  "))
+    } yield toks.zipAll(sep, "", "").map { case (t, s) => t + s }.mkString
+  }
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("WordShingles equals the HOF formulation on random space-heavy strings") {
+    import spark.implicits._
+    val texts = samples(genText, 300).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hof = graft.dedup.Dedup.shingles(split(col("text"), " "))
+    TextFunctions.ensureRegistered(spark)
+    val native = coalesce(TextFunctions.wordShingles(col("text"), 3),
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+    val diff = df.select(col("doc_id"),
+        array_sort(native).as("n"), array_sort(hof).as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(diff.count() === 0)
+  }
+
+  test("ByteStride equals the per-element reference on random payloads") {
+    val genBytes: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    samples(genBytes, 200).foreach { bytes =>
+      for (k <- Seq(1, 2, 4, 7)) {
+        val expected = bytes.zipWithIndex.collect { case (b, i) if i % k == 0 => b }
+        assert(ByteStride.compute(bytes, k).toSeq === expected.toSeq,
+          s"stride $k over ${bytes.length} bytes")
+      }
+    }
+  }
+}
