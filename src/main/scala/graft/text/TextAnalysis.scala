@@ -256,7 +256,75 @@ object TextAnalysis {
       .orderBy("doc_id", "token")
   }
 
+  /** Bigram language-model scoring — the perplexity-style quality signal:
+    * avg log P(w_i | w_{i-1}) per document under add-one smoothing, with
+    * corpus-level bigram/unigram tables (vocabulary-sized → broadcast; at
+    * web scale the same joins shuffle on the token keys). The per-document
+    * sum of log-probs goes through exact DECIMAL: double sums merge in
+    * nondeterministic partition order, and ln itself is correctly rounded
+    * on both engines (established by q_text_tfidf).
+    */
+  val q_text_bigram_lm: Q = Q(
+    "q_text_bigram_lm",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents
+      ), t AS (
+        SELECT doc_id, unnest(toks) AS w FROM f
+      ), bb AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(toks), 1)),
+                       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+              FROM f)
+      ), uni AS (SELECT w, COUNT(*) AS cu FROM t GROUP BY w),
+      big AS (SELECT w1, w2, COUNT(*) AS cb FROM bb GROUP BY w1, w2),
+      v AS (SELECT COUNT(*) AS v FROM uni)
+      SELECT bb.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(ln((cb + 1.0) / (cu + v)) AS DECIMAL(20,12))) AS DOUBLE)
+               / COUNT(*) AS avg_logp
+      FROM bb JOIN big USING (w1, w2) JOIN uni ON bb.w1 = uni.w CROSS JOIN v
+      GROUP BY bb.doc_id
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val bgType = ArrayType(StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType))))
+    val f = Tables.documents(s, d)
+      // bound toks projection: no CSE through lambda bodies
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+    val t = f.select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+    // guard size >= 2: sequence(1, 0) would count DOWN, not produce empty
+    val b = f.select(col("doc_id"), explode_outer(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast(bgType))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = t.groupBy(col("w").as("w1")).agg(count(lit(1)).as("cu"))
+    val big = b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    b.join(broadcast(big), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("logp", log((col("cb") + lit(1.0)) / (col("cu") + col("v"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("logp").cast(DecimalType(20, 12))).cast(DoubleType) / count(lit(1)))
+          .as("avg_logp"),
+      )
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
-    q_text_vocab, q_text_redact, q_text_tfidf)
+    q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm)
 }
