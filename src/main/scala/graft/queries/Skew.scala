@@ -111,5 +111,61 @@ object Skew {
       .orderBy("user_id", "event_id")
   }
 
-  def all: Seq[Q] = Seq(q_skew_salted_agg, q_approx_distinct, q_skew_chunked_window)
+  /** Salted JOIN — the third skew tool (agg and window above): when one
+    * join key is hot, every matching fact row lands on one reducer. Salting
+    * replicates the dimension nSalts times (explode over the salt range)
+    * and gives each fact row a uniform salt, so the equi-join key becomes
+    * (key, salt) and the hot key spreads over nSalts reducers. Row-for-row
+    * identical to the unsalted join — the oracle is the plain SQL join.
+    * (AQE's skew-join handles sort-merge skew at runtime; explicit salting
+    * is the declarative fallback that also covers hash joins and stateful
+    * streaming joins.)
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    // salt source: any high-entropy per-row value; correctness does not
+    // depend on the assignment (the dim carries every salt value)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(nSalts.toLong)).cast(IntegerType))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Per-user mean deviation through the salted join: the user dimension is
+    * derived, replicated ×16, and joined back to the event stream on
+    * (user_id, salt). Deviation sums run through exact DECIMAL (the
+    * engine-wide double-merge-order rule).
+    */
+  val q_skew_salted_join: Q = Q(
+    "q_skew_salted_join",
+    Some("""
+      WITH dim AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS user_avg
+        FROM events GROUP BY user_id
+      )
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value - user_avg AS DECIMAL(18,6))) AS DOUBLE) AS sum_dev
+      FROM events JOIN dim USING (user_id)
+      GROUP BY event_type
+      ORDER BY event_type
+    """),
+  ) { (s, d) =>
+    val events = Tables.events(s, d)
+    val dim = events.groupBy("user_id")
+      .agg((sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+        .as("user_avg"))
+    saltedJoin(events, dim, "user_id", nSalts = 16)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("value") - col("user_avg")).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("sum_dev"),
+      )
+      .orderBy("event_type")
+  }
+
+  def all: Seq[Q] = Seq(
+    q_skew_salted_agg, q_approx_distinct, q_skew_chunked_window, q_skew_salted_join)
 }
