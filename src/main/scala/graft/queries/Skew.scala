@@ -131,37 +131,38 @@ object Skew {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Per-user mean deviation through the salted join: the user dimension is
+  /** Per-user max-gap through the salted join: the user dimension is
     * derived, replicated ×16, and joined back to the event stream on
-    * (user_id, salt). Deviation sums run through exact DECIMAL (the
-    * engine-wide double-merge-order rule).
+    * (user_id, salt). Gap sums run through exact DECIMAL (the engine-wide
+    * double-merge-order rule). The dimension attribute is the user MAX —
+    * not the mean — deliberately: value and user_max both carry short
+    * decimal expansions, so the per-row double→DECIMAL cast rounds
+    * identically on both engines, whereas a mean's repeating expansion made
+    * the same cast diverge in the 7th digit (observed 4-cell hash break).
     */
   val q_skew_salted_join: Q = Q(
     "q_skew_salted_join",
     Some("""
       WITH dim AS (
-        SELECT user_id,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS user_avg
+        SELECT user_id, MAX(value) AS user_max
         FROM events GROUP BY user_id
       )
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value - user_avg AS DECIMAL(18,6))) AS DOUBLE) AS sum_dev
+             CAST(SUM(CAST(user_max - value AS DECIMAL(18,6))) AS DOUBLE) AS sum_gap
       FROM events JOIN dim USING (user_id)
       GROUP BY event_type
       ORDER BY event_type
     """),
   ) { (s, d) =>
     val events = Tables.events(s, d)
-    val dim = events.groupBy("user_id")
-      .agg((sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
-        .as("user_avg"))
+    val dim = events.groupBy("user_id").agg(max(col("value")).as("user_max"))
     saltedJoin(events, dim, "user_id", nSalts = 16)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum((col("value") - col("user_avg")).cast(DecimalType(18, 6)))
-          .cast(DoubleType).as("sum_dev"),
+        sum((col("user_max") - col("value")).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("sum_gap"),
       )
       .orderBy("event_type")
   }
