@@ -368,7 +368,57 @@ object Analytics {
       .orderBy("lang")
   }
 
+  /** Cohort retention triangle: users grouped by first-seen week, counted
+    * distinct in each subsequent week. Two aggregations over the event
+    * stream (first-seen per user, then distinct users per cohort × offset
+    * cell) — both shuffle on user-ish keys, and the output is bounded by
+    * weeks², not data volume. Week offsets divide exactly (both operands
+    * are week-start timestamps), so the arithmetic is integer-clean on
+    * both engines.
+    */
+  val q_retention_cohorts: Q = Q(
+    "q_retention_cohorts",
+    Some("""
+      WITH first_seen AS (
+        -- DuckDB's week-trunc yields DATE; Spark's yields TIMESTAMP — cast
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+      ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      )
+      SELECT cohort_week,
+             CAST((epoch(active_week) - epoch(cohort_week)) / 604800 AS BIGINT)
+               AS weeks_since,
+             COUNT(*) AS n_active
+      FROM activity
+      GROUP BY cohort_week, active_week
+      ORDER BY cohort_week, weeks_since
+    """),
+  ) { (s, d) =>
+    val events = Tables.events(s, d)
+    val firstSeen = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = events.select("user_id", "ts")
+      .join(firstSeen, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+    activity
+      .groupBy("cohort_week", "active_week")
+      .agg(count(lit(1)).as("n_active"))
+      .select(
+        col("cohort_week"),
+        ((col("active_week").cast(LongType) - col("cohort_week").cast(LongType)) / 604800)
+          .cast(LongType).as("weeks_since"),
+        col("n_active"),
+      )
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
-    q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted)
+    q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
+    q_retention_cohorts)
 }
