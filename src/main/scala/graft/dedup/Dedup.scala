@@ -258,6 +258,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the curation step that keeps training docs
+    * from leaking evaluation data: any document sharing at least one word
+    * 3-shingle with the benchmark set is contaminated. The benchmark side
+    * is small by nature, so its distinct shingle hashes broadcast and the
+    * check is a map-side semi-join against the corpus posting stream —
+    * linear in corpus size at any scale. Left-anti keeps the clean set; the
+    * query emits the per-document verdict so both halves are auditable.
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val corpusPostings = hashedPosting(shingleSets(corpus))
+    val benchShingles = hashedPosting(shingleSets(benchmark))
+      .select(col("h")).distinct()
+    corpusPostings
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Verdict per document vs the doc_id < 20 stand-in benchmark. The oracle
+    * recomputes contamination as a correlated shingle-overlap EXISTS.
+    */
+  val q_decontaminate: Q = Q(
+    "q_decontaminate",
+    Some(s"""
+      WITH s AS (
+        SELECT doc_id, $shinglesSql AS sh FROM documents
+      ), bench AS (
+        SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20
+      ), verdict AS (
+        SELECT s.doc_id,
+               EXISTS (SELECT 1 FROM bench, unnest(s.sh) AS t(g2) WHERE g2 = bench.g)
+                 AS contaminated
+        FROM s WHERE doc_id >= 20
+      )
+      SELECT doc_id, contaminated FROM verdict
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bench = docs.filter(col("doc_id") < 20)
+    val bad = contaminatedIds(corpus, bench)
+      .withColumn("contaminated", lit(true))
+    corpus.select("doc_id")
+      .join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup by normalized-content hash: canonical = min doc_id. */
@@ -396,5 +446,5 @@ object Dedup {
 
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash,
-      q_dedup_clusters)
+      q_dedup_clusters, q_decontaminate)
 }
