@@ -28,13 +28,16 @@ object Dedup {
 
   // -------------------------------------------------------------- shingles
 
-  /** Word 3-shingles from a pre-materialized token array (single-space split
-    * to match the oracle's string_split; element_at is 1-based on both
-    * engines). IMPORTANT: `toks` must be a bound column, not an inline
-    * `split(...)` — Catalyst does not common-subexpression-eliminate through
-    * lambda bodies, so an inline split would re-tokenize the whole document
-    * for every element of every shingle (O(words²) per doc; measured 6-9 s
-    * for 5k docs at sf0.1 vs sub-second with the projection split out).
+  /** Word 3-shingles from a pre-materialized token array — the REFERENCE
+    * formulation: production paths use the native
+    * [[graft.functions.WordShingles]] kernel (see [[shingleSets]]), and the
+    * specs pin the two equal (DedupSpec + KernelPropertySpec). Single-space
+    * split matches the oracle's string_split; element_at is 1-based on both
+    * engines. IMPORTANT if composed directly: `toks` must be a bound
+    * column, not an inline `split(...)` — Catalyst does not
+    * common-subexpression-eliminate through lambda bodies, so an inline
+    * split re-tokenizes the document for every element of every shingle
+    * (O(words²) per doc; measured 6-9 s for 5k docs at sf0.1).
     */
   def shingles(toks: Column): Column =
     array_distinct(

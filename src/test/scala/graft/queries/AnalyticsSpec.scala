@@ -45,6 +45,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(sumBuckets - sumDirect) < 1e-6)
   }
 
+  test("funnel counts are monotone non-increasing through the steps") {
+    val r = Analytics.q_funnel.run(spark, sf("sf0.01")).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v -> $c -> $p")
+    assert(v > 0)
+  }
+
   test("percentile_approx (the 100 TB swap) tracks the exact percentiles") {
     // The gate query is exact (oracle-matchable); at scale you swap in the
     // mergeable GK sketch. Pin the swap's error here so it stays a swap.
