@@ -167,6 +167,46 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** Skew DIAGNOSIS — the profiler run before choosing a mitigation
+    * (salting, chunking, AQE hints): per-key frequency distribution of a
+    * join/partition key, reduced to the numbers that matter — hottest keys
+    * and the max/mean skew factor. Two cheap aggregations; output bounded
+    * by k regardless of data volume.
+    */
+  val q_skew_profile: Q = Q(
+    "q_skew_profile",
+    Some("""
+      WITH per_key AS (
+        SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+      ), stats AS (
+        SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n FROM per_key
+      )
+      SELECT key, n,
+             n / mean_n AS skew_factor,
+             ROW_NUMBER() OVER (ORDER BY n DESC, key) AS hot_rank
+      FROM per_key CROSS JOIN stats
+      QUALIFY hot_rank <= 10
+      ORDER BY hot_rank
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val perKey = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = perKey.agg((sum(col("n")).cast(DoubleType) / count(lit(1))).as("mean_n"))
+    // TakeOrdered top-10 FIRST; the ranking window then runs over 10 rows —
+    // a global row_number over per-key counts would single-partition-sort
+    // the whole key space
+    perKey.crossJoin(broadcast(stats))
+      .orderBy(col("n").desc, col("key"))
+      .limit(10)
+      .select(col("key"), col("n"),
+        (col("n") / col("mean_n")).as("skew_factor"),
+        row_number().over(Window.orderBy(col("n").desc, col("key"))).as("hot_rank"))
+      .orderBy("hot_rank")
+  }
+
   def all: Seq[Q] = Seq(
-    q_skew_salted_agg, q_approx_distinct, q_skew_chunked_window, q_skew_salted_join)
+    q_skew_salted_agg, q_approx_distinct, q_skew_chunked_window, q_skew_salted_join,
+    q_skew_profile)
 }
