@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BinaryFunctions, ByteStride, TextFunctions, VecDot, VectorFunctions, WordShingles}
+import graft.functions.{BinaryFunctions, ByteStride, TextFunctions, VecDot, VectorFunctions, Winnow, WinnowFunctions, WordShingles}
 
 /** `spark.sql.extensions=graft.GraftExtensions` injects the engine's native
   * functions at session build time — the config-file route to the same
@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ByteStride].getName, BinaryFunctions.strideName),
       (exprs: Seq[Expression]) =>
         ByteStride(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(WinnowFunctions.winnowName),
+      new ExpressionInfo(classOf[Winnow].getName, WinnowFunctions.winnowName),
+      (exprs: Seq[Expression]) => Winnow(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
     ))
   }
 }

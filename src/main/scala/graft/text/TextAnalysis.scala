@@ -324,7 +324,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rolling-hash winnowing fingerprints (copy-detection selection over
+    * every document; rows-only — the Rabin-Karp + winnow selection is not
+    * SQL-expressible; guarantees pinned in WinnowSpec). k=8 byte-grams,
+    * window 16: one fingerprint at least every 16 gram positions.
+    */
+  val q_text_winnow: Q = Q("q_text_winnow", None) { (s, d) =>
+    graft.functions.WinnowFunctions.ensureRegistered(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WinnowFunctions.winnow(normalize(col("text")), 8, 16).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
-    q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm)
+    q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm, q_text_winnow)
 }
