@@ -40,6 +40,8 @@ object Bench {
     // a 1 s rollup billed 38 s right after the 21 s jaccard join).
     def timed(n: String): Double = {
       spark.catalog.clearCache()
+      // 2 s, empirically: 1 s lets the previous query's cleanup leak into
+      // the timed window (clusters 8.5 s vs 3 s on this host)
       System.gc(); Thread.sleep(2000)
       exec(n)
     }
