@@ -116,6 +116,47 @@ object Streaming {
       .toDF("event_id", "user_id", "value", "run_max_value")
   }
 
+  /** Per-user funnel progress (streaming twin of Analytics.q_funnel): a
+    * keyed state machine over view → click → purchase, where each step's
+    * anchor is the first event at or after the previous step's anchor —
+    * the semantics that need custom state (a windowed aggregation cannot
+    * express "first X after the first Y"). State survives micro-batches:
+    * a view in batch 1 qualifies a click in batch 7. Emits one row per
+    * user per batch in which the stage advanced; state is three epoch
+    * millis, so the store stays O(users).
+    */
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  def funnelByUser(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val unset = Long.MaxValue
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          val before = st
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if st.tView == unset => st = st.copy(tView = t)
+              case "click" if st.tView != unset && st.tClick == unset && t >= st.tView =>
+                st = st.copy(tClick = t)
+              case "purchase" if st.tClick != unset && st.tPurchase == unset && t >= st.tClick =>
+                st = st.copy(tPurchase = t)
+              case _ =>
+            }
+          }
+          state.update(st)
+          val stage = Seq(st.tView, st.tClick, st.tPurchase).count(_ != unset)
+          if (st != before) Iterator((uid, st.tView, st.tClick, st.tPurchase, stage))
+          else Iterator.empty
+      }
+      .toDF("user_id", "t_view_ms", "t_click_ms", "t_purchase_ms", "stage")
+  }
+
   /** Incremental ad-library ingestion: raw documents landing as whole files
     * stream through the UNCHANGED batch transform (flatten → derive →
     * validate → dedup-within-batch) via foreachBatch; curated parquet and

@@ -142,6 +142,36 @@ class StreamingSpec extends SparkSpec {
     assert(Seq(got(4L)).forall(_ >= 2.0))
   }
 
+  test("funnel state machine advances across micro-batches in order") {
+    val dir = tmpDir("graft-stream-funnel")
+    // user 5: view then click in batch 1, purchase in batch 2 (cross-batch
+    // qualification); user 6: purchase BEFORE any view — must stay stage 0
+    Files.writeString(Paths.get(dir, "b1.json"),
+      """{"event_id":10,"ts":"2024-06-01T10:00:00","user_id":5,"event_type":"view","value":1.0,"props":"{}"}
+        |{"event_id":11,"ts":"2024-06-01T10:05:00","user_id":5,"event_type":"click","value":1.0,"props":"{}"}
+        |{"event_id":12,"ts":"2024-06-01T10:06:00","user_id":6,"event_type":"purchase","value":1.0,"props":"{}"}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "b2.json"),
+      """{"event_id":13,"ts":"2024-06-01T11:00:00","user_id":5,"event_type":"purchase","value":9.0,"props":"{}"}
+        |{"event_id":14,"ts":"2024-06-01T11:01:00","user_id":6,"event_type":"view","value":1.0,"props":"{}"}
+        |""".stripMargin)
+    Seq("b1.json", "b2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val events = Streaming.readEvents(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+    val q = Streaming.funnelByUser(events)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val last = spark.table("funnel").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getInt(4)).max }
+    // user 5 completes the funnel only because batch-1 state carried over
+    assert(last(5L) === 3)
+    // user 6's early purchase never counts; the later view leaves stage 1
+    assert(last(6L) === 1)
+  }
+
   test("raw landing round-trip: file source sees what Sources wrote") {
     val landing = tmpDir("graft-raw-landing")
     Files.writeString(Paths.get(landing, "docA.json"), AdFixture.json)
