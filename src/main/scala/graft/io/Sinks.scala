@@ -47,4 +47,11 @@ object Sinks {
     */
   def reportCsv(report: DataFrame, dir: String): Unit =
     report.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+
+  /** ORC curated sink — identical contract to the parquet sink (never
+    * coalesced); kept so the curated layer can match whichever columnar
+    * format the surrounding lake standardizes on.
+    */
+  def curatedOrc(curated: DataFrame, dir: String): Unit =
+    curated.write.mode("overwrite").orc(dir)
 }

@@ -27,4 +27,19 @@ object Sources {
   /** S10: curated parquet scan — pushdown + pruning come free. */
   def curatedParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Report CSV read-back (the S11 sink's inverse): schema is ALWAYS given
+    * explicitly — CSV inference reads the data twice and types drift
+    * between runs; an engine boundary never infers (same rule as the raw
+    * JSON scan, SURVEY §1.3).
+    */
+  def reportCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC scan — same vectorized, pushdown-capable columnar path as
+    * parquet; the curated layer is format-pluggable at the boundary.
+    */
+  def curatedOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

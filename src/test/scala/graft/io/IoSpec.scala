@@ -24,6 +24,27 @@ class IoSpec extends SparkSpec {
     assert(Files.list(Paths.get(r2)).toArray.nonEmpty)
   }
 
+  test("report CSV and curated ORC round-trip losslessly") {
+    val fixture = AdPipeline.fixtureRun(spark)
+    // CSV: write the report, read back with the written schema
+    val csvDir = Files.createTempDirectory("graft-io-csv").toString + "/report"
+    val report = fixture.report
+      .selectExpr("ad_id", "ad_link", "is_active", "hours_passed", "media_mix")
+    Sinks.reportCsv(report, csvDir)
+    val csvBack = Sources.reportCsv(spark, csvDir, report.schema)
+    assert(csvBack.count() === report.count())
+    assert(csvBack.select("ad_id").collect().map(_.getString(0)).sorted.toSeq ===
+      report.select("ad_id").collect().map(_.getString(0)).sorted.toSeq)
+    // ORC: same curated frame through the columnar alternative
+    val orcDir = Files.createTempDirectory("graft-io-orc").toString + "/curated"
+    Sinks.curatedOrc(fixture.curated, orcDir)
+    val orcBack = Sources.curatedOrc(spark, orcDir)
+    // file formats read back all-nullable — compare names and types
+    assert(orcBack.schema.map(f => (f.name, f.dataType)) ===
+      fixture.curated.schema.map(f => (f.name, f.dataType)))
+    assert(orcBack.count() === fixture.curated.count())
+  }
+
   test("raw landing sink round-trips through the whole-text source") {
     val landing = Files.createTempDirectory("graft-land-sink").toString + "/raw"
     val docs = Sources.rawAdsFromStrings(spark,
