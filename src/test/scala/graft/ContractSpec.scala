@@ -1,0 +1,34 @@
+package graft
+
+/** Driver-contract invariants: SparkEntry is the single surface the driver
+  * sees, and a silent mistake here (a duplicate query name shadowing an
+  * operator in the Map, an oracle keyed to a nonexistent query) would drop
+  * gate rows without any compile error.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("no two queries share a name (Map construction would shadow one)") {
+    val names = Seq(
+      graft.queries.Relational.all, graft.queries.Windows.all,
+      graft.queries.Scalars.all, graft.queries.Skew.all,
+      graft.queries.Analytics.all, graft.text.TextAnalysis.all,
+      graft.dedup.Dedup.all, graft.similarity.Similarity.all,
+      graft.multimodal.Multimodal.all,
+    ).flatten.map(_.name)
+    assert(names.distinct.size === names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+    // the assembled map carries every module query plus the three etl dumps
+    assert(SparkEntry.queries.size === names.size + 3)
+  }
+
+  test("every oracle belongs to a declared query, none are blank") {
+    val qs = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql
+    assert(oracles.keySet.subsetOf(qs))
+    assert(oracles.values.forall(_.trim.nonEmpty))
+    // rows-only set stays intentional: exactly the probabilistic sketches
+    assert(qs -- oracles.keySet === Set(
+      "q_approx_distinct", "q_approx_quantiles", "q_dedup_minhash_lsh",
+      "q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_winnow"))
+  }
+}
