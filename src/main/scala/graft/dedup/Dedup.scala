@@ -56,6 +56,8 @@ object Dedup {
     * [[graft.functions.WordShingles]] kernel (semantically identical to
     * [[shingles]] over a single-space split — the equivalence is pinned in
     * DedupSpec — at ~10× the throughput of the interpreted HOF chain).
+    * This string-array form is the REFERENCE layout the specs brute-force
+    * against; the production dedup paths run on [[hashedShingleSets]].
     *
     * The repartition spreads the CPU-heavy shingle/hash derivation across
     * all cores BEFORE computing: a small corpus arrives as one file = one
@@ -81,12 +83,39 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
   }
 
-  /** Exact jaccard re-score of candidate (i, j) pairs given both arrays. */
+  /** Hashed shingle sets per doc: (doc_id, shh, sz) with shh = sorted
+    * distinct xxhash64 values of the word 3-shingles, fused into one
+    * compiled pass ([[graft.functions.WordShingleHashes]] — equal to
+    * `sort_array(array_distinct(transform(sh, xxhash64)))` over
+    * [[shingleSets]].sh, pinned in KernelPropertySpec). Every production
+    * dedup path consumes shingles only through their hashes (postings,
+    * MinHash, SimHash, intersection COUNTS), so this layout skips the
+    * string-array materialization entirely: per-doc arrays of longs shuffle
+    * and cache at a fraction of the string cost, and the exact rescore
+    * becomes a sorted-merge count instead of a per-pair string hash-set.
+    * Same repartition / no-filter rationale as [[shingleSets]].
+    */
+  def hashedShingleSets(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleHashFunctions.ensureRegistered(docs.sparkSession)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        coalesce(graft.functions.ShingleHashFunctions.wordShingleHashes(col("text"), 3),
+          array().cast(ArrayType(LongType))).as("shh"))
+      .withColumn("sz", size(col("shh")))
+  }
+
+  /** Exact jaccard re-score of candidate (i, j) pairs from the hashed sets:
+    * |A∩B| by sorted-merge over the hash arrays (O(n+m), codegen'd —
+    * [[graft.functions.SortedIntersectCount]]). Equal to the string
+    * intersection size up to 64-bit collisions (the accepted posting-design
+    * tolerance, see [[setSimilarityJoin]]).
+    */
   private def rescore(cands: DataFrame, sets: DataFrame, t: Double): DataFrame = {
-    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    val inter = graft.functions.ShingleHashFunctions
+      .sortedIntersectCount(col("shh_i"), col("shh_j"))
     cands
-      .join(sets.select(col("doc_id").as("i"), col("sh").as("sh_i"), col("sz").as("sz_i")), "i")
-      .join(sets.select(col("doc_id").as("j"), col("sh").as("sh_j"), col("sz").as("sz_j")), "j")
+      .join(sets.select(col("doc_id").as("i"), col("shh").as("shh_i"), col("sz").as("sz_i")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("shh").as("shh_j"), col("sz").as("sz_j")), "j")
       .withColumn("jaccard",
         inter * lit(1.0) / (col("sz_i") + col("sz_j") - inter))
       .filter(col("jaccard") >= t)
@@ -103,23 +132,26 @@ object Dedup {
     * stage from going quadratic on skewed vocabularies at 100 TB.
     */
   def setSimilarityJoin(docs: DataFrame, t: Double): DataFrame = {
-    // The shingle table is consumed three times (postings + both rescore
-    // sides). Persisting materializes it once per action; Spark's
+    // The hashed shingle table is consumed three times (postings + both
+    // rescore sides). Persisting materializes it once per action; Spark's
     // CacheManager keys entries by logical plan, so repeated calls over the
-    // same input reuse one entry instead of stacking copies. At 100 TB this
-    // is the "materialize the tokenized corpus" step every dedup run wants.
-    val sets = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // same input — including q_dedup_ngram_jaccard and q_dedup_clusters in
+    // one session — reuse one entry instead of stacking copies. At 100 TB
+    // this is the "materialize the tokenized corpus" step every dedup run
+    // wants.
+    val sets = hashedShingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // Postings carry the shingle's 64-bit hash, not the string: the freq
     // aggregation, rank window, and candidate equi-join all shuffle longs
-    // instead of ~25-byte strings. A 64-bit collision merging two distinct
-    // shingles can only create a spurious candidate (killed by the exact
-    // rescore) — never lose a true pair beyond ~2^-64 tie-order noise.
+    // instead of ~25-byte strings (and the hash was already computed once
+    // per doc inside the shingle kernel — the explode just unnests it). A
+    // 64-bit collision merging two distinct shingles can only create a
+    // spurious candidate (killed by the exact rescore) — never lose a true
+    // pair beyond ~2^-64 tie-order noise.
     // explode_outer + null-filter for the same InferFiltersFromGenerate
     // reason as hashedPosting below.
     val posting = sets
-      .select(col("doc_id"), col("sz"), explode_outer(col("sh")).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .select(col("doc_id"), col("sz"), xxhash64(col("shingle")).as("sh_h"))
+      .select(col("doc_id"), col("sz"), explode_outer(col("shh")).as("sh_h"))
+      .filter(col("sh_h").isNotNull)
     val freq = posting.groupBy("sh_h").agg(count(lit(1)).as("freq"))
     // Global total order: rare shingles first → prefixes are the most
     // selective tokens → smallest candidate fan-out.
@@ -144,7 +176,12 @@ object Dedup {
           && least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1 >= alpha)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    rescore(cands, sets, t)
+    // The verified pair frame is tiny (duplicate pairs only) but expensive
+    // to produce; persisting it lets a session that runs both the pair
+    // query and the clustering gate (Verify, notebooks) reuse one
+    // computation — CacheManager dedups by plan, so the entry is shared,
+    // not stacked.
+    rescore(cands, sets, t).persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   val q_dedup_ngram_jaccard: Q = Q(
@@ -218,8 +255,26 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // Exiting via the round cap means labels may not have reached the
+    // per-component minimum — downstream cluster assignments would be
+    // silently wrong, so make it loud (a duplicate graph needing >50
+    // propagation rounds signals the large-star/small-star upgrade path).
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents stopped at the $rounds-round cap before " +
+          "convergence; labels may be non-canonical")
     edges.unpersist()
     labels
+  }
+
+  /** (doc_id, cluster_id, cluster_size) projection shared by the exact and
+    * LSH-fed clustering gates.
+    */
+  private def clusterAssignments(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    cc.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
   }
 
   /** Cluster assignment for every document that participates in at least
@@ -255,10 +310,19 @@ object Dedup {
       ORDER BY doc_id
     """),
   ) { (s, d) =>
-    val cc = connectedComponents(setSimilarityJoin(Tables.documents(s, d), 0.5))
-    cc.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .orderBy("doc_id")
+    clusterAssignments(setSimilarityJoin(Tables.documents(s, d), 0.5))
+  }
+
+  /** The 100 TB composition of the dedup family: LSH candidate generation →
+    * exact rescore → connected components. The exact-pair clustering above
+    * is the oracle ground truth; this one swaps the quadratic-prone exact
+    * SSJ for the banded MinHash join (linear-ish candidate cost), which is
+    * what a production run over a full corpus would execute. Rows-only by
+    * nature (banding hashes aren't SQL-expressible); DedupSpec pins
+    * co-membership precision 1 / recall ≥ 0.9 against the exact clusters.
+    */
+  val q_dedup_clusters_lsh: Q = Q("q_dedup_clusters_lsh", None) { (s, d) =>
+    clusterAssignments(minHashLshJoin(Tables.documents(s, d), 0.5))
   }
 
   // -------------------------------------------------------- decontamination
@@ -272,8 +336,8 @@ object Dedup {
     * query emits the per-document verdict so both halves are auditable.
     */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
-    val corpusPostings = hashedPosting(shingleSets(corpus))
-    val benchShingles = hashedPosting(shingleSets(benchmark))
+    val corpusPostings = hashedPosting(hashedShingleSets(corpus))
+    val benchShingles = hashedPosting(hashedShingleSets(benchmark))
       .select(col("h")).distinct()
     corpusPostings
       .join(broadcast(benchShingles), Seq("h"), "left_semi")
@@ -339,22 +403,23 @@ object Dedup {
   val rowsPerBand: Int = numHashes / numBands
 
   /** One row per (doc, shingle-hash) — the vectorizable layout both sketches
-    * aggregate over. xxhash64 re-mixed with the hash index replaces a·x+b
-    * modular arithmetic (which trips ANSI overflow checking).
+    * aggregate over. The hash comes pre-computed from the hashed shingle
+    * array (one kernel pass per doc); xxhash64 re-mixed with the hash index
+    * downstream replaces a·x+b modular arithmetic (which trips ANSI
+    * overflow checking).
     *
     * explode_outer, NOT explode: plain explode lets Catalyst infer a
-    * `size(sh) > 0` filter (InferFiltersFromGenerate) which pushdown then
-    * rewrites in terms of the full shingle lambda and sinks below the
-    * balancing repartition — the O(words²) expression evaluated twice per
-    * row on the unbalanced scan partition (measured 8× slowdown). The
+    * `size(shh) > 0` filter (InferFiltersFromGenerate) which pushdown then
+    * rewrites in terms of the full shingle expression and sinks below the
+    * balancing repartition — the expression evaluated twice per row on the
+    * unbalanced scan partition (measured 8× slowdown on the HOF form). The
     * outer variant infers nothing; the padded null row from an empty set
     * is dropped by a cheap post-explode filter on the generated column,
     * which cannot be pushed through the Generate.
     */
   private def hashedPosting(sets: DataFrame): DataFrame =
-    sets.select(col("doc_id"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    sets.select(col("doc_id"), explode_outer(col("shh")).as("h"))
+      .filter(col("h").isNotNull)
 
   /** MinHash signature via explode → 64 min-aggregates in ONE groupBy pass.
     * The previous form (64 nested array-transform expressions per row) blew
@@ -377,7 +442,7 @@ object Dedup {
     // sets feeds the signature AND both rescore sides; banded feeds both
     // sides of the candidate self-join (plan-keyed cache, see
     // setSimilarityJoin).
-    val sets = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = hashedShingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withSignature(sets)
       .select(col("doc_id"),
         posexplode(array((0 until numBands).map { j =>
@@ -427,7 +492,7 @@ object Dedup {
     * recall for the Hamming predicate), then popcount verify.
     */
   def simHashJoin(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = withSimHash(shingleSets(docs)).select(col("doc_id"), col("simhash"))
+    val hashed = withSimHash(hashedShingleSets(docs)).select(col("doc_id"), col("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { c =>
@@ -449,5 +514,5 @@ object Dedup {
 
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash,
-      q_dedup_clusters, q_decontaminate)
+      q_dedup_clusters, q_dedup_clusters_lsh, q_decontaminate)
 }

@@ -29,6 +29,7 @@ class ContractSpec extends SparkSpec {
     // rows-only set stays intentional: exactly the probabilistic sketches
     assert(qs -- oracles.keySet === Set(
       "q_approx_distinct", "q_approx_quantiles", "q_dedup_minhash_lsh",
-      "q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf", "q_text_winnow"))
+      "q_dedup_simhash", "q_dedup_clusters_lsh", "q_sim_ann_lsh",
+      "q_sim_ann_ivf", "q_text_winnow"))
   }
 }

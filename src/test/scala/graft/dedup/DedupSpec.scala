@@ -84,6 +84,23 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("LSH-fed clustering: co-membership precision 1, recall >= 0.9 vs exact") {
+    def coMembership(q: graft.util.Q): Set[(Long, Long)] = {
+      val byCluster = q.run(spark, sf())
+        .select("doc_id", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).values.map(_.map(_._1).sorted.toSeq)
+      byCluster.flatMap(m => for (i <- m; j <- m if i < j) yield (i, j)).toSet
+    }
+    val exact = coMembership(Dedup.q_dedup_clusters)
+    val lsh   = coMembership(Dedup.q_dedup_clusters_lsh)
+    // LSH edges are a rescored subset of the exact edges, and components of
+    // a subgraph are finer — so LSH co-membership can never invent a pair
+    assert(lsh.subsetOf(exact), "LSH clusters must refine the exact clusters")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH cluster co-membership recall $recall below floor")
+  }
+
   test("exact dedup groups by normalized content") {
     val out = Dedup.q_dedup_exact.run(spark, sf())
     val total = out.agg(sum("n_copies")).collect()(0).getLong(0)

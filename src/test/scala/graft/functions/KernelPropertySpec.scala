@@ -44,6 +44,35 @@ class KernelPropertySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("WordShingleHashes equals sorted-distinct xxhash64 over the string kernel") {
+    import spark.implicits._
+    val texts = samples(genText, 300).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    TextFunctions.ensureRegistered(spark)
+    ShingleHashFunctions.ensureRegistered(spark)
+    val viaStrings = array_sort(array_distinct(
+      transform(TextFunctions.wordShingles(col("text"), 3), s => xxhash64(s))))
+    val native = ShingleHashFunctions.wordShingleHashes(col("text"), 3)
+    val diff = df.select(viaStrings.as("ref"), native.as("n"))
+      .filter(col("ref") =!= col("n"))
+    assert(diff.count() === 0)
+  }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val genArr: Gen[Seq[Long]] =
+      Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted.toSeq))
+    val pairs = samples(Gen.zip(genArr, genArr), 250)
+    val df = pairs.toDF("a", "b")
+    ShingleHashFunctions.ensureRegistered(spark)
+    val diff = df.select(
+        size(array_intersect(col("a"), col("b"))).as("ref"),
+        ShingleHashFunctions.sortedIntersectCount(col("a"), col("b")).as("n"))
+      .filter(col("ref") =!= col("n"))
+    assert(diff.count() === 0)
+  }
+
   test("ByteStride equals the per-element reference on random payloads") {
     val genBytes: Gen[Array[Byte]] =
       Gen.chooseNum(0, 64).flatMap(n =>
