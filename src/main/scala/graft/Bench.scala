@@ -13,11 +13,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Noop sink materializes every row/column of the plan (count() lets
     // Catalyst prune computed projections — it would time row counting).
+    // Failures are COUNTED, not swallowed: a broken query would otherwise
+    // record a near-zero time and "improve" the bench silently.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Optional comma-separated subset for local iteration
@@ -49,7 +55,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    // Second, compact line with the headline number LAST: log tails that
+    // truncate the long per-query line (BENCH_r04's parsed:null) still
+    // yield a parseable total.
+    println(s"""{"total":$total,"n_queries":${results.size},"n_failed":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BinaryFunctions, ByteStride, TextFunctions, VecDot, VectorFunctions, Winnow, WinnowFunctions, WordShingles}
+import graft.functions.{Args, BinaryFunctions, ByteStride, ShingleHashFunctions, SortedIntersectCount, TextFunctions, VecDot, VectorFunctions, Winnow, WinnowFunctions, WordShingleHashes, WordShingles}
 
 /** `spark.sql.extensions=graft.GraftExtensions` injects the engine's native
   * functions at session build time — the config-file route to the same
   * registration `VectorFunctions.ensureRegistered` performs at runtime.
+  * Scalar config parameters (shingle width, stride, winnow k/w) are
+  * validated as foldable INT literals ([[graft.functions.Args]]) so a
+  * column or mistyped literal fails analysis with the function name, not a
+  * ClassCastException.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,19 +25,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextFunctions.shinglesName),
       new ExpressionInfo(classOf[WordShingles].getName, TextFunctions.shinglesName),
       (exprs: Seq[Expression]) =>
-        WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+        WordShingles(exprs.head, Args.intLiteral(TextFunctions.shinglesName, exprs, 1)),
     ))
     ext.injectFunction((
       FunctionIdentifier(BinaryFunctions.strideName),
       new ExpressionInfo(classOf[ByteStride].getName, BinaryFunctions.strideName),
       (exprs: Seq[Expression]) =>
-        ByteStride(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+        ByteStride(exprs.head, Args.intLiteral(BinaryFunctions.strideName, exprs, 1)),
     ))
     ext.injectFunction((
       FunctionIdentifier(WinnowFunctions.winnowName),
       new ExpressionInfo(classOf[Winnow].getName, WinnowFunctions.winnowName),
       (exprs: Seq[Expression]) => Winnow(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        Args.intLiteral(WinnowFunctions.winnowName, exprs, 1),
+        Args.intLiteral(WinnowFunctions.winnowName, exprs, 2)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(ShingleHashFunctions.shingleHashesName),
+      new ExpressionInfo(
+        classOf[WordShingleHashes].getName, ShingleHashFunctions.shingleHashesName),
+      (exprs: Seq[Expression]) => WordShingleHashes(exprs.head,
+        Args.intLiteral(ShingleHashFunctions.shingleHashesName, exprs, 1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(ShingleHashFunctions.intersectName),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName, ShingleHashFunctions.intersectName),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1)),
     ))
   }
 }

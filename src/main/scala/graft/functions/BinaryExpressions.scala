@@ -61,7 +61,7 @@ object BinaryFunctions {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       strideName,
-      exprs => ByteStride(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      exprs => ByteStride(exprs.head, Args.intLiteral(strideName, exprs, 1)),
       "built-in")
 
   def byteStride(payload: Column, k: Int): Column =

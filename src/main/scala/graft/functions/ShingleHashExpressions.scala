@@ -198,7 +198,7 @@ object ShingleHashFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       shingleHashesName,
-      exprs => WordShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      exprs => WordShingleHashes(exprs.head, Args.intLiteral(shingleHashesName, exprs, 1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       intersectName,

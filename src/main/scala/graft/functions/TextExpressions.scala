@@ -102,7 +102,7 @@ object TextFunctions {
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       shinglesName,
-      exprs => WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      exprs => WordShingles(exprs.head, Args.intLiteral(shinglesName, exprs, 1)),
       "built-in")
 
   /** Column-level handle (n baked in as a literal). */

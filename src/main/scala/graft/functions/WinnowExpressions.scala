@@ -119,7 +119,7 @@ object WinnowFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       winnowName,
       exprs => Winnow(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        Args.intLiteral(winnowName, exprs, 1), Args.intLiteral(winnowName, exprs, 2)),
       "built-in")
 
   def winnow(text: Column, k: Int, w: Int): Column =

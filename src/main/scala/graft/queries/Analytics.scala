@@ -410,8 +410,13 @@ object Analytics {
       .agg(count(lit(1)).as("n_active"))
       .select(
         col("cohort_week"),
-        ((col("active_week").cast(LongType) - col("cohort_week").cast(LongType)) / 604800)
-          .cast(LongType).as("weeks_since"),
+        // integer floor division on epoch seconds: double division + a
+        // truncating cast agreed with DuckDB's rounding cast only because
+        // UTC week-truncated stamps differ by exact 604800 multiples; DIV
+        // keeps the result rounding-mode independent in any timezone/DST
+        // configuration
+        expr("(CAST(active_week AS BIGINT) - CAST(cohort_week AS BIGINT)) DIV 604800")
+          .as("weeks_since"),
         col("n_active"),
       )
       .orderBy("cohort_week", "weeks_since")

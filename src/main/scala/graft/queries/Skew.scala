@@ -18,13 +18,18 @@ import graft.util.{Q, Tables}
 object Skew {
 
   /** Two-phase salted aggregation: groupBy(key, salt) partial →
-    * groupBy(key) final. The salt is a per-row round-robin id — its values
-    * never reach the result, so determinism of the salt assignment is not
-    * required for correctness (every row lands in exactly one salt bucket).
+    * groupBy(key) final. The salt is derived DETERMINISTICALLY from the
+    * row's full content (xxhash64 over every column): a nondeterministic
+    * source (row id, rand) above a shuffle is retry-unsafe — a fetch-failure
+    * stage retry recomputes a map task with different salts, and a reducer
+    * that already consumed the old generation double-counts or drops rows.
+    * Content-hashing gives the same spread (payload columns vary per row)
+    * with a stable row→bucket assignment across retries and speculative
+    * attempts.
     */
   def saltedAgg(df: DataFrame, key: String, nSalts: Int)(
       partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
+    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(nSalts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
@@ -124,10 +129,13 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
-    // salt source: any high-entropy per-row value; correctness does not
-    // depend on the assignment (the dim carries every salt value)
+    // salt source: deterministic content hash over every fact column — the
+    // dim carries every salt value so any assignment joins correctly, but a
+    // retry-recomputed map task must re-derive the SAME salts or a partial
+    // stage retry above this shuffle can double-count/drop rows (the
+    // monotonically_increasing_id hazard)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(nSalts.toLong)).cast(IntegerType))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(nSalts.toLong)).cast(IntegerType))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 

@@ -215,8 +215,12 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCells: Int = 16, nprobe: Int = 4): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
-    val cents = ivfCentroids(corpus, numCells).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: the tiny centroid frame (numCells rows)
+    // is consumed twice (file + probes) and must not recompute differently,
+    // but a CacheManager persist with no owner leaks an entry per call in a
+    // long-lived session. Checkpoint blocks are freed by the ContextCleaner
+    // once this frame is unreachable — no caller-managed lifetime.
+    val cents = ivfCentroids(corpus, numCells).localCheckpoint()
     val file = assignCells(corpus, cents)
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("ce"))

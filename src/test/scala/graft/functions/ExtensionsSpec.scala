@@ -20,6 +20,28 @@ class ExtensionsSpec extends SparkSpec {
     new graft.GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("builder guards: non-literal / mistyped scalar args fail analysis, not cast") {
+    import org.apache.spark.sql.functions.{col, lit}
+    TextFunctions.ensureRegistered(spark)
+    ShingleHashFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(("a b c d", 3)).toDF("text", "n")
+    // a column where an INT literal is required
+    val e1 = intercept[Exception] {
+      df.select(org.apache.spark.sql.functions.call_function(
+        TextFunctions.shinglesName, col("text"), col("n"))).collect()
+    }
+    assert(e1.getMessage.contains(TextFunctions.shinglesName))
+    // a LONG literal where an INT literal is required
+    val e2 = intercept[Exception] {
+      df.select(org.apache.spark.sql.functions.call_function(
+        ShingleHashFunctions.shingleHashesName, col("text"), lit(3L))).collect()
+    }
+    assert(e2.getMessage.contains(ShingleHashFunctions.shingleHashesName))
+    // the legitimate literal form still resolves
+    assert(df.select(TextFunctions.wordShingles(col("text"), 3)).count() === 1)
+  }
+
   test("kernel eval contracts: values and nulls, no plan needed") {
     // WordShingles
     val sh = WordShingles(Literal("a b c d"), 3).eval(null).asInstanceOf[ArrayData]
