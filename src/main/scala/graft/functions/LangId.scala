@@ -6,14 +6,21 @@ import org.apache.spark.sql.functions._
 /** Deterministic language identification (replaces the reference's
   * `langdetect.detect`, transform_raw_data.py:132-134 — which is both
   * nondeterministic unless seeded and throws on feature-less text; see
-  * SURVEY.md §2.7 F6 for the documented deviation).
+  * SURVEY.md §2.7 F6 for the documented deviation). The reference's
+  * langdetect covered ~55 languages; this heuristic covers 19 — nine by
+  * Unicode script class and ten Latin-script languages by stopword argmax —
+  * while staying expression-only, codegen'd, and exactly mirrorable in the
+  * DuckDB oracle.
   *
-  * Heuristic: CJK codepoint presence → zh; otherwise argmax of distinct
-  * stopword hits per language (ties broken en > es > de > fr); zero hits or
-  * empty/null text → "undetected". Built entirely from codegen'd built-in
-  * expressions (split / array_intersect / greatest) — no UDF, so it inlines
-  * into whole-stage codegen and is trivially mirrored in the DuckDB oracle
-  * (string_split_regex / list_intersect).
+  * Decision order (first match wins, both engines):
+  *   1. null/empty → undetected
+  *   2. script classes, most-specific first: kana → ja BEFORE han → zh
+  *      (Japanese text mixes kanji with kana; han alone reads as Chinese),
+  *      hangul → ko, then the single-script alphabets (ru, el, he, ar, hi,
+  *      th) — all as literal-codepoint-range regexes, which parse
+  *      identically in Java regex (Spark) and RE2 (DuckDB).
+  *   3. argmax of distinct stopword hits per Latin-script language, ties
+  *      broken by [[langs]] order; zero hits → undetected.
   */
 object LangId {
 
@@ -22,12 +29,32 @@ object LangId {
     "es" -> Seq("el", "la", "los", "las", "y", "en", "que", "es", "un", "una", "por", "perro"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "sind"),
     "fr" -> Seq("le", "les", "et", "est", "dans", "une", "pour", "avec", "sont", "ici"),
+    "it" -> Seq("il", "che", "non", "per", "sono", "della", "questo", "anche", "come", "alla"),
+    "pt" -> Seq("não", "uma", "mais", "foi", "pela", "são", "também", "isso", "ele", "você"),
+    "nl" -> Seq("het", "een", "van", "niet", "ook", "maar", "voor", "zijn", "wordt", "heeft"),
+    "pl" -> Seq("nie", "się", "jest", "czy", "tak", "ale", "jak", "przez", "być", "tego"),
+    "sv" -> Seq("och", "att", "det", "som", "för", "inte", "med", "på", "är", "av"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha", "gibi", "ama"),
   )
 
-  /** Languages in tie-break priority order. */
-  val langs: Seq[String] = Seq("en", "es", "de", "fr")
+  /** Latin-script languages in tie-break priority order. */
+  val langs: Seq[String] = Seq("en", "es", "de", "fr", "it", "pt", "nl", "pl", "sv", "tr")
 
-  private val cjkPattern = "[一-鿿]"
+  /** (language, literal-codepoint-range character class) in decision order.
+    * The ranges are written as Scala unicode escapes so both engines
+    * receive literal characters — no engine-specific \\p{script} syntax.
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "ja" -> "[ぁ-ゟ゠-ヿ]", // hiragana + katakana
+    "ko" -> "[가-힣]",              // hangul syllables
+    "zh" -> "[一-鿿]",              // unified han
+    "ru" -> "[Ѐ-ӿ]",              // cyrillic
+    "el" -> "[Ͱ-Ͽ]",              // greek
+    "he" -> "[֐-׿]",              // hebrew
+    "ar" -> "[؀-ۿ]",              // arabic
+    "hi" -> "[ऀ-ॿ]",              // devanagari
+    "th" -> "[฀-๿]",              // thai
+  )
 
   def langId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
@@ -37,9 +64,10 @@ object LangId {
     val byScore = langs.foldLeft(when(best <= 0, "undetected")) { (acc, l) =>
       acc.when(score(l) === best, l)
     }
-    when(text.isNull || length(text) === 0, "undetected")
-      .when(regexp_like(text, lit(cjkPattern)), "zh")
-      .otherwise(byScore)
+    val byScript = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
+      when(regexp_like(text, lit(cls)), l).otherwise(acc)
+    }
+    when(text.isNull || length(text) === 0, "undetected").otherwise(byScript)
   }
 
   /** The same heuristic as DuckDB SQL, parameterized on the text expression —
@@ -50,9 +78,12 @@ object LangId {
       s"len(list_intersect(string_split_regex(lower($textExpr), '\\s+'), " +
         s"[${stopwords(l).map(w => s"'$w'").mkString(", ")}]))"
     val best = s"greatest(${langs.map(hits).mkString(", ")})"
+    val scriptCases = scriptClasses
+      .map { case (l, cls) => s"WHEN regexp_matches($textExpr, '$cls') THEN '$l'" }
+      .mkString(" ")
     val cases = langs.map(l => s"WHEN ${hits(l)} = $best THEN '${l}'").mkString(" ")
     s"""CASE WHEN $textExpr IS NULL OR length($textExpr) = 0 THEN 'undetected'
-        WHEN regexp_matches($textExpr, '$cjkPattern') THEN 'zh'
+        $scriptCases
         WHEN $best <= 0 THEN 'undetected'
         $cases END"""
   }

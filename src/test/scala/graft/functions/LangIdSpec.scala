@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden sentences per supported language. The Spark↔DuckDB lockstep of
+  * the same heuristic is covered by the q_text_langid oracle row; this spec
+  * pins the language table itself so a table edit that breaks a language
+  * fails by name.
+  */
+class LangIdSpec extends SparkSpec {
+
+  private val goldens: Seq[(String, String)] = Seq(
+    "en" -> "the cat and the dog sat in this house for hours",
+    "es" -> "el perro y la casa que es de un pueblo",
+    "de" -> "der hund und die katze sind nicht mit dem haus",
+    "fr" -> "le chien est dans une maison pour les amis ici",
+    "it" -> "il cane che non dorme sono anche come alla festa",
+    "pt" -> "ele não quer uma casa mais bonita você também",
+    "nl" -> "het huis een hond van niet ook maar voor zijn",
+    "pl" -> "nie wiem czy to jest tak ale jak przez tego",
+    "sv" -> "och att det som för inte med på är av",
+    "tr" -> "bir ev ve bu kedi için ile çok daha gibi",
+    "zh" -> "这是一个测试句子",
+    "ja" -> "これはテストの文です", // kana present → ja, even with kanji 文
+    "ko" -> "이것은 테스트 문장입니다",
+    "ru" -> "это тестовое предложение на русском",
+    "el" -> "αυτή είναι μια δοκιμαστική πρόταση",
+    "he" -> "זהו משפט בדיקה בעברית",
+    "ar" -> "هذه جملة اختبار بالعربية",
+    "hi" -> "यह एक परीक्षण वाक्य है",
+    "th" -> "นี่คือประโยคทดสอบ",
+  )
+
+  test("golden sentence per language resolves to that language") {
+    import spark.implicits._
+    val df = goldens.toDF("expected", "text")
+      .withColumn("got", LangId.langId(col("text")))
+    val wrong = df.filter(col("got") =!= col("expected")).collect()
+    assert(wrong.isEmpty,
+      wrong.map(r => s"${r.getString(0)} -> ${r.getString(2)}").mkString(", "))
+  }
+
+  test("kana beats han (Japanese with kanji is ja, pure han is zh)") {
+    import spark.implicits._
+    val df = Seq("漢字とひらがな", "漢字").toDF("text")
+      .select(LangId.langId(col("text")).as("got"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("ja", "zh"))
+  }
+
+  test("empty, null, and feature-less text are undetected") {
+    import spark.implicits._
+    val df = Seq(Some(""), None, Some("zzz qqq xxx"), Some("12345 67890"))
+      .toDF("text")
+      .select(LangId.langId(col("text")).as("got"))
+    assert(df.collect().map(_.getString(0)).forall(_ == "undetected"))
+  }
+
+  test("tie-break follows the declared priority order") {
+    import spark.implicits._
+    // "en" is a Spanish stopword; "in" English — craft a 1-1 tie: priority
+    // order says en wins
+    val df = Seq("in en").toDF("text").select(LangId.langId(col("text")).as("got"))
+    assert(df.collect().head.getString(0) === "en")
+  }
+}
