@@ -1,0 +1,184 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal snapshot/manifest table format with copy-on-write MERGE — the
+  * Delta-style half of BASELINE.json's "Parquet/Delta output", built on
+  * nothing but parquet files and a JSON log (no external jars).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/data/c<version>/part-*.parquet   immutable; one subdir per commit
+  *   <dir>/_graft_log/v<version>.json       manifest: the file list of that snapshot
+  *   <dir>/_graft_log/_latest               current-version pointer (atomic rename)
+  * }}}
+  *
+  * Why this scales: a snapshot is a FILE LIST, so readers never list the
+  * data tree (object-store listing is the classic small-file killer), old
+  * versions stay readable until a vacuum (time travel), and MERGE is
+  * copy-on-write at file granularity — untouched files carry over into the
+  * new manifest by reference; only files that actually contain matched keys
+  * are rewritten, so merge cost is O(touched files + changes), not O(table).
+  * The single-writer commit uses write-temp-then-rename on the log pointer,
+  * atomic on a real filesystem; a multi-writer object-store deployment
+  * would swap this for a compare-and-swap log protocol (the Delta paper's
+  * approach) without touching the data layout.
+  */
+object SnapshotTable {
+
+  final case class Snapshot(version: Int, files: Seq[String])
+
+  private def logDir(dir: String): Path = Paths.get(dir, "_graft_log")
+  private def manifestPath(dir: String, v: Int): Path = logDir(dir).resolve(f"v$v%08d.json")
+
+  // ------------------------------------------------------------- manifests
+
+  /** Relative data-file paths of one commit's directory (recursive — a
+    * partitioned commit nests partition dirs).
+    */
+  private def listCommitFiles(dir: String, version: Int): Seq[String] = {
+    val root = Paths.get(dir)
+    val commit = root.resolve(s"data/c$version")
+    Files.walk(commit).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString)
+      .toSeq.sorted
+  }
+
+  private def writeManifest(dir: String, snap: Snapshot): Unit = {
+    Files.createDirectories(logDir(dir))
+    // paths are spark-generated (part-<uuid>.snappy.parquet [+ ASCII
+    // partition dirs]) — JSON-escape anyway so a hostile partition value
+    // cannot corrupt the log
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json =
+      s"""{"version":${snap.version},"files":[${snap.files.map(esc).mkString(",")}]}"""
+    Files.write(manifestPath(dir, snap.version), json.getBytes(StandardCharsets.UTF_8))
+    val tmp = logDir(dir).resolve(s"_latest.tmp${snap.version}")
+    Files.write(tmp, snap.version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logDir(dir).resolve("_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def latestVersion(dir: String): Int =
+    new String(Files.readAllBytes(logDir(dir).resolve("_latest")),
+      StandardCharsets.UTF_8).trim.toInt
+
+  def snapshot(spark: SparkSession, dir: String, version: Option[Int] = None): Snapshot = {
+    val v = version.getOrElse(latestVersion(dir))
+    // the manifest is one JSON object; Spark's reader handles the parse
+    // (and any future schema growth) without a hand-rolled parser
+    val row = spark.read
+      .schema(StructType(Seq(
+        StructField("version", IntegerType),
+        StructField("files", ArrayType(StringType)))))
+      .json(manifestPath(dir, v).toString)
+      .head()
+    Snapshot(row.getInt(0), row.getSeq[String](1))
+  }
+
+  // ----------------------------------------------------------- read / write
+
+  /** Read a snapshot (latest by default, or time-travel to `version`).
+    * basePath keeps partition-directory columns recoverable when the
+    * table was created with `partitionBy`.
+    */
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    spark.read
+      .option("basePath", dir)
+      .parquet(snap.files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Create version 1 from `df`, optionally partitioned by a
+    * low-cardinality column (partition pruning applies to every snapshot
+    * read through `basePath`).
+    */
+  def create(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil): Int = {
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$dir/data/c1")
+    writeManifest(dir, Snapshot(1, listCommitFiles(dir, 1)))
+    1
+  }
+
+  /** Copy-on-write MERGE (WHEN MATCHED THEN UPDATE ALL, WHEN NOT MATCHED
+    * THEN INSERT ALL — row-wins, same semantics as q_upsert's oracle):
+    *
+    *  1. locate the files that contain a matched key (input_file_name join
+    *     against the broadcast change-key set — reads only the key column),
+    *  2. rewrite JUST those files' rows merged with the changes (plus all
+    *     inserts) into a new commit directory,
+    *  3. publish a manifest = untouched files (by reference) + new files.
+    *
+    * The only driver-side materialization is the touched-FILE list — file
+    * names, not rows, exactly what any manifest-based format holds on the
+    * driver.
+    */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame, key: String): Int = {
+    val prev = snapshot(spark, dir, None)
+    val prevAbs = prev.files.map(f => s"$dir/$f")
+    val current = spark.read.option("basePath", dir).parquet(prevAbs: _*)
+    val changeKeys = changes.select(col(key)).distinct()
+
+    // URI-decode input_file_name so it compares equal to the manifest paths
+    val touchedAbs = current
+      .select(col(key), input_file_name().as("__file"))
+      .join(broadcast(changeKeys), key)
+      .select("__file").distinct()
+      .collect()
+      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).toString)
+      .toSet
+    val touchedRel = prev.files.filter(f => touchedAbs.contains(
+      Paths.get(s"$dir/$f").toAbsolutePath.normalize.toString))
+    val untouchedRel = prev.files.diff(touchedRel)
+
+    val cols = current.columns.toSeq
+    val touchedRows =
+      if (touchedRel.isEmpty) current.limit(0)
+      else spark.read.option("basePath", dir)
+        .parquet(touchedRel.map(f => s"$dir/$f"): _*)
+        .select(cols.map(col): _*)
+    // row-wins full-outer merge: a matched key takes the change row whole
+    // (a legitimate NULL in a change column stays NULL — no column-level
+    // coalesce resurrection)
+    val t = touchedRows.select(struct(cols.map(col): _*).as("t")).withColumn("k", col(s"t.$key"))
+    val c = changes.select(cols.map(col): _*)
+      .select(struct(cols.map(col): _*).as("c")).withColumn("k", col(s"c.$key"))
+    val merged = t.join(c, Seq("k"), "full_outer")
+      .select(when(col("c").isNotNull, col("c")).otherwise(col("t")).as("r"))
+      .select("r.*")
+
+    val next = prev.version + 1
+    val partCols = partitionColumnsOf(dir, prev)
+    val w = merged.write.mode("errorifexists")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(s"$dir/data/c$next")
+    writeManifest(dir, Snapshot(next, (untouchedRel ++ listCommitFiles(dir, next)).sorted))
+    next
+  }
+
+  /** Partition columns are encoded in the data paths (dir=value segments)
+    * — recover them from the manifest instead of carrying extra metadata.
+    */
+  private def partitionColumnsOf(dir: String, snap: Snapshot): Seq[String] =
+    snap.files.headOption.toSeq.flatMap { f =>
+      f.split('/').drop(2).dropRight(1).toSeq // data/cN/<part dirs...>/file
+        .flatMap(seg => seg.split('=') match {
+          case Array(name, _) => Some(name)
+          case _ => None
+        })
+    }
+}

@@ -61,4 +61,72 @@ class IoSpec extends SparkSpec {
       landing)
     assert(Sources.rawAdsJson(spark, s"$landing/*").count() === 3)
   }
+
+  test("snapshot table: two successive merges, time travel, and file-level COW") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap").toString + "/orders_t"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    assert(SnapshotTable.create(base, dir) === 1)
+
+    // merge 1: reprice every 10th key + one insert (q_upsert's change shape)
+    val changes1 = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName {
+        import spark.implicits._
+        Seq((-1L, 999.0, "X")).toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      }
+    assert(SnapshotTable.merge(spark, dir, changes1, "o_orderkey") === 2)
+
+    // merge 2: touch a disjoint key slice
+    val changes2 = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("Z"))
+    assert(SnapshotTable.merge(spark, dir, changes2, "o_orderkey") === 3)
+
+    // read-back equals the same merges done frame-side
+    def applyMerge(t: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) = {
+      val keys = c.select("o_orderkey")
+      t.join(keys, Seq("o_orderkey"), "left_anti").unionByName(c)
+    }
+    val expected = applyMerge(applyMerge(base, changes1), changes2)
+      .orderBy("o_orderkey").collect()
+    val got = SnapshotTable.read(spark, dir).orderBy("o_orderkey").collect()
+    assert(got.toSeq === expected.toSeq)
+
+    // time travel: v1 still reads as the original frame
+    val v1 = SnapshotTable.read(spark, dir, Some(1)).orderBy("o_orderkey").collect()
+    assert(v1.toSeq === base.orderBy("o_orderkey").collect().toSeq)
+
+    // copy-on-write at file granularity: later manifests re-reference
+    // earlier files rather than rewriting the table
+    val s1 = SnapshotTable.snapshot(spark, dir, Some(1)).files.toSet
+    val s2 = SnapshotTable.snapshot(spark, dir, Some(2)).files.toSet
+    val s3 = SnapshotTable.snapshot(spark, dir, Some(3)).files.toSet
+    assert((s2 -- s1).nonEmpty && (s3 -- s2).nonEmpty, "each merge adds new files")
+    assert(SnapshotTable.latestVersion(dir) === 3)
+  }
+
+  test("snapshot table: partitioned layout prunes and survives merges") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-part").toString + "/orders_p"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    SnapshotTable.create(base, dir, partitionBy = Seq("o_orderstatus"))
+    val changes = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    SnapshotTable.merge(spark, dir, changes, "o_orderkey")
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.columns.sorted.toSeq === base.columns.sorted.toSeq)
+    assert(back.count() === base.count())
+    // a partition-column filter prunes to that partition's files
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      "partition pruning must reach the scan")
+    val doubled = back.filter(col("o_orderkey") % 7 === 0)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    val orig = base.filter(col("o_orderkey") % 7 === 0)
+      .agg(sum(col("o_totalprice") * 2)).head.getDouble(0)
+    assert(math.abs(doubled - orig) < 1e-6)
+  }
 }
