@@ -96,22 +96,46 @@ object Streaming {
     * deterministic for a given batch split. Built-in windows cover
     * tumbling/session aggregation; this is the escape hatch for state
     * machines they cannot express.
+    *
+    * State is BOUNDED: the input carries a watermark and each key arms an
+    * event-time timeout at (its newest event + idleTtl) — when the
+    * watermark passes it, the key's state is dropped. Without this the
+    * store is O(every user ever seen), which on an unbounded key space
+    * grows until the job dies; with it, state is O(users active within the
+    * TTL horizon). A user reappearing after expiry simply restarts from
+    * empty state (the running max forgets — the documented trade of
+    * bounding state).
     */
-  def runningMaxByUser(events: DataFrame): DataFrame = {
+  def runningMaxByUser(
+      events: DataFrame,
+      watermarkDelay: String = "2 hours",
+      idleTtl: java.time.Duration = java.time.Duration.ofHours(24),
+  ): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events.as[EventRow]
+    events.withWatermark("ts", watermarkDelay).as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RunningMax, (Long, Long, Double, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[RunningMax]) =>
-          var m = state.getOption.map(_.maxValue).getOrElse(Double.NegativeInfinity)
-          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            m = math.max(m, e.value)
-            (e.event_id, uid, e.value, m)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var m = state.getOption.map(_.maxValue).getOrElse(Double.NegativeInfinity)
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = sorted.map { e =>
+              m = math.max(m, e.value)
+              (e.event_id, uid, e.value, m)
+            }
+            state.update(RunningMax(m))
+            // must exceed the current watermark or Spark rejects the arm;
+            // late-straggler batches can have max(ts) < watermark
+            state.setTimeoutTimestamp(
+              math.max(sorted.map(_.ts.getTime).max, state.getCurrentWatermarkMs()) +
+                idleTtl.toMillis)
+            out.iterator
           }
-          state.update(RunningMax(m))
-          out.iterator
       }
       .toDF("event_id", "user_id", "value", "run_max_value")
   }
@@ -127,35 +151,67 @@ object Streaming {
     */
   final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
 
-  def funnelByUser(events: DataFrame): DataFrame = {
+  def funnelByUser(
+      events: DataFrame,
+      watermarkDelay: String = "2 hours",
+      idleTtl: java.time.Duration = java.time.Duration.ofHours(24),
+  ): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val unset = Long.MaxValue
-    events.as[EventRow]
+    events.withWatermark("ts", watermarkDelay).as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long, Int)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
-          val before = st
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            e.event_type match {
-              case "view" if st.tView == unset => st = st.copy(tView = t)
-              case "click" if st.tView != unset && st.tClick == unset && t >= st.tView =>
-                st = st.copy(tClick = t)
-              case "purchase" if st.tClick != unset && st.tPurchase == unset && t >= st.tClick =>
-                st = st.copy(tPurchase = t)
-              case _ =>
+          if (state.hasTimedOut) {
+            // an expired funnel is abandoned — same bounded-state contract
+            // as runningMaxByUser
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+            val before = st
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view" if st.tView == unset => st = st.copy(tView = t)
+                case "click" if st.tView != unset && st.tClick == unset && t >= st.tView =>
+                  st = st.copy(tClick = t)
+                case "purchase" if st.tClick != unset && st.tPurchase == unset && t >= st.tClick =>
+                  st = st.copy(tPurchase = t)
+                case _ =>
+              }
             }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(sorted.map(_.ts.getTime).max, state.getCurrentWatermarkMs()) +
+                idleTtl.toMillis)
+            val stage = Seq(st.tView, st.tClick, st.tPurchase).count(_ != unset)
+            if (st != before) Iterator((uid, st.tView, st.tClick, st.tPurchase, stage))
+            else Iterator.empty
           }
-          state.update(st)
-          val stage = Seq(st.tView, st.tClick, st.tPurchase).count(_ != unset)
-          if (st != before) Iterator((uid, st.tView, st.tClick, st.tPurchase, stage))
-          else Iterator.empty
       }
       .toDF("user_id", "t_view_ms", "t_click_ms", "t_purchase_ms", "stage")
   }
+
+  /** Streaming twin of q_dedup_exact: cross-batch KEEP-FIRST dedup by
+    * normalized-content fingerprint — the ingestion-time guard that stops
+    * near-identical documents from ever landing twice. Same fingerprint
+    * expression as the batch operator (md5 over TextAnalysis.normalize);
+    * dropDuplicatesWithinWatermark bounds the fingerprint state to the
+    * watermark horizon, the streaming analog of "dedup within the
+    * reprocessing window" (a batch backfill handles anything older).
+    * Expects (doc_id, text, ts) rows.
+    */
+  def dedupDocsByFingerprint(
+      docs: DataFrame, watermarkDelay: String = "24 hours"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("fingerprint",
+        md5(graft.text.TextAnalysis.normalize(col("text")).cast(BinaryType)))
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Incremental ad-library ingestion: raw documents landing as whole files
     * stream through the UNCHANGED batch transform (flatten → derive →

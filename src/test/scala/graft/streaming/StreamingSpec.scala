@@ -172,6 +172,72 @@ class StreamingSpec extends SparkSpec {
     assert(last(6L) === 1)
   }
 
+  test("event-time timeout expires a stale user's state") {
+    val dir = tmpDir("graft-stream-ttl")
+    // user 1 goes idle; user 2's much-later events advance the watermark
+    // past user 1's (event + 1h TTL) timeout → batch 3 drops the state
+    Files.writeString(Paths.get(dir, "b1.json"),
+      """{"event_id":1,"ts":"2024-06-01T10:00:00","user_id":1,"event_type":"click","value":1.0,"props":"{}"}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "b2.json"),
+      """{"event_id":2,"ts":"2024-06-01T20:00:00","user_id":2,"event_type":"click","value":2.0,"props":"{}"}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "b3.json"),
+      """{"event_id":3,"ts":"2024-06-01T20:30:00","user_id":2,"event_type":"click","value":3.0,"props":"{}"}
+        |""".stripMargin)
+    Seq("b1.json", "b2.json", "b3.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val events = Streaming.readEvents(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+    val q = Streaming.runningMaxByUser(events,
+        watermarkDelay = "0 seconds", idleTtl = java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("ttlmax")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all rows still emitted (expiry drops state, not output)...
+    assert(spark.table("ttlmax").count() === 3)
+    // ...but after the last batch only user 2 remains in the state store
+    val lastState = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatten.lastOption
+    assert(lastState.exists(_.numRowsTotal === 1),
+      s"expected 1 live state row, got ${lastState.map(_.numRowsTotal)}")
+  }
+
+  test("streaming fingerprint dedup keeps one doc per normalized content") {
+    val dir = tmpDir("graft-stream-fpdedup")
+    // doc 11 is a punctuation/case/whitespace variant of doc 10 — the exact
+    // batch dedup (q_dedup_exact) collapses them; the stream must too, even
+    // across micro-batches. doc 12 is genuinely different.
+    Files.writeString(Paths.get(dir, "d1.json"),
+      """{"event_id":10,"ts":"2024-06-01T10:00:00","user_id":0,"event_type":"Hello,  World! This is GRAFT.","value":0.0,"props":"{}"}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "d2.json"),
+      """{"event_id":11,"ts":"2024-06-01T10:10:00","user_id":0,"event_type":"hello world this is graft","value":0.0,"props":"{}"}
+        |{"event_id":12,"ts":"2024-06-01T10:11:00","user_id":0,"event_type":"an entirely different document","value":0.0,"props":"{}"}
+        |""".stripMargin)
+    Seq("d1.json", "d2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    // reuse the event schema as a (doc_id=event_id, text=event_type) carrier
+    val docs = Streaming.readEvents(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+      .select(col("event_id").as("doc_id"), col("event_type").as("text"), col("ts"))
+    val q = Streaming.dedupDocsByFingerprint(docs)
+      .writeStream.format("memory").queryName("fpdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("fpdedup").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(10L, 12L), "keep-first: the replayed content drops")
+    // batch parity: same fingerprint expression as the exact batch dedup
+    import spark.implicits._
+    val batch = Seq("Hello,  World! This is GRAFT.", "hello world this is graft",
+        "an entirely different document").toDF("text")
+      .select(md5(graft.text.TextAnalysis.normalize(col("text"))
+        .cast(org.apache.spark.sql.types.BinaryType)).as("fingerprint"))
+    assert(batch.distinct().count() === 2)
+  }
+
   test("raw landing round-trip: file source sees what Sources wrote") {
     val landing = tmpDir("graft-raw-landing")
     Files.writeString(Paths.get(landing, "docA.json"), AdFixture.json)
