@@ -56,6 +56,14 @@ object LangId {
     "th" -> "[฀-๿]",              // thai
   )
 
+  /** Union of every script class — a single guard scan. The common case
+    * (Latin-script text) pays ONE regex pass instead of nine: each branch
+    * of the script when-chain is a separate full-text scan that finds
+    * nothing on Latin input.
+    */
+  val anyScriptClass: String =
+    "[" + scriptClasses.map(_._2.stripPrefix("[").stripSuffix("]")).mkString + "]"
+
   def langId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val score: Map[String, Column] =
@@ -64,10 +72,47 @@ object LangId {
     val byScore = langs.foldLeft(when(best <= 0, "undetected")) { (acc, l) =>
       acc.when(score(l) === best, l)
     }
-    val byScript = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
+    val scriptChain = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
       when(regexp_like(text, lit(cls)), l).otherwise(acc)
     }
+    val byScript = when(regexp_like(text, lit(anyScriptClass)), scriptChain)
+      .otherwise(byScore)
     when(text.isNull || length(text) === 0, "undetected").otherwise(byScript)
+  }
+
+  /** Hot-path form of [[langId]]: semantically identical, but materializes
+    * the per-language stopword scores (and their max) as real columns in a
+    * lower projection, so the decision CASE reads plain column refs.
+    *
+    * Why this exists: Catalyst's subexpression elimination skips CaseWhen
+    * branches (they evaluate conditionally), so the single-Column [[langId]]
+    * re-tokenizes and re-intersects per branch reference — measured ~100
+    * intersect evaluations per row across the 10-language argmax chain.
+    * Here each intersect happens exactly once per row; CollapseProject
+    * keeps the boundary because the aliases are non-cheap and
+    * multiply-referenced.
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column, out: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(text), "\\s+")
+    def sc(l: String) = s"__lid_$l"
+    val scored = df.select(
+      col("*") +:
+        langs.map(l =>
+          size(array_intersect(toks, lit(stopwords(l).toArray))).as(sc(l))): _*)
+    val best = greatest(langs.map(l => col(sc(l))): _*)
+    val byScore = langs.foldLeft(when(best <= 0, "undetected")) { (acc, l) =>
+      acc.when(col(sc(l)) === best, l)
+    }
+    val scriptChain = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
+      when(regexp_like(text, lit(cls)), l).otherwise(acc)
+    }
+    val byScript = when(regexp_like(text, lit(anyScriptClass)), scriptChain)
+      .otherwise(byScore)
+    scored
+      .withColumn(out,
+        when(text.isNull || length(text) === 0, "undetected").otherwise(byScript))
+      .drop(langs.map(sc): _*)
   }
 
   /** The same heuristic as DuckDB SQL, parameterized on the text expression —

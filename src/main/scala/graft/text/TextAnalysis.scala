@@ -117,12 +117,15 @@ object TextAnalysis {
       ORDER BY doc_id
     """),
   ) { (s, d) =>
-    Tables.documents(s, d)
+    // two-projection form: the per-language scores materialize once per
+    // row (LangId.withLangId) — the single-expression form re-evaluates
+    // them per CaseWhen branch reference, ~10x the work
+    LangId.withLangId(
+        Tables.documents(s, d).select("doc_id", "lang", "text"),
+        col("text"), "lang_pred")
       .select(
-        col("doc_id"), col("lang"),
-        LangId.langId(col("text")).as("lang_pred"),
-        (col("lang") === LangId.langId(col("text"))).as("lang_match"),
-      )
+        col("doc_id"), col("lang"), col("lang_pred"),
+        (col("lang") === col("lang_pred")).as("lang_match"))
       .orderBy("doc_id")
   }
 

@@ -57,6 +57,16 @@ class LangIdSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).forall(_ == "undetected"))
   }
 
+  test("withLangId (two-projection form) equals langId on goldens and edges") {
+    import spark.implicits._
+    val texts = goldens.map(_._2) ++ Seq("", "zzz qqq", "in en", "漢字とひらがな", "漢字")
+    val df = texts.toDF("text")
+    val a = df.select(LangId.langId(col("text")).as("p")).collect().map(_.getString(0))
+    val b = LangId.withLangId(df, col("text"), "p")
+      .select("p").collect().map(_.getString(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("tie-break follows the declared priority order") {
     import spark.implicits._
     // "en" is a Spanish stopword; "in" English — craft a 1-1 tie: priority
