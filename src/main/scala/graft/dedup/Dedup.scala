@@ -267,6 +267,84 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond" — public
+    * algorithm): the long-chain upgrade path over min-label propagation.
+    * Propagation needs O(diameter) rounds — a pathological chain-shaped
+    * duplicate graph exhausts any round cap — while the alternating star
+    * operations contract chains in O(log n) rounds, each round two
+    * groupBy/join passes over the edge list (shuffle-only, no driver data;
+    * scalar checksum action for the fixpoint, lineage truncated per round
+    * like the propagation loop).
+    *
+    *  - large-star: every node points its LARGER neighbors at the minimum
+    *    of its neighborhood (incl. itself);
+    *  - small-star: every node and its smaller neighbors re-hang on that
+    *    minimum.
+    *
+    * The fixpoint is a forest of stars whose centers are the component
+    * minima, so labels match [[connectedComponents]] exactly (pinned in
+    * DedupSpec). Returns (node, label).
+    */
+  def connectedComponentsAlternating(pairs: DataFrame): DataFrame =
+    alternatingWithRounds(pairs)._1
+
+  private[dedup] def alternatingWithRounds(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    val nodes = pairs
+      .select(explode(array(col("i"), col("j"))).as("node")).distinct()
+      .localCheckpoint()
+    var e = pairs
+      .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var prevSum = BigDecimal(-1)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star over both orientations: m(u) = min(N(u) ∪ {u}); emit
+      // (v, m) for the strictly larger neighbors v > u
+      val nbrs = e.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("x"))
+        .select(col("x.a").as("a"), col("x.b").as("b"))
+      val mins = nbrs.groupBy("a").agg(least(min(col("b")), first(col("a"))).as("m"))
+      val ls = nbrs.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on (larger → smaller)-oriented edges: re-hang u and its
+      // smaller neighbors on m(u) = min of those neighbors
+      val dir = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val next = dir.join(mins2, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("x"))
+        .select(col("x.a").as("u"), col("x.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(false)
+      // order-independent edge-set checksum as the scalar fixpoint action
+      val sum0 = next.agg(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+      val s = Option(sum0).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      converged = s == prevSum
+      prevSum = s
+      e = next
+      rounds += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponentsAlternating stopped at the $rounds-round cap")
+    // star edges are (child, center); centers label themselves
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("ctr")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("ctr"), col("node")).as("label"))
+    (labels, rounds)
+  }
+
   /** (doc_id, cluster_id, cluster_size) projection shared by the exact and
     * LSH-fed clustering gates.
     */

@@ -84,6 +84,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("alternating star CC equals min-label propagation; chains converge in O(log n)") {
+    import spark.implicits._
+    // same labels as propagation on the real duplicate graph
+    val pairs = Dedup.setSimilarityJoin(docs, 0.5).select("i", "j")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap(Dedup.connectedComponentsAlternating(pairs)) ===
+      labelMap(Dedup.connectedComponents(pairs)))
+    // a 128-node path graph: propagation needs O(n) rounds (the round cap
+    // would truncate it); the star algorithm contracts it in O(log n)
+    val chain = (0L until 127L).map(k => (k, k + 1)).toDF("i", "j")
+    val (labels, rounds) = Dedup.alternatingWithRounds(chain)
+    val got = labelMap(labels)
+    assert(got.size === 128 && got.values.forall(_ == 0L),
+      "every chain node must label to the component minimum")
+    assert(rounds <= 20, s"chain of 128 took $rounds rounds — not O(log n)")
+  }
+
   test("LSH-fed clustering: co-membership precision 1, recall >= 0.9 vs exact") {
     def coMembership(q: graft.util.Q): Set[(Long, Long)] = {
       val byCluster = q.run(spark, sf())
