@@ -538,11 +538,69 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Bloom-filter pre-join reduction: sketch the dim-side key set, broadcast
+    * the sketch, and prefilter the fact rows BEFORE the join shuffle. The
+    * tool for a selective dim too large to broadcast-join exactly: at 100 TB
+    * the fact shuffle drops to ~the matching fraction (plus the configured
+    * false-positive rate), while the exact join downstream clears the false
+    * positives — so the composition is row-identical to the plain join,
+    * which is exactly what the oracle verifies. (AQE's runtime bloom filter
+    * does this opportunistically; this is the declarative form that also
+    * composes with operators AQE won't rewrite.)
+    */
+  def bloomPreJoin(
+      fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    graft.functions.BloomFunctions.ensureRegistered(fact.sparkSession)
+    // might_contain demands a CONSTANT (or scalar subquery) sketch, so the
+    // aggregate materializes at plan-build time and embeds as a literal —
+    // one distributed pass over the dim keys whose only driver payload is
+    // the numBits/8-byte sketch itself (the same shape AQE's runtime bloom
+    // filter produces; rows never reach the driver).
+    val sketch = dim.agg(graft.functions.BloomFunctions
+        .bloomAgg(xxhash64(col(dimKey)), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val prefiltered =
+      if (sketch == null) fact.limit(0) // empty dim: nothing can match
+      else fact.filter(graft.functions.BloomFunctions
+        .mightContain(lit(sketch), xxhash64(col(factKey))))
+    prefiltered.join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** Revenue by line status for urgent orders through the bloom prefilter —
+    * the oracle is the PLAIN join (false positives must be invisible).
+    */
+  val q_bloom_prejoin: Q = Q(
+    "q_bloom_prejoin",
+    Some("""
+      SELECT l_linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """),
+  ) { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    bloomPreJoin(Tables.lineitem(s, d), urgent, "l_orderkey", "o_orderkey")
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+      )
+      .orderBy("l_linestatus")
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
     q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot, q_unpivot,
-    q_upsert,
+    q_upsert, q_bloom_prejoin,
   )
 }

@@ -33,4 +33,26 @@ class SkewSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("bloom prefilter keeps every true match; composition equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val lineitem = graft.util.Tables.lineitem(spark, sf())
+    val urgent = graft.util.Tables.orders(spark, sf())
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
+    val composed = Relational.bloomPreJoin(lineitem, urgent, "l_orderkey", "o_orderkey")
+    assert(composed.count() === plain.count(),
+      "false positives must be cleared by the exact join")
+    // the prefilter alone is a superset of the true matches and (at this
+    // sizing) a strict subset of the fact side — it actually prunes
+    graft.functions.BloomFunctions.ensureRegistered(spark)
+    val sketch = urgent.agg(graft.functions.BloomFunctions
+        .bloomAgg(xxhash64(col("o_orderkey")), 1000000L, 8388608L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pre = lineitem.filter(graft.functions.BloomFunctions
+      .mightContain(lit(sketch), xxhash64(col("l_orderkey"))))
+    val preN = pre.count()
+    val semiN = lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(preN >= semiN && preN < lineitem.count())
+  }
 }
