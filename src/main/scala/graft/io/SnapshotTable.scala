@@ -170,6 +170,61 @@ object SnapshotTable {
     next
   }
 
+  /** Small-file compaction — the maintenance commit that keeps a
+    * frequently-merged table scannable: every merge adds a commit
+    * directory, and at scale thousands of small files dominate scan
+    * planning and open() overhead. Files at or above `minFileBytes` carry
+    * into the new manifest BY REFERENCE (compaction must not rewrite the
+    * healthy bulk of the table); the small ones are read once and
+    * rewritten as `targetPartitions` files. Readers of old snapshots are
+    * unaffected (nothing is deleted — that's [[expire]]'s job).
+    */
+  def compact(
+      spark: SparkSession, dir: String,
+      minFileBytes: Long = 8L * 1024 * 1024,
+      targetPartitions: Int = 1): Int = {
+    val prev = snapshot(spark, dir, None)
+    val (big, small) = prev.files.partition(f =>
+      Files.size(Paths.get(dir, f)) >= minFileBytes)
+    if (small.size <= 1) return prev.version // nothing worth rewriting
+    val next = prev.version + 1
+    val rows = spark.read.option("basePath", dir)
+      .parquet(small.map(f => s"$dir/$f"): _*)
+    val partCols = partitionColumnsOf(dir, prev)
+    val w = rows.coalesce(targetPartitions).write.mode("errorifexists")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(s"$dir/data/c$next")
+    writeManifest(dir, Snapshot(next, (big ++ listCommitFiles(dir, next)).sorted))
+    next
+  }
+
+  /** Snapshot expiry (vacuum): keep the newest `keepLast` manifests, drop
+    * older ones, and delete every data file no retained manifest
+    * references. Time travel to an expired version stops working — the
+    * documented retention trade every snapshot format makes; run it when
+    * the reprocessing window has safely passed.
+    */
+  def expire(spark: SparkSession, dir: String, keepLast: Int = 2): Unit = {
+    require(keepLast >= 1, "must retain at least the latest snapshot")
+    val latest = latestVersion(dir)
+    val keep = ((latest - keepLast + 1) max 1) to latest
+    val referenced = keep.flatMap(v => snapshot(spark, dir, Some(v)).files).toSet
+    val root = Paths.get(dir)
+    // delete unreferenced data files, then any emptied commit dirs
+    Files.walk(root.resolve("data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => !referenced.contains(root.relativize(p).toString))
+      .foreach(Files.delete)
+    Files.walk(root.resolve("data")).iterator().asScala.toSeq
+      .filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
+      .foreach { d =>
+        if (!Files.list(d).iterator().hasNext && d != root.resolve("data")) Files.delete(d)
+      }
+    (1 until keep.head).foreach { v =>
+      Files.deleteIfExists(manifestPath(dir, v)); ()
+    }
+  }
+
   /** Partition columns are encoded in the data paths (dir=value segments)
     * — recover them from the manifest instead of carrying extra metadata.
     */

@@ -106,6 +106,46 @@ class IoSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(dir) === 3)
   }
 
+  test("snapshot table: compaction shrinks the file list, expiry prunes history") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-life").toString + "/orders_l"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    SnapshotTable.create(base.repartition(4), dir) // deliberately small files
+    // touch exactly ONE key: three of the four files carry over untouched,
+    // so the post-merge manifest holds several small files to compact
+    val oneKey = base.agg(min(col("o_orderkey"))).head().getLong(0)
+    val changes = base.filter(col("o_orderkey") === oneKey)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    SnapshotTable.merge(spark, dir, changes, "o_orderkey")
+    val expected = SnapshotTable.read(spark, dir).orderBy("o_orderkey").collect()
+
+    // compact: fewer files, same rows, old snapshots untouched
+    val before = SnapshotTable.snapshot(spark, dir, None).files.size
+    val v3 = SnapshotTable.compact(spark, dir)
+    assert(v3 === 3)
+    val after = SnapshotTable.snapshot(spark, dir, None).files.size
+    assert(after < before, s"compaction must shrink the file list ($before -> $after)")
+    assert(SnapshotTable.read(spark, dir).orderBy("o_orderkey").collect().toSeq
+      === expected.toSeq)
+    assert(SnapshotTable.read(spark, dir, Some(1)).count() === base.count())
+
+    // expire to the last 2 snapshots: v1 gone, latest still exact, and no
+    // unreferenced data file remains on disk
+    SnapshotTable.expire(spark, dir, keepLast = 2)
+    intercept[Exception] { SnapshotTable.read(spark, dir, Some(1)).collect() }
+    assert(SnapshotTable.read(spark, dir).orderBy("o_orderkey").collect().toSeq
+      === expected.toSeq)
+    val referenced = (2 to 3)
+      .flatMap(v => SnapshotTable.snapshot(spark, dir, Some(v)).files).toSet
+    val onDisk = java.nio.file.Files.walk(Paths.get(dir, "data")).iterator()
+    val stray = scala.jdk.CollectionConverters.IteratorHasAsScala(onDisk).asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map(p => Paths.get(dir).relativize(p).toString)
+      .filterNot(referenced.contains).toSeq
+    assert(stray.isEmpty, s"unreferenced files survived expiry: $stray")
+  }
+
   test("snapshot table: partitioned layout prunes and survives merges") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-part").toString + "/orders_p"
