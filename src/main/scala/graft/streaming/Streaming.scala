@@ -24,6 +24,20 @@ import graft.etl.Transform
   */
 object Streaming {
 
+  /** Session confs for LARGE streaming state: the default in-memory
+    * HDFSBackedStateStore keeps every key's state on the executor heap —
+    * at 100 TB key cardinalities that's an OOM, not a tuning problem. The
+    * RocksDB provider (bundled with Spark) spills state to local disk with
+    * changelog checkpointing so state size is bounded by disk, not heap.
+    * Apply before starting stateful queries:
+    * `rocksDbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }`.
+    */
+  val rocksDbStateConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+  )
+
   /** events landing schema (TESTDATA.md events table, JSON-lines files). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

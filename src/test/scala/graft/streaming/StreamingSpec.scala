@@ -238,6 +238,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.distinct().count() === 2)
   }
 
+  test("stateful dedup runs unchanged on the RocksDB state store") {
+    val dir = tmpDir("graft-stream-rocks")
+    landEvents(dir)
+    val prev = Streaming.rocksDbStateConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Streaming.rocksDbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = Streaming.dedupEvents(Streaming.readEvents(spark, dir))
+      val q = out.writeStream.format("memory").queryName("rocksdedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ids = spark.table("rocksdedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L, 4L))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("raw landing round-trip: file source sees what Sources wrote") {
     val landing = tmpDir("graft-raw-landing")
     Files.writeString(Paths.get(landing, "docA.json"), AdFixture.json)
