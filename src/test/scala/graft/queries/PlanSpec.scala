@@ -56,4 +56,22 @@ class PlanSpec extends SparkSpec {
     // exactly one exchange pair: the 4-group aggregation (plus the sort)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
   }
+
+  test("bloom prefilter evaluates on the fact side below the join") {
+    val p = plan("q_bloom_prejoin")
+    val might = p.indexOf("might_contain")
+    assert(might >= 0, "the sketch filter must survive into the physical plan")
+    // the filter sits in the fact scan stage — i.e. BEFORE the first join
+    // operator in the plan string (plans print top-down, join above scans)
+    val join = p.indexOf("Join")
+    assert(join >= 0 && join < might,
+      "might_contain must be under the join, prefiltering the fact scan")
+  }
+
+  test("exact SSJ rescore runs on the native sorted-merge intersect kernel") {
+    val p = plan("q_dedup_ngram_jaccard")
+    assert(p.contains("graft_sorted_intersect_count"),
+      "rescore regressed off the native kernel")
+    assert(!p.contains("array_intersect"), "string intersection reappeared")
+  }
 }
