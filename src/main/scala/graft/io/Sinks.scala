@@ -54,4 +54,17 @@ object Sinks {
     */
   def curatedOrc(curated: DataFrame, dir: String): Unit =
     curated.write.mode("overwrite").orc(dir)
+
+  /** Curated zone as a snapshot TABLE (the "Delta output" half of the
+    * baseline's contract): first run creates version 1; every later run is
+    * a copy-on-write MERGE keyed by ad_id, so re-running a collection —
+    * the reference's normal retry mode — upserts instead of duplicating or
+    * clobbering, old versions stay readable for audit, and only files
+    * containing re-collected ads rewrite. Returns the committed version.
+    */
+  def curatedSnapshot(curated: DataFrame, dir: String): Int =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_graft_log", "_latest")))
+      SnapshotTable.create(curated, dir)
+    else
+      SnapshotTable.merge(curated.sparkSession, dir, curated, "ad_id")
 }

@@ -146,6 +146,24 @@ class IoSpec extends SparkSpec {
     assert(stray.isEmpty, s"unreferenced files survived expiry: $stray")
   }
 
+  test("curated snapshot sink: re-running the pipeline upserts, never duplicates") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-curated").toString + "/curated_t"
+    val curated = AdPipeline.fixtureRun(spark).curated
+    assert(Sinks.curatedSnapshot(curated, dir) === 1)
+    // a re-collection run with one re-priced ad: merge, don't duplicate
+    val recollected = curated.withColumn("ad_text",
+      when(col("ad_id") === curated.select("ad_id").orderBy("ad_id").first().getString(0),
+        lit("updated text")).otherwise(col("ad_text")))
+    assert(Sinks.curatedSnapshot(recollected, dir) === 2)
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() === curated.count(), "merge must not duplicate ads")
+    assert(back.filter(col("ad_text") === "updated text").count() === 1)
+    // the pre-retry state is still auditable
+    assert(SnapshotTable.read(spark, dir, Some(1))
+      .filter(col("ad_text") === "updated text").count() === 0)
+  }
+
   test("snapshot table: partitioned layout prunes and survives merges") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-part").toString + "/orders_p"
