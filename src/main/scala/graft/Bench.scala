@@ -52,15 +52,18 @@ object Bench {
       exec(n)
     }
     val results = names.map(n => n -> math.min(timed(n), timed(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full-precision doubles pushed the per-query line past
+    // the driver's log tail (BENCH_r04/r05 parsed:null — the line's FRONT
+    // was cut), and sub-ms digits are pure noise on this host anyway
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fails = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
-    // Second, compact line with the headline number LAST: log tails that
-    // truncate the long per-query line (BENCH_r04's parsed:null) still
-    // yield a parseable total.
-    println(s"""{"total":$total,"n_queries":${results.size},"n_failed":${failed.size}}""")
+    // compact headline first, full contract line LAST: the tail keeps the
+    // END of the log, so the last line survives truncation intact
+    println(s"""{"total":${fmt(total)},"n_queries":${results.size},"n_failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

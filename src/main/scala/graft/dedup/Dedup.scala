@@ -176,12 +176,14 @@ object Dedup {
           && least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1 >= alpha)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    // The verified pair frame is tiny (duplicate pairs only) but expensive
-    // to produce; persisting it lets a session that runs both the pair
-    // query and the clustering gate (Verify, notebooks) reuse one
-    // computation — CacheManager dedups by plan, so the entry is shared,
-    // not stacked.
-    rescore(cands, sets, t).persist(StorageLevel.MEMORY_AND_DISK)
+    // Deliberately NOT persisted: every caller consumes the pair frame
+    // exactly once per action (the pair query writes it; the clustering
+    // gate persists its own edges derivative), and an owner-less persist
+    // here would leak a CacheManager entry per distinct input plan for the
+    // session's lifetime. Cross-query reuse still happens one level down —
+    // the `sets` cache above is the expensive shared step, and a recompute
+    // of the candidate join from cached sets is cheap.
+    rescore(cands, sets, t)
   }
 
   val q_dedup_ngram_jaccard: Q = Q(
@@ -230,10 +232,18 @@ object Dedup {
         struct(col("i").as("src"), col("j").as("dst")),
         struct(col("j").as("src"), col("i").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // NOT pre-partitioned on src: a duplicate graph's label frame is tiny
+      // relative to its edge list, so AQE broadcasts labels into the cached
+      // edge partitions each round and the edge list never re-shuffles; an
+      // explicit repartition here measured as pure added cost. If labels
+      // ever outgrew broadcast (billions of near-dup nodes), hash-partition
+      // this cache on src so the rounds shuffle only the label frame.
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // lazy init — derived from the cached edges inside round 1's single job
+    // (an eager checkpoint here would spend a whole extra job on the
+    // trivial node→node seed frame)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
     var prevSum = BigDecimal(-1)
     var converged = false
     var rounds = 0

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -46,10 +47,37 @@ object SnapshotTable {
   private def listCommitFiles(dir: String, version: Int): Seq[String] = {
     val root = Paths.get(dir)
     val commit = root.resolve(s"data/c$version")
-    Files.walk(commit).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(p => root.relativize(p).toString)
-      .toSeq.sorted
+    Using.resource(Files.walk(commit)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString)
+        .toSeq.sorted
+    }
+  }
+
+  /** Delete any commit directory ABOVE the published version — the debris
+    * of a crashed commit (data written, manifest/_latest never published).
+    * Versions are always published+1, so at most one orphan exists; without
+    * this sweep a retried commit recomputes the same version number and
+    * `mode("errorifexists")` throws path-already-exists forever, defeating
+    * the retry idempotence the pipeline sink relies on. Safe because an
+    * unpublished commit is invisible to every reader (readers resolve files
+    * through manifests only).
+    */
+  private def dropOrphanCommits(dir: String, published: Int): Unit = {
+    val data = Paths.get(dir, "data")
+    if (!Files.isDirectory(data)) return
+    val orphans = Using.resource(Files.list(data)) { s =>
+      s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("c") && n.drop(1).toIntOption.exists(_ > published)
+      }.toList
+    }
+    orphans.foreach { p =>
+      Using.resource(Files.walk(p)) { s =>
+        s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
+      }
+    }
   }
 
   private def writeManifest(dir: String, snap: Snapshot): Unit = {
@@ -107,6 +135,10 @@ object SnapshotTable {
     * read through `basePath`).
     */
   def create(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil): Int = {
+    if (Files.exists(logDir(dir).resolve("_latest")))
+      throw new IllegalStateException(
+        s"snapshot table already exists at $dir (latest=v${latestVersion(dir)})")
+    dropOrphanCommits(dir, published = 0) // debris of a crashed create
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$dir/data/c1")
@@ -126,9 +158,22 @@ object SnapshotTable {
     * The only driver-side materialization is the touched-FILE list — file
     * names, not rows, exactly what any manifest-based format holds on the
     * driver.
+    *
+    * PRECONDITION: `changes` must be unique on `key` (asserted below — SQL
+    * MERGE's "multiple source rows matched" error), and the table stays
+    * unique on `key` as long as `create` was fed unique keys: the full-outer
+    * join fans out on duplicates, silently multiplying rows otherwise.
     */
   def merge(spark: SparkSession, dir: String, changes: DataFrame, key: String): Int = {
     val prev = snapshot(spark, dir, None)
+    // one tiny extra job over the (small-by-design) change side; a fan-out
+    // caught here costs an error, caught downstream costs a corrupt table
+    val dupKey = changes.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dupKey.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge changes carry duplicate key '$key' = ${dupKey.head.get(0)}: " +
+          "MERGE requires a unique source key (multiple source rows matched)")
     val prevAbs = prev.files.map(f => s"$dir/$f")
     val current = spark.read.option("basePath", dir).parquet(prevAbs: _*)
     val changeKeys = changes.select(col(key)).distinct()
@@ -162,6 +207,7 @@ object SnapshotTable {
       .select("r.*")
 
     val next = prev.version + 1
+    dropOrphanCommits(dir, prev.version)
     val partCols = partitionColumnsOf(dir, prev)
     val w = merged.write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
@@ -188,6 +234,7 @@ object SnapshotTable {
       Files.size(Paths.get(dir, f)) >= minFileBytes)
     if (small.size <= 1) return prev.version // nothing worth rewriting
     val next = prev.version + 1
+    dropOrphanCommits(dir, prev.version)
     val rows = spark.read.option("basePath", dir)
       .parquet(small.map(f => s"$dir/$f"): _*)
     val partCols = partitionColumnsOf(dir, prev)
@@ -211,14 +258,18 @@ object SnapshotTable {
     val referenced = keep.flatMap(v => snapshot(spark, dir, Some(v)).files).toSet
     val root = Paths.get(dir)
     // delete unreferenced data files, then any emptied commit dirs
-    Files.walk(root.resolve("data")).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => !referenced.contains(root.relativize(p).toString))
-      .foreach(Files.delete)
-    Files.walk(root.resolve("data")).iterator().asScala.toSeq
-      .filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
+    Using.resource(Files.walk(root.resolve("data"))) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => !referenced.contains(root.relativize(p).toString))
+        .toSeq // materialize before deleting — walk streams the live tree
+    }.foreach(Files.delete)
+    Using.resource(Files.walk(root.resolve("data")))(
+      _.iterator().asScala.toSeq).filter(Files.isDirectory(_))
+      .sortBy(-_.getNameCount)
       .foreach { d =>
-        if (!Files.list(d).iterator().hasNext && d != root.resolve("data")) Files.delete(d)
+        val empty = Using.resource(Files.list(d))(!_.iterator().hasNext)
+        if (empty && d != root.resolve("data")) Files.delete(d)
       }
     (1 until keep.head).foreach { v =>
       Files.deleteIfExists(manifestPath(dir, v)); ()

@@ -18,22 +18,30 @@ import graft.util.{Q, Tables}
 object Skew {
 
   /** Two-phase salted aggregation: groupBy(key, salt) partial →
-    * groupBy(key) final. The salt is derived DETERMINISTICALLY from the
-    * row's full content (xxhash64 over every column): a nondeterministic
-    * source (row id, rand) above a shuffle is retry-unsafe — a fetch-failure
-    * stage retry recomputes a map task with different salts, and a reducer
-    * that already consumed the old generation double-counts or drops rows.
-    * Content-hashing gives the same spread (payload columns vary per row)
-    * with a stable row→bucket assignment across retries and speculative
-    * attempts.
+    * groupBy(key) final. The salt is derived DETERMINISTICALLY from row
+    * content (xxhash64 over `saltCols`): a nondeterministic source (row id,
+    * rand) above a shuffle is retry-unsafe — a fetch-failure stage retry
+    * recomputes a map task with different salts, and a reducer that already
+    * consumed the old generation double-counts or drops rows.
+    * Content-hashing gives the same spread with a stable row→bucket
+    * assignment across retries and speculative attempts.
+    *
+    * `saltCols` should be stable HIGH-ENTROPY columns — ideally a row id /
+    * unique-key column: rows identical across every hashed column all land
+    * in one salt bucket (the salting degenerates to nothing for them), and
+    * the all-columns default fails analysis if the frame carries an
+    * unhashable column type (MapType).
     */
-  def saltedAgg(df: DataFrame, key: String, nSalts: Int)(
-      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(nSalts.toLong)))
+  def saltedAgg(df: DataFrame, key: String, nSalts: Int,
+      saltCols: Seq[Column] = Nil)(
+      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
+    val src = if (saltCols.nonEmpty) saltCols else df.columns.map(col).toSeq
+    df.withColumn("__salt", pmod(xxhash64(src: _*), lit(nSalts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
+  }
 
   /** Salted sum/count over the 3-value l_returnflag key — the same answer
     * as a direct groupBy (the oracle is the plain SQL aggregate), computed
@@ -50,7 +58,10 @@ object Skew {
       ORDER BY l_returnflag
     """),
   ) { (s, d) =>
-    saltedAgg(Tables.lineitem(s, d), "l_returnflag", nSalts = 16)(
+    // (l_orderkey, l_linenumber) is the table's unique key — maximal salt
+    // entropy even when payload columns repeat
+    saltedAgg(Tables.lineitem(s, d), "l_returnflag", nSalts = 16,
+      saltCols = Seq(col("l_orderkey"), col("l_linenumber")))(
       partial = Seq(
         sum(col("l_quantity").cast(DecimalType(18, 2))).as("p_sum"),
         count(lit(1)).as("p_n")),
@@ -126,16 +137,21 @@ object Skew {
     * is the declarative fallback that also covers hash joins and stateful
     * streaming joins.)
     */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int,
+      saltCols: Seq[Column] = Nil): DataFrame = {
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
-    // salt source: deterministic content hash over every fact column — the
-    // dim carries every salt value so any assignment joins correctly, but a
+    // salt source: deterministic content hash over the fact row — the dim
+    // carries every salt value so any assignment joins correctly, but a
     // retry-recomputed map task must re-derive the SAME salts or a partial
     // stage retry above this shuffle can double-count/drop rows (the
-    // monotonically_increasing_id hazard)
+    // monotonically_increasing_id hazard). Same saltCols guidance as
+    // [[saltedAgg]]: prefer a unique row-id column — fully identical rows
+    // share a bucket under the all-columns default, and MapType columns
+    // fail analysis in xxhash64.
+    val src = if (saltCols.nonEmpty) saltCols else fact.columns.map(col).toSeq
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(nSalts.toLong)).cast(IntegerType))
+      pmod(xxhash64(src: _*), lit(nSalts.toLong)).cast(IntegerType))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
@@ -165,7 +181,8 @@ object Skew {
   ) { (s, d) =>
     val events = Tables.events(s, d)
     val dim = events.groupBy("user_id").agg(max(col("value")).as("user_max"))
-    saltedJoin(events, dim, "user_id", nSalts = 16)
+    // event_id is the stream's unique key — see saltCols guidance above
+    saltedJoin(events, dim, "user_id", nSalts = 16, saltCols = Seq(col("event_id")))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

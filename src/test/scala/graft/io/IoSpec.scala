@@ -164,6 +164,47 @@ class IoSpec extends SparkSpec {
       .filter(col("ad_text") === "updated text").count() === 0)
   }
 
+  test("snapshot table: a crashed commit does not wedge the next one") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-crash").toString + "/orders_c"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    SnapshotTable.create(base, dir)
+    // simulate a crash between data write and manifest publish: data/c2
+    // exists, _latest still points at v1
+    val orphan = Paths.get(dir, "data", "c2")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-dead.snappy.parquet"), "not parquet")
+    val changes = base.limit(3).withColumn("o_totalprice", lit(0.0))
+    // the retried merge must clean the orphan and publish v2 normally
+    assert(SnapshotTable.merge(spark, dir, changes, "o_orderkey") === 2)
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("o_totalprice") === 0.0).count() === 3)
+    // same recovery for a crashed CREATE: orphan data, no _latest yet
+    val dir2 = Files.createTempDirectory("graft-snap-crash2").toString + "/orders_c2"
+    val orphan1 = Paths.get(dir2, "data", "c1")
+    Files.createDirectories(orphan1)
+    Files.writeString(orphan1.resolve("part-dead.snappy.parquet"), "not parquet")
+    assert(SnapshotTable.create(base, dir2) === 1)
+    assert(SnapshotTable.read(spark, dir2).count() === base.count())
+    // but a PUBLISHED table refuses a second create
+    intercept[IllegalStateException] { SnapshotTable.create(base, dir2) }
+  }
+
+  test("snapshot table: merge rejects duplicate source keys instead of fanning out") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-dup").toString + "/orders_d"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    SnapshotTable.create(base, dir)
+    val dupChanges = base.limit(2).unionByName(base.limit(1)) // key repeated
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir, dupChanges, "o_orderkey")
+    }
+    assert(err.getMessage.contains("duplicate key"))
+    assert(SnapshotTable.latestVersion(dir) === 1, "failed merge must not publish")
+  }
+
   test("snapshot table: partitioned layout prunes and survives merges") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-part").toString + "/orders_p"
