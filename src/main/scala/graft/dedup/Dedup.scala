@@ -467,6 +467,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- passage dedup
+
+  /** Passage-level exact dedup (the CCNet/"paragraph dedup" curation step,
+    * adapted to the corpus's line-less documents): the unit is a
+    * non-overlapping 10-token chunk, and a passage counts as shared when the
+    * same chunk text occurs in at least two distinct documents corpus-wide.
+    * Emits the per-document audit (n_passages, n_shared, shared fraction) a
+    * curation run gates on before cutting the shared passages out.
+    *
+    * Scale shape: chunks shuffle by their md5 key (16 bytes, not the ~60-byte
+    * passage string), the passage-frequency aggregation partial-aggregates
+    * map-side, and the per-doc rollup shuffles by doc_id — two linear
+    * shuffles, no corpus-global state beyond the bounded distinct-passage
+    * table.
+    */
+  val q_dedup_passage: Q = Q(
+    "q_dedup_passage",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents
+      ), p AS (
+        SELECT doc_id,
+               md5(unnest(list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+                 i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' '))))
+                 AS pk
+        FROM f WHERE len(toks) > 0
+      ), freq AS (
+        SELECT pk, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY pk
+      )
+      SELECT doc_id,
+             COUNT(*) AS n_passages,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS shared_frac
+      FROM p JOIN freq USING (pk)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val f = Tables.documents(s, d)
+      // bound toks projection: no CSE through lambda bodies
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val p = f.select(col("doc_id"), explode_outer(
+        transform(sequence(lit(0), ceil(size(col("toks")) / lit(10.0)).cast("int") - 1),
+          i => md5(concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10))).cast(BinaryType))))
+        .as("pk"))
+      .filter(col("pk").isNotNull)
+    val freq = p.groupBy("pk").agg(countDistinct(col("doc_id")).as("nd"))
+    p.join(freq, "pk")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_shared"))
+      .withColumn("shared_frac", col("n_shared") * lit(1.0) / col("n_passages"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup by normalized-content hash: canonical = min doc_id. */
@@ -606,5 +666,5 @@ object Dedup {
 
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash,
-      q_dedup_clusters, q_dedup_clusters_lsh, q_decontaminate)
+      q_dedup_clusters, q_dedup_clusters_lsh, q_decontaminate, q_dedup_passage)
 }

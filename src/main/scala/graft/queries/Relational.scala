@@ -596,11 +596,35 @@ object Relational {
       .orderBy("l_linestatus")
   }
 
+  /** Correlated scalar subquery with a NON-equi correlation predicate —
+    * top-3 suppliers per nation phrased as "fewer than 3 richer suppliers in
+    * my nation". Catalyst decorrelates this into a self-join + aggregate
+    * (DecorrelateInnerQuery; SURVEY §4 claims decorrelation "free" — this
+    * query pins it). Counts only, so the comparison is exact; the oracle
+    * runs the identical SQL. At scale the decorrelated plan is one shuffle
+    * of supplier by nation — no per-row re-execution of the subquery, which
+    * is what the rewrite buys.
+    */
+  val q_subquery_correlated: Q = {
+    val sql = """
+      SELECT s.s_nationkey, s.s_suppkey, s.s_name
+      FROM supplier s
+      WHERE (SELECT COUNT(*) FROM supplier s2
+             WHERE s2.s_nationkey = s.s_nationkey
+               AND s2.s_acctbal > s.s_acctbal) < 3
+      ORDER BY s.s_nationkey, s.s_suppkey
+    """
+    Q("q_subquery_correlated", Some(sql)) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(sql)
+    }
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
     q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot, q_unpivot,
-    q_upsert, q_bloom_prejoin,
+    q_upsert, q_bloom_prejoin, q_subquery_correlated,
   )
 }

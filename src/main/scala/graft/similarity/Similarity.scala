@@ -323,6 +323,165 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  // ------------------------------------------------ embedding maintenance
+
+  /** Int8 scalar quantization audit — the compression step an embedding
+    * store applies before indexing (4× smaller vectors, ~1% recall cost).
+    * Per vector: symmetric scale = max|v|/127, q_i = round-half-up(v_i /
+    * scale), plus the reconstruction MSE the store monitors. Emits scalar
+    * audit columns, not the quantized array, so the dump hash-compares.
+    *
+    * Determinism notes: the scale comes from array_max (order-independent);
+    * rounding is floor(x + 0.5) on both engines (no banker's-rounding
+    * divergence); and the 64-term MSE sum is a SEQUENTIAL fold over the
+    * array (Spark `aggregate` HOF ≡ DuckDB list_inner_product's loop —
+    * same element order, bit-identical doubles, the pattern VecDot vs
+    * list_cosine_similarity established). A groupBy-over-explode sum would
+    * need a DECIMAL detour whose double→decimal cast the two engines round
+    * differently at the 17th significant digit. Plan shape: pure row-local
+    * array expressions — scan speed, no shuffle at all.
+    */
+  val q_embed_quantize: Q = Q(
+    "q_embed_quantize",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings
+      ), w AS (
+        SELECT vec_id, xs, list_max(list_transform(xs, x -> abs(x))) / 127 AS scale
+        FROM v
+      ), q AS (
+        SELECT vec_id, xs, scale,
+               CASE WHEN scale = 0 THEN list_transform(xs, x -> 0.0)
+                    ELSE list_transform(xs, x -> floor(x / scale + 0.5)) END AS qis
+        FROM w
+      ), e AS (
+        SELECT vec_id, scale, qis,
+               list_transform(range(1, len(xs) + 1), i -> xs[i] - qis[i] * scale)
+                 AS err
+        FROM q
+      )
+      SELECT vec_id, scale,
+             CAST(list_sum(qis) AS BIGINT) AS q_sum,
+             CAST(list_min(qis) AS BIGINT) AS q_min,
+             CAST(list_max(qis) AS BIGINT) AS q_max,
+             list_inner_product(err, err) / len(err) AS mse
+      FROM e
+      ORDER BY vec_id
+    """),
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      // bound projections: arrays materialize once per row, not per lambda use
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("xs"))
+      .withColumn("scale", array_max(transform(col("xs"), x => abs(x))) / 127)
+      .withColumn("qis",
+        when(col("scale") === 0, transform(col("xs"), _ => lit(0.0)))
+          .otherwise(transform(col("xs"), x => floor(x / col("scale") + 0.5))))
+      .withColumn("err",
+        zip_with(col("xs"), col("qis"), (x, q) => x - q * col("scale")))
+    emb.select(
+        col("vec_id"), col("scale"),
+        aggregate(col("qis"), lit(0.0), (acc, q) => acc + q).cast(LongType)
+          .as("q_sum"),
+        array_min(col("qis")).cast(LongType).as("q_min"),
+        array_max(col("qis")).cast(LongType).as("q_max"),
+        (aggregate(col("err"), lit(0.0), (acc, v) => acc + v * v) / size(col("err")))
+          .as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-label centroid profile — the cluster-quality summary an embedding
+    * pipeline computes after any partitioned training run: vector count,
+    * centroid L2 norm, and mean squared distance to the centroid (intra-
+    * cluster variance). At scale the per-dimension aggregation shuffles by
+    * (label, pos) — 64 rows per label, never a collected matrix — and the
+    * rejoin streams the corpus once against the broadcast-sized centroid
+    * table.
+    *
+    * Determinism across engines is layered: the per-dimension centroid sum
+    * is a cross-row aggregate, so it routes through exact DECIMAL (float
+    * inputs have short decimal representations — both engines round them to
+    * the same decimal); every per-VECTOR computation (norm, squared
+    * distance) is a sequential array fold, bit-identical to DuckDB's list
+    * kernels; the cross-row mean of dist2 uses a coarse DECIMAL(38,10)
+    * whose quantum sits far above double-representation noise; and the two
+    * derived float metrics are emitted as fixed-point nano-unit integers
+    * (floor(x·1e9 + 0.5)) because their inputs can differ by a final ulp
+    * between engines — the 1e-9 grid absorbs that while keeping nine
+    * digits of the metric. (DuckDB's decimal→decimal downscale TRUNCATES
+    * where Spark rounds half-up, so re-quantizing through a narrower
+    * decimal is NOT a usable alternative.)
+    */
+  val q_embed_centroids: Q = Q(
+    "q_embed_centroids",
+    Some("""
+      WITH v AS (
+        SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings
+      ), e AS (
+        SELECT label, vec_id, p.pos AS pos, p.x AS x
+        FROM (SELECT label, vec_id,
+                unnest(list_transform(range(1, len(xs) + 1),
+                  i -> {'pos': i, 'x': xs[i]})) AS p
+              FROM v)
+      ), cen AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        FROM e GROUP BY label, pos
+      ), ca AS (
+        SELECT label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY label
+      ), d2 AS (
+        SELECT v.label, v.vec_id,
+               list_inner_product(
+                 list_transform(range(1, len(xs) + 1), i -> xs[i] - cvec[i]),
+                 list_transform(range(1, len(xs) + 1), i -> xs[i] - cvec[i])) AS dist2
+        FROM v JOIN ca USING (label)
+      )
+      SELECT d2.label, COUNT(*) AS n_vecs,
+             CAST(floor(MAX(nrm) * 1e9 + 0.5) AS BIGINT) AS centroid_norm_e9,
+             CAST(floor(CAST(SUM(CAST(dist2 AS DECIMAL(38,10))) AS DOUBLE)
+                        / COUNT(*) * 1e9 + 0.5) AS BIGINT) AS mean_dist2_e9
+      FROM d2 JOIN (SELECT label, sqrt(list_inner_product(cvec, cvec)) AS nrm
+                    FROM ca) n ON d2.label = n.label
+      GROUP BY d2.label
+      ORDER BY d2.label
+    """),
+  ) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("xs"))
+    val e = v.select(col("label"), col("vec_id"),
+        posexplode_outer(col("xs")).as(Seq("pos0", "x")))
+      .filter(col("x").isNotNull)
+      // 1-based to match the oracle's range(1, len+1)
+      .select(col("label"), (col("pos0") + 1).as("pos"), col("x"))
+    val cen = e.groupBy("label", "pos")
+      .agg((sum(col("x").cast(DecimalType(38, 18))).cast(DoubleType) / count(lit(1)))
+        .as("c"))
+    // centroid as an ordered array per label: broadcast-sized, so every
+    // vector's distance is a row-local sequential fold against it
+    val ca = cen.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .withColumn("centroid_norm",
+        sqrt(aggregate(col("cvec"), lit(0.0), (acc, c) => acc + c * c)))
+    v.join(broadcast(ca), "label")
+      .withColumn("err", zip_with(col("xs"), col("cvec"), (a, b) => a - b))
+      .withColumn("dist2", aggregate(col("err"), lit(0.0), (acc, x) => acc + x * x))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        floor(max(col("centroid_norm")) * 1e9 + 0.5).cast(LongType)
+          .as("centroid_norm_e9"),
+        floor(sum(col("dist2").cast(DecimalType(38, 10))).cast(DoubleType)
+          / count(lit(1)) * 1e9 + 0.5).cast(LongType).as("mean_dist2_e9"))
+      .orderBy("label")
+  }
+
   def all: Seq[Q] =
-    Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding)
+    Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding,
+      q_embed_quantize, q_embed_centroids)
 }

@@ -327,6 +327,94 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality gates in the style of the Gopher rules (Rae
+    * et al. 2021, "Scaling Language Models" — public paper): fraction of
+    * tokens taken by the most frequent unigram/bigram, and the singleton
+    * (hapax) fraction. Highly repetitive machine-generated text fails these
+    * even when the simple ratio gates (q_text_quality) pass. Plan shape:
+    * explode → two partial-aggregated groupBys keyed on doc_id — everything
+    * shuffles by doc_id once per n-gram order, no corpus-global state, so
+    * the operator is linear at any scale. All fractions are int/int double
+    * divisions (exact on both engines); docs with <2 tokens emit a null
+    * bigram fraction via the left join on both sides.
+    */
+  val q_text_gopher: Q = Q(
+    "q_text_gopher",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents
+      ), t AS (
+        SELECT doc_id, unnest(toks) AS w FROM f
+      ), uni AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w
+      ), us AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM uni GROUP BY doc_id
+      ), bb AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(toks), 1)),
+                       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+              FROM f)
+      ), big AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c FROM bb GROUP BY doc_id, w1, w2
+      ), bs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_big
+        FROM big GROUP BY doc_id
+      )
+      SELECT us.doc_id, us.n_tokens,
+             top_uni * 1.0 / n_tokens AS top_unigram_frac,
+             n_hapax * 1.0 / n_tokens AS hapax_frac,
+             top_big * 1.0 / n_bigrams AS top_bigram_frac,
+             top_uni * 1.0 / n_tokens <= 0.2
+               AND coalesce(top_big * 1.0 / n_bigrams, 0.0) <= 0.18
+               AND n_hapax * 1.0 / n_tokens >= 0.1 AS passes_repetition_gate
+      FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+      ORDER BY us.doc_id
+    """),
+  ) { (s, d) =>
+    val bgType = ArrayType(StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType))))
+    val f = Tables.documents(s, d)
+      // bound toks projection: no CSE through lambda bodies
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+    val t = f.select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull)
+    val us = t.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_uni"),
+        sum(when(col("c") === 1, 1).otherwise(0)).as("n_hapax"))
+    val b = f.select(col("doc_id"), explode_outer(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast(bgType))).as("bg"))
+      .filter(col("bg").isNotNull)
+    val bs = b.groupBy(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_big"))
+    us.join(bs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("top_uni") * lit(1.0) / col("n_tokens")).as("top_unigram_frac"),
+        (col("n_hapax") * lit(1.0) / col("n_tokens")).as("hapax_frac"),
+        (col("top_big") * lit(1.0) / col("n_bigrams")).as("top_bigram_frac"),
+        (col("top_uni") * lit(1.0) / col("n_tokens") <= 0.2
+          && coalesce(col("top_big") * lit(1.0) / col("n_bigrams"), lit(0.0)) <= 0.18
+          && col("n_hapax") * lit(1.0) / col("n_tokens") >= 0.1)
+          .as("passes_repetition_gate"),
+      )
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash winnowing fingerprints (copy-detection selection over
     * every document; rows-only — the Rabin-Karp + winnow selection is not
     * SQL-expressible; guarantees pinned in WinnowSpec). k=8 byte-grams,
@@ -343,5 +431,6 @@ object TextAnalysis {
 
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
-    q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm, q_text_winnow)
+    q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm,
+    q_text_gopher, q_text_winnow)
 }
