@@ -27,6 +27,9 @@ import org.apache.spark.sql.types._
   * copy-on-write at file granularity — untouched files carry over into the
   * new manifest by reference; only files that actually contain matched keys
   * are rewritten, so merge cost is O(touched files + changes), not O(table).
+  * Manifests also carry per-file ZONE MAPS (min/max of declared numeric
+  * columns), so a range scan skips whole files from the manifest alone
+  * ([[readRange]]) before parquet row-group pruning ever opens one.
   * The single-writer commit uses write-temp-then-rename on the log pointer,
   * atomic on a real filesystem; a multi-writer object-store deployment
   * would swap this for a compare-and-swap log protocol (the Delta paper's
@@ -34,7 +37,18 @@ import org.apache.spark.sql.types._
   */
 object SnapshotTable {
 
-  final case class Snapshot(version: Int, files: Seq[String])
+  /** `stats`: zone maps — per data file, per stats column, the (min, max)
+    * of the column's non-null values, absent when the file holds only
+    * nulls for it or predates stats collection (readers must then scan the
+    * file). Numeric columns only: doubles order-embed every numeric type
+    * the driver tables use, and a min/max pair survives JSON round-trips
+    * exactly (IEEE doubles ↔ shortest repr).
+    */
+  final case class Snapshot(
+      version: Int,
+      files: Seq[String],
+      statsCols: Seq[String] = Nil,
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_graft_log")
   private def manifestPath(dir: String, v: Int): Path = logDir(dir).resolve(f"v$v%08d.json")
@@ -91,8 +105,16 @@ object SnapshotTable {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // doubles serialize via Java's shortest round-trip repr, so min/max
+    // survive the JSON hop bit-exactly
+    val statsJson = snap.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"""{"file":${esc(f)},"col":${esc(c)},"mn":$mn,"mx":$mx}"""
+      }
+    }.mkString(",")
     val json =
-      s"""{"version":${snap.version},"files":[${snap.files.map(esc).mkString(",")}]}"""
+      s"""{"version":${snap.version},"files":[${snap.files.map(esc).mkString(",")}],""" +
+        s""""statsCols":[${snap.statsCols.map(esc).mkString(",")}],"stats":[$statsJson]}"""
     Files.write(manifestPath(dir, snap.version), json.getBytes(StandardCharsets.UTF_8))
     val tmp = logDir(dir).resolve(s"_latest.tmp${snap.version}")
     Files.write(tmp, snap.version.toString.getBytes(StandardCharsets.UTF_8))
@@ -111,10 +133,61 @@ object SnapshotTable {
     val row = spark.read
       .schema(StructType(Seq(
         StructField("version", IntegerType),
-        StructField("files", ArrayType(StringType)))))
+        StructField("files", ArrayType(StringType)),
+        StructField("statsCols", ArrayType(StringType)),
+        StructField("stats", ArrayType(StructType(Seq(
+          StructField("file", StringType),
+          StructField("col", StringType),
+          StructField("mn", DoubleType),
+          StructField("mx", DoubleType))))))))
       .json(manifestPath(dir, v).toString)
       .head()
-    Snapshot(row.getInt(0), row.getSeq[String](1))
+    val statsCols =
+      if (row.isNullAt(2)) Nil else row.getSeq[String](2) // pre-stats manifests
+    val stats =
+      if (row.isNullAt(3)) Map.empty[String, Map[String, (Double, Double)]]
+      else row.getSeq[org.apache.spark.sql.Row](3)
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+        }
+    Snapshot(row.getInt(0), row.getSeq[String](1), statsCols, stats)
+  }
+
+  /** Per-file (min, max) zone maps for `statsCols` over the given relative
+    * files — one grouped aggregation over JUST those files (a fresh commit,
+    * never the whole table). Parquet footers already hold these numbers;
+    * reading them via the scan keeps the implementation engine-level and
+    * costs one pass over data that is hot in the page cache from the write.
+    * Files where a column is entirely null get no entry (conservative:
+    * readers scan them).
+    */
+  private def computeStats(
+      spark: SparkSession, dir: String, relFiles: Seq[String],
+      statsCols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+    if (statsCols.isEmpty || relFiles.isEmpty) return Map.empty
+    val absToRel = relFiles.map(f =>
+      Paths.get(s"$dir/$f").toAbsolutePath.normalize.toString -> f).toMap
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast(DoubleType)).as(s"mn_$c"),
+      max(col(c).cast(DoubleType)).as(s"mx_$c")))
+    spark.read.option("basePath", dir)
+      .parquet(relFiles.map(f => s"$dir/$f"): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        val abs = Paths.get(new java.net.URI(r.getString(0)).getPath).toString
+        absToRel.get(abs).map { rel =>
+          rel -> statsCols.flatMap { c =>
+            val mn = r.getAs[Any](s"mn_$c")
+            val mx = r.getAs[Any](s"mx_$c")
+            if (mn == null || mx == null) None
+            else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+          }.toMap
+        }
+      }
+      .toMap
   }
 
   // ----------------------------------------------------------- read / write
@@ -134,7 +207,8 @@ object SnapshotTable {
     * low-cardinality column (partition pruning applies to every snapshot
     * read through `basePath`).
     */
-  def create(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil): Int = {
+  def create(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Int = {
     if (Files.exists(logDir(dir).resolve("_latest")))
       throw new IllegalStateException(
         s"snapshot table already exists at $dir (latest=v${latestVersion(dir)})")
@@ -142,7 +216,9 @@ object SnapshotTable {
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$dir/data/c1")
-    writeManifest(dir, Snapshot(1, listCommitFiles(dir, 1)))
+    val files = listCommitFiles(dir, 1)
+    writeManifest(dir, Snapshot(1, files, statsCols,
+      computeStats(df.sparkSession, dir, files, statsCols)))
     1
   }
 
@@ -212,7 +288,13 @@ object SnapshotTable {
     val w = merged.write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(s"$dir/data/c$next")
-    writeManifest(dir, Snapshot(next, (untouchedRel ++ listCommitFiles(dir, next)).sorted))
+    // untouched files keep their zone maps by reference; only the fresh
+    // commit's files get a stats pass — same O(touched) cost shape as the
+    // data rewrite itself
+    val newFiles = listCommitFiles(dir, next)
+    writeManifest(dir, Snapshot(next, (untouchedRel ++ newFiles).sorted, prev.statsCols,
+      prev.stats.view.filterKeys(untouchedRel.contains).toMap ++
+        computeStats(spark, dir, newFiles, prev.statsCols)))
     next
   }
 
@@ -241,8 +323,39 @@ object SnapshotTable {
     val w = rows.coalesce(targetPartitions).write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(s"$dir/data/c$next")
-    writeManifest(dir, Snapshot(next, (big ++ listCommitFiles(dir, next)).sorted))
+    val newFiles = listCommitFiles(dir, next)
+    writeManifest(dir, Snapshot(next, (big ++ newFiles).sorted, prev.statsCols,
+      prev.stats.view.filterKeys(big.contains).toMap ++
+        computeStats(spark, dir, newFiles, prev.statsCols)))
     next
+  }
+
+  /** Zone-map-pruned range scan: read only the files whose [min, max] for
+    * `column` intersects [lower, upper], with the exact filter re-applied
+    * on top (pruning is an optimization, never a semantics change). Files
+    * without a recorded range are read — conservative for pre-stats
+    * commits and all-null files. This is the manifest-level skip that
+    * turns a selective range query over a sorted-ish 100 TB table into a
+    * few file reads, BEFORE parquet's own row-group pruning sees anything.
+    */
+  def readRange(spark: SparkSession, dir: String, column: String,
+      lower: Double, upper: Double, version: Option[Int] = None): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    require(snap.statsCols.contains(column),
+      s"no zone maps for column '$column' (statsCols=${snap.statsCols.mkString(",")})")
+    val keep = snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lower && mn <= upper
+        case None => true
+      }
+    }
+    val base = spark.read.option("basePath", dir)
+    val df =
+      if (keep.isEmpty)
+        // schema from an arbitrary manifest file, zero rows
+        base.parquet(snap.files.map(f => s"$dir/$f"): _*).limit(0)
+      else base.parquet(keep.map(f => s"$dir/$f"): _*)
+    df.filter(col(column).cast(DoubleType).between(lower, upper))
   }
 
   /** Snapshot expiry (vacuum): keep the newest `keepLast` manifests, drop

@@ -228,4 +228,49 @@ class IoSpec extends SparkSpec {
       .agg(sum(col("o_totalprice") * 2)).head.getDouble(0)
     assert(math.abs(doubled - orig) < 1e-6)
   }
+
+  test("snapshot table: zone maps skip files on range scans, survive merges") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-zm").toString + "/orders_z"
+    // range-cluster on the stats column so each file covers a distinct key
+    // span — the layout a time/id-ordered ingest produces naturally
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .repartitionByRange(8, col("o_orderkey"))
+    SnapshotTable.create(base, dir, statsCols = Seq("o_orderkey", "o_totalprice"))
+    val total = SnapshotTable.snapshot(spark, dir, None).files.size
+    assert(total === 8)
+
+    val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+    val lo = 0.0
+    val hi = maxKey / 16.0 // well inside the first range file
+    val pruned = SnapshotTable.readRange(spark, dir, "o_orderkey", lo, hi)
+    assert(pruned.inputFiles.length < total,
+      s"zone maps must skip files (read ${pruned.inputFiles.length} of $total)")
+    val expected = SnapshotTable.read(spark, dir)
+      .filter(col("o_orderkey").between(lo, hi)).orderBy("o_orderkey").collect()
+    assert(pruned.orderBy("o_orderkey").collect().toSeq === expected.toSeq)
+
+    // merge touching only the TOP key span: the other range files carry
+    // their maps by reference, the new commit gets fresh ones, and the
+    // pruned scan still matches the full scan
+    val changes = base.filter(col("o_orderkey") > maxKey - maxKey / 16)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    SnapshotTable.merge(spark, dir, changes, "o_orderkey")
+    val snap2 = SnapshotTable.snapshot(spark, dir, None)
+    assert(snap2.statsCols === Seq("o_orderkey", "o_totalprice"))
+    assert(snap2.files.forall(f => snap2.stats.contains(f)),
+      "every live file needs zone maps after a merge")
+    val pruned2 = SnapshotTable.readRange(spark, dir, "o_orderkey", lo, hi)
+    val expected2 = SnapshotTable.read(spark, dir)
+      .filter(col("o_orderkey").between(lo, hi)).orderBy("o_orderkey").collect()
+    assert(pruned2.orderBy("o_orderkey").collect().toSeq === expected2.toSeq)
+    assert(pruned2.inputFiles.length < snap2.files.size)
+
+    // unknown column is an error, not a silent full scan
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.readRange(spark, dir, "nope", 0, 1)
+    }
+    assert(err.getMessage.contains("zone maps"))
+  }
 }
