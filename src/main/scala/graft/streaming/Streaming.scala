@@ -227,6 +227,40 @@ object Streaming {
         md5(graft.text.TextAnalysis.normalize(col("text")).cast(BinaryType)))
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * equi+range join (q_range_join / the as-of pairing): every purchase
+    * joins the same user's clicks from the preceding `joinWindow`. Both
+    * sides carry watermarks AND the join condition bounds the event-time
+    * distance — together they let Spark EXPIRE buffered rows (a click
+    * older than watermark + window can never match a future purchase), so
+    * join state is O(events within the horizon), not O(stream). Without
+    * the time bound this join is unrunnable in append mode — state would
+    * be unbounded by construction, which is the 100 TB failure the API
+    * makes impossible to write silently.
+    */
+  def clickPurchaseJoin(
+      events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      joinWindow: String = "1 hour",
+  ): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Incremental ad-library ingestion: raw documents landing as whole files
     * stream through the UNCHANGED batch transform (flatten → derive →
     * validate → dedup-within-batch) via foreachBatch; curated parquet and

@@ -265,4 +265,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() === 1)
     assert(batch.select("value").first().getString(0).contains("ad_archive_id"))
   }
+
+  test("stream-stream interval join pairs purchases with in-window clicks across batches") {
+    val dir = tmpDir("graft-stream-ssj")
+    // batch 1: two clicks; batch 2: two purchases — one inside the 1 h
+    // window of both clicks, one >1 h after the early click. The join must
+    // buffer batch-1 clicks in state to pair them with batch-2 purchases.
+    Files.writeString(Paths.get(dir, "b1.json"),
+      """{"event_id":1,"ts":"2024-06-01T10:00:00","user_id":1,"event_type":"click","value":0.0,"props":"{}"}
+        |{"event_id":2,"ts":"2024-06-01T10:40:00","user_id":1,"event_type":"click","value":0.0,"props":"{}"}
+        |{"event_id":3,"ts":"2024-06-01T10:10:00","user_id":2,"event_type":"click","value":0.0,"props":"{}"}
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "b2.json"),
+      """{"event_id":10,"ts":"2024-06-01T10:50:00","user_id":1,"event_type":"purchase","value":9.0,"props":"{}"}
+        |{"event_id":11,"ts":"2024-06-01T11:30:00","user_id":1,"event_type":"purchase","value":7.0,"props":"{}"}
+        |{"event_id":12,"ts":"2024-06-01T13:00:00","user_id":2,"event_type":"purchase","value":5.0,"props":"{}"}
+        |""".stripMargin)
+    Seq("b1.json", "b2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val events = Streaming.readEvents(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+    val out = Streaming.clickPurchaseJoin(events)
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj")
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // purchase 10 (10:50) pairs with clicks 1 (10:00) and 2 (10:40);
+    // purchase 11 (11:30) only with click 2 (click 1 is >1 h before);
+    // purchase 12 (13:00) pairs with nothing — user 2's click was at 10:10.
+    assert(got === Set((1L, 1L, 10L), (1L, 2L, 10L), (1L, 2L, 11L)))
+  }
 }
