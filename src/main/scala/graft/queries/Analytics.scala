@@ -422,8 +422,71 @@ object Analytics {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** One-pass column profiler — the dataset summary a pipeline runs before
+    * trusting a new drop: per numeric column, null count, exact distinct
+    * count, and min/max. ONE scan computes all sixteen aggregates (the
+    * multiple exact DISTINCTs plan as a single Expand, not four scans);
+    * the per-column result rows are then unpacked from the 1-row aggregate
+    * with an explode, so the operator never rescans the table per column.
+    * At 100 TB the exact distincts are the expensive term — the documented
+    * swap is approx_count_distinct (q_approx_distinct pins its error).
+    */
+  val q_profile_columns: Q = Q(
+    "q_profile_columns",
+    Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_quantity)      AS nn_q,
+               COUNT(DISTINCT l_quantity)        AS nd_q,
+               CAST(MIN(l_quantity) AS DOUBLE)   AS mn_q,
+               CAST(MAX(l_quantity) AS DOUBLE)   AS mx_q,
+               COUNT(*) - COUNT(l_extendedprice) AS nn_e,
+               COUNT(DISTINCT l_extendedprice)   AS nd_e,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS mn_e,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS mx_e,
+               COUNT(*) - COUNT(l_discount)      AS nn_d,
+               COUNT(DISTINCT l_discount)        AS nd_d,
+               CAST(MIN(l_discount) AS DOUBLE)   AS mn_d,
+               CAST(MAX(l_discount) AS DOUBLE)   AS mx_d,
+               COUNT(*) - COUNT(l_tax)           AS nn_t,
+               COUNT(DISTINCT l_tax)             AS nd_t,
+               CAST(MIN(l_tax) AS DOUBLE)        AS mn_t,
+               CAST(MAX(l_tax) AS DOUBLE)        AS mx_t
+        FROM lineitem
+      )
+      SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value
+      FROM (
+        SELECT 'l_quantity' AS col_name, n_rows, nn_q AS n_nulls,
+               nd_q AS n_distinct, mn_q AS min_value, mx_q AS max_value FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', n_rows, nn_e, nd_e, mn_e, mx_e FROM a
+        UNION ALL
+        SELECT 'l_discount', n_rows, nn_d, nd_d, mn_d, mx_d FROM a
+        UNION ALL
+        SELECT 'l_tax', n_rows, nn_t, nd_t, mn_t, mx_t FROM a
+      )
+      ORDER BY col_name
+    """),
+  ) { (s, d) =>
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast(DoubleType).as(s"mn_$c"),
+      max(col(c)).cast(DoubleType).as(s"mx_$c")))
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_value"),
+          col(s"mx_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      .orderBy("col_name")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
-    q_retention_cohorts)
+    q_retention_cohorts, q_profile_columns)
 }

@@ -620,11 +620,47 @@ object Relational {
     }
   }
 
+  /** Shuffled-hash join, selected explicitly — the third physical
+    * equi-join strategy alongside the broadcast (q_join_revenue_by_nation)
+    * and sort-merge (q_range_join) queries, completing the strategy
+    * matrix. SHJ wins when both sides are too big to broadcast but the
+    * build side's PER-PARTITION hash table fits memory: it skips
+    * sort-merge's two sorts, at the price of no graceful spill-to-merge.
+    * The hint pins the choice; PlanSpec asserts it reached the plan (hints
+    * are requests, not commands — an unverified hint is a no-op).
+    */
+  val q_join_shuffle_hash: Q = Q(
+    "q_join_shuffle_hash",
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """),
+  ) { (s, d) =>
+    shuffleHashRevenue(s, d)
+      .orderBy("o_orderpriority")
+  }
+
+  /** Shared with PlanSpec's ShuffledHashJoin pin. */
+  def shuffleHashRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+      )
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
     q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot, q_unpivot,
-    q_upsert, q_bloom_prejoin, q_subquery_correlated,
+    q_upsert, q_bloom_prejoin, q_subquery_correlated, q_join_shuffle_hash,
   )
 }

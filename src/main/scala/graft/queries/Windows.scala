@@ -183,6 +183,46 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Time-based trailing window: per user, the count and value-sum of the
+    * trailing hour, as a RANGE frame over epoch seconds. This is the frame
+    * kind q_window_suite's ROWS frames cannot express — RANGE bounds select
+    * by ORDER-value distance, so equal timestamps share a frame and sparse
+    * gaps shrink it. Plan: one shuffle on user_id, sort, single windowed
+    * pass — the same shape at any scale (plus date-bucketed pre-partitioning
+    * when one user's history outgrows a task, cf. q_skew_chunked_window).
+    * The windowed sum runs in DECIMAL: window evaluation order is
+    * deterministic, but DuckDB computes sliding aggregates with a segment
+    * tree whose float addition ORDER differs from Spark's running
+    * accumulator — exact DECIMAL makes both orders the same number.
+    */
+  val q_window_trailing: Q = Q(
+    "q_window_trailing",
+    Some("""
+      SELECT event_id, user_id, ts,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3599L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("ts").cast("timestamp").cast(LongType).as("epoch_s"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType)
+          .as("sum_1h"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   def all: Seq[Q] =
-    Seq(q_w1_running_max, q_d1_dedup_first, q_asof_click_purchase, q_sessionize)
+    Seq(q_w1_running_max, q_d1_dedup_first, q_asof_click_purchase, q_sessionize,
+      q_window_trailing)
 }

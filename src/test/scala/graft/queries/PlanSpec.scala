@@ -35,6 +35,10 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("shuffle-hash hint reaches the physical plan (hints are requests)") {
+    assert(plan("q_join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("equi+range join never degrades to a nested loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoop"))
