@@ -44,11 +44,19 @@ object SnapshotTable {
     * the driver tables use, and a min/max pair survives JSON round-trips
     * exactly (IEEE doubles ↔ shortest repr).
     */
+  /** `schemaDdl`: the table schema AT THIS VERSION, held in the manifest so
+    * readers never merge parquet footers (the footer-merge a schema-on-read
+    * union needs is O(files) metadata reads — a manifest format holds the
+    * schema once). Columns added by a later merge read as null from files
+    * written before them, which is exactly parquet's missing-column
+    * behavior under an explicit schema.
+    */
   final case class Snapshot(
       version: Int,
       files: Seq[String],
       statsCols: Seq[String] = Nil,
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      schemaDdl: Option[String] = None)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_graft_log")
   private def manifestPath(dir: String, v: Int): Path = logDir(dir).resolve(f"v$v%08d.json")
@@ -112,9 +120,11 @@ object SnapshotTable {
         s"""{"file":${esc(f)},"col":${esc(c)},"mn":$mn,"mx":$mx}"""
       }
     }.mkString(",")
+    val schemaJson = snap.schemaDdl.map(d => s""","schemaDdl":${esc(d)}""").getOrElse("")
     val json =
       s"""{"version":${snap.version},"files":[${snap.files.map(esc).mkString(",")}],""" +
-        s""""statsCols":[${snap.statsCols.map(esc).mkString(",")}],"stats":[$statsJson]}"""
+        s""""statsCols":[${snap.statsCols.map(esc).mkString(",")}],"stats":[$statsJson]""" +
+        schemaJson + "}"
     Files.write(manifestPath(dir, snap.version), json.getBytes(StandardCharsets.UTF_8))
     val tmp = logDir(dir).resolve(s"_latest.tmp${snap.version}")
     Files.write(tmp, snap.version.toString.getBytes(StandardCharsets.UTF_8))
@@ -139,7 +149,8 @@ object SnapshotTable {
           StructField("file", StringType),
           StructField("col", StringType),
           StructField("mn", DoubleType),
-          StructField("mx", DoubleType))))))))
+          StructField("mx", DoubleType))))),
+        StructField("schemaDdl", StringType))))
       .json(manifestPath(dir, v).toString)
       .head()
     val statsCols =
@@ -151,7 +162,8 @@ object SnapshotTable {
         .map { case (f, rows) =>
           f -> rows.map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
         }
-    Snapshot(row.getInt(0), row.getSeq[String](1), statsCols, stats)
+    val ddl = if (row.isNullAt(4)) None else Some(row.getString(4))
+    Snapshot(row.getInt(0), row.getSeq[String](1), statsCols, stats, ddl)
   }
 
   /** Per-file (min, max) zone maps for `statsCols` over the given relative
@@ -198,8 +210,11 @@ object SnapshotTable {
     */
   def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, dir, version)
-    spark.read
-      .option("basePath", dir)
+    val base = spark.read.option("basePath", dir)
+    // manifest-held schema: columns a later merge added read as null from
+    // older files, with zero footer reads (pre-schema manifests fall back
+    // to the files' own uniform schema)
+    snap.schemaDdl.map(d => base.schema(StructType.fromDDL(d))).getOrElse(base)
       .parquet(snap.files.map(f => s"$dir/$f"): _*)
   }
 
@@ -218,7 +233,8 @@ object SnapshotTable {
       .parquet(s"$dir/data/c1")
     val files = listCommitFiles(dir, 1)
     writeManifest(dir, Snapshot(1, files, statsCols,
-      computeStats(df.sparkSession, dir, files, statsCols)))
+      computeStats(df.sparkSession, dir, files, statsCols),
+      Some(df.schema.toDDL)))
     1
   }
 
@@ -251,7 +267,15 @@ object SnapshotTable {
         s"merge changes carry duplicate key '$key' = ${dupKey.head.get(0)}: " +
           "MERGE requires a unique source key (multiple source rows matched)")
     val prevAbs = prev.files.map(f => s"$dir/$f")
-    val current = spark.read.option("basePath", dir).parquet(prevAbs: _*)
+    val current = read(spark, dir, None)
+    // schema evolution: the changes may carry columns the table does not
+    // have yet (they must still carry EVERY existing column — SQL MERGE's
+    // INSERT-ALL contract). New columns land in the rewritten/new files and
+    // in the manifest schema; untouched files simply read them as null.
+    val newCols = changes.columns.toSeq.diff(current.columns.toSeq)
+    val missing = current.columns.toSeq.diff(changes.columns.toSeq)
+    require(missing.isEmpty,
+      s"merge changes are missing table columns: ${missing.mkString(", ")}")
     val changeKeys = changes.select(col(key)).distinct()
 
     // URI-decode input_file_name so it compares equal to the manifest paths
@@ -266,11 +290,14 @@ object SnapshotTable {
       Paths.get(s"$dir/$f").toAbsolutePath.normalize.toString))
     val untouchedRel = prev.files.diff(touchedRel)
 
-    val cols = current.columns.toSeq
+    val cols = current.columns.toSeq ++ newCols
+    val withNewCols: DataFrame => DataFrame = df =>
+      newCols.foldLeft(df)((acc, c) =>
+        acc.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
     val touchedRows =
-      if (touchedRel.isEmpty) current.limit(0)
-      else spark.read.option("basePath", dir)
-        .parquet(touchedRel.map(f => s"$dir/$f"): _*)
+      if (touchedRel.isEmpty) withNewCols(current).limit(0)
+      else withNewCols(spark.read.option("basePath", dir)
+          .parquet(touchedRel.map(f => s"$dir/$f"): _*))
         .select(cols.map(col): _*)
     // row-wins full-outer merge: a matched key takes the change row whole
     // (a legitimate NULL in a change column stays NULL — no column-level
@@ -294,7 +321,8 @@ object SnapshotTable {
     val newFiles = listCommitFiles(dir, next)
     writeManifest(dir, Snapshot(next, (untouchedRel ++ newFiles).sorted, prev.statsCols,
       prev.stats.view.filterKeys(untouchedRel.contains).toMap ++
-        computeStats(spark, dir, newFiles, prev.statsCols)))
+        computeStats(spark, dir, newFiles, prev.statsCols),
+      Some(merged.schema.toDDL)))
     next
   }
 
@@ -317,7 +345,12 @@ object SnapshotTable {
     if (small.size <= 1) return prev.version // nothing worth rewriting
     val next = prev.version + 1
     dropOrphanCommits(dir, prev.version)
-    val rows = spark.read.option("basePath", dir)
+    // manifest schema, not the files' own: post-evolution commits disagree
+    // on columns, and an unschema'd multi-file read silently drops the new
+    // ones
+    val smallBase = spark.read.option("basePath", dir)
+    val rows = prev.schemaDdl
+      .map(d => smallBase.schema(StructType.fromDDL(d))).getOrElse(smallBase)
       .parquet(small.map(f => s"$dir/$f"): _*)
     val partCols = partitionColumnsOf(dir, prev)
     val w = rows.coalesce(targetPartitions).write.mode("errorifexists")
@@ -326,7 +359,8 @@ object SnapshotTable {
     val newFiles = listCommitFiles(dir, next)
     writeManifest(dir, Snapshot(next, (big ++ newFiles).sorted, prev.statsCols,
       prev.stats.view.filterKeys(big.contains).toMap ++
-        computeStats(spark, dir, newFiles, prev.statsCols)))
+        computeStats(spark, dir, newFiles, prev.statsCols),
+      prev.schemaDdl))
     next
   }
 
@@ -349,7 +383,9 @@ object SnapshotTable {
         case None => true
       }
     }
-    val base = spark.read.option("basePath", dir)
+    val base0 = spark.read.option("basePath", dir)
+    val base = snap.schemaDdl
+      .map(d => base0.schema(StructType.fromDDL(d))).getOrElse(base0)
     val df =
       if (keep.isEmpty)
         // schema from an arbitrary manifest file, zero rows

@@ -273,4 +273,46 @@ class IoSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("zone maps"))
   }
+
+  test("snapshot table: merge evolves the schema; old files read the new column as null") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-evo").toString + "/orders_e"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+    SnapshotTable.create(base, dir)
+    val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+
+    // changes touch only the top key span AND add a discount column
+    val changes = base.filter(col("o_orderkey") > maxKey - maxKey / 8)
+      .withColumn("discount_pct", (col("o_orderkey") % 10).cast("double"))
+    SnapshotTable.merge(spark, dir, changes, "o_orderkey")
+
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.columns.toSeq === Seq("o_orderkey", "o_totalprice", "discount_pct"))
+    assert(back.count() === base.count())
+    // untouched rows: new column is null; touched rows carry the value
+    val untouchedNulls = back.filter(col("o_orderkey") <= maxKey - maxKey / 8)
+    assert(untouchedNulls.filter(col("discount_pct").isNotNull).count() === 0)
+    val touched = back.filter(col("o_orderkey") > maxKey - maxKey / 8)
+    assert(touched.filter(col("discount_pct").isNull).count() === 0)
+    assert(touched.filter(col("discount_pct") =!= col("o_orderkey") % 10).count() === 0)
+
+    // a merge missing an existing column is rejected (INSERT-ALL contract)
+    val bad = changes.drop("o_totalprice")
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir, bad, "o_orderkey")
+    }
+    assert(err.getMessage.contains("missing table columns"))
+
+    // time travel reads v1 with the ORIGINAL two-column schema
+    assert(SnapshotTable.read(spark, dir, Some(1)).columns.toSeq ===
+      Seq("o_orderkey", "o_totalprice"))
+
+    // compaction under the evolved schema keeps the new column's values
+    SnapshotTable.compact(spark, dir, minFileBytes = Long.MaxValue, targetPartitions = 1)
+    val compacted = SnapshotTable.read(spark, dir)
+    assert(compacted.columns.toSeq === Seq("o_orderkey", "o_totalprice", "discount_pct"))
+    assert(compacted.filter(col("discount_pct").isNotNull).count() === touched.count())
+  }
 }
