@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * `langdetect.detect`, transform_raw_data.py:132-134 — which is both
   * nondeterministic unless seeded and throws on feature-less text; see
   * SURVEY.md §2.7 F6 for the documented deviation). The reference's
-  * langdetect covered ~55 languages; this heuristic covers 19 — nine by
-  * Unicode script class and ten Latin-script languages by stopword argmax —
-  * while staying expression-only, codegen'd, and exactly mirrorable in the
-  * DuckDB oracle.
+  * langdetect covered ~55 languages; this heuristic covers 43 —
+  * twenty-three by Unicode script class and twenty Latin-script languages
+  * by stopword argmax — while staying expression-only, codegen'd, and
+  * exactly mirrorable in the DuckDB oracle. (Script classes approximate:
+  * Cyrillic reads as ru, Arabic script as ar, etc. — the majority language
+  * of each script, the same trade every fast lang-id heuristic makes for
+  * scripts it has no per-language features for.)
   *
   * Decision order (first match wins, both engines):
   *   1. null/empty → undetected
@@ -35,10 +38,23 @@ object LangId {
     "pl" -> Seq("nie", "się", "jest", "czy", "tak", "ale", "jak", "przez", "być", "tego"),
     "sv" -> Seq("och", "att", "det", "som", "för", "inte", "med", "på", "är", "av"),
     "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha", "gibi", "ama"),
+    "da" -> Seq("og", "at", "det", "som", "ikke", "med", "på", "er", "af", "til"),
+    "no" -> Seq("og", "det", "som", "ikke", "med", "på", "er", "av", "en", "til"),
+    "fi" -> Seq("ja", "on", "ei", "että", "joka", "mutta", "myös", "kun", "niin", "ovat"),
+    "cs" -> Seq("je", "se", "na", "že", "ale", "jako", "pro", "tak", "byl", "jsou"),
+    "ro" -> Seq("și", "de", "la", "cu", "este", "pentru", "din", "care", "mai", "sunt"),
+    "hu" -> Seq("és", "az", "hogy", "nem", "egy", "van", "is", "meg", "de", "majd"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "người", "trong", "một", "cho"),
+    "ca" -> Seq("els", "amb", "per", "més", "com", "dels", "aquest", "està", "són", "també"),
+    "hr" -> Seq("je", "se", "na", "da", "su", "ali", "kao", "za", "od", "to"),
   )
 
-  /** Latin-script languages in tie-break priority order. */
-  val langs: Seq[String] = Seq("en", "es", "de", "fr", "it", "pt", "nl", "pl", "sv", "tr")
+  /** Latin-script languages in tie-break priority order (new languages
+    * append after the original ten so existing tie behavior is stable).
+    */
+  val langs: Seq[String] = Seq("en", "es", "de", "fr", "it", "pt", "nl", "pl", "sv", "tr",
+    "da", "no", "fi", "cs", "ro", "hu", "id", "vi", "ca", "hr")
 
   /** (language, literal-codepoint-range character class) in decision order.
     * The ranges are written as Scala unicode escapes so both engines
@@ -54,6 +70,20 @@ object LangId {
     "ar" -> "[؀-ۿ]",              // arabic
     "hi" -> "[ऀ-ॿ]",              // devanagari
     "th" -> "[฀-๿]",              // thai
+    "bn" -> "[ঀ-৿]",      // bengali
+    "pa" -> "[਀-੿]",      // gurmukhi
+    "gu" -> "[઀-૿]",      // gujarati
+    "ta" -> "[஀-௿]",      // tamil
+    "te" -> "[ఀ-౿]",      // telugu
+    "kn" -> "[ಀ-೿]",      // kannada
+    "ml" -> "[ഀ-ൿ]",      // malayalam
+    "si" -> "[඀-෿]",      // sinhala
+    "lo" -> "[຀-໿]",      // lao
+    "my" -> "[က-႟]",      // myanmar
+    "ka" -> "[Ⴀ-ჿ]",      // georgian
+    "hy" -> "[԰-֏]",      // armenian
+    "am" -> "[ሀ-፿]",      // ethiopic
+    "km" -> "[ក-៿]",      // khmer
   )
 
   /** Union of every script class — a single guard scan. The common case

@@ -31,6 +31,30 @@ class LangIdSpec extends SparkSpec {
     "ar" -> "هذه جملة اختبار بالعربية",
     "hi" -> "यह एक परीक्षण वाक्य है",
     "th" -> "นี่คือประโยคทดสอบ",
+    "da" -> "og at det som ikke med på er af til",
+    "no" -> "og det som ikke med på er av en til",
+    "fi" -> "ja on ei että joka mutta myös kun niin ovat",
+    "cs" -> "je se na že ale jako pro tak byl jsou",
+    "ro" -> "și de la cu este pentru din care mai sunt",
+    "hu" -> "és az hogy nem egy van is meg de majd",
+    "id" -> "yang dan di itu dengan untuk tidak ini dari akan",
+    "vi" -> "và của là có không được người trong một cho",
+    "ca" -> "els amb per més com dels aquest està són també",
+    "hr" -> "je se na da su ali kao za od to",
+    "bn" -> "এটি একটি পরীক্ষা বাক্য",
+    "pa" -> "ਇਹ ਇੱਕ ਟੈਸਟ ਵਾਕ ਹੈ",
+    "gu" -> "આ એક પરીક્ષણ વાક્ય છે",
+    "ta" -> "இது ஒரு சோதனை வாக்கியம்",
+    "te" -> "ఇది ఒక పరీక్ష వాక్యం",
+    "kn" -> "ಇದು ಒಂದು ಪರೀಕ್ಷಾ ವಾಕ್ಯ",
+    "ml" -> "ഇത് ഒരു പരീക്ഷണ വാക്യമാണ്",
+    "si" -> "මෙය පරීක්ෂණ වාක්‍යයකි",
+    "lo" -> "ນີ້ແມ່ນປະໂຫຍກທົດສອບ",
+    "my" -> "ဤသည် စမ်းသပ် စာကြောင်း ဖြစ်သည်",
+    "ka" -> "ეს არის სატესტო წინადადება",
+    "hy" -> "սա փորձնական նախադասություն է",
+    "am" -> "ይህ የሙከራ ዓረፍተ ነገር ነው",
+    "km" -> "នេះជាប្រយោគសាកល្បង",
   )
 
   test("golden sentence per language resolves to that language") {
