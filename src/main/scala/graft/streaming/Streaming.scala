@@ -261,6 +261,45 @@ object Streaming {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Streaming CDC apply — the streaming twin of q_upsert/SnapshotTable
+    * MERGE: each micro-batch collapses to its newest event per user
+    * (latest-wins CDC semantics, deterministic via the (ts, event_id)
+    * order) and MERGEs into a snapshot table. The table ends in the same
+    * state as replaying all events through the batch merge, with one
+    * table version per non-empty micro-batch — exactly how a warehouse
+    * ingests a change stream: bounded work per batch (COW touches only
+    * files holding changed keys), atomic versions, time travel across
+    * batch boundaries.
+    */
+  def upsertLatestByUser(
+      spark: SparkSession,
+      landingDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery =
+    readEvents(spark, landingDir, options).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("user_id")
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        if (!latest.isEmpty) {
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(tableDir, "_graft_log", "_latest")))
+            graft.io.SnapshotTable.merge(spark, tableDir, latest, "user_id")
+          else
+            graft.io.SnapshotTable.create(latest, tableDir)
+          ()
+        }
+      }
+      .start()
+
   /** Incremental ad-library ingestion: raw documents landing as whole files
     * stream through the UNCHANGED batch transform (flatten → derive →
     * validate → dedup-within-batch) via foreachBatch; curated parquet and

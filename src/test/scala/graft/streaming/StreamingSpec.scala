@@ -298,4 +298,32 @@ class StreamingSpec extends SparkSpec {
     // purchase 12 (13:00) pairs with nothing — user 2's click was at 10:10.
     assert(got === Set((1L, 1L, 10L), (1L, 2L, 10L), (1L, 2L, 11L)))
   }
+
+  test("streaming CDC apply merges each micro-batch into the snapshot table") {
+    val dir = tmpDir("graft-stream-cdc")
+    val tableDir = tmpDir("graft-stream-cdc-table") + "/user_state"
+    landEvents(dir) // batch1: users 1,2; batch2: user 1 again (id 4 at 11:40)
+    Seq("batch1.json", "batch2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    // one file per trigger so the table sees two distinct merges
+    val q = Streaming.upsertLatestByUser(
+      spark, dir, tableDir, tmpDir("graft-stream-cdc-ckpt"),
+      Map("maxFilesPerTrigger" -> "1"))
+    q.awaitTermination()
+    val got = graft.io.SnapshotTable.read(spark, tableDir)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1's latest is event 4 (11:40, batch 2 — the replayed event 2 is
+    // older); user 2's latest is event 3
+    assert(got === Set((1L, 4L), (2L, 3L)))
+    assert(graft.io.SnapshotTable.latestVersion(tableDir) >= 2,
+      "each non-empty micro-batch publishes a table version")
+    // time travel: version 1 is batch 1's state (user 1 at event 2)
+    val v1 = graft.io.SnapshotTable.read(spark, tableDir, Some(1))
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1 === Set((1L, 2L), (2L, 3L)))
+  }
 }
