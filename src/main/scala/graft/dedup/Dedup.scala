@@ -133,13 +133,14 @@ object Dedup {
     */
   def setSimilarityJoin(docs: DataFrame, t: Double): DataFrame = {
     // The hashed shingle table is consumed three times (postings + both
-    // rescore sides). Persisting materializes it once per action; Spark's
-    // CacheManager keys entries by logical plan, so repeated calls over the
-    // same input — including q_dedup_ngram_jaccard and q_dedup_clusters in
-    // one session — reuse one entry instead of stacking copies. At 100 TB
-    // this is the "materialize the tokenized corpus" step every dedup run
-    // wants.
-    val sets = hashedShingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // rescore sides). localCheckpoint materializes it exactly once and hands
+    // ownership to the ContextCleaner: the blocks are dropped as soon as the
+    // frame is unreachable, unlike an owner-less persist(), which leaks one
+    // CacheManager entry per distinct input plan for the session's lifetime
+    // (the round-6 finding). At 100 TB this is the "materialize the
+    // tokenized corpus" step every dedup run wants — on a real cluster swap
+    // for reliable checkpoint() so executor loss can't force a recompute.
+    val sets = hashedShingleSets(docs).localCheckpoint()
     // Postings carry the shingle's 64-bit hash, not the string: the freq
     // aggregation, rank window, and candidate equi-join all shuffle longs
     // instead of ~25-byte strings (and the hash was already computed once
@@ -224,6 +225,24 @@ object Dedup {
     * document id of the cluster.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    val (labels, converged, rounds) = propagateWithRounds(pairs, 50)
+    // Exiting via the round cap means labels may not have reached the
+    // per-component minimum — downstream cluster assignments would be
+    // silently wrong, so make it loud (a duplicate graph needing >50
+    // propagation rounds signals the large-star/small-star upgrade path).
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents stopped at the $rounds-round cap before " +
+          "convergence; labels may be non-canonical")
+    labels
+  }
+
+  /** Min-label propagation loop body, capped; returns (labels, converged,
+    * rounds). Callers decide what non-convergence means: [[connectedComponents]]
+    * warns, [[connectedComponentsHybrid]] falls back to alternating-star.
+    */
+  private def propagateWithRounds(
+      pairs: DataFrame, maxRounds: Int): (DataFrame, Boolean, Int) = {
     // Both orientations from ONE pass over pairs (explode, not union —
     // union's two branches would each recompute the upstream pair join,
     // doubling the expensive similarity stage when the input isn't cached).
@@ -247,7 +266,7 @@ object Dedup {
     var prevSum = BigDecimal(-1)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
       val next = labels.union(msgs)
@@ -265,16 +284,25 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    // Exiting via the round cap means labels may not have reached the
-    // per-component minimum — downstream cluster assignments would be
-    // silently wrong, so make it loud (a duplicate graph needing >50
-    // propagation rounds signals the large-star/small-star upgrade path).
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"connectedComponents stopped at the $rounds-round cap before " +
-          "convergence; labels may be non-canonical")
     edges.unpersist()
-    labels
+    (labels, converged, rounds)
+  }
+
+  /** Propagation-first hybrid connected components — the default for the
+    * clustering gates. Duplicate graphs are clique-ish (diameter 2-3), so
+    * min-label propagation converges in ~4 single-job rounds; the
+    * alternating-star algorithm's O(log n) bound only wins on pathological
+    * long chains, and its per-round fixed cost is ~3× propagation's (two
+    * star passes ≈ six shuffle stages + two distincts per round — the
+    * round-6 regression). So: propagate with a small cap; only if the graph
+    * still hasn't converged (diameter > cap ⇒ chain-shaped) restart on
+    * alternating-star, whose round count is logarithmic. Callers should pass
+    * a materialized (checkpointed) pair frame so the fallback never re-runs
+    * the expensive upstream pipeline.
+    */
+  def connectedComponentsHybrid(pairs: DataFrame, propagationCap: Int = 8): DataFrame = {
+    val (labels, converged, _) = propagateWithRounds(pairs, propagationCap)
+    if (converged) labels else connectedComponentsAlternating(pairs)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
@@ -301,13 +329,17 @@ object Dedup {
 
   private[dedup] def alternatingWithRounds(
       pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    val nodes = pairs
+    // ONE materialization of the (possibly expensive) upstream pair
+    // pipeline; the node set and the working edge list both derive from it.
+    // Round 6 eagerly checkpointed nodes AND e separately, running the
+    // candidate-join/rescore pipeline twice — the measured 12→21 s
+    // regression on the clustering gate.
+    val p = pairs.select(col("i"), col("j")).localCheckpoint()
+    val nodes = p
       .select(explode(array(col("i"), col("j"))).as("node")).distinct()
-      .localCheckpoint()
-    var e = pairs
+    var e = p
       .select(greatest(col("i"), col("j")).as("u"), least(col("i"), col("j")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
     var prevSum = BigDecimal(-1)
     var converged = false
     var rounds = 0
@@ -356,14 +388,15 @@ object Dedup {
   }
 
   /** (doc_id, cluster_id, cluster_size) projection shared by the exact and
-    * LSH-fed clustering gates. Runs on the alternating star algorithm: same
-    * labels as min-label propagation (equality pinned in DedupSpec), O(log n)
-    * rounds instead of O(diameter) — and measurably fewer rounds on real dup
-    * graphs, where the propagation loop's per-round fixed cost (one job +
-    * lineage truncation each round) dominates the gate query's runtime.
+    * LSH-fed clustering gates. The pair pipeline (candidate join + exact
+    * rescore) is materialized exactly ONCE here; the hybrid CC then runs
+    * cheap single-job propagation rounds over the checkpointed edges, with
+    * alternating-star as the long-chain escape hatch — which, if taken,
+    * also starts from the already-materialized pairs.
     */
   private def clusterAssignments(pairs: DataFrame): DataFrame = {
-    val cc = connectedComponentsAlternating(pairs)
+    val p = pairs.select(col("i"), col("j")).localCheckpoint()
+    val cc = connectedComponentsHybrid(p)
     cc.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .orderBy("doc_id")
@@ -592,16 +625,17 @@ object Dedup {
     */
   def minHashLshJoin(docs: DataFrame, t: Double): DataFrame = {
     // sets feeds the signature AND both rescore sides; banded feeds both
-    // sides of the candidate self-join (plan-keyed cache, see
+    // sides of the candidate self-join. localCheckpoint, not persist:
+    // materialized once, ContextCleaner-owned, no CacheManager leak (see
     // setSimilarityJoin).
-    val sets = hashedShingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = hashedShingleSets(docs).localCheckpoint()
     val banded = withSignature(sets)
       .select(col("doc_id"),
         posexplode(array((0 until numBands).map { j =>
           xxhash64(lit(j) +: (0 until rowsPerBand)
             .map(r => col(s"m${j * rowsPerBand + r}")): _*)
         }: _*)).as(Seq("band", "band_hash")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
@@ -645,7 +679,7 @@ object Dedup {
     */
   def simHashJoin(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val hashed = withSimHash(hashedShingleSets(docs)).select(col("doc_id"), col("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val banded = hashed.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)

@@ -102,6 +102,33 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 20, s"chain of 128 took $rounds rounds — not O(log n)")
   }
 
+  test("hybrid CC: propagation path and chain-fallback path both canonical") {
+    import spark.implicits._
+    // real dup graph (diameter 2-3): the hybrid must take the propagation
+    // path and agree with both base algorithms
+    val pairs = Dedup.setSimilarityJoin(docs, 0.5).select("i", "j")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap(Dedup.connectedComponentsHybrid(pairs)) ===
+      labelMap(Dedup.connectedComponents(pairs)))
+    // 64-node path graph with a cap below its diameter: propagation cannot
+    // converge, so the hybrid must fall back to alternating-star and still
+    // produce canonical labels
+    val chain = (0L until 63L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = labelMap(Dedup.connectedComponentsHybrid(chain, propagationCap = 4))
+    assert(got.size === 64 && got.values.forall(_ == 0L))
+  }
+
+  test("gate queries leave no CacheManager entries behind") {
+    spark.catalog.clearCache()
+    Dedup.q_dedup_ngram_jaccard.run(spark, sf()).write.format("noop").mode("overwrite").save()
+    Dedup.q_dedup_clusters.run(spark, sf()).write.format("noop").mode("overwrite").save()
+    // all internal materialization is localCheckpoint (ContextCleaner-owned);
+    // an owner-less persist would surface here as a leaked entry
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup gate queries must not leak CacheManager entries")
+  }
+
   test("LSH-fed clustering: co-membership precision 1, recall >= 0.9 vs exact") {
     def coMembership(q: graft.util.Q): Set[(Long, Long)] = {
       val byCluster = q.run(spark, sf())
