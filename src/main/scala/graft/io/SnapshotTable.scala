@@ -51,12 +51,19 @@ object SnapshotTable {
     * written before them, which is exactly parquet's missing-column
     * behavior under an explicit schema.
     */
+  /** `meta`: small writer-owned key/value pairs carried on the manifest —
+    * e.g. the streaming CDC sink records the last applied foreachBatch id
+    * here so a post-crash replay of an already-merged micro-batch is
+    * detected and skipped (exactly-once table versions, the Delta
+    * txn-version idea). Unset keys carry over from the previous snapshot.
+    */
   final case class Snapshot(
       version: Int,
       files: Seq[String],
       statsCols: Seq[String] = Nil,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None,
+      meta: Map[String, String] = Map.empty)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_graft_log")
   private def manifestPath(dir: String, v: Int): Path = logDir(dir).resolve(f"v$v%08d.json")
@@ -121,10 +128,15 @@ object SnapshotTable {
       }
     }.mkString(",")
     val schemaJson = snap.schemaDdl.map(d => s""","schemaDdl":${esc(d)}""").getOrElse("")
+    val metaJson =
+      if (snap.meta.isEmpty) ""
+      else snap.meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${esc(k)}:${esc(v)}" }
+        .mkString(""","meta":{""", ",", "}")
     val json =
       s"""{"version":${snap.version},"files":[${snap.files.map(esc).mkString(",")}],""" +
         s""""statsCols":[${snap.statsCols.map(esc).mkString(",")}],"stats":[$statsJson]""" +
-        schemaJson + "}"
+        schemaJson + metaJson + "}"
     Files.write(manifestPath(dir, snap.version), json.getBytes(StandardCharsets.UTF_8))
     val tmp = logDir(dir).resolve(s"_latest.tmp${snap.version}")
     Files.write(tmp, snap.version.toString.getBytes(StandardCharsets.UTF_8))
@@ -150,7 +162,8 @@ object SnapshotTable {
           StructField("col", StringType),
           StructField("mn", DoubleType),
           StructField("mx", DoubleType))))),
-        StructField("schemaDdl", StringType))))
+        StructField("schemaDdl", StringType),
+        StructField("meta", MapType(StringType, StringType)))))
       .json(manifestPath(dir, v).toString)
       .head()
     val statsCols =
@@ -163,7 +176,10 @@ object SnapshotTable {
           f -> rows.map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
         }
     val ddl = if (row.isNullAt(4)) None else Some(row.getString(4))
-    Snapshot(row.getInt(0), row.getSeq[String](1), statsCols, stats, ddl)
+    val meta =
+      if (row.isNullAt(5)) Map.empty[String, String]
+      else row.getMap[String, String](5).toMap
+    Snapshot(row.getInt(0), row.getSeq[String](1), statsCols, stats, ddl, meta)
   }
 
   /** Per-file (min, max) zone maps for `statsCols` over the given relative
@@ -195,7 +211,16 @@ object SnapshotTable {
             val mn = r.getAs[Any](s"mn_$c")
             val mx = r.getAs[Any](s"mx_$c")
             if (mn == null || mx == null) None
-            else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+            else {
+              val (mnd, mxd) = (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
+              // a NaN in the file makes Spark's max report NaN (NaN sorts
+              // largest), which would wrongly fail every range check — and
+              // NaN/±Infinity don't survive the JSON manifest as standard
+              // tokens. Record no range: the reader scans the file, which
+              // is always correct.
+              if (mnd.isNaN || mxd.isNaN || mnd.isInfinite || mxd.isInfinite) None
+              else Some(c -> (mnd, mxd))
+            }
           }.toMap
         }
       }
@@ -223,7 +248,7 @@ object SnapshotTable {
     * read through `basePath`).
     */
   def create(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Int = {
     if (Files.exists(logDir(dir).resolve("_latest")))
       throw new IllegalStateException(
         s"snapshot table already exists at $dir (latest=v${latestVersion(dir)})")
@@ -234,30 +259,48 @@ object SnapshotTable {
     val files = listCommitFiles(dir, 1)
     writeManifest(dir, Snapshot(1, files, statsCols,
       computeStats(df.sparkSession, dir, files, statsCols),
-      Some(df.schema.toDDL)))
+      Some(df.schema.toDDL), meta))
     1
   }
 
-  /** Copy-on-write MERGE (WHEN MATCHED THEN UPDATE ALL, WHEN NOT MATCHED
-    * THEN INSERT ALL — row-wins, same semantics as q_upsert's oracle):
+  /** Copy-on-write MERGE (WHEN MATCHED THEN UPDATE ALL / WHEN MATCHED AND
+    * tombstone THEN DELETE / WHEN NOT MATCHED THEN INSERT ALL — row-wins,
+    * same upsert semantics as q_upsert's oracle):
     *
     *  1. locate the files that contain a matched key (input_file_name join
     *     against the broadcast change-key set — reads only the key column),
     *  2. rewrite JUST those files' rows merged with the changes (plus all
-    *     inserts) into a new commit directory,
+    *     inserts, minus all tombstoned matches) into a new commit directory,
     *  3. publish a manifest = untouched files (by reference) + new files.
     *
     * The only driver-side materialization is the touched-FILE list — file
     * names, not rows, exactly what any manifest-based format holds on the
     * driver.
     *
+    * `deleteCol`: name of a boolean column on `changes` marking tombstones —
+    * a matched tombstone key's row is dropped from the rewritten files; an
+    * unmatched tombstone is a no-op (delete of an absent key). The column is
+    * control metadata, never written to the table; tombstone rows may carry
+    * nulls in every non-key column. Old snapshots still see the deleted rows
+    * (time travel), and [[expire]] is what eventually reclaims them.
+    *
+    * `meta`: key/values stamped onto the new manifest, overlaid on the
+    * previous snapshot's meta (see [[Snapshot.meta]]).
+    *
     * PRECONDITION: `changes` must be unique on `key` (asserted below — SQL
     * MERGE's "multiple source rows matched" error), and the table stays
     * unique on `key` as long as `create` was fed unique keys: the full-outer
     * join fans out on duplicates, silently multiplying rows otherwise.
     */
-  def merge(spark: SparkSession, dir: String, changes: DataFrame, key: String): Int = {
+  def merge(spark: SparkSession, dir: String, changes: DataFrame, key: String,
+      deleteCol: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Int = {
     val prev = snapshot(spark, dir, None)
+    deleteCol.foreach { dc =>
+      require(changes.columns.contains(dc), s"deleteCol '$dc' not in changes")
+      require(changes.schema(dc).dataType == BooleanType,
+        s"deleteCol '$dc' must be boolean, got ${changes.schema(dc).dataType}")
+    }
     // one tiny extra job over the (small-by-design) change side; a fan-out
     // caught here costs an error, caught downstream costs a corrupt table
     val dupKey = changes.groupBy(col(key)).count()
@@ -266,14 +309,16 @@ object SnapshotTable {
       throw new IllegalArgumentException(
         s"merge changes carry duplicate key '$key' = ${dupKey.head.get(0)}: " +
           "MERGE requires a unique source key (multiple source rows matched)")
-    val prevAbs = prev.files.map(f => s"$dir/$f")
     val current = read(spark, dir, None)
+    // the tombstone flag is control metadata, excluded from every schema
+    // computation below
+    val payloadCols = changes.columns.toSeq.diff(deleteCol.toSeq)
     // schema evolution: the changes may carry columns the table does not
     // have yet (they must still carry EVERY existing column — SQL MERGE's
     // INSERT-ALL contract). New columns land in the rewritten/new files and
     // in the manifest schema; untouched files simply read them as null.
-    val newCols = changes.columns.toSeq.diff(current.columns.toSeq)
-    val missing = current.columns.toSeq.diff(changes.columns.toSeq)
+    val newCols = payloadCols.diff(current.columns.toSeq)
+    val missing = current.columns.toSeq.diff(payloadCols)
     require(missing.isEmpty,
       s"merge changes are missing table columns: ${missing.mkString(", ")}")
     val changeKeys = changes.select(col(key)).distinct()
@@ -294,18 +339,28 @@ object SnapshotTable {
     val withNewCols: DataFrame => DataFrame = df =>
       newCols.foldLeft(df)((acc, c) =>
         acc.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
+    // manifest schema on the touched-file read, exactly as read/compact/
+    // readRange do: after a schema-evolving merge, a touched pre-evolution
+    // file doesn't carry the evolved column — an unschema'd read would
+    // throw UNRESOLVED_COLUMN when every touched file is old, or silently
+    // drop the column from carried-over unmatched rows on a mixed set
+    val touchedBase = spark.read.option("basePath", dir)
+    val touchedSchemed = prev.schemaDdl
+      .map(d => touchedBase.schema(StructType.fromDDL(d))).getOrElse(touchedBase)
     val touchedRows =
       if (touchedRel.isEmpty) withNewCols(current).limit(0)
-      else withNewCols(spark.read.option("basePath", dir)
+      else withNewCols(touchedSchemed
           .parquet(touchedRel.map(f => s"$dir/$f"): _*))
         .select(cols.map(col): _*)
     // row-wins full-outer merge: a matched key takes the change row whole
     // (a legitimate NULL in a change column stays NULL — no column-level
-    // coalesce resurrection)
+    // coalesce resurrection); tombstoned keys drop out entirely
     val t = touchedRows.select(struct(cols.map(col): _*).as("t")).withColumn("k", col(s"t.$key"))
-    val c = changes.select(cols.map(col): _*)
-      .select(struct(cols.map(col): _*).as("c")).withColumn("k", col(s"c.$key"))
+    val del = deleteCol.map(dc => coalesce(col(dc), lit(false))).getOrElse(lit(false))
+    val c = changes.select(struct(cols.map(col): _*).as("c"), del.as("__del"))
+      .withColumn("k", col(s"c.$key"))
     val merged = t.join(c, Seq("k"), "full_outer")
+      .filter(coalesce(col("__del"), lit(false)) === false)
       .select(when(col("c").isNotNull, col("c")).otherwise(col("t")).as("r"))
       .select("r.*")
 
@@ -322,7 +377,8 @@ object SnapshotTable {
     writeManifest(dir, Snapshot(next, (untouchedRel ++ newFiles).sorted, prev.statsCols,
       prev.stats.view.filterKeys(untouchedRel.contains).toMap ++
         computeStats(spark, dir, newFiles, prev.statsCols),
-      Some(merged.schema.toDDL)))
+      Some(merged.schema.toDDL),
+      prev.meta ++ meta))
     next
   }
 
@@ -360,7 +416,7 @@ object SnapshotTable {
     writeManifest(dir, Snapshot(next, (big ++ newFiles).sorted, prev.statsCols,
       prev.stats.view.filterKeys(big.contains).toMap ++
         computeStats(spark, dir, newFiles, prev.statsCols),
-      prev.schemaDdl))
+      prev.schemaDdl, prev.meta))
     next
   }
 
@@ -379,6 +435,11 @@ object SnapshotTable {
       s"no zone maps for column '$column' (statsCols=${snap.statsCols.mkString(",")})")
     val keep = snap.files.filter { f =>
       snap.stats.get(f).flatMap(_.get(column)) match {
+        // NaN guard: a NaN bound (manifest written before computeStats
+        // filtered them, or a corrupted entry) must read as "can't prune",
+        // never "skip" — NaN comparisons are all-false, which without this
+        // guard would silently drop a file holding in-range rows
+        case Some((mn, mx)) if mn.isNaN || mx.isNaN => true
         case Some((mn, mx)) => mx >= lower && mn <= upper
         case None => true
       }

@@ -261,15 +261,32 @@ object Streaming {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Manifest meta key recording the last foreachBatch id the CDC sink
+    * merged — the Delta "txn version" idea at micro-batch granularity.
+    */
+  val cdcBatchIdKey = "cdc_batch_id"
+
   /** Streaming CDC apply — the streaming twin of q_upsert/SnapshotTable
     * MERGE: each micro-batch collapses to its newest event per user
     * (latest-wins CDC semantics, deterministic via the (ts, event_id)
     * order) and MERGEs into a snapshot table. The table ends in the same
     * state as replaying all events through the batch merge, with one
-    * table version per non-empty micro-batch — exactly how a warehouse
+    * table version per effective micro-batch — exactly how a warehouse
     * ingests a change stream: bounded work per batch (COW touches only
     * files holding changed keys), atomic versions, time travel across
     * batch boundaries.
+    *
+    * Exactly-once across restarts: foreachBatch can replay a batch whose
+    * merge committed but whose checkpoint didn't (crash in between), so the
+    * applied batchId is stamped into the snapshot manifest and replays of
+    * an already-applied id are skipped — no spurious table version.
+    *
+    * Latest-wins across batches, not just within one: the batch is
+    * anti-filtered against the stored state, keeping only rows strictly
+    * newer by (ts, event_id) than the table's row for that user — a
+    * late/out-of-order event arriving in a later micro-batch can never
+    * overwrite newer table state. (Also a second idempotency layer: a
+    * replayed batch's rows tie the stored state and filter out.)
     */
   def upsertLatestByUser(
       spark: SparkSession,
@@ -281,21 +298,44 @@ object Streaming {
     readEvents(spark, landingDir, options).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
-        val latest = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy("user_id")
-              .orderBy(col("ts").desc, col("event_id").desc)))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
-        if (!latest.isEmpty) {
-          if (java.nio.file.Files.exists(
-              java.nio.file.Paths.get(tableDir, "_graft_log", "_latest")))
-            graft.io.SnapshotTable.merge(spark, tableDir, latest, "user_id")
-          else
-            graft.io.SnapshotTable.create(latest, tableDir)
+        val tableExists = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tableDir, "_graft_log", "_latest"))
+        val applied =
+          if (tableExists)
+            graft.io.SnapshotTable.snapshot(spark, tableDir, None)
+              .meta.get(cdcBatchIdKey).map(_.toLong)
+          else None
+        if (applied.exists(_ >= batchId)) {
+          // post-crash replay of a batch the table already holds: skip
           ()
+        } else {
+          val latest = batch
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("user_id")
+                .orderBy(col("ts").desc, col("event_id").desc)))
+            .filter(col("__rn") === 1)
+            .drop("__rn")
+          if (tableExists) {
+            val cur = graft.io.SnapshotTable.read(spark, tableDir, None)
+              .select(col("user_id"),
+                col("ts").as("__cur_ts"), col("event_id").as("__cur_eid"))
+            val fresh = latest.join(cur, Seq("user_id"), "left")
+              .filter(col("__cur_ts").isNull ||
+                struct(col("ts"), col("event_id")) >
+                  struct(col("__cur_ts"), col("__cur_eid")))
+              .drop("__cur_ts", "__cur_eid")
+            if (!fresh.isEmpty) {
+              graft.io.SnapshotTable.merge(spark, tableDir, fresh, "user_id",
+                meta = Map(cdcBatchIdKey -> batchId.toString))
+              ()
+            }
+          } else if (!latest.isEmpty) {
+            graft.io.SnapshotTable.create(latest, tableDir,
+              meta = Map(cdcBatchIdKey -> batchId.toString))
+            ()
+          }
         }
       }
       .start()

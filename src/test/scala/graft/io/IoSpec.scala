@@ -315,4 +315,120 @@ class IoSpec extends SparkSpec {
     assert(compacted.columns.toSeq === Seq("o_orderkey", "o_totalprice", "discount_pct"))
     assert(compacted.filter(col("discount_pct").isNotNull).count() === touched.count())
   }
+
+  test("snapshot table: a second merge after evolution reads pre-evolution files correctly") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-evo2").toString + "/orders_e2"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+    SnapshotTable.create(base, dir)
+    val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+
+    // merge 1 evolves the schema, touching only the TOP key span — the
+    // bottom-span files stay pre-evolution (no discount_pct in the parquet)
+    val evo = base.filter(col("o_orderkey") > maxKey - maxKey / 8)
+      .withColumn("discount_pct", (col("o_orderkey") % 10).cast("double"))
+    SnapshotTable.merge(spark, dir, evo, "o_orderkey")
+
+    // merge 2 touches ONLY pre-evolution files; newCols is empty, so an
+    // unschema'd touched-file read would miss discount_pct and throw
+    // UNRESOLVED_COLUMN (or, mixed, silently null it on carried-over rows)
+    val lowKeys = base.filter(col("o_orderkey") < maxKey / 8)
+    val upd2 = lowKeys
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+      .withColumn("discount_pct", lit(null).cast("double"))
+    SnapshotTable.merge(spark, dir, upd2, "o_orderkey")
+
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.columns.toSeq === Seq("o_orderkey", "o_totalprice", "discount_pct"))
+    assert(back.count() === base.count())
+    // evolved values from merge 1 survive merge 2 untouched
+    assert(back.filter(col("o_orderkey") > maxKey - maxKey / 8)
+      .filter(col("discount_pct").isNull).count() === 0)
+    // merge-2 rows took the +5 update
+    val expect5 = lowKeys.select(col("o_orderkey"), (col("o_totalprice") + 5.0).as("p"))
+    val got5 = back.filter(col("o_orderkey") < maxKey / 8)
+      .select(col("o_orderkey"), col("o_totalprice").as("p"))
+    assert(got5.except(expect5).count() === 0 && expect5.except(got5).count() === 0)
+
+    // and a merge-2 variant touching a MIXED old/new file set also keeps
+    // the evolved column on carried-over unmatched rows
+    val mixed = base.filter(col("o_orderkey") < maxKey / 8
+        || col("o_orderkey") > maxKey - maxKey / 16)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+      .withColumn("discount_pct", lit(null).cast("double"))
+    SnapshotTable.merge(spark, dir, mixed, "o_orderkey")
+    val back2 = SnapshotTable.read(spark, dir)
+    // unmatched evolved rows (between the two touched spans' keys in the
+    // same top file) must NOT lose their discount values
+    val carried = back2.filter(col("o_orderkey") > maxKey - maxKey / 8
+      && col("o_orderkey") <= maxKey - maxKey / 16)
+    assert(carried.count() > 0 && carried.filter(col("discount_pct").isNull).count() === 0,
+      "carried-over unmatched rows lost the evolved column")
+  }
+
+  test("snapshot table: NaN stats never prune a file that holds in-range rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-nan").toString + "/m"
+    // file 1: clean range; file 2 contains a NaN — Spark's max() reports
+    // NaN for it, which an unguarded keep-predicate would treat as
+    // out-of-range and silently skip
+    val df = Seq(
+      (1L, 10.0), (2L, 20.0),
+      (3L, 5.0), (4L, Double.NaN),
+    ).toDF("id", "v").repartitionByRange(2, col("id"))
+    SnapshotTable.create(df, dir, statsCols = Seq("v"))
+    val snap = SnapshotTable.snapshot(spark, dir, None)
+    // the NaN file records NO range for v (conservative: always scanned)
+    assert(snap.files.exists(f => !snap.stats.get(f).exists(_.contains("v"))),
+      "file containing NaN must not record a v range")
+    // row (3, 5.0) lives in the NaN file; the range scan must still see it
+    val got = SnapshotTable.readRange(spark, dir, "v", 0.0, 6.0)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(3L))
+    // manifest JSON stays parseable (no bare NaN/Infinity tokens)
+    assert(snap.files.nonEmpty && SnapshotTable.read(spark, dir).count() === 4)
+  }
+
+  test("snapshot table: merge with tombstones deletes matched rows, time travel keeps them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-del").toString + "/orders_d"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+    SnapshotTable.create(base, dir)
+    val v1Files = SnapshotTable.snapshot(spark, dir, None).files.toSet
+    val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+
+    // one change set carrying all three clauses: an update, an insert, and
+    // two deletes (one matched, one absent — the absent one is a no-op)
+    val firstKey = base.agg(min("o_orderkey")).head.getLong(0)
+    val changes = Seq(
+      (firstKey, 999.0, false),          // UPDATE
+      (maxKey + 1000L, 1.0, false),      // INSERT (new key)
+      (maxKey, 0.0, true),               // DELETE (matched)
+      (maxKey + 2000L, 0.0, true),       // DELETE (absent -> no-op)
+    ).toDF("o_orderkey", "o_totalprice", "__del")
+    SnapshotTable.merge(spark, dir, changes, "o_orderkey", deleteCol = Some("__del"))
+
+    val back = SnapshotTable.read(spark, dir)
+    assert(!back.columns.contains("__del"), "tombstone flag must not land in the table")
+    assert(back.count() === base.count()) // -1 delete +1 insert
+    assert(back.filter(col("o_orderkey") === maxKey).count() === 0, "deleted row visible")
+    assert(back.filter(col("o_orderkey") === maxKey + 1000L).count() === 1)
+    assert(back.filter(col("o_orderkey") === firstKey)
+      .head.getDouble(1) === 999.0)
+
+    // untouched files carried by reference
+    val v2 = SnapshotTable.snapshot(spark, dir, None)
+    assert(v2.files.toSet.intersect(v1Files).nonEmpty,
+      "merge with deletes must not rewrite untouched files")
+    // time travel sees the pre-delete state
+    val v1 = SnapshotTable.read(spark, dir, Some(1))
+    assert(v1.filter(col("o_orderkey") === maxKey).count() === 1)
+    assert(v1.count() === base.count())
+  }
 }

@@ -326,4 +326,69 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(v1 === Set((1L, 2L), (2L, 3L)))
   }
+
+  test("CDC apply is exactly-once: replaying applied batches changes neither version nor content") {
+    val dir = tmpDir("graft-stream-cdc-replay")
+    val tableDir = tmpDir("graft-stream-cdc-replay-table") + "/user_state"
+    landEvents(dir)
+    Seq("batch1.json", "batch2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    Streaming.upsertLatestByUser(spark, dir, tableDir,
+      tmpDir("graft-stream-cdc-replay-ckpt"), Map("maxFilesPerTrigger" -> "1"))
+      .awaitTermination()
+    val versionBefore = graft.io.SnapshotTable.latestVersion(tableDir)
+    def content = graft.io.SnapshotTable.read(spark, tableDir)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contentBefore = content
+    assert(graft.io.SnapshotTable.snapshot(spark, tableDir, None)
+      .meta.get(Streaming.cdcBatchIdKey).contains("1"))
+
+    // simulated restart-replay: a FRESH checkpoint re-delivers every batch
+    // with the same batchIds (the crash-between-merge-and-checkpoint case,
+    // maximally adversarial: ALL batches replay) — the manifest's recorded
+    // batch id must skip them all, minting no spurious versions
+    Streaming.upsertLatestByUser(spark, dir, tableDir,
+      tmpDir("graft-stream-cdc-replay-ckpt2"), Map("maxFilesPerTrigger" -> "1"))
+      .awaitTermination()
+    assert(graft.io.SnapshotTable.latestVersion(tableDir) === versionBefore,
+      "replayed batches must not mint new table versions")
+    assert(content === contentBefore)
+  }
+
+  test("CDC apply is latest-wins across batches: a late event cannot overwrite newer state") {
+    val dir = tmpDir("graft-stream-cdc-late")
+    val tableDir = tmpDir("graft-stream-cdc-late-table") + "/user_state"
+    val ckpt = tmpDir("graft-stream-cdc-late-ckpt")
+    landEvents(dir)
+    Seq("batch1.json", "batch2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    Streaming.upsertLatestByUser(spark, dir, tableDir, ckpt,
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+
+    // batch 3 lands late: an OUT-OF-ORDER event for user 1 (10:30, older
+    // than the stored 11:40 state) plus a genuinely new user 3
+    Files.writeString(Paths.get(dir, "batch3.json"),
+      """{"event_id":9,"ts":"2024-06-01T10:30:00","user_id":1,"event_type":"click","value":9.0,"props":"{}"}
+        |{"event_id":10,"ts":"2024-06-01T12:00:00","user_id":3,"event_type":"view","value":10.0,"props":"{}"}
+        |""".stripMargin)
+    Files.setLastModifiedTime(Paths.get(dir, "batch3.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 20000L))
+    // same checkpoint: the resumed stream sees only batch 3 (batchId 2)
+    Streaming.upsertLatestByUser(spark, dir, tableDir, ckpt,
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+
+    val got = graft.io.SnapshotTable.read(spark, tableDir)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1 keeps event 4 (11:40) — the late 10:30 event must not win;
+    // user 3 inserts normally, proving the batch was applied, not skipped
+    assert(got === Set((1L, 4L), (2L, 3L), (3L, 10L)))
+    assert(graft.io.SnapshotTable.snapshot(spark, tableDir, None)
+      .meta.get(Streaming.cdcBatchIdKey).contains("2"))
+  }
 }
