@@ -10,12 +10,16 @@ import graft.util.{Q, Tables}
   * opaque BINARY payloads with typed metadata, processed with the same
   * partition-parallel DataFrame plumbing as every other operator.
   *
-  * The decode step is a STUB by design (no image/audio codecs in this
-  * environment): `mediaTable` fabricates deterministic payloads — a REAL
-  * magic header (PNG/JPEG/RIFF) followed by the document's UTF-8 bytes as a
-  * stand-in body — and `frameFeatures` derives a deterministic fake feature
-  * vector from frame hashes. Everything around the stub is real and tested:
-  * binary schema, format sniffing from magic bytes, content fingerprinting,
+  * Pixel/sample DECODE is a STUB by design (no image/audio codecs in this
+  * environment): `mediaTable` fabricates deterministic payloads with REAL,
+  * spec-valid headers — a full PNG signature + IHDR chunk, a JPEG
+  * SOI→APP0→SOF0 segment stream, a canonical 44-byte WAV/RIFF header —
+  * followed by the document's UTF-8 bytes as a stand-in body; and
+  * `frameFeatures` derives a deterministic fake feature vector from frame
+  * hashes. Everything else is real and tested: binary schema, format
+  * sniffing, HEADER METADATA EXTRACTION (PNG/JPEG width+height from IHDR /
+  * SOF, WAV channels+sample-rate from the fmt chunk — pure expressions, the
+  * same parse that would run on genuine files), content fingerprinting,
   * fixed-size frame chunking, and the feature-vector batch shape a
   * downstream embedding model would consume.
   */
@@ -29,25 +33,160 @@ object Multimodal {
     Magic("wav", Seq(0x52, 0x49, 0x46, 0x46), "52494646"),
   )
 
+  // --------------------------------------------- binary int builders/readers
+
+  private def b(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+
+  /** Big-endian byte renderings of an int column (header construction). */
+  private def u16be(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+  private def u32be(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+
+  /** Little-endian renderings (RIFF/WAV is an LE format). */
+  private def u16le(v: Column): Column = concat((0 to 1).map(i =>
+    unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(0xFF)), 2, "0"))): _*)
+  private def u32le(v: Column): Column = concat((0 to 3).map(i =>
+    unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(0xFF)), 2, "0"))): _*)
+
+  /** Read an unsigned big/little-endian int at a 1-based byte position —
+    * hex() of a binary slice is two digits per byte, so conv(…, 16, 10) is
+    * the codegen'd integer parse (no UDF). Past-the-end slices hex to a
+    * short/empty string and conv to null/garbage, so callers guard with the
+    * format checks below.
+    */
+  private def beU16(p: Column, pos: Column): Column =
+    conv(hex(p.substr(pos, lit(2))), 16, 10).cast(IntegerType)
+  private def beU32(p: Column, pos: Column): Column =
+    conv(hex(p.substr(pos, lit(4))), 16, 10).cast(LongType)
+  private def leU16(p: Column, pos: Column): Column =
+    conv(concat(hex(p.substr(pos + 1, lit(1))), hex(p.substr(pos, lit(1)))), 16, 10)
+      .cast(IntegerType)
+  private def leU32(p: Column, pos: Column): Column =
+    conv(concat((3 to 0 by -1).map(i => hex(p.substr(pos + i, lit(1)))): _*), 16, 10)
+      .cast(LongType)
+
+  /** The deterministic planted dimensions (what a decoder would find). */
+  private def plantedWidth(docId: Column): Column =
+    (lit(16) + pmod(docId, lit(64))).cast(IntegerType)
+  private def plantedHeight(docId: Column): Column =
+    (lit(16) + pmod(docId, lit(48))).cast(IntegerType)
+  private def plantedChannels(docId: Column): Column =
+    (lit(1) + pmod(docId, lit(2))).cast(IntegerType)
+  private def plantedRate(docId: Column): Column =
+    when(pmod(docId, lit(4)) === 0, 8000)
+      .when(pmod(docId, lit(4)) === 1, 16000)
+      .when(pmod(docId, lit(4)) === 2, 22050)
+      .otherwise(44100)
+
   /** Stand-in media table over documents (STUB body, see object doc):
-    * (media_id, payload BINARY, declared_format). Repartitioned like every
-    * compute-bound derivation (binary work scales with payload bytes, not
-    * row count).
+    * (media_id, payload BINARY, declared_format), with spec-valid headers —
+    * PNG: 8-byte signature + IHDR (width/height as u32 BE at bytes 17/21);
+    * JPEG: SOI, then a 16-byte APP0/JFIF segment, then SOF0 carrying
+    * height/width (u16 BE) — SOF deliberately NOT first, so extraction must
+    * walk segments like a real parser; WAV: canonical 44-byte RIFF/fmt/data
+    * header with channels (u16 LE at 23) and sample rate (u32 LE at 25).
+    * Repartitioned like every compute-bound derivation (binary work scales
+    * with payload bytes, not row count).
     */
   def mediaTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
     val body = encode(col("text"), "UTF-8")
-    val payload = magics.zipWithIndex.foldLeft(lit(null).cast(BinaryType)) {
-      case (acc, (m, i)) =>
-        when(pmod(col("doc_id"), lit(magics.size)) === i,
-          concat(lit(m.bytes.map(_.toByte).toArray), body)).otherwise(acc)
-    }
-    val declared = magics.zipWithIndex.foldLeft(lit(null).cast(StringType)) {
-      case (acc, (m, i)) =>
-        when(pmod(col("doc_id"), lit(magics.size)) === i, m.format).otherwise(acc)
-    }
+    val pngPayload = concat(
+      b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+        0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52), // IHDR len + type
+      u32be(plantedWidth(id)), u32be(plantedHeight(id)),
+      b(0x08, 0x06, 0x00, 0x00, 0x00, // bit depth, color, compr, filter, interlace
+        0x00, 0x00, 0x00, 0x00), // CRC placeholder (not verified here)
+      body)
+    val jpegPayload = concat(
+      b(0xFF, 0xD8, // SOI
+        0xFF, 0xE0, 0x00, 0x10, // APP0, len 16
+        0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00,
+        0x00, 0x01, 0x00, 0x01, 0x00, 0x00, // JFIF v1.1, 1:1 density
+        0xFF, 0xC0, 0x00, 0x11, 0x08), // SOF0, len 17, 8-bit precision
+      u16be(plantedHeight(id)), u16be(plantedWidth(id)),
+      b(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01), // 3 comps
+      body)
+    val wavPayload = concat(
+      b(0x52, 0x49, 0x46, 0x46, 0x00, 0x00, 0x00, 0x00, // RIFF + size stub
+        0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20, // WAVE, "fmt "
+        0x10, 0x00, 0x00, 0x00, 0x01, 0x00), // fmt len 16, PCM
+      u16le(plantedChannels(id)), u32le(plantedRate(id)),
+      b(0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00, // rates stub, 16-bit
+        0x64, 0x61, 0x74, 0x61, 0x00, 0x00, 0x00, 0x00), // "data" + size stub
+      body)
+    val m = pmod(id, lit(magics.size))
+    val payload = when(m === 0, pngPayload).when(m === 1, jpegPayload)
+      .otherwise(wavPayload)
+    val declared = when(m === 0, "png").when(m === 1, "jpeg").otherwise("wav")
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"), payload.as("payload"), declared.as("declared_format"))
+  }
+
+  // ------------------------------------------------ header metadata readers
+
+  /** PNG (width, height) from the IHDR chunk. The spec REQUIRES IHDR as the
+    * first chunk, so fixed offsets are the correct parse: signature bytes
+    * 1-8, chunk length 9-12, type "IHDR" 13-16, width 17-20, height 21-24
+    * (u32 BE). Null when the signature or IHDR type tag is absent.
+    */
+  def pngDimensions(p: Column): Column = {
+    val ok = p.substr(1, 8) === b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) &&
+      p.substr(13, 4) === lit("IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    when(ok, struct(
+      beU32(p, lit(17)).cast(IntegerType).as("width"),
+      beU32(p, lit(21)).cast(IntegerType).as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+  }
+
+  /** JPEG (width, height) by walking the segment stream for an SOF marker —
+    * the real parse: segments are [FF xx][u16 len][payload], SOF position
+    * varies by encoder (APPn/COM/DQT segments precede it). A bounded
+    * `aggregate` drives the walk (maxSegments hops covers any sane header);
+    * each step either stops (found / not a marker / past end), records
+    * height (pos+5) and width (pos+7) on an SOF0-15 marker, or hops
+    * `2 + len` to the next segment. Expression-only — the whole walk
+    * codegens into the projection.
+    */
+  def jpegDimensions(p: Column, maxSegments: Int = 12): Column = {
+    val sof = Seq(0xFFC0, 0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+      0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF)
+    val walk = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(3).as("pos"),
+        lit(null).cast(IntegerType).as("h"), lit(null).cast(IntegerType).as("w")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val marker = beU16(p, pos)
+        val stop = st.getField("h").isNotNull || pos.isNull || marker.isNull ||
+          shiftright(marker, 8) =!= 0xFF
+        when(stop, st)
+          .when(marker.isin(sof: _*), struct(
+            pos.as("pos"),
+            beU16(p, pos + 5).as("h"), beU16(p, pos + 7).as("w")))
+          .otherwise(struct(
+            (pos + 2 + beU16(p, pos + 2)).as("pos"),
+            st.getField("h").as("h"), st.getField("w").as("w")))
+      })
+    val ok = p.substr(1, 2) === b(0xFF, 0xD8)
+    when(ok, struct(walk.getField("w").as("width"), walk.getField("h").as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+  }
+
+  /** WAV (channels, sample rate) from the canonical RIFF/fmt layout:
+    * "RIFF" 1-4, "WAVE" 9-12, "fmt " 13-16, channels u16 LE at 23, sample
+    * rate u32 LE at 25. Null unless all three tags are present (a RIFF that
+    * isn't canonical WAV — e.g. LIST before fmt — reads as absent, the
+    * conservative answer).
+    */
+  def wavInfo(p: Column): Column = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val ok = p.substr(1, 4) === lit("RIFF".getBytes(ascii)) &&
+      p.substr(9, 4) === lit("WAVE".getBytes(ascii)) &&
+      p.substr(13, 4) === lit("fmt ".getBytes(ascii))
+    when(ok, struct(
+      leU16(p, lit(23)).as("channels"), leU32(p, lit(25)).as("sample_rate")))
+      .otherwise(lit(null).cast("struct<channels:int,sample_rate:bigint>"))
   }
 
   /** Format sniff from the payload's leading magic bytes — the real
@@ -100,37 +239,86 @@ object Multimodal {
 
   // ---------------------------------------------------------------- queries
 
-  private def payloadSql(m: Magic): String = {
-    val esc = m.bytes.map(b => f"\\x$b%02X").mkString
-    s"('$esc'::BLOB || text::BLOB)"
-  }
+  private def hexBlob(xs: Int*): String =
+    "'" + xs.map(x => f"\\x$x%02X").mkString + "'::BLOB"
 
+  // the oracle rebuilds the byte-identical payloads: static header parts as
+  // blob literals, planted ints rendered with unhex(lpad(to_hex(…))) (BE)
+  // or byte-by-byte (LE) — mirrors mediaTable exactly
+  private val rateSql =
+    "(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END)"
+  private val pngSql =
+    s"""(${hexBlob(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+          0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52)}
+        || unhex(lpad(to_hex(16 + doc_id % 64), 8, '0'))
+        || unhex(lpad(to_hex(16 + doc_id % 48), 8, '0'))
+        || ${hexBlob(0x08, 0x06, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00)}
+        || text::BLOB)"""
+  private val jpegSql =
+    s"""(${hexBlob(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10,
+          0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00,
+          0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+          0xFF, 0xC0, 0x00, 0x11, 0x08)}
+        || unhex(lpad(to_hex(16 + doc_id % 48), 4, '0'))
+        || unhex(lpad(to_hex(16 + doc_id % 64), 4, '0'))
+        || ${hexBlob(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)}
+        || text::BLOB)"""
+  private val wavSql =
+    s"""(${hexBlob(0x52, 0x49, 0x46, 0x46, 0x00, 0x00, 0x00, 0x00,
+          0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20,
+          0x10, 0x00, 0x00, 0x00, 0x01, 0x00)}
+        || unhex(lpad(to_hex(1 + doc_id % 2), 2, '0')) || '\\x00'::BLOB
+        || unhex(lpad(to_hex($rateSql % 256), 2, '0'))
+        || unhex(lpad(to_hex($rateSql // 256), 2, '0')) || '\\x00\\x00'::BLOB
+        || ${hexBlob(0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+          0x64, 0x61, 0x74, 0x61, 0x00, 0x00, 0x00, 0x00)}
+        || text::BLOB)"""
   private val payloadCase =
-    magics.zipWithIndex.map { case (m, i) =>
-      s"WHEN doc_id % ${magics.size} = $i THEN ${payloadSql(m)}"
-    }.mkString("CASE ", " ", " END")
+    s"CASE WHEN doc_id % 3 = 0 THEN $pngSql WHEN doc_id % 3 = 1 THEN $jpegSql ELSE $wavSql END"
 
-  /** Oracle-checked: sniffed format, byte length, and fingerprint all match
-    * a DuckDB re-construction of the same payloads.
+  /** Oracle-checked: sniffed format, byte length, fingerprint, AND the
+    * header metadata (PNG/JPEG width+height, WAV channels+sample rate) all
+    * match. Spark PARSES the dimensions back out of the binary headers
+    * (IHDR fixed offsets / SOF segment walk / fmt chunk); the oracle
+    * recomputes them from the planting formula — so a wrong parse
+    * hash-mismatches against the planted ground truth.
     */
   val q_mm_metadata: Q = Q(
     "q_mm_metadata",
     Some(s"""
-      WITH m AS (SELECT doc_id AS media_id, $payloadCase AS payload FROM documents)
+      WITH m AS (SELECT doc_id AS media_id, doc_id, $payloadCase AS payload FROM documents)
       SELECT media_id,
              ${magics.map(m => s"WHEN hex(payload)[1:${m.hexPrefix.length}] = '${m.hexPrefix}' THEN '${m.format}'").mkString("CASE ", " ", " ELSE 'unknown' END")} AS format,
              octet_length(payload) AS n_bytes,
-             md5(hex(payload)) AS fingerprint
+             md5(hex(payload)) AS fingerprint,
+             CASE WHEN doc_id % 3 IN (0, 1) AND payload IS NOT NULL
+                  THEN CAST(16 + doc_id % 64 AS INT) END AS width,
+             CASE WHEN doc_id % 3 IN (0, 1) AND payload IS NOT NULL
+                  THEN CAST(16 + doc_id % 48 AS INT) END AS height,
+             CASE WHEN doc_id % 3 = 2 AND payload IS NOT NULL
+                  THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+             CASE WHEN doc_id % 3 = 2 AND payload IS NOT NULL
+                  THEN CAST($rateSql AS BIGINT) END AS sample_rate
       FROM m
       ORDER BY media_id
     """),
   ) { (s, d) =>
+    val png = pngDimensions(col("payload"))
+    val jpg = jpegDimensions(col("payload"))
+    val wav = wavInfo(col("payload"))
+    val fmt = sniffFormat(col("payload"))
     mediaTable(Tables.documents(s, d))
       .select(
         col("media_id"),
-        sniffFormat(col("payload")).as("format"),
+        fmt.as("format"),
         length(col("payload")).cast(LongType).as("n_bytes"),
         fingerprint(col("payload")).as("fingerprint"),
+        when(fmt === "png", png.getField("width"))
+          .when(fmt === "jpeg", jpg.getField("width")).as("width"),
+        when(fmt === "png", png.getField("height"))
+          .when(fmt === "jpeg", jpg.getField("height")).as("height"),
+        when(fmt === "wav", wav.getField("channels")).as("channels"),
+        when(fmt === "wav", wav.getField("sample_rate")).as("sample_rate"),
       )
       .orderBy("media_id")
   }

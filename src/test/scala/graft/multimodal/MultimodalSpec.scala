@@ -38,6 +38,52 @@ class MultimodalSpec extends SparkSpec {
     assert(shortMid.count() === 0)
   }
 
+  test("header metadata parses back to the planted dimensions for every row") {
+    val media = Multimodal.mediaTable(docs)
+      .withColumn("doc_id", col("media_id"))
+    val png = media.filter(col("declared_format") === "png")
+      .select(Multimodal.pngDimensions(col("payload")).as("d"), col("doc_id"))
+    assert(png.filter(col("d.width") =!= lit(16) + pmod(col("doc_id"), lit(64))
+      || col("d.height") =!= lit(16) + pmod(col("doc_id"), lit(48))).count() === 0)
+    assert(png.filter(col("d").isNull).count() === 0)
+    val jpg = media.filter(col("declared_format") === "jpeg")
+      .select(Multimodal.jpegDimensions(col("payload")).as("d"), col("doc_id"))
+    assert(jpg.filter(col("d.width") =!= lit(16) + pmod(col("doc_id"), lit(64))
+      || col("d.height") =!= lit(16) + pmod(col("doc_id"), lit(48))).count() === 0)
+    val wav = media.filter(col("declared_format") === "wav")
+      .select(Multimodal.wavInfo(col("payload")).as("d"), col("doc_id"))
+    assert(wav.filter(col("d.channels") =!= lit(1) + pmod(col("doc_id"), lit(2))).count() === 0)
+    assert(wav.filter(col("d.sample_rate").isNull).count() === 0)
+  }
+
+  test("jpeg segment walk finds SOF behind extra segments; junk input reads null") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // a denser header than mediaTable's: SOI, APP0, APP1 (Exif-ish), COM,
+    // DQT, then SOF0 at the 5th hop with height=300 width=500
+    val sof = bytes(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0x2C, 0x01, 0xF4,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    def seg(marker: Int, payloadLen: Int): Array[Byte] =
+      bytes(0xFF, marker, (payloadLen + 2) >> 8, (payloadLen + 2) & 0xFF) ++
+        Array.fill(payloadLen)(0x42.toByte)
+    val realistic = bytes(0xFF, 0xD8) ++ seg(0xE0, 14) ++ seg(0xE1, 60) ++
+      seg(0xFE, 9) ++ seg(0xDB, 65) ++ sof ++ bytes(1, 2, 3)
+    val junk = "not an image at all".getBytes
+    val truncated = bytes(0xFF, 0xD8, 0xFF) // SOI then garbage
+    val df = Seq((1L, realistic), (2L, junk), (3L, truncated)).toDF("id", "p")
+      .select(col("id"), Multimodal.jpegDimensions(col("p")).as("d"))
+    val byId = df.collect().map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(byId(1L).map(s => (s.getInt(0), s.getInt(1))).contains((500, 300)))
+    assert(byId(2L).isEmpty, "non-JPEG bytes must read as null dimensions")
+    assert(byId(3L).forall(s => s.isNullAt(0) && s.isNullAt(1)),
+      "truncated stream must not invent dimensions")
+    // PNG/WAV parsers reject junk the same way
+    val other = Seq((1L, junk)).toDF("id", "p")
+      .select(Multimodal.pngDimensions(col("p")).as("png"),
+        Multimodal.wavInfo(col("p")).as("wav")).head()
+    assert(other.isNullAt(0) && other.isNullAt(1))
+  }
+
   test("stub features have the declared batch shape and range") {
     val feats = Multimodal.frameFeatures(
       Multimodal.frames(Multimodal.mediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
