@@ -51,7 +51,14 @@ object Bench {
       System.gc(); Thread.sleep(2000)
       exec(n)
     }
-    val results = names.map(n => n -> math.min(timed(n), timed(n)))
+    // a third run for the expensive queries only: the >2 s tail is where a
+    // single external-load spike most distorts a min-of-2 (the driver host
+    // shows 5-10x spikes), and the bounded extra wall time buys separation
+    // between real regressions and noise
+    val results = names.map { n =>
+      val m2 = math.min(timed(n), timed(n))
+      n -> (if (m2 > 2.0) math.min(m2, timed(n)) else m2)
+    }
     // ms precision: full-precision doubles pushed the per-query line past
     // the driver's log tail (BENCH_r04/r05 parsed:null — the line's FRONT
     // was cut), and sub-ms digits are pure noise on this host anyway

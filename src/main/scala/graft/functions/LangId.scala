@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * `langdetect.detect`, transform_raw_data.py:132-134 — which is both
   * nondeterministic unless seeded and throws on feature-less text; see
   * SURVEY.md §2.7 F6 for the documented deviation). The reference's
-  * langdetect covered ~55 languages; this heuristic covers 43 —
-  * twenty-three by Unicode script class and twenty Latin-script languages
-  * by stopword argmax — while staying expression-only, codegen'd, and
+  * langdetect covered ~55 languages; this heuristic covers 51 —
+  * twenty-three by Unicode script class and twenty-eight Latin-script
+  * languages by stopword argmax — while staying expression-only, codegen'd, and
   * exactly mirrorable in the DuckDB oracle. (Script classes approximate:
   * Cyrillic reads as ru, Arabic script as ar, etc. — the majority language
   * of each script, the same trade every fast lang-id heuristic makes for
@@ -48,13 +48,26 @@ object LangId {
     "vi" -> Seq("và", "của", "là", "có", "không", "được", "người", "trong", "một", "cho"),
     "ca" -> Seq("els", "amb", "per", "més", "com", "dels", "aquest", "està", "són", "també"),
     "hr" -> Seq("je", "se", "na", "da", "su", "ali", "kao", "za", "od", "to"),
+    // tail languages: same mechanism; sets chosen to carry each language's
+    // DISTINCTIVE function words (sk "sa/ako/pre" vs cs "se/jako/pro",
+    // ms "kerana/ialah/boleh" vs id "karena/adalah", et "see/aga" vs fi)
+    // because shared-script neighbors already occupy the common ones
+    "sk" -> Seq("sa", "ako", "pre", "bol", "sú", "aj", "som", "ktorý", "už", "ale"),
+    "sl" -> Seq("ki", "tudi", "kot", "pa", "bil", "še", "lahko", "bo", "ni", "da"),
+    "lt" -> Seq("ir", "yra", "kad", "tai", "bet", "kaip", "iš", "buvo", "apie", "jos"),
+    "lv" -> Seq("ir", "un", "ka", "bet", "arī", "vai", "tika", "viņš", "šis", "tas"),
+    "et" -> Seq("ja", "on", "ei", "et", "see", "oli", "ka", "kui", "mis", "aga"),
+    "ms" -> Seq("yang", "dan", "di", "untuk", "dengan", "tidak", "pada", "ialah", "kerana", "boleh"),
+    "tl" -> Seq("ang", "ng", "sa", "na", "ay", "mga", "hindi", "para", "ito", "siya"),
+    "sw" -> Seq("na", "ya", "wa", "ni", "kwa", "katika", "hii", "kama", "za", "cha"),
   )
 
   /** Latin-script languages in tie-break priority order (new languages
-    * append after the original ten so existing tie behavior is stable).
+    * append after the existing ones so existing tie behavior is stable).
     */
   val langs: Seq[String] = Seq("en", "es", "de", "fr", "it", "pt", "nl", "pl", "sv", "tr",
-    "da", "no", "fi", "cs", "ro", "hu", "id", "vi", "ca", "hr")
+    "da", "no", "fi", "cs", "ro", "hu", "id", "vi", "ca", "hr",
+    "sk", "sl", "lt", "lv", "et", "ms", "tl", "sw")
 
   /** (language, literal-codepoint-range character class) in decision order.
     * The ranges are written as Scala unicode escapes so both engines

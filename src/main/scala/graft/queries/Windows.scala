@@ -194,6 +194,12 @@ object Windows {
     * deterministic, but DuckDB computes sliding aggregates with a segment
     * tree whose float addition ORDER differs from Spark's running
     * accumulator — exact DECIMAL makes both orders the same number.
+    * The oracle buckets with floor(epoch(ts)): Spark's timestamp→long cast
+    * TRUNCATES sub-second precision while DuckDB's double→bigint cast
+    * ROUNDS, so a fractional-second timestamp ≥ .5 would land in different
+    * RANGE frames — explicit floor pins identical bucketing at any input
+    * precision (the driver data is whole seconds; this keeps it an
+    * invariant rather than a coincidence).
     */
   val q_window_trailing: Q = Q(
     "q_window_trailing",
@@ -202,7 +208,7 @@ object Windows {
              CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, ts, event_id
     """),

@@ -55,6 +55,14 @@ class LangIdSpec extends SparkSpec {
     "hy" -> "սա փորձնական նախադասություն է",
     "am" -> "ይህ የሙከራ ዓረፍተ ነገር ነው",
     "km" -> "នេះជាប្រយោគសាកល្បង",
+    "sk" -> "sa ako pre bol sú aj som ktorý už ale",
+    "sl" -> "ki tudi kot pa bil še lahko bo ni da",
+    "lt" -> "ir yra kad tai bet kaip iš buvo apie jos",
+    "lv" -> "ir un ka bet arī vai tika viņš šis tas",
+    "et" -> "ja on ei et see oli ka kui mis aga",
+    "ms" -> "yang dan di untuk dengan tidak pada ialah kerana boleh",
+    "tl" -> "ang ng sa na ay mga hindi para ito siya",
+    "sw" -> "na ya wa ni kwa katika hii kama za cha",
   )
 
   test("golden sentence per language resolves to that language") {
