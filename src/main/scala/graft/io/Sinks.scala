@@ -63,7 +63,7 @@ object Sinks {
     * containing re-collected ads rewrite. Returns the committed version.
     */
   def curatedSnapshot(curated: DataFrame, dir: String): Int =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_graft_log", "_latest")))
+    if (!SnapshotTable.exists(dir))
       SnapshotTable.create(curated, dir)
     else
       SnapshotTable.merge(curated.sparkSession, dir, curated, "ad_id")

@@ -30,10 +30,27 @@ import org.apache.spark.sql.types._
   * Manifests also carry per-file ZONE MAPS (min/max of declared numeric
   * columns), so a range scan skips whole files from the manifest alone
   * ([[readRange]]) before parquet row-group pruning ever opens one.
-  * The single-writer commit uses write-temp-then-rename on the log pointer,
-  * atomic on a real filesystem; a multi-writer object-store deployment
-  * would swap this for a compare-and-swap log protocol (the Delta paper's
-  * approach) without touching the data layout.
+  *
+  * MULTI-WRITER commits use optimistic concurrency, the Delta paper's log
+  * protocol on a filesystem with atomic create:
+  *  - each commit attempt writes its data under a UNIQUE directory
+  *    (`data/c<version>_<nonce>`), so concurrent attempts never collide at
+  *    the data layer and a crashed attempt can never wedge a retry;
+  *  - the COMMIT POINT is creating `v<version>.json` with CREATE_NEW —
+  *    atomic on POSIX and on object stores with if-none-match. Exactly one
+  *    same-version writer wins; the loser deletes its own data directory
+  *    and throws [[java.util.ConcurrentModificationException]], and a
+  *    retry re-reads the table (seeing the winner) and targets the next
+  *    version — serializable version history, no lost updates;
+  *  - readers resolve the current version by taking the MAX manifest in
+  *    the log dir (the `_latest` pointer is maintained as a debugging hint,
+  *    but last-rename-wins ordering between two winners could point it
+  *    backwards, so it is never trusted);
+  *  - debris of crashed attempts (data written, manifest never created) is
+  *    invisible to every reader and reclaimed by [[expire]], which deletes
+  *    any data file no retained manifest references (run vacuum only when
+  *    no writer can be mid-commit — the same retention contract as Delta's
+  *    VACUUM).
   */
 object SnapshotTable {
 
@@ -70,13 +87,19 @@ object SnapshotTable {
 
   // ------------------------------------------------------------- manifests
 
-  /** Relative data-file paths of one commit's directory (recursive — a
-    * partitioned commit nests partition dirs).
+  /** A commit attempt's unique data directory (relative to the table root).
+    * The nonce makes concurrent same-version attempts and crash-retries
+    * collision-free at the data layer; the manifest CAS picks the winner.
     */
-  private def listCommitFiles(dir: String, version: Int): Seq[String] = {
+  private def newCommitDir(version: Int): String =
+    s"data/c${version}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Relative data-file paths of one commit attempt's directory (recursive —
+    * a partitioned commit nests partition dirs).
+    */
+  private def listCommitFiles(dir: String, commitDir: String): Seq[String] = {
     val root = Paths.get(dir)
-    val commit = root.resolve(s"data/c$version")
-    Using.resource(Files.walk(commit)) { s =>
+    Using.resource(Files.walk(root.resolve(commitDir))) { s =>
       s.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
         .map(p => root.relativize(p).toString)
@@ -84,30 +107,11 @@ object SnapshotTable {
     }
   }
 
-  /** Delete any commit directory ABOVE the published version — the debris
-    * of a crashed commit (data written, manifest/_latest never published).
-    * Versions are always published+1, so at most one orphan exists; without
-    * this sweep a retried commit recomputes the same version number and
-    * `mode("errorifexists")` throws path-already-exists forever, defeating
-    * the retry idempotence the pipeline sink relies on. Safe because an
-    * unpublished commit is invisible to every reader (readers resolve files
-    * through manifests only).
-    */
-  private def dropOrphanCommits(dir: String, published: Int): Unit = {
-    val data = Paths.get(dir, "data")
-    if (!Files.isDirectory(data)) return
-    val orphans = Using.resource(Files.list(data)) { s =>
-      s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("c") && n.drop(1).toIntOption.exists(_ > published)
-      }.toList
-    }
-    orphans.foreach { p =>
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
       Using.resource(Files.walk(p)) { s =>
         s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
       }
-    }
-  }
 
   private def writeManifest(dir: String, snap: Snapshot): Unit = {
     Files.createDirectories(logDir(dir))
@@ -137,16 +141,64 @@ object SnapshotTable {
       s"""{"version":${snap.version},"files":[${snap.files.map(esc).mkString(",")}],""" +
         s""""statsCols":[${snap.statsCols.map(esc).mkString(",")}],"stats":[$statsJson]""" +
         schemaJson + metaJson + "}"
-    Files.write(manifestPath(dir, snap.version), json.getBytes(StandardCharsets.UTF_8))
+    // THE commit point: atomic create of this version's manifest. Exactly
+    // one same-version writer can succeed; a concurrent loser surfaces as
+    // FileAlreadyExistsException (translated by publish()).
+    Files.write(manifestPath(dir, snap.version), json.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // _latest is a best-effort debugging hint only (see object doc): with
+    // two racing winners the last rename could point backwards, so readers
+    // never trust it
     val tmp = logDir(dir).resolve(s"_latest.tmp${snap.version}")
     Files.write(tmp, snap.version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, logDir(dir).resolve("_latest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def latestVersion(dir: String): Int =
-    new String(Files.readAllBytes(logDir(dir).resolve("_latest")),
-      StandardCharsets.UTF_8).trim.toInt
+  /** Publish a snapshot whose data lives under `commitDir`; on a lost CAS
+    * race, delete this attempt's data and throw — the caller re-reads the
+    * table and retries at the next version.
+    */
+  private def publish(dir: String, snap: Snapshot, commitDir: String): Unit =
+    try writeManifest(dir, snap)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteTree(Paths.get(dir).resolve(commitDir))
+        throw new java.util.ConcurrentModificationException(
+          s"version ${snap.version} of $dir was committed by another writer; " +
+            "re-read the table and retry")
+    }
+
+  /** Current version = max manifest in the log dir. O(retained versions)
+    * names, no file reads — and immune to the _latest pointer's
+    * last-rename-wins hazard under concurrent winners.
+    */
+  def latestVersion(dir: String): Int = {
+    val max = Using.resource(Files.list(logDir(dir))) { s =>
+      s.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          n.stripPrefix("v").stripSuffix(".json").toIntOption
+        else None
+      }.foldLeft(0)(math.max)
+    }
+    if (max == 0)
+      throw new IllegalStateException(s"no published snapshot at $dir")
+    max
+  }
+
+  /** True once any version has been published (the multi-writer-safe
+    * replacement for probing the _latest hint).
+    */
+  def exists(dir: String): Boolean =
+    Files.isDirectory(logDir(dir)) && {
+      Using.resource(Files.list(logDir(dir))) { s =>
+        s.iterator().asScala.exists { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v") && n.endsWith(".json")
+        }
+      }
+    }
 
   def snapshot(spark: SparkSession, dir: String, version: Option[Int] = None): Snapshot = {
     val v = version.getOrElse(latestVersion(dir))
@@ -249,17 +301,17 @@ object SnapshotTable {
     */
   def create(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Int = {
-    if (Files.exists(logDir(dir).resolve("_latest")))
+    if (exists(dir))
       throw new IllegalStateException(
         s"snapshot table already exists at $dir (latest=v${latestVersion(dir)})")
-    dropOrphanCommits(dir, published = 0) // debris of a crashed create
+    val commitDir = newCommitDir(1)
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$dir/data/c1")
-    val files = listCommitFiles(dir, 1)
-    writeManifest(dir, Snapshot(1, files, statsCols,
+      .parquet(s"$dir/$commitDir")
+    val files = listCommitFiles(dir, commitDir)
+    publish(dir, Snapshot(1, files, statsCols,
       computeStats(df.sparkSession, dir, files, statsCols),
-      Some(df.schema.toDDL), meta))
+      Some(df.schema.toDDL), meta), commitDir)
     1
   }
 
@@ -365,20 +417,20 @@ object SnapshotTable {
       .select("r.*")
 
     val next = prev.version + 1
-    dropOrphanCommits(dir, prev.version)
+    val commitDir = newCommitDir(next)
     val partCols = partitionColumnsOf(dir, prev)
     val w = merged.write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(s"$dir/data/c$next")
+      .parquet(s"$dir/$commitDir")
     // untouched files keep their zone maps by reference; only the fresh
     // commit's files get a stats pass — same O(touched) cost shape as the
     // data rewrite itself
-    val newFiles = listCommitFiles(dir, next)
-    writeManifest(dir, Snapshot(next, (untouchedRel ++ newFiles).sorted, prev.statsCols,
+    val newFiles = listCommitFiles(dir, commitDir)
+    publish(dir, Snapshot(next, (untouchedRel ++ newFiles).sorted, prev.statsCols,
       prev.stats.view.filterKeys(untouchedRel.contains).toMap ++
         computeStats(spark, dir, newFiles, prev.statsCols),
       Some(merged.schema.toDDL),
-      prev.meta ++ meta))
+      prev.meta ++ meta), commitDir)
     next
   }
 
@@ -400,7 +452,7 @@ object SnapshotTable {
       Files.size(Paths.get(dir, f)) >= minFileBytes)
     if (small.size <= 1) return prev.version // nothing worth rewriting
     val next = prev.version + 1
-    dropOrphanCommits(dir, prev.version)
+    val commitDir = newCommitDir(next)
     // manifest schema, not the files' own: post-evolution commits disagree
     // on columns, and an unschema'd multi-file read silently drops the new
     // ones
@@ -411,12 +463,12 @@ object SnapshotTable {
     val partCols = partitionColumnsOf(dir, prev)
     val w = rows.coalesce(targetPartitions).write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(s"$dir/data/c$next")
-    val newFiles = listCommitFiles(dir, next)
-    writeManifest(dir, Snapshot(next, (big ++ newFiles).sorted, prev.statsCols,
+      .parquet(s"$dir/$commitDir")
+    val newFiles = listCommitFiles(dir, commitDir)
+    publish(dir, Snapshot(next, (big ++ newFiles).sorted, prev.statsCols,
       prev.stats.view.filterKeys(big.contains).toMap ++
         computeStats(spark, dir, newFiles, prev.statsCols),
-      prev.schemaDdl, prev.meta))
+      prev.schemaDdl, prev.meta), commitDir)
     next
   }
 

@@ -300,8 +300,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
-        val tableExists = java.nio.file.Files.exists(
-          java.nio.file.Paths.get(tableDir, "_graft_log", "_latest"))
+        val tableExists = graft.io.SnapshotTable.exists(tableDir)
         val applied =
           if (tableExists)
             graft.io.SnapshotTable.snapshot(spark, tableDir, None)

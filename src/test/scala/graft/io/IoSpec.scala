@@ -1,7 +1,9 @@
 package graft.io
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import java.time.Instant
+
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSpec
 import graft.etl.{AdFixture, AdPipeline}
@@ -164,31 +166,93 @@ class IoSpec extends SparkSpec {
       .filter(col("ad_text") === "updated text").count() === 0)
   }
 
-  test("snapshot table: a crashed commit does not wedge the next one") {
+  test("snapshot table: a crashed commit does not wedge the next one; expire reclaims its debris") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-crash").toString + "/orders_c"
     val base = graft.util.Tables.orders(spark, sf())
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
     SnapshotTable.create(base, dir)
-    // simulate a crash between data write and manifest publish: data/c2
-    // exists, _latest still points at v1
-    val orphan = Paths.get(dir, "data", "c2")
+    // simulate a crash between data write and manifest publish: an orphan
+    // commit dir exists, no v2 manifest was ever created
+    val orphan = Paths.get(dir, "data", "c2_deadbeef")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("part-dead.snappy.parquet"), "not parquet")
     val changes = base.limit(3).withColumn("o_totalprice", lit(0.0))
-    // the retried merge must clean the orphan and publish v2 normally
+    // the retried merge publishes v2 normally (unique commit dirs never
+    // collide with debris) and readers never see the orphan
     assert(SnapshotTable.merge(spark, dir, changes, "o_orderkey") === 2)
     assert(SnapshotTable.read(spark, dir)
       .filter(col("o_totalprice") === 0.0).count() === 3)
-    // same recovery for a crashed CREATE: orphan data, no _latest yet
+    // vacuum reclaims the unreferenced debris
+    SnapshotTable.expire(spark, dir, keepLast = 1)
+    assert(!Files.exists(orphan), "expire must delete crashed-commit debris")
+    assert(SnapshotTable.read(spark, dir).count() === base.count())
+    // same recovery for a crashed CREATE: orphan data, nothing published yet
     val dir2 = Files.createTempDirectory("graft-snap-crash2").toString + "/orders_c2"
-    val orphan1 = Paths.get(dir2, "data", "c1")
+    val orphan1 = Paths.get(dir2, "data", "c1_deadbeef")
     Files.createDirectories(orphan1)
     Files.writeString(orphan1.resolve("part-dead.snappy.parquet"), "not parquet")
     assert(SnapshotTable.create(base, dir2) === 1)
     assert(SnapshotTable.read(spark, dir2).count() === base.count())
     // but a PUBLISHED table refuses a second create
     intercept[IllegalStateException] { SnapshotTable.create(base, dir2) }
+  }
+
+  test("snapshot table: optimistic concurrency — two racing writers, one wins, loser retries cleanly") {
+    import org.apache.spark.sql.functions._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("graft-snap-cas").toString + "/orders_cc"
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    SnapshotTable.create(base, dir)
+    val changesA = base.filter(col("o_orderkey") % 100 === 1)
+      .withColumn("o_totalprice", lit(111.0))
+    val changesB = base.filter(col("o_orderkey") % 100 === 2)
+      .withColumn("o_totalprice", lit(222.0))
+    // both writers enter merge() together: each reads v1 within
+    // milliseconds, then spends seconds in Spark jobs before publishing —
+    // so both target v2 and the manifest CAS must pick exactly one
+    val gate = new CountDownLatch(2)
+    val pool = Executors.newFixedThreadPool(2)
+    val futures = Seq(changesA, changesB).map { ch =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+        def call(): Either[Throwable, Int] = {
+          gate.countDown(); gate.await(10, TimeUnit.SECONDS)
+          try Right(SnapshotTable.merge(spark, dir, ch, "o_orderkey"))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    }
+    val results = futures.map(_.get())
+    pool.shutdown()
+    val (losses, wins) = (results.collect { case Left(e) => e },
+      results.collect { case Right(v) => v })
+    assert(wins.nonEmpty, "at least one writer must commit")
+    info(s"race outcome: ${wins.size} committed, ${losses.size} lost the CAS")
+    // if the threads truly raced (the expected case), the loser saw the CAS
+    // conflict and left NO partial state; if scheduling serialized them,
+    // both committed — either way the history is linear with no lost update
+    assert(losses.forall(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"unexpected failure kind: ${losses.map(_.toString).mkString("; ")}")
+    assert(wins.sorted === (2 to (1 + wins.size)).toSeq,
+      "committed versions must be consecutive")
+    val liveDirs = scala.util.Using.resource(Files.list(Paths.get(dir, "data")))(
+      _.iterator().asScala.map(_.getFileName.toString).toSet)
+    val referenced = (1 to SnapshotTable.latestVersion(dir))
+      .flatMap(v => SnapshotTable.snapshot(spark, dir, Some(v)).files)
+      .map(_.split('/')(1)).toSet
+    assert(liveDirs === referenced,
+      "a losing writer must delete its own commit dir (no unreferenced debris)")
+    // retry every loser; afterwards BOTH change sets are in the table
+    losses.indices.foreach { _ => () }
+    results.zip(Seq(changesA, changesB)).foreach {
+      case (Left(_), ch) => SnapshotTable.merge(spark, dir, ch, "o_orderkey"); ()
+      case _ => ()
+    }
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.filter(col("o_totalprice") === 111.0).count() > 0)
+    assert(back.filter(col("o_totalprice") === 222.0).count() > 0)
+    assert(back.count() === base.count(), "no duplicates, no lost rows")
   }
 
   test("snapshot table: merge rejects duplicate source keys instead of fanning out") {
