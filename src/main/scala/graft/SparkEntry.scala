@@ -55,6 +55,8 @@ object SparkEntry {
       graft.queries.Skew.all ++
       graft.queries.Analytics.all ++
       graft.text.TextAnalysis.all ++
+      graft.queries.Curation.all ++
+      graft.queries.Fuzzy.all ++
       graft.dedup.Dedup.all ++
       graft.similarity.Similarity.all ++
       graft.multimodal.Multimodal.all ++

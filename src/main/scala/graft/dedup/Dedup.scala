@@ -47,7 +47,7 @@ object Dedup {
             element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array().cast(ArrayType(StringType))))
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
             || ' ' || string_split(text, ' ')[i+2]))"""

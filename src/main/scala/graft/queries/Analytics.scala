@@ -485,8 +485,75 @@ object Analytics {
       .orderBy("col_name")
   }
 
+  /** Grouped second-moment statistics — variance, stddev, covariance,
+    * correlation — computed from EXACT decimal power sums rather than the
+    * built-in float aggregates. Why: `var_samp`/`corr` accumulate doubles
+    * in partition order, so Spark (partial aggregation across partitions)
+    * and DuckDB (single-threaded segment sums) round differently and the
+    * driver's hash compare would flake. Decimal sums of short-decimal
+    * inputs (integer quantities, 2-decimal prices) are order-independent
+    * and bit-identical on both engines; the closed-form moments then
+    * evaluate in doubles over identical inputs. Same one-shuffle partial-
+    * aggregate shape as any groupBy — the decimal accumulators cost a few
+    * extra bytes per group, not a different plan. (On data without short
+    * decimal reps, scale the fixed-point quantum instead — SURVEY §8
+    * round-6 float rules.)
+    */
+  val q_stats_moments: Q = Q(
+    "q_stats_moments",
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_quantity AS DECIMAL(20,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_extendedprice AS DECIMAL(20,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_extendedprice AS DECIMAL(20,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+             CAST(sx AS DOUBLE) / n AS mean_qty,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               / (n - 1) AS var_qty,
+             sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / (n - 1)) AS stddev_price,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / (n - 1) AS covar_qty_price,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_qty_price
+      FROM s
+      ORDER BY l_returnflag
+    """),
+  ) { (s, d) =>
+    val x = col("l_quantity").cast(DecimalType(20, 2))
+    val y = col("l_extendedprice").cast(DecimalType(20, 2))
+    def dbl(c: String) = col(c).cast(DoubleType)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (dbl("sx") / col("n")).as("mean_qty"),
+        ((dbl("sxx") - dbl("sx") * dbl("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((dbl("syy") - dbl("sy") * dbl("sy") / col("n")) / (col("n") - 1))
+          .as("stddev_price"),
+        ((dbl("sxy") - dbl("sx") * dbl("sy") / col("n")) / (col("n") - 1))
+          .as("covar_qty_price"),
+        ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+          / sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+            * (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
-    q_retention_cohorts, q_profile_columns)
+    q_retention_cohorts, q_profile_columns, q_stats_moments)
 }

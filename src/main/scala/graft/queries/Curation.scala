@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+import graft.dedup.Dedup
+import graft.functions.LangId
+import graft.text.TextAnalysis
+import graft.util.{Q, Tables}
+
+/** The end-to-end curation decision — what a training-data pipeline
+  * actually RUNS over a crawl before tokenization: every per-document
+  * gate this library implements, fused into one keep/drop verdict with a
+  * deterministic reason code. Mirrors the composition the curation
+  * literature describes (Gopher/RefinedWeb-style filter chains): exact
+  * dedup keeps only canonical documents, benchmark decontamination drops
+  * eval-set leaks, then language / structural-quality / repetition gates.
+  *
+  * Scale shape: every gate is an independent doc_id-keyed frame — a
+  * fingerprint groupBy, a broadcast semi-join, and three scan-speed or
+  * two-shuffle aggregations — joined back on doc_id. At 100 TB that is a
+  * handful of linear shuffles over (doc_id, flag) pairs, no gate ever
+  * materializes more than one row per document, and AQE plans the
+  * verdict joins as broadcasts once the flag frames prove small. The
+  * reason code uses a fixed priority (duplicate > contaminated > language
+  * > quality > repetition) so the audit is deterministic even when a
+  * document fails several gates.
+  */
+object Curation {
+
+  val q_curate_verdict: Q = Q(
+    "q_curate_verdict",
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 20
+      ), fp AS (
+        SELECT doc_id, md5(${TextAnalysis.normalizeSql}) AS f FROM corpus
+      ), canon AS (
+        SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f
+      ), dup AS (
+        SELECT doc_id, doc_id <> canonical_id AS is_duplicate
+        FROM fp JOIN canon USING (f)
+      ), s AS (
+        SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents
+      ), bench AS (
+        SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20
+      ), cont AS (
+        SELECT s.doc_id,
+               EXISTS (SELECT 1 FROM bench, unnest(s.sh) AS t(g2) WHERE g2 = bench.g)
+                 AS is_contaminated
+        FROM s WHERE doc_id >= 20
+      ), lang AS (
+        SELECT doc_id,
+               ${LangId.duckDbSql("text")} <> 'undetected' AS lang_ok
+        FROM corpus
+      ), qual AS (
+        SELECT doc_id, ${TextAnalysis.qualityGateSql} AS quality_ok FROM corpus
+      ), f2 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM corpus
+      ), t2 AS (
+        SELECT doc_id, unnest(toks) AS w FROM f2
+      ), uni AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM t2 GROUP BY doc_id, w
+      ), us AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM uni GROUP BY doc_id
+      ), bb AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(toks), 1)),
+                       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+              FROM f2)
+      ), big AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c FROM bb GROUP BY doc_id, w1, w2
+      ), bs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_big
+        FROM big GROUP BY doc_id
+      ), gop AS (
+        SELECT us.doc_id,
+               top_uni * 1.0 / n_tokens <= 0.2
+                 AND coalesce(top_big * 1.0 / n_bigrams, 0.0) <= 0.18
+                 AND n_hapax * 1.0 / n_tokens >= 0.1 AS repetition_ok
+        FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+      ), v AS (
+        SELECT c.doc_id,
+               coalesce(dup.is_duplicate, false) AS is_duplicate,
+               coalesce(cont.is_contaminated, false) AS is_contaminated,
+               coalesce(lang.lang_ok, false) AS lang_ok,
+               coalesce(qual.quality_ok, false) AS quality_ok,
+               coalesce(gop.repetition_ok, false) AS repetition_ok
+        FROM corpus c
+        LEFT JOIN dup ON c.doc_id = dup.doc_id
+        LEFT JOIN cont ON c.doc_id = cont.doc_id
+        LEFT JOIN lang ON c.doc_id = lang.doc_id
+        LEFT JOIN qual ON c.doc_id = qual.doc_id
+        LEFT JOIN gop ON c.doc_id = gop.doc_id
+      )
+      SELECT doc_id, is_duplicate, is_contaminated, lang_ok, quality_ok,
+             repetition_ok,
+             NOT is_duplicate AND NOT is_contaminated AND lang_ok
+               AND quality_ok AND repetition_ok AS keep,
+             CASE WHEN is_duplicate THEN 'duplicate'
+                  WHEN is_contaminated THEN 'contaminated'
+                  WHEN NOT lang_ok THEN 'language'
+                  WHEN NOT quality_ok THEN 'quality'
+                  WHEN NOT repetition_ok THEN 'repetition'
+                  ELSE 'keep' END AS reason
+      FROM v
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 20)
+    // exact dedup: only the canonical (min doc_id) copy of each normalized
+    // fingerprint survives
+    val fp = corpus.select(col("doc_id"),
+      md5(TextAnalysis.normalize(col("text")).cast(BinaryType)).as("f"))
+    val dup = fp.join(fp.groupBy("f").agg(min(col("doc_id")).as("canonical_id")), "f")
+      .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+    // benchmark decontamination: broadcast shingle semi-join (Dedup)
+    val cont = Dedup.contaminatedIds(corpus, bench)
+      .withColumn("is_contaminated", lit(true))
+    // language gate: any identified language passes; feature-less text fails
+    val lang = LangId.withLangId(corpus, col("text"), "lang_pred")
+      .select(col("doc_id"), (col("lang_pred") =!= "undetected").as("lang_ok"))
+    // structural quality + repetition gates (shared formulas, see TextAnalysis)
+    val qual = corpus.select(col("doc_id"),
+      TextAnalysis.qualityGate(col("text")).as("quality_ok"))
+    val gop = TextAnalysis.repetitionGates(corpus)
+      .select(col("doc_id"), col("passes_repetition_gate").as("repetition_ok"))
+    corpus.select("doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .join(gop, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("is_duplicate"), lit(false)).as("is_duplicate"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
+        coalesce(col("lang_ok"), lit(false)).as("lang_ok"),
+        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
+        coalesce(col("repetition_ok"), lit(false)).as("repetition_ok"))
+      .withColumn("keep",
+        !col("is_duplicate") && !col("is_contaminated") && col("lang_ok")
+          && col("quality_ok") && col("repetition_ok"))
+      .withColumn("reason",
+        when(col("is_duplicate"), "duplicate")
+          .when(col("is_contaminated"), "contaminated")
+          .when(!col("lang_ok"), "language")
+          .when(!col("quality_ok"), "quality")
+          .when(!col("repetition_ok"), "repetition")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(q_curate_verdict)
+}

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -26,8 +26,28 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  private val normalizeSql =
+  private[graft] val normalizeSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** The q_text_quality keep gate as one boolean expression — shared with
+    * the curation verdict so the two can never drift. False for null/empty
+    * text (the query filters those; the verdict must decide on every doc).
+    */
+  def qualityGate(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val punctRatio = regexp_count(text, lit("[.,;:!?]")) * lit(1.0) / nChars
+    val ttr = size(array_distinct(toks)) * lit(1.0) / size(toks)
+    when(text.isNull || nChars === 0, lit(false))
+      .otherwise(size(toks).between(5, 100000) && punctRatio < 0.2 && ttr > 0.1)
+  }
+
+  private[graft] val qualityGateSql =
+    """(CASE WHEN text IS NULL OR length(text) = 0 THEN false ELSE
+         (len(string_split_regex(text, '\s+')) BETWEEN 5 AND 100000)
+         AND len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text) < 0.2
+         AND len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+             / len(string_split_regex(text, '\s+')) > 0.1 END)"""
 
   /** Token counts: whitespace tokens, distinct types, BPE-ish subwords. */
   val q_text_tokens: Q = Q(
@@ -97,8 +117,7 @@ object TextAnalysis {
         ttr.as("type_token_ratio"),
         (length(regexp_replace(col("text"), " ", "")) * lit(1.0) / size(toks))
           .as("avg_token_len"),
-        (size(toks).between(5, 100000) && punctRatio < 0.2 && ttr > 0.1)
-          .as("passes_gate"),
+        qualityGate(col("text")).as("passes_gate"),
       )
       .orderBy("doc_id")
   }
@@ -376,9 +395,18 @@ object TextAnalysis {
       ORDER BY us.doc_id
     """),
   ) { (s, d) =>
+    repetitionGates(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The Gopher repetition frame (doc_id, n_tokens, fracs, gate flag) —
+    * q_text_gopher's body, shared with the curation verdict. Docs with zero
+    * non-empty tokens produce no row (callers left-join and default the
+    * gate to false).
+    */
+  def repetitionGates(docs: DataFrame): DataFrame = {
     val bgType = ArrayType(StructType(Seq(
       StructField("w1", StringType), StructField("w2", StringType))))
-    val f = Tables.documents(s, d)
+    val f = docs
       // bound toks projection: no CSE through lambda bodies
       .select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
@@ -412,7 +440,6 @@ object TextAnalysis {
           && col("n_hapax") * lit(1.0) / col("n_tokens") >= 0.1)
           .as("passes_repetition_gate"),
       )
-      .orderBy("doc_id")
   }
 
   /** Rolling-hash winnowing fingerprints (copy-detection selection over

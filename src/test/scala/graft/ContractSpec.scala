@@ -12,6 +12,7 @@ class ContractSpec extends SparkSpec {
       graft.queries.Relational.all, graft.queries.Windows.all,
       graft.queries.Scalars.all, graft.queries.Skew.all,
       graft.queries.Analytics.all, graft.text.TextAnalysis.all,
+      graft.queries.Curation.all, graft.queries.Fuzzy.all,
       graft.dedup.Dedup.all, graft.similarity.Similarity.all,
       graft.multimodal.Multimodal.all,
     ).flatten.map(_.name)

@@ -68,4 +68,46 @@ class AnalyticsSpec extends SparkSpec {
       assert(rel < 0.01, s"approx median off by ${rel * 100}%")
     }
   }
+
+  test("decimal-sum moments agree with Spark's float aggregates to float tolerance") {
+    // the decimal-power-sum formulation exists for cross-engine hash
+    // stability; it must still compute the same statistics the built-in
+    // float aggregates do, up to their own rounding
+    val got = Analytics.q_stats_moments.run(spark, sf())
+      .select("l_returnflag", "var_qty", "stddev_price", "corr_qty_price")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ref = Tables.lineitem(spark, sf())
+      .groupBy("l_returnflag")
+      .agg(var_samp(col("l_quantity")).as("v"),
+        stddev_samp(col("l_extendedprice")).as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (v, s, c)) =>
+      val (rv, rs, rc) = ref(k)
+      assert(math.abs(v - rv) / rv < 1e-9, s"$k var: $v vs $rv")
+      assert(math.abs(s - rs) / rs < 1e-9, s"$k stddev: $s vs $rs")
+      assert(math.abs(c - rc) < 1e-9, s"$k corr: $c vs $rc")
+    }
+  }
+
+  test("deletion-neighborhood fuzzy join equals brute-force levenshtein <= 1") {
+    val parts = Tables.part(spark, sf())
+      .select(col("p_partkey"), lower(col("p_name")).as("name"))
+    val probes = parts.filter(col("p_partkey") < 20)
+      .select(col("p_partkey").as("probe_id"),
+        concat(col("name").substr(lit(1), lit(2)),
+          col("name").substr(lit(4), length(col("name")))).as("probe"))
+    val brute = probes.crossJoin(parts)
+      .filter(levenshtein(col("probe"), col("name")) <= 1)
+      .select("probe_id", "p_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Fuzzy.q_fuzzy_join.run(spark, sf())
+      .select("probe_id", "p_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === brute, "SymSpell k=1 candidates must have exact recall")
+    assert(fast.nonEmpty, "typo probes must match their source names")
+  }
 }
