@@ -212,6 +212,97 @@ object Analytics {
       .orderBy("hour_start")
   }
 
+  /** Time-series resampling with LINEAR INTERPOLATION — the gap repair a
+    * metrics pipeline runs when zero-fill (q_ts_gapfill) would distort
+    * rates: every (event_type, hour) grid cell missing an observation gets
+    * the time-weighted blend of its nearest observed neighbors; leading/
+    * trailing gaps take the nearest single neighbor. The window is
+    * PARTITIONED by series key, so a million series parallelize and no
+    * single-partition window ever forms (the q_skew_chunked_window hazard).
+    * Hourly means come from decimal sums (order-independent, both engines);
+    * the interpolation itself is the same double expression tree on both,
+    * over whole-hour epoch deltas — bit-stable.
+    */
+  val q_ts_interpolate: Q = Q(
+    "q_ts_interpolate",
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2
+      ), bounds AS (
+        SELECT MIN(date_trunc('hour', ts)) AS lo, MAX(date_trunc('hour', ts)) AS hi
+        FROM events
+      ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+      ), grid AS (
+        SELECT event_type, h
+        FROM (SELECT DISTINCT event_type FROM events), spine
+      ), j AS (
+        SELECT grid.event_type, grid.h, hourly.avg_value
+        FROM grid LEFT JOIN hourly USING (event_type, h)
+      ), w AS (
+        SELECT event_type, h, avg_value,
+               last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN h END IGNORE NULLS)
+                 OVER wp AS ph,
+               first_value(avg_value IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN avg_value IS NOT NULL THEN h END IGNORE NULLS)
+                 OVER wf AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      )
+      SELECT event_type, h AS hour_start,
+             avg_value IS NOT NULL AS observed,
+             CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
+             END AS value_interp
+      FROM w
+      ORDER BY event_type, hour_start
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+        .as("avg_value"))
+    val bounds = ev.agg(
+      min(date_trunc("hour", col("ts"))).as("lo"),
+      max(date_trunc("hour", col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val grid = ev.select("event_type").distinct().crossJoin(spine)
+    val wp = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val j = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(wp).as("pv"),
+        last(when(col("avg_value").isNotNull, col("h")), ignoreNulls = true)
+          .over(wp).as("ph"),
+        first(col("avg_value"), ignoreNulls = true).over(wf).as("nv"),
+        first(when(col("avg_value").isNotNull, col("h")), ignoreNulls = true)
+          .over(wf).as("nh"))
+    j.select(
+        col("event_type"), col("h").as("hour_start"),
+        col("avg_value").isNotNull.as("observed"),
+        when(col("avg_value").isNotNull, col("avg_value"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * (unix_timestamp(col("h")) - unix_timestamp(col("ph")))
+            / (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))))
+          .as("value_interp"))
+      .orderBy("event_type", "hour_start")
+  }
+
   /** Multi-step conversion funnel: users whose first view precedes a click
     * which precedes a purchase (each step's anchor is the MIN timestamp at
     * or after the previous step's anchor). Three per-user aggregates chained
@@ -555,5 +646,5 @@ object Analytics {
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
-    q_retention_cohorts, q_profile_columns, q_stats_moments)
+    q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate)
 }

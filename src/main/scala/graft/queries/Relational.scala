@@ -439,6 +439,45 @@ object Relational {
       .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
   }
 
+  /** Distribution window functions — percent_rank / cume_dist (int-ratio
+    * doubles, bit-identical cross-engine) plus first/last/nth_value over an
+    * explicit full-partition frame (the default ORDER BY frame stops at
+    * CURRENT ROW, making last_value a silent identity — the classic window
+    * bug, pinned here with the frame spelled out on both engines).
+    */
+  val q_window_distribution: Q = Q(
+    "q_window_distribution",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd,
+             FIRST_VALUE(o_totalprice) OVER wf AS cheapest,
+             LAST_VALUE(o_totalprice) OVER wf AS priciest,
+             NTH_VALUE(o_totalprice, 2) OVER wf AS second_cheapest
+      FROM orders
+      WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, pr, o_orderkey
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_totalprice")).over(wf).as("cheapest"),
+        last(col("o_totalprice")).over(wf).as("priciest"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_cheapest"),
+      )
+      .orderBy(col("o_custkey"), col("pr"), col("o_orderkey"))
+  }
+
   /** PIVOT: order counts by status per market segment — Spark's pivot and
     * the oracle's conditional aggregation are the same single-pass plan.
     */
@@ -660,7 +699,8 @@ object Relational {
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
-    q_topk_by_group, q_cube, q_setops, q_window_suite, q_pivot, q_unpivot,
+    q_topk_by_group, q_cube, q_setops, q_window_suite, q_window_distribution,
+    q_pivot, q_unpivot,
     q_upsert, q_bloom_prejoin, q_subquery_correlated, q_join_shuffle_hash,
   )
 }
