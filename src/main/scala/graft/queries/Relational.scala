@@ -170,6 +170,54 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** NOT IN vs NOT EXISTS under a nullable subquery — the three-valued-logic
+    * trap pinned as an executed query: `x NOT IN (…NULL…)` can never be TRUE
+    * (x <> NULL is unknown, so the conjunction is at best unknown), while
+    * NOT EXISTS with an equality correlate treats the NULL row as simply
+    * non-matching. A migration that rewrites one into the other silently
+    * changes results; both engines must agree on all three counts. Spark
+    * plans the NOT IN as a null-aware anti join (a broadcast when the
+    * subquery is small — the only safe distributed strategy for null-aware
+    * semantics) and the NOT EXISTS as a plain left-anti.
+    */
+  val q_not_in_nulls: Q = Q(
+    "q_not_in_nulls",
+    Some("""
+      WITH probe AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        UNION ALL SELECT NULL
+      )
+      SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS n_not_in_with_null,
+        (SELECT COUNT(*) FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM probe WHERE probe.o_custkey = c_custkey))
+          AS n_not_exists,
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM probe WHERE o_custkey IS NOT NULL))
+          AS n_not_in_clean
+    """),
+  ) { (s, d) =>
+    Tables.registerViews(s, d)
+    s.sql("""
+      WITH probe AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        UNION ALL SELECT NULL
+      )
+      SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS n_not_in_with_null,
+        (SELECT COUNT(*) FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM probe WHERE probe.o_custkey = c_custkey))
+          AS n_not_exists,
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM probe WHERE o_custkey IS NOT NULL))
+          AS n_not_in_clean
+    """)
+  }
+
   /** Left-outer join + aggregation with empty-group semantics: per-customer
     * count/sum over only the very largest orders (most customers have none →
     * count 0, sum NULL — exercised null handling on both sides).
@@ -700,7 +748,7 @@ object Relational {
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
     q_range_join, q_rollup, q_distinct_agg, q_union, q_parts_by_supplier_nation,
     q_topk_by_group, q_cube, q_setops, q_window_suite, q_window_distribution,
-    q_pivot, q_unpivot,
+    q_pivot, q_unpivot, q_not_in_nulls,
     q_upsert, q_bloom_prejoin, q_subquery_correlated, q_join_shuffle_hash,
   )
 }

@@ -442,6 +442,56 @@ object TextAnalysis {
       )
   }
 
+  /** Context-window chunking — the training/RAG prep step that splits every
+    * document into OVERLAPPING token windows (size 50, stride 40 → 10-token
+    * overlap so no span is ever cut without context). Chunk count is
+    * ceil((n-overlap)/stride) with a single chunk for short docs, so the
+    * trailing window always reaches the last token and no fully-redundant
+    * tail chunk is emitted. Emits per chunk the token count and an md5 over
+    * the joined text (the key chunk-level dedup runs on). Scan-speed
+    * expressions; the explode fans out by chunk count, linear in corpus
+    * token volume at any scale.
+    */
+  val q_text_chunks: Q = Q(
+    "q_text_chunks",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents
+      ), c AS (
+        SELECT doc_id, toks,
+               CAST(CASE WHEN len(toks) <= 10 THEN 1
+                    ELSE ceil((len(toks) - 10) / 40.0) END AS INT) AS nchunks
+        FROM f WHERE len(toks) > 0
+      )
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(len(list_slice(toks, CAST(i AS INT) * 40 + 1,
+                                 CAST(i AS INT) * 40 + 50)) AS INT) AS n_chunk_tokens,
+             md5(array_to_string(list_slice(toks, CAST(i AS INT) * 40 + 1,
+                                 CAST(i AS INT) * 40 + 50), ' ')) AS chunk_md5
+      FROM c, unnest(range(nchunks)) AS t(i)
+      ORDER BY doc_id, chunk_idx
+    """),
+  ) { (s, d) =>
+    val f = Tables.documents(s, d)
+      // bound toks projection: no CSE through lambda bodies
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val nchunks = when(size(col("toks")) <= 10, 1)
+      .otherwise(ceil((size(col("toks")) - 10) / lit(40.0))).cast(IntegerType)
+    val chunk = slice(col("toks"), col("i") * 40 + 1, lit(50))
+    f.select(col("doc_id"), col("toks"),
+        explode_outer(sequence(lit(0), nchunks - 1)).as("i"))
+      .filter(col("i").isNotNull)
+      .select(
+        col("doc_id"), col("i").as("chunk_idx"),
+        size(chunk).as("n_chunk_tokens"),
+        md5(concat_ws(" ", chunk).cast(BinaryType)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Rolling-hash winnowing fingerprints (copy-detection selection over
     * every document; rows-only — the Rabin-Karp + winnow selection is not
     * SQL-expressible; guarantees pinned in WinnowSpec). k=8 byte-grams,
@@ -459,5 +509,5 @@ object TextAnalysis {
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
     q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm,
-    q_text_gopher, q_text_winnow)
+    q_text_gopher, q_text_winnow, q_text_chunks)
 }
