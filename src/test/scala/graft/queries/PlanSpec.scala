@@ -78,4 +78,28 @@ class PlanSpec extends SparkSpec {
       "rescore regressed off the native kernel")
     assert(!p.contains("array_intersect"), "string intersection reappeared")
   }
+
+  test("fuzzy join: broadcast candidate equi-join, never a cartesian") {
+    val p = plan("q_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the small probe side must broadcast into the deletion-key join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "fuzzy matching must go through the SymSpell candidate keys, not all-pairs")
+  }
+
+  test("curation verdict: every gate frame joins back as a broadcast") {
+    val p = plan("q_curate_verdict")
+    // five gates left-join onto the corpus spine; each flag frame is tiny
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("NOT IN with nullable subquery plans as a null-aware anti join") {
+    val p = plan("q_not_in_nulls")
+    // Spark's only safe distributed strategy for null-aware NOT IN
+    assert(p.contains("LeftAnti BuildRight, ((c_custkey") ||
+      p.contains("ExistenceJoin") || p.contains("LeftAnti, ((c_custkey") ||
+      ("LeftAnti".r.findAllIn(p).size >= 2),
+      s"expected null-aware + plain anti joins in:\n${p.take(2000)}")
+  }
 }
