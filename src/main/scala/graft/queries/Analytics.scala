@@ -90,6 +90,56 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Deterministic train/val/test split — the assignment step every
+    * training-data pipeline runs last: each document hashes (salted, so the
+    * split is independent of every other hash use) into 80/10/10 by its
+    * md5 prefix, compared as fixed-width hex STRINGS ('cc' = 204/256,
+    * 'e6' = 230/256) — lexicographic equals numeric there, and string
+    * comparison is engine-neutral where a hex→int cast is not. Stable under
+    * any reordering, insertion, or re-partitioning of the corpus; per-split
+    * token totals audit the balance.
+    */
+  val q_sample_split: Q = Q(
+    "q_sample_split",
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+               substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+               len(string_split_regex(text, '\s+')) AS nt
+        FROM documents
+      ), s AS (
+        SELECT CASE WHEN h < 'cc' THEN 'train'
+                    WHEN h < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               nt
+        FROM a
+      )
+      SELECT split,
+             COUNT(*) AS n_docs,
+             COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS frac,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM s
+      GROUP BY split
+      ORDER BY split
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = substring(
+      md5(concat(lit("split-"), col("doc_id").cast("string")).cast(BinaryType)), 1, 2)
+    val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(split.as("split"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).as("nt"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(
+        col("split"), col("n_docs"),
+        (col("n_docs") * lit(1.0)
+          / sum(col("n_docs")).over(Window.partitionBy())).as("frac"),
+        col("n_tokens"))
+      .orderBy("split")
+  }
+
   /** GROUPING SETS with explicit grain indicators — the general form behind
     * rollup/cube (both already covered): three chosen grains in ONE scan +
     * Expand, where naive SQL would union three aggregations (three scans).
@@ -646,5 +696,6 @@ object Analytics {
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
-    q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate)
+    q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
+    q_sample_split)
 }
