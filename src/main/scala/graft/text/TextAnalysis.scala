@@ -260,11 +260,12 @@ object TextAnalysis {
     val tok = docs
       .select(col("doc_id"), explode_outer(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token").isNotNull && col("token") =!= "")
-    // tf feeds both the df aggregation and the final join — persist so the
-    // tokenize+count stage runs once (plan-keyed cache, same pattern as the
-    // dedup shingle sets).
+    // tf feeds both the df aggregation and the final join — localCheckpoint
+    // materializes the tokenize+count stage exactly once and hands the
+    // blocks to the ContextCleaner (an owner-less persist would leak a
+    // CacheManager entry per input plan, the round-6 dedup finding).
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), "token")
