@@ -84,6 +84,37 @@ class MultimodalSpec extends SparkSpec {
     assert(other.isNullAt(0) && other.isNullAt(1))
   }
 
+  test("PCM16 decode agrees with a JVM ByteBuffer decode of the same bytes") {
+    val subset = docs.filter(col("doc_id") < 40)
+    val byId = Multimodal.audioTable(subset)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // independent reference decode: java.nio, not Catalyst
+    def jvmDecode(p: Array[Byte]): Seq[Int] = {
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(new String(p.slice(0, 4), "US-ASCII") === "RIFF")
+      assert(bb.getShort(20) === 1 && bb.getShort(34) === 16) // PCM, 16-bit
+      val dataLen = bb.getInt(40)
+      assert(dataLen === p.length - 44, "data-chunk length must be real")
+      assert(bb.getInt(4) === p.length - 8, "RIFF size must be real")
+      (0 until dataLen / 2).map(i => bb.getShort(44 + 2 * i).toInt)
+    }
+    val decoded = graft.SparkEntry.queries("q_mm_audio")(spark, sf())
+      .filter(col("media_id") < 40).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size === byId.size)
+    byId.foreach { case (id, payload) =>
+      val s = jvmDecode(payload)
+      val row = decoded(id)
+      assert(row.getLong(3) === s.size.toLong, s"n_samples for $id")
+      assert(row.getLong(4) === s.map(v => math.abs(v)).max.toLong, s"peak for $id")
+      assert(row.getLong(5) === s.map(v => v.toLong * v).sum, s"sum_sq for $id")
+      val zc = s.sliding(2).count(w => (w(0) < 0) != (w(1) < 0))
+      assert(row.getLong(6) === zc.toLong, s"zero_crossings for $id")
+    }
+    // the waveform is non-trivial: signs actually alternate somewhere
+    assert(byId.keys.exists(id => decoded(id).getLong(6) > 0))
+  }
+
   test("stub features have the declared batch shape and range") {
     val feats = Multimodal.frameFeatures(
       Multimodal.frames(Multimodal.mediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
