@@ -170,6 +170,55 @@ object Multimodal {
       .select(col("doc_id").as("media_id"), payload.as("payload"))
   }
 
+  // --------------------------------------------------- real BMP image table
+
+  /** Planted image dimensions (4–11 × 4–9 pixels) and per-pixel RGB. */
+  private def plantedImgW(docId: Column): Column =
+    (lit(4) + pmod(docId, lit(8))).cast(IntegerType)
+  private def plantedImgH(docId: Column): Column =
+    (lit(4) + pmod(docId, lit(6))).cast(IntegerType)
+  private def plantedR(id: Column, x: Column, y: Column): Column =
+    pmod(id + x * 7 + y * 13, lit(256))
+  private def plantedG(id: Column, x: Column, y: Column): Column =
+    pmod(id * 3 + x * 5 + y * 11, lit(256))
+  private def plantedB(id: Column, x: Column, y: Column): Column =
+    pmod(id * 5 + x * 3 + y * 17, lit(256))
+
+  /** A COMPLETELY REAL 24-bit uncompressed BMP per document: BITMAPFILEHEADER
+    * + BITMAPINFOHEADER with true sizes, then the pixel array in the format's
+    * actual layout — rows BOTTOM-UP, bytes B,G,R per pixel, each row padded
+    * to a 4-byte boundary. Pixel decode for uncompressed BMP needs no codec,
+    * so [[q_mm_pixels]] can decode genuine pixels, not a stand-in.
+    */
+  def imageTable(docs: DataFrame): DataFrame = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val id = col("doc_id")
+    val w = plantedImgW(id)
+    val h = plantedImgH(id)
+    val stride = (w * 3 + 3).bitwiseAND(-4)
+    val hex2 = (v: Column) => lpad(hex(v), 2, "0")
+    // row j of the stored array is image row y = h-1-j (bottom-up)
+    val rowsHex = transform(sequence(lit(0), h - 1), j => {
+      val y = h - 1 - j
+      concat(
+        array_join(transform(sequence(lit(0), w - 1), x =>
+          concat(hex2(plantedB(id, x, y)), hex2(plantedG(id, x, y)),
+            hex2(plantedR(id, x, y)))), ""),
+        lit("000000").substr(lit(1), (stride - w * 3) * 2)) // row padding
+    })
+    val payload = concat(
+      lit("BM".getBytes(ascii)), u32le(stride * h + 54), u32le(lit(0)),
+      u32le(lit(54)), // pixel-array offset
+      u32le(lit(40)), u32le(w), u32le(h), // info header, width, height
+      u16le(lit(1)), u16le(lit(24)), // planes, bits per pixel
+      u32le(lit(0)), u32le(stride * h), // BI_RGB (uncompressed), image size
+      u32le(lit(0)), u32le(lit(0)), u32le(lit(0)), u32le(lit(0)),
+      unhex(array_join(rowsHex, "")))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"), payload.as("payload"))
+  }
+
   // ------------------------------------------------ header metadata readers
 
   /** PNG (width, height) from the IHDR chunk. The spec REQUIRES IHDR as the
@@ -548,6 +597,98 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** REAL pixel decode. Uncompressed 24-bit BMP needs no codec: the query
+    * validates the header (BM magic, 24 bpp, BI_RGB, 1 plane), reads
+    * width/height/pixel-offset from it, then walks every pixel through the
+    * format's actual memory layout — bottom-up row order, B,G,R byte order,
+    * 4-byte row padding — folding channel sums and a POSITION-WEIGHTED
+    * checksum (sum of (i+1)·R over image-order pixels). The weighted sum is
+    * what makes the check spatial: plain channel sums are order-invariant,
+    * so a decoder that ignored bottom-up order or the row stride would
+    * still match them — it cannot match wsum_r. The oracle recomputes all
+    * features from the planting formula without touching bytes. Scale
+    * shape: row-local fold after a byte-proportional repartition, zero
+    * shuffles; the fold codegens into the projection like the JPEG walk.
+    */
+  val q_mm_pixels: Q = Q(
+    "q_mm_pixels",
+    Some("""
+      WITH px AS (
+        SELECT doc_id, 4 + doc_id % 8 AS w, 4 + doc_id % 6 AS h,
+               CAST(unnest(range((4 + doc_id % 8) * (4 + doc_id % 6))) AS BIGINT) AS i
+        FROM documents
+      ), v AS (
+        SELECT doc_id, w, h, i, i % w AS x, i // w AS y FROM px
+      ), c AS (
+        SELECT doc_id, w, h, i,
+               (doc_id + 7 * x + 13 * y) % 256 AS r,
+               (3 * doc_id + 5 * x + 11 * y) % 256 AS g,
+               (5 * doc_id + 3 * x + 17 * y) % 256 AS b
+        FROM v
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             count(*) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((i + 1) * r) AS BIGINT) AS wsum_r,
+             CAST(sum(r) AS BIGINT) / count(*) AS mean_r,
+             ((CAST(0.299 AS DOUBLE) * CAST(sum(r) AS BIGINT)
+               + CAST(0.587 AS DOUBLE) * CAST(sum(g) AS BIGINT))
+              + CAST(0.114 AS DOUBLE) * CAST(sum(b) AS BIGINT)) / count(*) AS mean_luma
+      FROM c GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val p = col("payload")
+    val ok = p.substr(1, 2) === lit("BM".getBytes(ascii)) &&
+      leU16(p, lit(27)) === 1 && // planes
+      leU16(p, lit(29)) === 24 && // bits per pixel
+      leU32(p, lit(31)) === 0 // BI_RGB: uncompressed
+    // parsed geometry bound as real projection columns (no CSE through
+    // lambda bodies — SURVEY §8); stride is the format's 4-byte row round-up
+    val parsed = imageTable(Tables.documents(s, d)).select(
+      col("media_id"), p,
+      when(ok, leU32(p, lit(19)).cast(IntegerType)).as("w"),
+      when(ok, leU32(p, lit(23)).cast(IntegerType)).as("h"),
+      when(ok, leU32(p, lit(11)).cast(IntegerType)).as("off"))
+      .withColumn("stride", (col("w") * 3 + 3).bitwiseAND(-4))
+    val byteAt = (pos: Column) =>
+      conv(hex(p.substr(pos, lit(1))), 16, 10).cast(LongType)
+    val zero = struct(lit(0L).as("sr"), lit(0L).as("sg"), lit(0L).as("sb"),
+      lit(0L).as("wr"))
+    val folded = parsed.withColumn("acc",
+      aggregate(sequence(lit(0), col("w") * col("h") - 1), zero, (st, i) => {
+        val x = pmod(i, col("w"))
+        val y = ((i - x) / col("w")).cast(IntegerType)
+        // bottom-up: image row y lives in stored row h-1-y
+        val base = col("off") + (col("h") - 1 - y) * col("stride") + x * 3 + 1
+        val bC = byteAt(base)
+        val gC = byteAt(base + 1)
+        val rC = byteAt(base + 2)
+        struct(
+          (st.getField("sr") + rC).as("sr"),
+          (st.getField("sg") + gC).as("sg"),
+          (st.getField("sb") + bC).as("sb"),
+          (st.getField("wr") + (i.cast(LongType) + 1L) * rC).as("wr"))
+      }))
+    folded
+      .select(
+        col("media_id"),
+        col("w").as("width"), col("h").as("height"),
+        (col("w") * col("h")).cast(LongType).as("n_pixels"),
+        col("acc.sr").as("sum_r"), col("acc.sg").as("sum_g"),
+        col("acc.sb").as("sum_b"), col("acc.wr").as("wsum_r"))
+      .withColumn("mean_r", col("sum_r") / col("n_pixels"))
+      .withColumn("mean_luma",
+        ((lit(0.299) * col("sum_r") + lit(0.587) * col("sum_g"))
+          + lit(0.114) * col("sum_b")) / col("n_pixels"))
+      .orderBy("media_id")
+  }
+
   def all: Seq[Q] =
-    Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio)
+    Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio,
+      q_mm_pixels)
 }
