@@ -158,5 +158,65 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(q_curate_verdict)
+  /** Sequence packing — the step between curation and tokenization that
+    * concatenates documents into fixed-budget training sequences (the
+    * GPT-style "pack the stream, cut every N tokens" regime). Documents are
+    * laid out in a deterministic order (doc_id) within each source shard and
+    * assigned pack = floor(tokens_before / budget): the pack a document
+    * STARTS in, with overflow spilling into the next pack exactly as a
+    * streaming concatenator would cut it. Output is the per-pack manifest a
+    * writer would consume (doc span, doc count, token count, fill ratio).
+    *
+    * Scale shape: one window partitioned by source shard (parallel across
+    * shards, no global ordering anywhere), then a partial-aggregated
+    * groupBy on (source, pack_id). At 100 TB the shard is the crawl
+    * partition, so the running sum never concentrates: this is two linear
+    * shuffles keyed by source, the same layout the writer wants.
+    */
+  val q_pack_sequences: Q = Q(
+    "q_pack_sequences",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(text, '\s+')) AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM t
+      )
+      SELECT source,
+             (cum - n_tokens) // 256 AS pack_id,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc,
+             CAST(sum(n_tokens) AS BIGINT) / CAST(256 AS DOUBLE) AS fill_ratio
+      FROM c
+      GROUP BY source, (cum - n_tokens) // 256
+      ORDER BY source, pack_id
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // tokens BEFORE this doc decide which pack it starts in
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)))
+      .groupBy("source", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio", col("pack_tokens") / lit(budget.toDouble))
+      .orderBy("source", "pack_id")
+  }
+
+  def all: Seq[Q] = Seq(q_curate_verdict, q_pack_sequences)
 }
