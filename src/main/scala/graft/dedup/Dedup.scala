@@ -438,6 +438,59 @@ object Dedup {
     clusterAssignments(setSimilarityJoin(Tables.documents(s, d), 0.5))
   }
 
+  /** Canonical selection — the decision a dedup pipeline actually ships:
+    * within each duplicate cluster keep the BEST document, not the
+    * arbitrary min-id one. "Best" here is the longest text (n_chars, the
+    * usual keep-longest near-dup policy), doc_id as the deterministic
+    * tiebreak. Composes the exact-pair clustering with a per-cluster
+    * row_number — cluster sizes are bounded small by construction, so the
+    * window never concentrates; everything else is the already-linear
+    * clustering path. The oracle recomputes clusters via the recursive
+    * transitive-closure CTE and applies the identical argmax.
+    */
+  val q_dedup_canonical: Q = Q(
+    "q_dedup_canonical",
+    Some(s"""
+      WITH RECURSIVE s AS (
+        SELECT doc_id, $shinglesSql AS sh FROM documents
+      ), sz AS (
+        SELECT doc_id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) >= 0.5
+      ), edges AS (
+        SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs
+      ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      ), cl AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+      ), ranked AS (
+        SELECT cl.doc_id, cl.cluster_id, d.n_chars,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY d.n_chars DESC, cl.doc_id) AS rk
+        FROM cl JOIN documents d USING (doc_id)
+      )
+      SELECT doc_id, cluster_id, cluster_size, n_chars, rk = 1 AS keep
+      FROM ranked
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val clusters = clusterAssignments(setSimilarityJoin(docs, 0.5))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "n_chars", "keep")
+      .orderBy("doc_id")
+  }
+
   /** The 100 TB composition of the dedup family: LSH candidate generation →
     * exact rescore → connected components. The exact-pair clustering above
     * is the oracle ground truth; this one swaps the quadratic-prone exact
@@ -602,7 +655,7 @@ object Dedup {
     * is dropped by a cheap post-explode filter on the generated column,
     * which cannot be pushed through the Generate.
     */
-  private def hashedPosting(sets: DataFrame): DataFrame =
+  private[graft] def hashedPosting(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode_outer(col("shh")).as("h"))
       .filter(col("h").isNotNull)
 
@@ -700,5 +753,6 @@ object Dedup {
 
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash,
-      q_dedup_clusters, q_dedup_clusters_lsh, q_decontaminate, q_dedup_passage)
+      q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
+      q_decontaminate, q_dedup_passage)
 }

@@ -507,8 +507,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Inter-document boilerplate ratio — the RefinedWeb/CCNet-style signal
+    * that a document is mostly TEMPLATE: the fraction of its distinct word
+    * 3-shingles that are corpus-common (document frequency > 2). Unlike the
+    * Gopher gates (intra-document repetition) this measures repetition
+    * ACROSS documents, and unlike near-dup joins it fires on documents
+    * assembled from many different common fragments that are near-dup to
+    * nothing in particular.
+    *
+    * Scale shape: reuses the dedup family's 64-bit hashed shingle postings
+    * (never strings on the wire); df is one partial-aggregated groupBy over
+    * the posting stream, joined back onto the same stream — two linear
+    * shuffles keyed by shingle hash, then one by doc_id. The df join is
+    * hash-keyed on both sides, so AQE can pick shuffle-hash or broadcast as
+    * the vocabulary size dictates.
+    */
+  val q_text_boilerplate: Q = Q(
+    "q_text_boilerplate",
+    Some(s"""
+      WITH s AS (
+        SELECT doc_id, ${graft.dedup.Dedup.shinglesSql} AS sh FROM documents
+      ), u AS (
+        SELECT doc_id, unnest(sh) AS g FROM s WHERE len(sh) > 0
+      ), df AS (
+        SELECT g, count(*) AS df FROM u GROUP BY g
+      ), j AS (
+        SELECT u.doc_id, df.df FROM u JOIN df USING (g)
+      ), agg AS (
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        FROM j GROUP BY doc_id
+      )
+      SELECT doc_id, n_shingles, n_common,
+             n_common / n_shingles AS boilerplate_ratio,
+             n_common / n_shingles >= CAST(0.5 AS DOUBLE) AS mostly_boilerplate
+      FROM agg
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    val posting = graft.dedup.Dedup.hashedPosting(
+      graft.dedup.Dedup.hashedShingleSets(Tables.documents(s, d)))
+    val dfTab = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    posting
+      .join(dfTab, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 2, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boilerplate_ratio", col("n_common") / col("n_shingles"))
+      .withColumn("mostly_boilerplate", col("boilerplate_ratio") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
     q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm,
-    q_text_gopher, q_text_winnow, q_text_chunks)
+    q_text_gopher, q_text_winnow, q_text_chunks, q_text_boilerplate)
 }

@@ -119,6 +119,21 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 64 && got.values.forall(_ == 0L))
   }
 
+  test("canonical selection keeps exactly the longest member per cluster") {
+    val rows = graft.SparkEntry.queries("q_dedup_canonical")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.count(_._5) === 1, s"cluster $cluster must keep exactly one")
+      // keep = argmax by (n_chars desc, doc_id asc)
+      val want = members.minBy(m => (-m._4, m._1))._1
+      assert(members.find(_._5).get._1 === want, s"wrong canonical in $cluster")
+      // cluster_size column agrees with the actual member count
+      assert(members.forall(_._3 === members.size.toLong))
+    }
+  }
+
   test("gate queries leave no CacheManager entries behind") {
     spark.catalog.clearCache()
     Dedup.q_dedup_ngram_jaccard.run(spark, sf()).write.format("noop").mode("overwrite").save()

@@ -102,4 +102,25 @@ class PlanSpec extends SparkSpec {
       ("LeftAnti".r.findAllIn(p).size >= 2),
       s"expected null-aware + plain anti joins in:\n${p.take(2000)}")
   }
+
+  test("media decodes shuffle once (the explicit repartition) then stay row-local") {
+    // decode is a projection fold: beyond the byte-proportional repartition
+    // and the dump's final sort, no exchange may appear
+    Seq("q_mm_audio", "q_mm_pixels").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 3, // repartition + sort's range partitioning (+AQE read)
+        s"$q grew extra shuffles ($exchanges):\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    }
+  }
+
+  test("sequence packing windows and aggregates on the shard key, no global sort before agg") {
+    val p = plan("q_pack_sequences")
+    // the window is partitioned (never a WindowExec over one partition):
+    // its sort must be (source, doc_id) within hash-partitioned shards
+    assert(p.contains("Window"), p.take(800))
+    assert(p.contains("hashpartitioning(source"),
+      s"window/agg must be keyed by the shard:\n${p.take(1500)}")
+  }
 }
