@@ -560,8 +560,86 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 ranked retrieval — the search-side consumer of the same corpus
+    * statistics TF-IDF maintains (tf, df, doc length): score every document
+    * against a fixed conjunctive keyword query and keep the top 20.
+    * Okapi BM25 with k1=1.2, b=0.75; idf = ln((N-df+0.5)/(df+0.5)+1)
+    * (the +1 keeps it positive for high-df terms, the Lucene convention).
+    *
+    * Determinism: each (doc, term) score is one double expression tree built
+    * identically on both engines (int inputs, CAST-pinned double literals,
+    * ln correctly rounded — established by q_text_tfidf); the per-document
+    * sum routes through DECIMAL(20,12) because double sums merge in
+    * partition order (the q_text_bigram_lm pattern). Scale shape: the tf
+    * aggregation prunes to the query terms BEFORE grouping (scan-speed
+    * filter), df and the two scalars broadcast, and the final top-k is a
+    * TakeOrderedAndProject — never a full sort.
+    */
+  val q_text_bm25: Q = Q(
+    "q_text_bm25",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents
+      ), dl AS (
+        SELECT doc_id, len(toks) AS dl FROM f
+      ), t AS (
+        SELECT doc_id, unnest(toks) AS w FROM f
+      ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM t
+        WHERE w IN ('join', 'window', 'hash') GROUP BY doc_id, w
+      ), df AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+      ), n AS (SELECT COUNT(*) AS n FROM f),
+      ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      sc AS (
+        SELECT tf.doc_id,
+               ln((n.n - df.df + CAST(0.5 AS DOUBLE))
+                    / (df.df + CAST(0.5 AS DOUBLE)) + 1)
+                 * (tf.tf * CAST(2.2 AS DOUBLE)
+                    / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl.dl / ad.avgdl))) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN n CROSS JOIN ad
+      )
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(20,12))) AS DOUBLE) AS bm25
+      FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20
+    """),
+  ) { (s, d) =>
+    val queryTerms = Seq("join", "window", "hash")
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+    val dl = f.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+    val tf = f
+      .select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isin(queryTerms: _*)) // prune before the shuffle
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = f.agg(count(lit(1)).as("n"))
+    val ad = dl.agg(avg(col("dl")).as("avgdl"))
+    val score =
+      log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1) *
+        (col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfTab), "w")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(ad))
+      .select(col("doc_id"), score.cast(DecimalType(20, 12)).as("sdec"))
+      .groupBy("doc_id")
+      .agg(sum(col("sdec")).cast(DoubleType).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
     q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm,
-    q_text_gopher, q_text_winnow, q_text_chunks, q_text_boilerplate)
+    q_text_gopher, q_text_winnow, q_text_chunks, q_text_boilerplate,
+    q_text_bm25)
 }

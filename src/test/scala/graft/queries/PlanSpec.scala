@@ -115,6 +115,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 keeps top-k physical and broadcasts the corpus statistics") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must never be a full sort")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(1200))
+    assert("BroadcastNestedLoop".r.findAllIn(p).size >= 2, // the two scalar cross joins
+      s"scalars (N, avgdl) must broadcast:\n${p.take(1200)}")
+  }
+
   test("sequence packing windows and aggregates on the shard key, no global sort before agg") {
     val p = plan("q_pack_sequences")
     // the window is partitioned (never a WindowExec over one partition):
