@@ -7,21 +7,24 @@ import org.apache.spark.sql.functions._
   * `langdetect.detect`, transform_raw_data.py:132-134 — which is both
   * nondeterministic unless seeded and throws on feature-less text; see
   * SURVEY.md §2.7 F6 for the documented deviation). The reference's
-  * langdetect covered ~55 languages; this heuristic covers 51 —
-  * twenty-three by Unicode script class and twenty-eight Latin-script
-  * languages by stopword argmax — while staying expression-only, codegen'd, and
-  * exactly mirrorable in the DuckDB oracle. (Script classes approximate:
-  * Cyrillic reads as ru, Arabic script as ar, etc. — the majority language
-  * of each script, the same trade every fast lang-id heuristic makes for
-  * scripts it has no per-language features for.)
+  * langdetect covered ~55 languages; this heuristic covers 62 —
+  * twenty-three script classes (seven of which disambiguate further, see
+  * below) and thirty-two Latin-script languages by stopword argmax — while
+  * staying expression-only, codegen'd, and exactly mirrorable in the
+  * DuckDB oracle.
   *
   * Decision order (first match wins, both engines):
   *   1. null/empty → undetected
   *   2. script classes, most-specific first: kana → ja BEFORE han → zh
   *      (Japanese text mixes kanji with kana; han alone reads as Chinese),
-  *      hangul → ko, then the single-script alphabets (ru, el, he, ar, hi,
-  *      th) — all as literal-codepoint-range regexes, which parse
-  *      identically in Java regex (Spark) and RE2 (DuckDB).
+  *      hangul → ko, then the single-script alphabets — all as
+  *      literal-codepoint-range regexes, which parse identically in Java
+  *      regex (Spark) and RE2 (DuckDB). Scripts SHARED by several
+  *      languages (Cyrillic: ru/uk/bg/mk, Arabic script: ar/fa/ur,
+  *      Devanagari: hi/mr/ne) run a second argmax over script-internal
+  *      DISTINCTIVE function words; zero hits falls back to the script's
+  *      majority language, which is what round-6's flat mapping always
+  *      answered.
   *   3. argmax of distinct stopword hits per Latin-script language, ties
   *      broken by [[langs]] order; zero hits → undetected.
   */
@@ -60,6 +63,10 @@ object LangId {
     "ms" -> Seq("yang", "dan", "di", "untuk", "dengan", "tidak", "pada", "ialah", "kerana", "boleh"),
     "tl" -> Seq("ang", "ng", "sa", "na", "ay", "mga", "hindi", "para", "ito", "siya"),
     "sw" -> Seq("na", "ya", "wa", "ni", "kwa", "katika", "hii", "kama", "za", "cha"),
+    "af" -> Seq("baie", "vir", "hierdie", "gesê", "hulle", "daardie", "jou", "sal", "wees", "ons"),
+    "cy" -> Seq("mae", "wedi", "hefyd", "gyda", "iawn", "bod", "dweud", "hwn", "ond", "eich"),
+    "so" -> Seq("waa", "ayaa", "waxaa", "iyo", "lagu", "soo", "sidoo", "kale", "dhan", "uga"),
+    "sq" -> Seq("është", "që", "një", "për", "shumë", "nga", "dhe", "kjo", "janë", "tij"),
   )
 
   /** Latin-script languages in tie-break priority order (new languages
@@ -67,7 +74,31 @@ object LangId {
     */
   val langs: Seq[String] = Seq("en", "es", "de", "fr", "it", "pt", "nl", "pl", "sv", "tr",
     "da", "no", "fi", "cs", "ro", "hu", "id", "vi", "ca", "hr",
-    "sk", "sl", "lt", "lv", "et", "ms", "tl", "sw")
+    "sk", "sl", "lt", "lv", "et", "ms", "tl", "sw", "af", "cy", "so", "sq")
+
+  /** Script-internal disambiguation for scripts several supported languages
+    * share, keyed by the script class's majority language. Member order is
+    * the tie-break (majority language first); the word sets are DISTINCTIVE
+    * — orthography that exists in exactly one member (ru "это" vs uk "це"
+    * vs bg "това" vs mk "тоа"; fa "است" vs ur "ہے"; hi "है" vs mr "आहे" vs
+    * ne "छ") — so a tie means genuinely ambiguous text, which falls to the
+    * majority member.
+    */
+  val scriptGroups: Map[String, Seq[(String, Seq[String])]] = Map(
+    "ru" -> Seq(
+      "ru" -> Seq("это", "что", "как", "его", "она", "чтобы", "очень", "уже", "есть", "был"),
+      "uk" -> Seq("це", "дуже", "і", "він", "вже", "але", "вона", "та", "його", "що"),
+      "bg" -> Seq("това", "е", "ще", "има", "защото", "съм", "които", "него"),
+      "mk" -> Seq("тоа", "ќе", "затоа", "сум", "кои", "нешто", "само", "многу", "како", "од")),
+    "ar" -> Seq(
+      "ar" -> Seq("في", "من", "على", "هذا", "التي", "أن", "إلى", "كان", "مع", "هو"),
+      "fa" -> Seq("است", "که", "این", "را", "با", "های", "برای", "آن", "یک", "شده"),
+      "ur" -> Seq("ہے", "کے", "کی", "میں", "اور", "ایک", "سے", "کو", "نے", "پر")),
+    "hi" -> Seq(
+      "hi" -> Seq("है", "के", "की", "में", "और", "एक", "से", "को", "ने", "पर"),
+      "mr" -> Seq("आहे", "आणि", "यांनी", "केली", "असून", "होते", "झाली", "मात्र", "तसेच", "खूप"),
+      "ne" -> Seq("छ", "र", "पनि", "भएको", "गरेको", "लागि", "भने", "गर्न", "हुने", "छन्")),
+  )
 
   /** (language, literal-codepoint-range character class) in decision order.
     * The ranges are written as Scala unicode escapes so both engines
@@ -107,6 +138,36 @@ object LangId {
   val anyScriptClass: String =
     "[" + scriptClasses.map(_._2.stripPrefix("[").stripSuffix("]")).mkString + "]"
 
+  /** Within-script argmax for a shared-script class: distinctive-word hit
+    * counts per member, zero hits → the script's majority language.
+    * Evaluated only on rows whose script matched, so the nested intersects
+    * cost nothing on the (dominant) Latin path.
+    */
+  private def scriptGroupDecision(text: Column, default: String,
+      members: Seq[(String, Seq[String])]): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = members.map { case (l, ws) =>
+      l -> size(array_intersect(toks, lit(ws.toArray)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best <= 0, default)) { case (acc, (l, sc)) =>
+      acc.when(sc === best, l)
+    }
+  }
+
+  /** The script when-chain shared by [[langId]] and [[withLangId]]:
+    * script classes in decision order, shared scripts disambiguated.
+    */
+  private def scriptChainOver(text: Column, byScore: Column): Column = {
+    val chain = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
+      val verdict: Column = scriptGroups.get(l)
+        .map(ms => scriptGroupDecision(text, l, ms))
+        .getOrElse(lit(l))
+      when(regexp_like(text, lit(cls)), verdict).otherwise(acc)
+    }
+    when(regexp_like(text, lit(anyScriptClass)), chain).otherwise(byScore)
+  }
+
   def langId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val score: Map[String, Column] =
@@ -115,11 +176,7 @@ object LangId {
     val byScore = langs.foldLeft(when(best <= 0, "undetected")) { (acc, l) =>
       acc.when(score(l) === best, l)
     }
-    val scriptChain = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
-      when(regexp_like(text, lit(cls)), l).otherwise(acc)
-    }
-    val byScript = when(regexp_like(text, lit(anyScriptClass)), scriptChain)
-      .otherwise(byScore)
+    val byScript = scriptChainOver(text, byScore)
     when(text.isNull || length(text) === 0, "undetected").otherwise(byScript)
   }
 
@@ -147,11 +204,7 @@ object LangId {
     val byScore = langs.foldLeft(when(best <= 0, "undetected")) { (acc, l) =>
       acc.when(col(sc(l)) === best, l)
     }
-    val scriptChain = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
-      when(regexp_like(text, lit(cls)), l).otherwise(acc)
-    }
-    val byScript = when(regexp_like(text, lit(anyScriptClass)), scriptChain)
-      .otherwise(byScore)
+    val byScript = scriptChainOver(text, byScore)
     scored
       .withColumn(out,
         when(text.isNull || length(text) === 0, "undetected").otherwise(byScript))
@@ -162,12 +215,23 @@ object LangId {
     * used by graft.text oracle queries so the two sides stay in lockstep.
     */
   def duckDbSql(textExpr: String): String = {
-    def hits(l: String) =
+    def wordHits(ws: Seq[String]) =
       s"len(list_intersect(string_split_regex(lower($textExpr), '\\s+'), " +
-        s"[${stopwords(l).map(w => s"'$w'").mkString(", ")}]))"
+        s"[${ws.map(w => s"'$w'").mkString(", ")}]))"
+    def hits(l: String) = wordHits(stopwords(l))
     val best = s"greatest(${langs.map(hits).mkString(", ")})"
+    def groupCase(default: String, members: Seq[(String, Seq[String])]): String = {
+      val gbest = s"greatest(${members.map(m => wordHits(m._2)).mkString(", ")})"
+      val arms = members
+        .map { case (l, ws) => s"WHEN ${wordHits(ws)} = $gbest THEN '$l'" }
+        .mkString(" ")
+      s"(CASE WHEN $gbest <= 0 THEN '$default' $arms END)"
+    }
     val scriptCases = scriptClasses
-      .map { case (l, cls) => s"WHEN regexp_matches($textExpr, '$cls') THEN '$l'" }
+      .map { case (l, cls) =>
+        val verdict = scriptGroups.get(l).map(groupCase(l, _)).getOrElse(s"'$l'")
+        s"WHEN regexp_matches($textExpr, '$cls') THEN $verdict"
+      }
       .mkString(" ")
     val cases = langs.map(l => s"WHEN ${hits(l)} = $best THEN '${l}'").mkString(" ")
     s"""CASE WHEN $textExpr IS NULL OR length($textExpr) = 0 THEN 'undetected'

@@ -63,6 +63,19 @@ class LangIdSpec extends SparkSpec {
     "ms" -> "yang dan di untuk dengan tidak pada ialah kerana boleh",
     "tl" -> "ang ng sa na ay mga hindi para ito siya",
     "sw" -> "na ya wa ni kwa katika hii kama za cha",
+    "af" -> "hierdie boek is baie goed en ek sal vir jou gesê dat hulle wees",
+    "cy" -> "mae hi wedi bod yn dda iawn gyda hyn hefyd ond dweud eich",
+    "so" -> "buuggani waa mid fiican oo ayaa waxaa lagu daray iyo sidoo kale",
+    "sq" -> "ky libër është shumë i mirë dhe kjo që janë për tij nga një",
+    // shared-script languages: same script class as ru/ar/hi, separated by
+    // the within-script distinctive-word argmax
+    "uk" -> "це дуже добра книга і він вже має нові розділи але вона",
+    "bg" -> "това е много добра книга и ще има нови глави защото съм доволен",
+    "mk" -> "тоа е многу добра книга и ќе има нови поглавја затоа сум задоволен",
+    "fa" -> "این کتاب بسیار خوب است که برای شما با یک فصل جدید شده",
+    "ur" -> "یہ کتاب بہت اچھی ہے اور اس کے نئے باب میں ایک سے پڑھیں",
+    "mr" -> "हे पुस्तक खूप चांगले आहे आणि त्यांच्या नवीन प्रकरणांसाठी केली असून होते",
+    "ne" -> "यो किताब धेरै राम्रो छ र यसको नयाँ अध्याय पनि भएको लागि भने",
   )
 
   test("golden sentence per language resolves to that language") {
@@ -97,6 +110,16 @@ class LangIdSpec extends SparkSpec {
     val b = LangId.withLangId(df, col("text"), "p")
       .select("p").collect().map(_.getString(0))
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("shared-script text without distinctive words falls back to the majority language") {
+    import spark.implicits._
+    val df = Seq(
+      "книга глава слово",  // Cyrillic, no member-distinctive words
+      "كتاب فصل كلمة",      // Arabic script, none
+      "पुस्तक अध्याय शब्द", // Devanagari, none
+    ).toDF("text").select(LangId.langId(col("text")).as("got"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("ru", "ar", "hi"))
   }
 
   test("tie-break follows the declared priority order") {
