@@ -443,10 +443,21 @@ object SnapshotTable {
     * rewritten as `targetPartitions` files. Readers of old snapshots are
     * unaffected (nothing is deleted — that's [[expire]]'s job).
     */
+  /** Rewrite small files into `targetPartitions` larger ones. With
+    * `clusterBy` set, the rewrite additionally SORTS the data by those
+    * columns across the output files (a range repartition, so file k's key
+    * range sits entirely below file k+1's): after a clustered compaction
+    * the zone maps over the cluster key become disjoint, and a selective
+    * [[readRange]] prunes to ~one file instead of matching every file's
+    * full-span range — the lakehouse "cluster on write" maintenance step
+    * that makes manifest-level skipping actually selective on a key the
+    * ingest order scattered.
+    */
   def compact(
       spark: SparkSession, dir: String,
       minFileBytes: Long = 8L * 1024 * 1024,
-      targetPartitions: Int = 1): Int = {
+      targetPartitions: Int = 1,
+      clusterBy: Seq[String] = Nil): Int = {
     val prev = snapshot(spark, dir, None)
     val (big, small) = prev.files.partition(f =>
       Files.size(Paths.get(dir, f)) >= minFileBytes)
@@ -460,8 +471,14 @@ object SnapshotTable {
     val rows = prev.schemaDdl
       .map(d => smallBase.schema(StructType.fromDDL(d))).getOrElse(smallBase)
       .parquet(small.map(f => s"$dir/$f"): _*)
+    val arranged =
+      if (clusterBy.nonEmpty)
+        // range-partition + intra-partition sort: global order across files
+        rows.repartitionByRange(targetPartitions, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else rows.coalesce(targetPartitions)
     val partCols = partitionColumnsOf(dir, prev)
-    val w = rows.coalesce(targetPartitions).write.mode("errorifexists")
+    val w = arranged.write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(s"$dir/$commitDir")
     val newFiles = listCommitFiles(dir, commitDir)

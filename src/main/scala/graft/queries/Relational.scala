@@ -743,6 +743,37 @@ object Relational {
           .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
       )
 
+  /** LISTAGG / string_agg — the reporting reshape that folds a group's
+    * values into one delimited string. Spark has no ordered string_agg
+    * aggregate, so the deterministic form is collect_list → sort_array →
+    * array_join: the sort happens INSIDE the row after the aggregation, so
+    * partition order cannot leak into the output (collect_list alone is
+    * nondeterministic — the pitfall this operator exists to pin). The
+    * oracle's string_agg(... ORDER BY ...) declares the same order.
+    * Scale: one partial-aggregated groupBy; group payloads are
+    * bounded (nations per region), never a whole-table concat.
+    */
+  val q_string_agg: Q = Q(
+    "q_string_agg",
+    Some("""
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name
+    """),
+  ) { (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   def all: Seq[Q] = Seq(
     q_a1_agg, q_t1_topk, q_join_revenue_by_nation,
     q_p6_filter_project, q_join_semi, q_join_anti, q_join_outer_agg,
@@ -750,5 +781,6 @@ object Relational {
     q_topk_by_group, q_cube, q_setops, q_window_suite, q_window_distribution,
     q_pivot, q_unpivot, q_not_in_nulls,
     q_upsert, q_bloom_prejoin, q_subquery_correlated, q_join_shuffle_hash,
+    q_string_agg,
   )
 }

@@ -269,6 +269,44 @@ class IoSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(dir) === 1, "failed merge must not publish")
   }
 
+  test("snapshot table: clustered compaction makes zone maps disjoint and pruning selective") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-cl").toString + "/orders_c"
+    // hash-scattered ingest: every file spans the whole key range, so zone
+    // maps exist but prune nothing
+    val base = graft.util.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .repartition(6, col("o_orderkey"))
+    SnapshotTable.create(base, dir, statsCols = Seq("o_orderkey"))
+    val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+    val scattered = SnapshotTable
+      .readRange(spark, dir, "o_orderkey", 0.0, maxKey / 16.0)
+    assert(scattered.inputFiles.length === 6,
+      "scattered layout must match every file — that is the problem clusterBy solves")
+
+    val v = SnapshotTable.compact(spark, dir, minFileBytes = 1L << 30,
+      targetPartitions = 6, clusterBy = Seq("o_orderkey"))
+    assert(v === 2)
+    val snap = SnapshotTable.snapshot(spark, dir, None)
+    assert(snap.files.size === 6)
+    // zone maps over the cluster key are now pairwise disjoint
+    val ranges = snap.files.map(f => snap.stats(f)("o_orderkey")).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping post-cluster ranges: $ranges")
+      case _ =>
+    }
+    // the same selective range now reads ~one file, and rows are exact
+    val pruned = SnapshotTable.readRange(spark, dir, "o_orderkey", 0.0, maxKey / 16.0)
+    assert(pruned.inputFiles.length <= 2,
+      s"clustered pruning must be selective (read ${pruned.inputFiles.length} of 6)")
+    assert(pruned.orderBy("o_orderkey").collect().toSeq ===
+      base.filter(col("o_orderkey") <= maxKey / 16.0).orderBy("o_orderkey").collect().toSeq)
+    // content identical to pre-compaction across the whole table
+    assert(SnapshotTable.read(spark, dir).orderBy("o_orderkey").collect().toSeq
+      === base.orderBy("o_orderkey").collect().toSeq)
+  }
+
   test("snapshot table: partitioned layout prunes and survives merges") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-part").toString + "/orders_p"
