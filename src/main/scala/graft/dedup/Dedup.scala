@@ -503,6 +503,84 @@ object Dedup {
     clusterAssignments(minHashLshJoin(Tables.documents(s, d), 0.5))
   }
 
+  /** PageRank centrality over the duplicate graph — the link-analysis
+    * iterate beyond connected components (Common Crawl ranks hosts with
+    * exactly this family of centrality scores to pick high-quality
+    * content). Unnormalized random-surfer form (Page et al.:
+    * R = (1-d) + d·Σ R(in)/deg(in), d = 0.85), SIX fixed iterations.
+    *
+    * Cross-engine exactness: ranks live in integer fixed-point (units of
+    * 1e-12 of a node's base rank) and every step is integer arithmetic —
+    * `div` on both engines truncates identically, while float ranks would
+    * accumulate in partition order and drift. Overflow headroom: the rank
+    * mass is conserved-ish at N·1e12 ≤ 5e15, ×85 ≪ 2^63. Scale shape: per
+    * iteration one broadcast-ready join of ranks onto edges and one
+    * partial-aggregated groupBy on dst — the textbook distributed PageRank
+    * step, O(E) per round with no driver-side data.
+    */
+  val q_graph_pagerank: Q = {
+    val R0 = 1000000000000L // 1.0 in fixed-point
+    val T = 150000000000L // teleport: 0.15
+    val iters = 6
+    val oracleSql = {
+      val graph = s"""
+        WITH s AS (
+          SELECT doc_id, $shinglesSql AS sh FROM documents
+        ), sz AS (
+          SELECT doc_id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0
+        ), pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j
+          FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) >= 0.5
+        ), e AS (
+          SELECT i AS src, j AS dst FROM pairs
+          UNION ALL SELECT j, i FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM e
+        ), deg AS (
+          SELECT src, count(*) AS deg FROM e GROUP BY src
+        ), r0 AS (
+          SELECT node, CAST($R0 AS BIGINT) AS rank FROM nodes
+        )"""
+      val levels = (1 to iters).map { t =>
+        s""", r$t AS (
+          SELECT n.node,
+                 CAST($T + (85 * coalesce(inc.s, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+            FROM e JOIN r${t - 1} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) inc ON n.node = inc.node
+        )"""
+      }.mkString
+      s"""$graph$levels
+        SELECT node AS doc_id, rank AS pagerank FROM r$iters ORDER BY doc_id"""
+    }
+    Q("q_graph_pagerank", Some(oracleSql)) { (s, d) =>
+      val pairs = setSimilarityJoin(Tables.documents(s, d), 0.5)
+        .select("i", "j").localCheckpoint()
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var rank = nodes.select(col("node"), lit(R0).as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(rank, edges("src") === rank("node"))
+          .join(deg, "src")
+          .select(col("dst"), expr("rank div deg").as("c"))
+        val incoming = contrib.groupBy(col("dst").as("node")).agg(sum("c").as("inc"))
+        rank = nodes
+          .join(incoming, Seq("node"), "left")
+          .select(col("node"),
+            (lit(T) + expr("85 * coalesce(inc, 0L) div 100")).as("rank"))
+      }
+      rank.select(col("node").as("doc_id"), col("rank").as("pagerank"))
+        .orderBy("doc_id")
+    }
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Benchmark decontamination — the curation step that keeps training docs
@@ -754,5 +832,5 @@ object Dedup {
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
-      q_decontaminate, q_dedup_passage)
+      q_graph_pagerank, q_decontaminate, q_dedup_passage)
 }

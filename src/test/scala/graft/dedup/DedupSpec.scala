@@ -134,6 +134,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: teleport floor, bounded mass, and node set = paired docs") {
+    val rows = graft.SparkEntry.queries("q_graph_pagerank")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val R0 = 1000000000000L
+    val T = 150000000000L
+    // every node keeps at least its teleport mass
+    assert(rows.values.forall(_ >= T))
+    // integer truncation only LOSES mass: total never exceeds N·R0
+    assert(rows.values.sum <= rows.size * R0)
+    // scored nodes are exactly the docs participating in a dup pair
+    val pairs = pairSet(Dedup.setSimilarityJoin(docs, 0.5)).toSeq
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.keySet === paired)
+    // the distributed iterate equals a driver-side reference computation of
+    // the identical fixed-point recurrence (same truncating integer ops)
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var ref = paired.iterator.map(_ -> R0).toMap
+    for (_ <- 1 to 6) {
+      val inc = pairs.flatMap(p => Seq(p._1 -> ref(p._2) / deg(p._2),
+                                       p._2 -> ref(p._1) / deg(p._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      ref = paired.iterator.map(n => n -> (T + 85 * inc.getOrElse(n, 0L) / 100)).toMap
+    }
+    assert(rows === ref)
+  }
+
   test("gate queries leave no CacheManager entries behind") {
     spark.catalog.clearCache()
     Dedup.q_dedup_ngram_jaccard.run(spark, sf()).write.format("noop").mode("overwrite").save()
