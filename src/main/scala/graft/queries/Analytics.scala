@@ -420,6 +420,66 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Robust outlier audit — per-group median/MAD z-scores, the outlier
+    * detector that survives the outliers it is hunting (mean/stddev get
+    * dragged by the very tail they are meant to flag; the 50th percentile
+    * does not). Two exact interpolated percentiles (median of the value,
+    * then median of |value − median|) and a final pass counting rows beyond
+    * the 3σ-equivalent robust threshold (3 × 1.4826 × MAD, written as the
+    * single folded literal so neither engine's constant-fold order matters).
+    *
+    * Scale shape: three linear passes over the fact table, each a
+    * partial-aggregated groupBy on the (low-cardinality) group key, with the
+    * per-group medians broadcast back between passes — no pass ever holds
+    * more than per-group sorted values, the same cost profile as
+    * q_quantiles. The 100 TB swap is the same one q_quantiles documents:
+    * replace `percentile` with `percentile_approx` (mergeable GK sketch)
+    * when exactness is not required.
+    */
+  val q_outlier_mad: Q = Q(
+    "q_outlier_mad",
+    Some("""
+      WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+      ), dev AS (
+        SELECT l.l_returnflag, m.med,
+               abs(l.l_extendedprice - m.med) AS absdev
+        FROM lineitem l JOIN med m USING (l_returnflag)
+      ), mad AS (
+        SELECT l_returnflag, max(med) AS med,
+               quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY l_returnflag
+      )
+      SELECT d.l_returnflag,
+             COUNT(*) AS n,
+             max(m.med) AS med,
+             max(m.mad) AS mad,
+             COUNT(*) FILTER (WHERE d.absdev > 4.4478 * m.mad) AS n_outliers
+      FROM dev d JOIN mad m USING (l_returnflag)
+      GROUP BY d.l_returnflag
+      ORDER BY d.l_returnflag
+    """),
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val med = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("absdev", abs(col("l_extendedprice") - col("med")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(max("med").as("med"), percentile(col("absdev"), lit(0.5)).as("mad"))
+    dev.select("l_returnflag", "absdev")
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        max("med").as("med"),
+        max("mad").as("mad"),
+        count(when(col("absdev") > lit(4.4478) * col("mad"), 1)).as("n_outliers"),
+      )
+      .orderBy("l_returnflag")
+  }
+
   /** Per-group sampling cap — the "at most N documents per source" rule
     * every training-data mixture applies. Selection order inside a group is
     * the md5 of the key (a deterministic shuffle, not arrival order, so the
@@ -697,5 +757,5 @@ object Analytics {
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
-    q_sample_split)
+    q_sample_split, q_outlier_mad)
 }

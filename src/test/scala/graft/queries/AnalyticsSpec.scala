@@ -110,4 +110,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(fast === brute, "SymSpell k=1 candidates must have exact recall")
     assert(fast.nonEmpty, "typo probes must match their source names")
   }
+
+  test("MAD outlier audit equals a driver-side exact recompute") {
+    val out = Analytics.q_outlier_mad.run(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val rows = Tables.lineitem(spark, sf())
+      .select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def quantile50(xs: Array[Double]): Double = {
+      // quantile_cont / Spark percentile linear interpolation at p=0.5
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val (lo, hi) = (pos.toInt, math.ceil(pos).toInt)
+      s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    val ref = rows.groupBy(_._1).map { case (g, vs) =>
+      val xs = vs.map(_._2)
+      val med = quantile50(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = quantile50(devs)
+      g -> (xs.length.toLong, med, mad, devs.count(_ > 4.4478 * mad).toLong)
+    }
+    assert(out === ref)
+    // TPC-H prices are light-tailed (products of uniforms): zero outliers at
+    // the 3σ-equivalent threshold is the CORRECT answer here, and the ref
+    // equality above still exercises the counting path. Pin that the
+    // threshold is live by checking a planted spike trips it.
+    import spark.implicits._
+    val spiked = (rows.take(200).map(_._2) :+ 1e9)
+      .toSeq.toDF("x").withColumn("g", lit("s"))
+    val medS = quantile50(rows.take(200).map(_._2) :+ 1e9)
+    val madS = quantile50((rows.take(200).map(_._2) :+ 1e9).map(x => math.abs(x - medS)))
+    val fired = spiked.filter(abs(col("x") - lit(medS)) > lit(4.4478) * lit(madS)).count()
+    assert(fired >= 1)
+  }
 }
