@@ -76,6 +76,70 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** kNN label-consistency audit — the label-noise detector (confident-
+    * learning style): each probe's label is checked against the majority
+    * vote of its 5 nearest neighbors; a label the neighborhood disagrees
+    * with is a candidate annotation error or an embedding-space stray.
+    * Per-label consistency rates are the audit a curation pipeline reads
+    * before trusting `label` for mixture balancing or classifier training.
+    *
+    * Exactness: neighbor ranks come from the same sequential-fold cosine the
+    * oracle's list kernel computes bit-identically; the majority vote
+    * breaks ties deterministically (votes desc, label asc) on BOTH engines,
+    * so the prediction — and therefore the per-label counts — are
+    * engine-invariant even where cosine values tie. Scale shape: the probe
+    * side is broadcast (bounded, like every exact-ANN ground-truth pass);
+    * votes and verdicts are two partial-aggregated groupBys on the bounded
+    * probe keyspace. The 100 TB swap replaces bruteForceTopK with the LSH
+    * or IVF candidate path — the vote/verdict pipeline is unchanged.
+    */
+  val q_embed_knn_audit: Q = Q(
+    "q_embed_knn_audit",
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label
+                 FROM embeddings WHERE vec_id < 100),
+      p AS (
+        SELECT qid, c.vec_id AS cid, c.label AS nbr_label,
+               list_cosine_similarity(qe::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        FROM q, embeddings c WHERE c.vec_id <> qid),
+      r AS (SELECT qid, nbr_label,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+            FROM p),
+      v AS (SELECT qid, nbr_label, COUNT(*) AS votes
+            FROM r WHERE rn <= 5 GROUP BY qid, nbr_label),
+      pr AS (SELECT qid, nbr_label AS pred_label,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nbr_label) AS vr
+             FROM v),
+      j AS (SELECT q.qid, q.true_label, pr.pred_label
+            FROM q JOIN pr ON q.qid = pr.qid AND pr.vr = 1)
+      SELECT true_label AS label, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE pred_label = true_label) AS n_consistent,
+             COUNT(*) FILTER (WHERE pred_label = true_label) * 1.0 / COUNT(*) AS consistency
+      FROM j GROUP BY true_label ORDER BY true_label
+    """),
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 100)
+    val nbr = bruteForceTopK(probes, emb, 5)
+      .join(emb.select(col("vec_id").as("cid"), col("label").as("nbr_label")), "cid")
+    val votes = nbr.groupBy("qid", "nbr_label").agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("nbr_label"))))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("nbr_label").as("pred_label"))
+    probes.select(col("vec_id").as("qid"), col("label").as("true_label"))
+      .join(pred, "qid")
+      .groupBy(col("true_label").as("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("pred_label") === col("true_label"), 1)).as("n_consistent"),
+        (count(when(col("pred_label") === col("true_label"), 1)) * lit(1.0)
+          / count(lit(1))).as("consistency"),
+      )
+      .orderBy("label")
+  }
+
   // ------------------------------------------------------- multi-table LSH
 
   /** L independent tables of k random hyperplanes each (classic multi-table
@@ -483,5 +547,5 @@ object Similarity {
 
   def all: Seq[Q] =
     Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding,
-      q_embed_quantize, q_embed_centroids)
+      q_embed_quantize, q_embed_centroids, q_embed_knn_audit)
 }

@@ -63,4 +63,28 @@ class SimilaritySpec extends SparkSpec {
     info(s"near-dup recall = $recall over ${exact.size} truth pairs")
     assert(recall >= 0.6)
   }
+
+  test("kNN label audit: one verdict per probe, bounded rates, signal present") {
+    val out = Similarity.q_embed_knn_audit.run(spark, sf()).collect()
+    assert(out.nonEmpty)
+    val nProbes = emb.filter(col("vec_id") < 100).count()
+    // every probe lands in exactly one label row (one majority verdict each)
+    assert(out.map(_.getAs[Long]("n")).sum === nProbes)
+    out.foreach { r =>
+      val (n, ok, rate) =
+        (r.getAs[Long]("n"), r.getAs[Long]("n_consistent"), r.getAs[Double]("consistency"))
+      assert(ok >= 0 && ok <= n)
+      assert(rate === ok.toDouble / n)
+    }
+    // This corpus's labels are NOT cluster-aligned (they are assigned
+    // independently of the embedding space), so the audit's correct verdict
+    // is chance-level consistency (~1/|labels|) — exactly the signal that
+    // tells a curation pipeline the label column is unusable for mixture
+    // balancing. Pin that it reports chance, not a spuriously high rate.
+    val overall = out.map(_.getAs[Long]("n_consistent")).sum.toDouble / nProbes
+    info(s"overall kNN label consistency = $overall")
+    val nLabels = emb.select("label").distinct().count()
+    assert(overall < 2.5 / nLabels,
+      s"random labels must audit near chance (1/$nLabels), got $overall")
+  }
 }
