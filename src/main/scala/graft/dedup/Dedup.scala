@@ -560,21 +560,26 @@ object Dedup {
     Q("q_graph_pagerank", Some(oracleSql)) { (s, d) =>
       val pairs = setSimilarityJoin(Tables.documents(s, d), 0.5)
         .select("i", "j").localCheckpoint()
+      // Degree is fused onto the edge list ONCE before the loop (it never
+      // changes), and the per-iteration left-join back onto the node set is
+      // dropped entirely: the edge set is symmetrized, so every node has an
+      // in-edge and `incoming` covers the full node set by construction —
+      // the oracle keeps the textbook LEFT JOIN form, which is equal on any
+      // symmetric graph. Each iteration is then exactly one join + one
+      // partial-aggregated groupBy (2 shuffle stages, AQE picks broadcast
+      // for the small rank side at gate scale; both sides shuffle at 100 TB).
       val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
         .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      val nodes = edges.select(col("src").as("node")).distinct()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      var rank = nodes.select(col("node"), lit(R0).as("rank"))
+      val edgesDeg = edges.join(deg, "src").localCheckpoint()
+      var rank = edgesDeg.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(R0).as("rank"))
       for (_ <- 1 to iters) {
-        val contrib = edges
-          .join(rank, edges("src") === rank("node"))
-          .join(deg, "src")
+        rank = edgesDeg
+          .join(rank, edgesDeg("src") === rank("node"))
           .select(col("dst"), expr("rank div deg").as("c"))
-        val incoming = contrib.groupBy(col("dst").as("node")).agg(sum("c").as("inc"))
-        rank = nodes
-          .join(incoming, Seq("node"), "left")
-          .select(col("node"),
-            (lit(T) + expr("85 * coalesce(inc, 0L) div 100")).as("rank"))
+          .groupBy(col("dst").as("node")).agg(sum("c").as("inc"))
+          .select(col("node"), (lit(T) + expr("85 * inc div 100")).as("rank"))
       }
       rank.select(col("node").as("doc_id"), col("rank").as("pagerank"))
         .orderBy("doc_id")
