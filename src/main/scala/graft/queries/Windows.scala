@@ -228,7 +228,53 @@ object Windows {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Last-touch attribution — the marketing-analytics read every event
+    * pipeline serves: each purchase is credited to the user's most recent
+    * STRICTLY-PRIOR touch event (click or view); purchases with no prior
+    * touch fall into the 'direct' bucket. One ignore-nulls `last` over the
+    * user's (ts, event_id)-total-ordered history — the frame's `1 PRECEDING`
+    * upper bound encodes "strictly prior" so a same-row purchase can never
+    * credit itself, and intervening purchases (touch = null) are skipped,
+    * not resetting the channel. Revenue sums ride DECIMAL(18,2) (the
+    * 2-decimal event values are exact there) and cast back to double.
+    * Scale: one shuffle on user_id; the window sort is the spill-safe
+    * sort-based exec; the final groupBy is 3 rows.
+    */
+  val q_attribution: Q = Q(
+    "q_attribution",
+    Some("""
+      WITH lt AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        FROM events
+      )
+      SELECT coalesce(channel, 'direct') AS channel,
+             COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      FROM lt WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    Tables.events(s, d)
+      .withColumn("channel", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("attributed_value"),
+      )
+      .orderBy("channel")
+  }
+
   def all: Seq[Q] =
     Seq(q_w1_running_max, q_d1_dedup_first, q_asof_click_purchase, q_sessionize,
-      q_window_trailing)
+      q_window_trailing, q_attribution)
 }
