@@ -131,4 +131,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"),
       s"window/agg must be keyed by the shard:\n${p.take(1500)}")
   }
+
+  test("MAD outlier passes broadcast the per-group medians, never shuffle the facts twice") {
+    val p = plan("q_outlier_mad")
+    // both med and (med,mad) rejoins are group-key-sized → broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      s"fact-side rejoin must not shuffle the fact table:\n${p.take(1500)}")
+  }
+
+  test("attribution is one user-keyed window shuffle, no join anywhere") {
+    val p = plan("q_attribution")
+    assert(p.contains("hashpartitioning(user_id"), p.take(1200))
+    assert(!p.contains("Join"), s"attribution must be pure window+agg:\n${p.take(1200)}")
+  }
+
+  test("kNN audit broadcasts the probe side into the scoring scan") {
+    val p = plan("q_embed_knn_audit")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
