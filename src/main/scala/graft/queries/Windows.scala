@@ -274,7 +274,72 @@ object Windows {
       .orderBy("channel")
   }
 
+  /** Linear (multi-touch) attribution — the last-touch model's fairness
+    * counterpart: every touch before a purchase shares its value equally, so
+    * a channel's credit for one purchase is value · touches_of_channel / k.
+    * The split rides integer fixed-point micros — value is exact in
+    * DECIMAL(18,2), ×1e6 to a BIGINT, and the share is a TRUNCATING integer
+    * multiply-divide, identical on both engines — so the per-channel sums
+    * are exact integers with no float accumulation order anywhere (the trap
+    * in any naive Σ value/k of doubles). Prior-touch counts are two
+    * conditional window counts over the same (ts, event_id)-total-ordered
+    * frame last-touch uses; the final 3-row answer unpacks from ONE global
+    * aggregate row (no second shuffle), q_profile_columns-style.
+    */
+  val q_attribution_linear: Q = Q(
+    "q_attribution_linear",
+    Some("""
+      WITH h AS (
+        SELECT event_type, value,
+               COUNT(*) FILTER (WHERE event_type = 'click') OVER w AS c_click,
+               COUNT(*) FILTER (WHERE event_type = 'view')  OVER w AS c_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ), p AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 AS vm,
+               c_click, c_view, c_click + c_view AS k
+        FROM h WHERE event_type = 'purchase'
+      ), a AS (
+        SELECT COUNT(*) FILTER (WHERE c_click > 0) AS n_click,
+               CAST(SUM(CASE WHEN k > 0 THEN vm * c_click // k ELSE 0 END) AS BIGINT) AS m_click,
+               COUNT(*) FILTER (WHERE k = 0) AS n_direct,
+               CAST(SUM(CASE WHEN k = 0 THEN vm ELSE 0 END) AS BIGINT) AS m_direct,
+               COUNT(*) FILTER (WHERE c_view > 0) AS n_view,
+               CAST(SUM(CASE WHEN k > 0 THEN vm * c_view // k ELSE 0 END) AS BIGINT) AS m_view
+        FROM p
+      )
+      SELECT 'click' AS channel, n_click AS n_purchases, m_click AS credited_micros FROM a
+      UNION ALL SELECT 'direct', n_direct, m_direct FROM a
+      UNION ALL SELECT 'view', n_view, m_view FROM a
+      ORDER BY channel
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = Tables.events(s, d)
+      .withColumn("c_click", count(when(col("event_type") === "click", 1)).over(w))
+      .withColumn("c_view", count(when(col("event_type") === "view", 1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("vm",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType) * lit(10000L))
+      .withColumn("k", col("c_click") + col("c_view"))
+    val a = p.agg(
+      count(when(col("c_click") > 0, 1)).as("n_click"),
+      sum(when(col("k") > 0, expr("vm * c_click div k")).otherwise(0L)).as("m_click"),
+      count(when(col("k") === 0, 1)).as("n_direct"),
+      sum(when(col("k") === 0, col("vm")).otherwise(0L)).as("m_direct"),
+      count(when(col("c_view") > 0, 1)).as("n_view"),
+      sum(when(col("k") > 0, expr("vm * c_view div k")).otherwise(0L)).as("m_view"),
+    )
+    a.select(expr(
+      "stack(3, 'click', n_click, m_click, 'direct', n_direct, m_direct, " +
+        "'view', n_view, m_view) AS (channel, n_purchases, credited_micros)"))
+      .orderBy("channel")
+  }
+
   def all: Seq[Q] =
     Seq(q_w1_running_max, q_d1_dedup_first, q_asof_click_purchase, q_sessionize,
-      q_window_trailing, q_attribution)
+      q_window_trailing, q_attribution, q_attribution_linear)
 }
