@@ -637,9 +637,116 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval merge
+    * (Cormack et al. 2009): combine two rankings of the same corpus by
+    * summing 1/(60 + rank) per list, robust to either list's score scale.
+    * Here BM25 (semantic-ish lexical weighting) fuses with raw query-term
+    * frequency (the ranking a plain inverted index gives); at 100 TB the
+    * second list is typically an ANN ranking — the fusion step is
+    * unchanged. Scores ride integer fixed-point (1e12 div (60+rank) —
+    * truncating, non-negative, exact integer sums), so fused order is
+    * engine- and partition-invariant where float RRF could tie-break
+    * differently at the 17th digit. Scale shape: each list is a
+    * TakeOrderedAndProject top-k; the rank window runs on k rows (never the
+    * corpus); the fusion is a k-row full-outer join and a top-10 take.
+    */
+  val q_text_rrf: Q = Q(
+    "q_text_rrf",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        FROM documents
+      ), dl AS (
+        SELECT doc_id, len(toks) AS dl FROM f
+      ), t AS (
+        SELECT doc_id, unnest(toks) AS w FROM f
+      ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM t
+        WHERE w IN ('join', 'window', 'hash') GROUP BY doc_id, w
+      ), df AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+      ), n AS (SELECT COUNT(*) AS n FROM f),
+      ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      sc AS (
+        SELECT tf.doc_id,
+               ln((n.n - df.df + CAST(0.5 AS DOUBLE))
+                    / (df.df + CAST(0.5 AS DOUBLE)) + 1)
+                 * (tf.tf * CAST(2.2 AS DOUBLE)
+                    / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl.dl / ad.avgdl))) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN n CROSS JOIN ad
+      ), b AS (
+        SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(20,12))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+      ), r1 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        FROM b
+      ), qt AS (
+        SELECT doc_id, SUM(tf) AS qtf FROM tf
+        GROUP BY doc_id ORDER BY qtf DESC, doc_id LIMIT 20
+      ), r2 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY qtf DESC, doc_id) AS lex_rank
+        FROM qt
+      )
+      SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+             r1.bm25_rank AS bm25_rank, r2.lex_rank AS lex_rank,
+             COALESCE(1000000000000 // (60 + r1.bm25_rank), 0)
+               + COALESCE(1000000000000 // (60 + r2.lex_rank), 0) AS rrf_fp
+      FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+      ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val queryTerms = Seq("join", "window", "hash")
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+    val dl = f.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+    val tf = f
+      .select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isin(queryTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = f.agg(count(lit(1)).as("n"))
+    val ad = dl.agg(avg(col("dl")).as("avgdl"))
+    val score =
+      log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1) *
+        (col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    // each top-20 take is a TakeOrderedAndProject; the rank window then runs
+    // on 20 rows (single tiny partition by construction, never the corpus)
+    val b = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfTab), "w")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(ad))
+      .select(col("doc_id"), score.cast(DecimalType(20, 12)).as("sdec"))
+      .groupBy("doc_id")
+      .agg(sum(col("sdec")).cast(DoubleType).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val r1 = b.withColumn("bm25_rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast(LongType))
+      .select("doc_id", "bm25_rank")
+    val qt = tf.groupBy("doc_id").agg(sum("tf").as("qtf"))
+      .orderBy(col("qtf").desc, col("doc_id")).limit(20)
+    val r2 = qt.withColumn("lex_rank",
+      row_number().over(Window.orderBy(col("qtf").desc, col("doc_id")))
+        .cast(LongType))
+      .select("doc_id", "lex_rank")
+    r1.join(r2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("lex_rank"),
+        (coalesce(expr("1000000000000 div (60 + bm25_rank)"), lit(0L))
+          + coalesce(expr("1000000000000 div (60 + lex_rank)"), lit(0L)))
+          .as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id")).limit(10)
+  }
+
   def all: Seq[Q] = Seq(
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
     q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm,
     q_text_gopher, q_text_winnow, q_text_chunks, q_text_boilerplate,
-    q_text_bm25)
+    q_text_bm25, q_text_rrf)
 }

@@ -151,4 +151,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("rrf takes both candidate lists as physical top-k before fusing") {
+    val p = plan("q_text_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3, // 2 lists + final
+      s"every ranking cut must be top-k, never a full sort:\n${p.take(1500)}")
+  }
 }
