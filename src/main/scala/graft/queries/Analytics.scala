@@ -480,6 +480,57 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-depth histogram — the quantile-bucketed companion to the
+    * equi-width q_histogram: bucket EDGES adapt to the distribution so every
+    * bucket holds ~1/8 of the rows (the binning that stays readable on
+    * skewed data, and the one query optimizers keep as column statistics).
+    * Scale-correct form: a global `ntile` would drag the whole table through
+    * ONE window partition; instead the 7 interior cut points come from the
+    * exact distributed percentile aggregate (one tiny row), broadcast back,
+    * and each row counts the cuts below it with an in-row array filter —
+    * scan-speed assignment, one shuffle total for the final 8-row groupBy.
+    * Ties sit wholly in one bucket (documented equi-depth-by-value, exact
+    * mirror on both engines); the 100 TB swap is `percentile_approx` cuts.
+    */
+  val q_histogram_equidepth: Q = Q(
+    "q_histogram_equidepth",
+    Some("""
+      WITH cuts AS (
+        SELECT [quantile_cont(o_totalprice, 0.125), quantile_cont(o_totalprice, 0.25),
+                quantile_cont(o_totalprice, 0.375), quantile_cont(o_totalprice, 0.5),
+                quantile_cont(o_totalprice, 0.625), quantile_cont(o_totalprice, 0.75),
+                quantile_cont(o_totalprice, 0.875)] AS cs
+        FROM orders
+      ), b AS (
+        SELECT o_totalprice,
+               1 + len(list_filter(cs, c -> o_totalprice > c)) AS bucket
+        FROM orders CROSS JOIN cuts
+      )
+      SELECT bucket, COUNT(*) AS n,
+             MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM b GROUP BY bucket ORDER BY bucket
+    """),
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).select("o_totalprice")
+    val cuts = o.agg(percentile(col("o_totalprice"),
+      array(lit(0.125), lit(0.25), lit(0.375), lit(0.5),
+        lit(0.625), lit(0.75), lit(0.875))).as("cs"))
+    o.crossJoin(broadcast(cuts))
+      .select(col("o_totalprice"),
+        (lit(1) + size(filter(col("cs"), c => col("o_totalprice") > c)))
+          .cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"),
+      )
+      .orderBy("bucket")
+  }
+
   /** Per-group sampling cap — the "at most N documents per source" rule
     * every training-data mixture applies. Selection order inside a group is
     * the md5 of the key (a deterministic shuffle, not arrival order, so the
@@ -757,5 +808,5 @@ object Analytics {
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
-    q_sample_split, q_outlier_mad)
+    q_sample_split, q_outlier_mad, q_histogram_equidepth)
 }

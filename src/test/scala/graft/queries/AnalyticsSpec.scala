@@ -146,4 +146,24 @@ class AnalyticsSpec extends SparkSpec {
     val fired = spiked.filter(abs(col("x") - lit(medS)) > lit(4.4478) * lit(madS)).count()
     assert(fired >= 1)
   }
+
+  test("equi-depth histogram: near-equal buckets, ordered disjoint value spans") {
+    val out = Analytics.q_histogram_equidepth.run(spark, sf("sf0.01")).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq === (1L to 8L))
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.orders(spark, sf("sf0.01")).count())
+    // depth balance: every bucket within 20% of the ideal eighth
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(math.abs(n - total / 8.0) < 0.2 * total / 8.0,
+        s"bucket ${r.getAs[Long]("bucket")} holds $n of $total")
+    }
+    // value spans are ordered and non-overlapping (cut points separate them)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("lo") <= a.getAs[Double]("hi"))
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+  }
 }
