@@ -64,6 +64,28 @@ def compare(name, oracle_rows, oracle_cols, spark_rows, spark_cols):
     return problems
 
 
+def type_check(con, name, sql, dump):
+    """The driver's hash is sensitive to int128: a DuckDB HUGEINT column
+    (e.g. from an uncast sum(BIGINT) or // over it) hash-mismatches a Spark
+    BIGINT even when every value is identical — invisible to the value
+    compare above because Python converts both to int. Hard-fail on any
+    HUGEINT/UHUGEINT oracle column; warn on other width mismatches (the
+    driver forgives INTEGER/BIGINT and DECIMAL/DOUBLE, audited round 7)."""
+    problems = []
+    try:
+        o_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+        s_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE SELECT * FROM '{dump}'").fetchall()}
+    except Exception as e:
+        return [f"type check error: {e}"]
+    for c, t in sorted(o_types.items()):
+        if "HUGEINT" in t.upper():
+            problems.append(
+                f"oracle col {c} is {t} (spark: {s_types.get(c)}) — int128 breaks the driver hash; CAST it")
+        elif c in s_types and t != s_types[c]:
+            problems.append(f"  ~ type width: col {c} oracle={t} spark={s_types[c]}")
+    return problems
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -99,6 +121,7 @@ def main():
             n_fail += 1
             continue
         problems = compare(name, oracle_rows, oracle_cols, spark_rows, spark_cols)
+        problems += type_check(con, name, oracle_sql[name], dump)
         hard = [p for p in problems if not p.startswith("  ~")]
         if hard:
             n_fail += 1

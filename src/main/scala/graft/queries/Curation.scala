@@ -186,14 +186,14 @@ object Curation {
         FROM t
       )
       SELECT source,
-             (cum - n_tokens) // 256 AS pack_id,
+             CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
              count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
              min(doc_id) AS first_doc,
              max(doc_id) AS last_doc,
              CAST(sum(n_tokens) AS BIGINT) / CAST(256 AS DOUBLE) AS fill_ratio
       FROM c
-      GROUP BY source, (cum - n_tokens) // 256
+      GROUP BY source, CAST((cum - n_tokens) // 256 AS BIGINT)
       ORDER BY source, pack_id
     """),
   ) { (s, d) =>

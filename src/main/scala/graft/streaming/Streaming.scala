@@ -266,6 +266,20 @@ object Streaming {
     */
   val cdcBatchIdKey = "cdc_batch_id"
 
+  /** Manifest meta key for the query identity that minted cdc_batch_id —
+    * Delta's txnAppId idea. Batch ids are only monotone WITHIN one
+    * checkpoint lineage: a fresh checkpoint re-numbers from 0, so a bare
+    * `applied >= batchId` skip would silently drop genuinely new batches.
+    * The skip therefore only fires when the stored run id matches.
+    */
+  val cdcRunIdKey = "cdc_run_id"
+
+  private def cdcRunId(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(checkpointDir).getCanonicalPath
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   /** Streaming CDC apply — the streaming twin of q_upsert/SnapshotTable
     * MERGE: each micro-batch collapses to its newest event per user
     * (latest-wins CDC semantics, deterministic via the (ts, event_id)
@@ -278,8 +292,12 @@ object Streaming {
     *
     * Exactly-once across restarts: foreachBatch can replay a batch whose
     * merge committed but whose checkpoint didn't (crash in between), so the
-    * applied batchId is stamped into the snapshot manifest and replays of
-    * an already-applied id are skipped — no spurious table version.
+    * applied batchId is stamped into the snapshot manifest — scoped by a
+    * run id tied to the checkpoint lineage (Delta's txnAppId idea) — and a
+    * replay of an already-applied id FROM THE SAME LINEAGE is skipped. A
+    * fresh checkpoint re-numbers batches from 0, so its ids never match the
+    * stored lineage and nothing new is ever skipped; the anti-filter below
+    * still makes true replays merge-empty.
     *
     * Latest-wins across batches, not just within one: the batch is
     * anti-filtered against the stored state, keeping only rows strictly
@@ -300,12 +318,15 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
+        val runId = cdcRunId(checkpointDir)
         val tableExists = graft.io.SnapshotTable.exists(tableDir)
-        val applied =
+        val meta =
           if (tableExists)
-            graft.io.SnapshotTable.snapshot(spark, tableDir, None)
-              .meta.get(cdcBatchIdKey).map(_.toLong)
-          else None
+            graft.io.SnapshotTable.snapshot(spark, tableDir, None).meta
+          else Map.empty[String, String]
+        val applied = meta.get(cdcBatchIdKey).map(_.toLong)
+          // batch ids from a different checkpoint lineage don't compare
+          .filter(_ => meta.get(cdcRunIdKey).contains(runId))
         if (applied.exists(_ >= batchId)) {
           // post-crash replay of a batch the table already holds: skip
           ()
@@ -327,12 +348,14 @@ object Streaming {
               .drop("__cur_ts", "__cur_eid")
             if (!fresh.isEmpty) {
               graft.io.SnapshotTable.merge(spark, tableDir, fresh, "user_id",
-                meta = Map(cdcBatchIdKey -> batchId.toString))
+                meta = Map(cdcBatchIdKey -> batchId.toString,
+                  cdcRunIdKey -> runId))
               ()
             }
           } else if (!latest.isEmpty) {
             graft.io.SnapshotTable.create(latest, tableDir,
-              meta = Map(cdcBatchIdKey -> batchId.toString))
+              meta = Map(cdcBatchIdKey -> batchId.toString,
+                cdcRunIdKey -> runId))
             ()
           }
         }

@@ -244,7 +244,6 @@ class IoSpec extends SparkSpec {
     assert(liveDirs === referenced,
       "a losing writer must delete its own commit dir (no unreferenced debris)")
     // retry every loser; afterwards BOTH change sets are in the table
-    losses.indices.foreach { _ => () }
     results.zip(Seq(changesA, changesB)).foreach {
       case (Left(_), ch) => SnapshotTable.merge(spark, dir, ch, "o_orderkey"); ()
       case _ => ()

@@ -347,15 +347,47 @@ class StreamingSpec extends SparkSpec {
       .meta.get(Streaming.cdcBatchIdKey).contains("1"))
 
     // simulated restart-replay: a FRESH checkpoint re-delivers every batch
-    // with the same batchIds (the crash-between-merge-and-checkpoint case,
-    // maximally adversarial: ALL batches replay) — the manifest's recorded
-    // batch id must skip them all, minting no spurious versions
+    // (the crash-between-merge-and-checkpoint case, maximally adversarial:
+    // ALL batches replay). The new lineage's batch ids don't match the
+    // stored run id, so the skip correctly does NOT fire — instead the
+    // (ts, event_id) anti-filter makes every replayed batch merge-empty,
+    // minting no spurious versions
     Streaming.upsertLatestByUser(spark, dir, tableDir,
       tmpDir("graft-stream-cdc-replay-ckpt2"), Map("maxFilesPerTrigger" -> "1"))
       .awaitTermination()
     assert(graft.io.SnapshotTable.latestVersion(tableDir) === versionBefore,
       "replayed batches must not mint new table versions")
     assert(content === contentBefore)
+  }
+
+  test("CDC batch-id skip is scoped by checkpoint lineage: a fresh checkpoint cannot lose new data") {
+    val dir = tmpDir("graft-stream-cdc-fresh")
+    val tableDir = tmpDir("graft-stream-cdc-fresh-table") + "/user_state"
+    landEvents(dir)
+    Seq("batch1.json", "batch2.json").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    // lineage A applies two batches → manifest records cdc_batch_id = 1
+    Streaming.upsertLatestByUser(spark, dir, tableDir,
+      tmpDir("graft-stream-cdc-fresh-ckpt"), Map("maxFilesPerTrigger" -> "1"))
+      .awaitTermination()
+    // a genuinely NEW event lands, then the stream restarts with a FRESH
+    // checkpoint and no per-file trigger cap: all three files arrive as
+    // batchId 0. An unscoped `applied (1) >= batchId (0)` skip would drop
+    // user 3 silently — the run-id scope must prevent that.
+    Files.writeString(Paths.get(dir, "batch3.json"),
+      """{"event_id":10,"ts":"2024-06-01T12:00:00","user_id":3,"event_type":"view","value":10.0,"props":"{}"}
+        |""".stripMargin)
+    Files.setLastModifiedTime(Paths.get(dir, "batch3.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 20000L))
+    Streaming.upsertLatestByUser(spark, dir, tableDir,
+      tmpDir("graft-stream-cdc-fresh-ckpt2")).awaitTermination()
+    val got = graft.io.SnapshotTable.read(spark, tableDir)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 4L), (2L, 3L), (3L, 10L)),
+      "new data arriving under a re-numbered batch id must still merge")
   }
 
   test("CDC apply is latest-wins across batches: a late event cannot overwrite newer state") {
