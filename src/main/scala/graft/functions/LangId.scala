@@ -10,8 +10,7 @@ import org.apache.spark.sql.functions._
   * langdetect covered ~55 languages; this heuristic covers 62 —
   * twenty-three script classes (seven of which disambiguate further, see
   * below) and thirty-two Latin-script languages by stopword argmax — while
-  * staying expression-only, codegen'd, and exactly mirrorable in the
-  * DuckDB oracle.
+  * staying expression-only and exactly mirrorable in the DuckDB oracle.
   *
   * Decision order (first match wins, both engines):
   *   1. null/empty → undetected
@@ -27,6 +26,24 @@ import org.apache.spark.sql.functions._
   *      answered.
   *   3. argmax of distinct stopword hits per Latin-script language, ties
   *      broken by [[langs]] order; zero hits → undetected.
+  *
+  * DATA-DRIVEN PLAN SHAPE (round 8): the round-7 form compiled an
+  * O(languages) CASE tree — one array_intersect + one case arm per
+  * language, ~500 expression nodes at 62 languages — and every ETL /
+  * curation query that embeds language id paid its plan-analysis and
+  * codegen cost again (the round-7 bench regression: the ETL trio
+  * 7.8 → 20.9 s). This form is constant-size in the language count:
+  * the whole stopword table is ONE array-of-struct literal ([[vocab]],
+  * a single Literal node however many languages it carries), scored by
+  * one generic scorer — tokens → matching (word, lang) pairs → per-lang
+  * hit counts → argmax decoded from a packed `count*64 + (63-index)`
+  * integer, ties falling to the smaller index exactly like the old
+  * first-match case chain. Adding a language now grows DATA, not the
+  * plan. Sub-expressions that lambda bodies would otherwise re-evaluate
+  * per element (Catalyst does not CSE through lambda bodies) are bound
+  * once via the single-element-array lambda-let idiom:
+  * `element_at(transform(array(x), v => body(v)), 1)` evaluates `x`
+  * exactly once per row on both engines.
   */
 object LangId {
 
@@ -138,105 +155,140 @@ object LangId {
   val anyScriptClass: String =
     "[" + scriptClasses.map(_._2.stripPrefix("[").stripSuffix("]")).mkString + "]"
 
-  /** Within-script argmax for a shared-script class: distinctive-word hit
-    * counts per member, zero hits → the script's majority language.
-    * Evaluated only on rows whose script matched, so the nested intersects
-    * cost nothing on the (dominant) Latin path.
+  /** Script-group keys in index-assignment order (deterministic — a Map
+    * iteration order must never decide tie-breaks).
     */
-  private def scriptGroupDecision(text: Column, default: String,
-      members: Seq[(String, Seq[String])]): Column = {
-    val toks = split(lower(text), "\\s+")
-    val scores = members.map { case (l, ws) =>
-      l -> size(array_intersect(toks, lit(ws.toArray)))
-    }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldLeft(when(best <= 0, default)) { case (acc, (l, sc)) =>
-      acc.when(sc === best, l)
-    }
+  private val groupOrder: Seq[String] = Seq("ru", "ar", "hi")
+
+  /** Every scored language in tie-break index order: the 32 Latin-script
+    * languages first (their mutual ties behave exactly like the round-7
+    * case chain), then each shared-script group's members majority-first.
+    * Scripts are disjoint, so a token can only ever hit one segment of the
+    * index space — cross-segment ties cannot arise.
+    */
+  val allLangs: Seq[String] =
+    langs ++ groupOrder.flatMap(g => scriptGroups(g).map(_._1))
+
+  /** The whole scoring table as data: (stopword, language index). One
+    * array-of-struct Literal node in the plan regardless of language count.
+    */
+  private val vocab: Seq[(String, Int)] = {
+    val byLang: Seq[(String, Seq[String])] =
+      langs.map(l => l -> stopwords(l)) ++ groupOrder.flatMap(g => scriptGroups(g))
+    byLang.zipWithIndex.flatMap { case ((_, ws), i) => ws.map(w => (w, i)) }
   }
 
-  /** The script when-chain shared by [[langId]] and [[withLangId]]:
-    * script classes in decision order, shared scripts disambiguated.
+  /** Index span of each shared-script group inside [[allLangs]] (contiguous,
+    * majority first) — the group argmax is the generic argmax restricted to
+    * this span.
     */
-  private def scriptChainOver(text: Column, byScore: Column): Column = {
+  private val groupSpan: Map[String, (Int, Int)] = {
+    var next = langs.size
+    groupOrder.map { g =>
+      val lo = next
+      next += scriptGroups(g).size
+      g -> (lo, next - 1)
+    }.toMap
+  }
+
+  private val latinSpan: (Int, Int) = (0, langs.size - 1)
+
+  /** Lambda-let: bind `x` once and evaluate `body` against the bound value.
+    * Catalyst does not CSE through lambda bodies or CaseWhen branches, so
+    * any multiply-referenced non-trivial value must be bound this way (or
+    * materialized as a projection column) to be computed once per row.
+    */
+  private def bind(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
+  /** Language indices hit by the text, with one entry per matched
+    * (stopword, language) pair — a language's count is its number of
+    * DISTINCT matched stopwords, exactly the round-7
+    * `size(array_intersect(tokens, stopwords))` semantics.
+    */
+  private def hitsExpr(text: Column): Column =
+    bind(array_distinct(split(lower(text), "\\s+"))) { toks =>
+      transform(
+        filter(typedlit(vocab), p => array_contains(toks, p.getField("_1"))),
+        p => p.getField("_2"))
+    }
+
+  /** Argmax over the hit counts restricted to index span [lo, hi]; null
+    * when the span has no hits. Count and tie-break ride one packed
+    * integer: `count*64 + (63 - index)` — the max has the highest count,
+    * and among equal counts the smallest index (= highest declared
+    * priority), matching the round-7 first-match case chain. Safe because
+    * counts are ≤ 12 (stopwords per language) and indices < 64.
+    */
+  private def argmaxExpr(hits: Column, span: (Int, Int)): Column =
+    bind(filter(hits, h => h >= lit(span._1) && h <= lit(span._2))) { g =>
+      val enc = transform(array_distinct(g),
+        i => size(filter(g, h => h === i)) * lit(64) + (lit(63) - i))
+      element_at(typedlit(allLangs), lit(64) - (array_max(enc) % lit(64)))
+    }
+
+  /** The decision chain over a bound hits value: script classes in
+    * declared order (shared scripts → span-restricted argmax with the
+    * majority language as zero-hit fallback), then the Latin stopword
+    * argmax. Scripts are disjoint from Latin tokens, so restricting each
+    * argmax to its span reproduces the round-7 per-group decisions bit for
+    * bit.
+    */
+  private def decide(text: Column, hits: Column): Column = {
+    val byScore = coalesce(argmaxExpr(hits, latinSpan), lit("undetected"))
     val chain = scriptClasses.foldRight(byScore) { case ((l, cls), acc) =>
-      val verdict: Column = scriptGroups.get(l)
-        .map(ms => scriptGroupDecision(text, l, ms))
+      val verdict = groupSpan.get(l)
+        .map(span => coalesce(argmaxExpr(hits, span), lit(l)))
         .getOrElse(lit(l))
       when(regexp_like(text, lit(cls)), verdict).otherwise(acc)
     }
-    when(regexp_like(text, lit(anyScriptClass)), chain).otherwise(byScore)
-  }
-
-  def langId(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
-    val score: Map[String, Column] =
-      langs.map(l => l -> size(array_intersect(toks, lit(stopwords(l).toArray)))).toMap
-    val best = greatest(langs.map(score): _*)
-    val byScore = langs.foldLeft(when(best <= 0, "undetected")) { (acc, l) =>
-      acc.when(score(l) === best, l)
-    }
-    val byScript = scriptChainOver(text, byScore)
+    val byScript = when(regexp_like(text, lit(anyScriptClass)), chain).otherwise(byScore)
     when(text.isNull || length(text) === 0, "undetected").otherwise(byScript)
   }
 
-  /** Hot-path form of [[langId]]: semantically identical, but materializes
-    * the per-language stopword scores (and their max) as real columns in a
-    * lower projection, so the decision CASE reads plain column refs.
-    *
-    * Why this exists: Catalyst's subexpression elimination skips CaseWhen
-    * branches (they evaluate conditionally), so the single-Column [[langId]]
-    * re-tokenizes and re-intersects per branch reference — measured ~100
-    * intersect evaluations per row across the 10-language argmax chain.
-    * Here each intersect happens exactly once per row; CollapseProject
-    * keeps the boundary because the aliases are non-cheap and
-    * multiply-referenced.
+  def langId(text: Column): Column =
+    bind(hitsExpr(text))(hits => decide(text, hits))
+
+  /** DataFrame form of [[langId]] — kept for call sites that want the text
+    * expression applied with an output column name; since the round-8
+    * lambda-let binding already evaluates the scorer once per row, this is
+    * now just a withColumn.
     */
   def withLangId(df: org.apache.spark.sql.DataFrame, text: Column, out: String)
-      : org.apache.spark.sql.DataFrame = {
-    val toks = split(lower(text), "\\s+")
-    def sc(l: String) = s"__lid_$l"
-    val scored = df.select(
-      col("*") +:
-        langs.map(l =>
-          size(array_intersect(toks, lit(stopwords(l).toArray))).as(sc(l))): _*)
-    val best = greatest(langs.map(l => col(sc(l))): _*)
-    val byScore = langs.foldLeft(when(best <= 0, "undetected")) { (acc, l) =>
-      acc.when(col(sc(l)) === best, l)
-    }
-    val byScript = scriptChainOver(text, byScore)
-    scored
-      .withColumn(out,
-        when(text.isNull || length(text) === 0, "undetected").otherwise(byScript))
-      .drop(langs.map(sc): _*)
-  }
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn(out, langId(text))
 
-  /** The same heuristic as DuckDB SQL, parameterized on the text expression —
-    * used by graft.text oracle queries so the two sides stay in lockstep.
+  /** The same heuristic as DuckDB SQL, parameterized on the text
+    * expression — used by graft.text oracle queries so the two sides stay
+    * in lockstep. Same data-driven shape: the vocabulary is one
+    * list-of-struct literal, bound once per row with the same
+    * single-element-list lambda-let, and each argmax packs
+    * `count*64 + (63 - index)` so the engines share the tie-break.
     */
   def duckDbSql(textExpr: String): String = {
-    def wordHits(ws: Seq[String]) =
-      s"len(list_intersect(string_split_regex(lower($textExpr), '\\s+'), " +
-        s"[${ws.map(w => s"'$w'").mkString(", ")}]))"
-    def hits(l: String) = wordHits(stopwords(l))
-    val best = s"greatest(${langs.map(hits).mkString(", ")})"
-    def groupCase(default: String, members: Seq[(String, Seq[String])]): String = {
-      val gbest = s"greatest(${members.map(m => wordHits(m._2)).mkString(", ")})"
-      val arms = members
-        .map { case (l, ws) => s"WHEN ${wordHits(ws)} = $gbest THEN '$l'" }
-        .mkString(" ")
-      s"(CASE WHEN $gbest <= 0 THEN '$default' $arms END)"
-    }
+    val vocabSql = vocab
+      .map { case (w, i) => s"{'w': '$w', 'l': $i}" }
+      .mkString("[", ", ", "]")
+    val langsSql = allLangs.map(l => s"'$l'").mkString("[", ", ", "]")
+    val toks = s"list_distinct(string_split_regex(lower($textExpr), '\\s+'))"
+    val hits = s"(list_transform([$toks], td -> " +
+      s"list_transform(list_filter($vocabSql, p -> list_contains(td, struct_extract(p, 'w'))), " +
+      s"p -> struct_extract(p, 'l'))))[1]"
+    def argmax(span: (Int, Int)): String =
+      s"(list_transform([list_filter(hs, h -> h >= ${span._1} AND h <= ${span._2})], g -> " +
+        s"($langsSql)[64 - (list_max(list_transform(list_distinct(g), " +
+        s"i -> len(list_filter(g, h2 -> h2 = i))*64 + (63 - i))) % 64)]))[1]"
     val scriptCases = scriptClasses
       .map { case (l, cls) =>
-        val verdict = scriptGroups.get(l).map(groupCase(l, _)).getOrElse(s"'$l'")
+        val verdict = groupSpan.get(l)
+          .map(span => s"coalesce(${argmax(span)}, '$l')")
+          .getOrElse(s"'$l'")
         s"WHEN regexp_matches($textExpr, '$cls') THEN $verdict"
       }
       .mkString(" ")
-    val cases = langs.map(l => s"WHEN ${hits(l)} = $best THEN '${l}'").mkString(" ")
-    s"""CASE WHEN $textExpr IS NULL OR length($textExpr) = 0 THEN 'undetected'
+    s"""(list_transform([$hits], hs -> CASE
+        WHEN $textExpr IS NULL OR length($textExpr) = 0 THEN 'undetected'
         $scriptCases
-        WHEN $best <= 0 THEN 'undetected'
-        $cases END"""
+        ELSE coalesce(${argmax(latinSpan)}, 'undetected') END))[1]"""
   }
 }
