@@ -22,18 +22,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot read
-    * natively: read it as a nanos long (legacy conf) and truncate to
-    * microseconds (verified lossless on this data; DuckDB does the same
-    * ns→µs truncation). Cast to NTZ so dumps compare naively against the
-    * oracle — the session runs in UTC so LTZ→NTZ preserves wall time.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver testdata generations, so adapt to the
+    * read schema. NANOS is unreadable natively in Spark 4: read it as a
+    * nanos long (legacy conf) and truncate to microseconds (lossless on
+    * this data; DuckDB does the same ns→µs truncation). Either way the
+    * column ends as NTZ so dumps compare naively against the oracle — the
+    * session runs in UTC so LTZ→NTZ preserves wall time.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn(
-      "ts",
-      timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType),
-    )
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => raw.col("ts")
+    }
+    raw.withColumn("ts", ts.cast(TimestampNTZType))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
