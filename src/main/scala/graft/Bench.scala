@@ -67,10 +67,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fails = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // compact headline first, full contract line LAST: the tail keeps the
-    // END of the log, so the last line survives truncation intact
-    println(s"""{"total":${fmt(total)},"n_queries":${results.size},"n_failed":${failed.size}}""")
+    // full per-query contract line first, compact headline LAST: the driver
+    // keeps the END of the log and sbt's [success] banner consumes tail
+    // space, so only the final short line reliably survives truncation —
+    // r07/r08 both lost the total because the compact line printed first
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
+    println(s"""{"total":${fmt(total)},"n_queries":${results.size},"n_failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -32,11 +32,16 @@ object Curation {
     "q_curate_verdict",
     Some(s"""
       WITH corpus AS (
-        SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 20
       ), fp AS (
-        SELECT doc_id, md5(${TextAnalysis.normalizeSql}) AS f FROM corpus
+        SELECT doc_id, n_chars, md5(${TextAnalysis.normalizeSql}) AS f FROM corpus
       ), canon AS (
-        SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f
+        SELECT f, doc_id AS canonical_id FROM (
+          SELECT f, doc_id,
+                 row_number() OVER (PARTITION BY f
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM fp
+        ) WHERE rk = 1
       ), dup AS (
         SELECT doc_id, doc_id <> canonical_id AS is_duplicate
         FROM fp JOIN canon USING (f)
@@ -113,13 +118,20 @@ object Curation {
     """),
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
-    // exact dedup: only the canonical (min doc_id) copy of each normalized
-    // fingerprint survives
-    val fp = corpus.select(col("doc_id"),
+    // exact dedup: only the canonical copy of each normalized fingerprint
+    // survives, selected by the SAME keep-longest policy q_dedup_canonical
+    // ships (n_chars DESC, doc_id as the deterministic tiebreak) so the two
+    // curation answers cannot drift. argmax via max(struct): fingerprint
+    // groups stay a single partial-aggregated groupBy — no window, no
+    // second shuffle beyond the join back.
+    val fp = corpus.select(col("doc_id"), col("n_chars"),
       md5(TextAnalysis.normalize(col("text")).cast(BinaryType)).as("f"))
-    val dup = fp.join(fp.groupBy("f").agg(min(col("doc_id")).as("canonical_id")), "f")
+    val canon = fp.groupBy("f")
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("f"), (-col("m.nid")).as("canonical_id"))
+    val dup = fp.join(canon, "f")
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
     // benchmark decontamination: broadcast shingle semi-join (Dedup)
     val cont = Dedup.contaminatedIds(corpus, bench)
