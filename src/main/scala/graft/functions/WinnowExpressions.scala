@@ -108,6 +108,89 @@ object Winnow {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  // ---- DuckDB oracle mirror ----------------------------------------------
+  //
+  // The kernel's JVM Long arithmetic is mod-2^64 with SIGNED window-min
+  // comparisons. DuckDB BIGINT math is checked (overflow errors), so the
+  // oracle carries hashes as non-negative HUGEINT residues mod 2^64:
+  // products of two 64-bit residues would overflow int128, hence 32-bit
+  // limb-split multiplies; `>>>` becomes integer division (values are kept
+  // non-negative); the residue is reinterpreted as a signed BIGINT only at
+  // the end, so list_min and the rightmost-tie selection order exactly as
+  // the JVM compares. Gram hashes come from the closed form
+  // Σ base^(k-1-j)·byte(j) (equivalent to the rolling update), with the
+  // power table computed HERE by the same wrapping Long ops the kernel
+  // uses — single source of truth for the constants.
+
+  private def u64(x: Long): String = java.lang.Long.toUnsignedString(x)
+  private val M64 = "18446744073709551616"
+
+  /** (z * c) mod 2^64 for a non-negative HUGEINT residue `z` and Long
+    * constant `c`, via 32-bit limbs (all partials < 2^98 << int128 max).
+    */
+  private def mulSql(z: String, c: Long): String = {
+    val clo = c & 0xFFFFFFFFL
+    val chi = c >>> 32
+    s"((($z % 4294967296) * ${u64(clo)} + " +
+      s"((($z // 4294967296) * ${u64(clo)} + ($z % 4294967296) * ${u64(chi)}) " +
+      s"% 4294967296) * 4294967296) % $M64)"
+  }
+
+  private def xorShiftSql(z: String, s: Int): String =
+    s"xor(CAST($z AS HUGEINT), CAST($z // ${1L << s} AS HUGEINT))"
+
+  /** Per-document fingerprint-count oracle: mirrors `compute` over
+    * `textSql` (an expression yielding the normalized text of table
+    * `documents`), returning rows (doc_id, n_fingerprints).
+    */
+  def countOracleSql(textSql: String, k: Int, w: Int): String = {
+    // base^(k-1-j) mod 2^64 via the kernel's own wrapping multiply
+    val powers = (0 until k).map { j =>
+      var r = 1L; var i = 0
+      while (i < k - 1 - j) { r *= base; i += 1 }
+      r
+    }
+    val gram = powers.zipWithIndex
+      .map { case (p, j) =>
+        s"CAST(${u64(p)} AS HUGEINT) * ascii(substr(t, i + $j, 1))"
+      }
+      .mkString(" + ")
+    val slice = s"list_slice(hs, CAST(win AS INT), CAST(win AS INT) + $w - 1)"
+    s"""
+      WITH nd AS (
+        SELECT doc_id, $textSql AS t FROM documents
+      ), gi AS (
+        SELECT doc_id, t,
+               CAST(unnest(range(1, greatest(length(t) - $k + 1, 0) + 1)) AS INT) AS i
+        FROM nd
+      ), s0 AS (
+        SELECT doc_id, i, (($gram) + ${u64(0x9E3779B97F4A7C15L)}) % $M64 AS m1 FROM gi
+      ), s1 AS (
+        SELECT doc_id, i, ${mulSql(xorShiftSql("m1", 30), 0xBF58476D1CE4E5B9L)} AS m2 FROM s0
+      ), s2 AS (
+        SELECT doc_id, i, ${mulSql(xorShiftSql("m2", 27), 0x94D049BB133111EBL)} AS m3 FROM s1
+      ), s3 AS (
+        SELECT doc_id, i, ${xorShiftSql("m3", 31)} AS m4 FROM s2
+      ), hsl AS (
+        SELECT doc_id,
+               list(CAST(CASE WHEN m4 >= 9223372036854775808 THEN m4 - $M64
+                         ELSE m4 END AS BIGINT) ORDER BY i) AS hs
+        FROM s3 GROUP BY doc_id
+      ), j AS (
+        SELECT nd.doc_id, nd.t, length(nd.t) - $k + 1 AS n, hsl.hs
+        FROM nd LEFT JOIN hsl ON nd.doc_id = hsl.doc_id
+      )
+      SELECT doc_id,
+        CASE WHEN t IS NULL THEN NULL
+             WHEN n <= 0 THEN 0
+             WHEN n <= $w THEN 1
+             ELSE len(list_distinct(list_transform(range(1, n - $w + 2), win ->
+               win + $w - list_position(list_reverse($slice), list_min($slice)))))
+        END AS n_fingerprints
+      FROM j ORDER BY doc_id
+    """
+  }
 }
 
 /** Session registration, same contract as [[VectorFunctions]]. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.BinaryType
 
 import graft.dedup.Dedup
 import graft.functions.LangId
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 import graft.util.{Q, Tables}
 
 /** The end-to-end curation decision — what a training-data pipeline
@@ -187,10 +187,10 @@ object Curation {
     */
   val q_pack_sequences: Q = Q(
     "q_pack_sequences",
-    Some("""
+    Some(s"""
       WITH t AS (
         SELECT doc_id, source,
-               len(string_split_regex(text, '\s+')) AS n_tokens
+               ${Bpe.totalCountSql("text")} AS n_tokens
         FROM documents
       ), c AS (
         SELECT doc_id, source, n_tokens,
@@ -213,7 +213,9 @@ object Curation {
     val budget = 256
     val toks = Tables.documents(s, d).select(
       col("doc_id"), col("source"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      // real tokenizer counts (learned-merges subwords + digit/symbol
+      // tokens), not whitespace words — see graft.text.Bpe
+      Bpe.totalCount(col("text")).as("n_tokens"))
     val w = Window.partitionBy("source").orderBy("doc_id")
     toks
       .withColumn("cum", sum(col("n_tokens")).over(w))

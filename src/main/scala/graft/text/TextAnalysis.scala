@@ -498,7 +498,10 @@ object TextAnalysis {
     * SQL-expressible; guarantees pinned in WinnowSpec). k=8 byte-grams,
     * window 16: one fingerprint at least every 16 gram positions.
     */
-  val q_text_winnow: Q = Q("q_text_winnow", None) { (s, d) =>
+  val q_text_winnow: Q = Q(
+    "q_text_winnow",
+    Some(graft.functions.Winnow.countOracleSql(normalizeSql, 8, 16)),
+  ) { (s, d) =>
     graft.functions.WinnowFunctions.ensureRegistered(s)
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -748,5 +751,5 @@ object TextAnalysis {
     q_text_tokens, q_text_quality, q_text_langid, q_text_fingerprint,
     q_text_vocab, q_text_redact, q_text_tfidf, q_text_bigram_lm,
     q_text_gopher, q_text_winnow, q_text_chunks, q_text_boilerplate,
-    q_text_bm25, q_text_rrf)
+    q_text_bm25, q_text_rrf, Bpe.q_text_bpe)
 }

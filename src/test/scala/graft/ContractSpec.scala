@@ -28,9 +28,10 @@ class ContractSpec extends SparkSpec {
     assert(oracles.keySet.subsetOf(qs))
     assert(oracles.values.forall(_.trim.nonEmpty))
     // rows-only set stays intentional: exactly the probabilistic sketches
+    // (winnowing gained a HUGEINT-residue DuckDB oracle in round 9)
     assert(qs -- oracles.keySet === Set(
       "q_approx_distinct", "q_approx_quantiles", "q_dedup_minhash_lsh",
       "q_dedup_simhash", "q_dedup_clusters_lsh", "q_sim_ann_lsh",
-      "q_sim_ann_ivf", "q_text_winnow"))
+      "q_sim_ann_ivf"))
   }
 }
