@@ -156,6 +156,65 @@ class MultimodalSpec extends SparkSpec {
     assert(byId.exists { case (id, _) => ((4 + id % 8) * 3) % 4 != 0 })
   }
 
+  test("stored-deflate PNGs decode under javax.imageio — the files are spec-valid") {
+    val subset = docs.filter(col("doc_id") < 40)
+    val byId = Multimodal.pngTable(subset)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val decoded = graft.SparkEntry.queries("q_mm_png_pixels")(spark, sf())
+      .filter(col("media_id") < 40).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size === byId.size)
+    byId.foreach { case (id, payload) =>
+      // the independent decoder: the JDK's real PNG reader (full zlib
+      // inflate + CRC checks) — if any length, checksum, or complement in
+      // the synthesis were wrong, ImageIO would reject or mis-decode
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected PNG $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val pix = for (y <- 0 until h; x <- 0 until w) yield {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+      }
+      val row = decoded(id)
+      assert(row.getInt(1) === w && row.getInt(2) === h, s"dims for $id")
+      assert(row.getLong(3) === (w * h).toLong, s"n_pixels for $id")
+      assert(row.getLong(4) === pix.map(_._1.toLong).sum, s"sum_r for $id")
+      assert(row.getLong(5) === pix.map(_._2.toLong).sum, s"sum_g for $id")
+      assert(row.getLong(6) === pix.map(_._3.toLong).sum, s"sum_b for $id")
+      val wsum = pix.zipWithIndex.map { case ((r, _, _), i) => (i + 1L) * r }.sum
+      assert(row.getLong(7) === wsum, s"wsum_r for $id")
+      assert(row.getBoolean(8), s"ihdr_crc_ok for $id")
+      assert(row.getBoolean(9), s"adler_ok for $id")
+      assert(row.getLong(10) === 0L, s"filter_violations for $id")
+    }
+  }
+
+  test("PNG decoder integrity checks actually fire on corrupted bytes") {
+    import spark.implicits._
+    val good = Multimodal.pngTable(docs.filter(col("doc_id") === 3))
+      .collect().head.getAs[Array[Byte]](1)
+    def decodeOne(payload: Array[Byte]) =
+      Multimodal.decodePng(Seq((3L, payload)).toDF("media_id", "payload"))
+        .collect().head
+    // pristine payload: both integrity booleans true, zero violations
+    val clean = decodeOne(good)
+    assert(clean.getBoolean(8) && clean.getBoolean(9) && clean.getLong(10) === 0L)
+    // flip a pixel byte inside the stored block → adler32 must mismatch
+    val flipPixel = good.clone()
+    flipPixel(good.length - 20) = (flipPixel(good.length - 20) ^ 0x5A).toByte
+    assert(!decodeOne(flipPixel).getBoolean(9), "adler_ok must catch a payload flip")
+    // flip a bit of the IHDR width field → the IHDR CRC must mismatch
+    val flipIhdr = good.clone()
+    flipIhdr(18) = (flipIhdr(18) ^ 0x01).toByte
+    assert(!decodeOne(flipIhdr).getBoolean(8), "ihdr_crc_ok must catch a header flip")
+    // overwrite a filter byte with a nonzero type → violation counter fires
+    // (first filter byte is the first raw byte of the stored block:
+    // sig 8 + IHDR 25 + IDAT len/type 8 + zlib 2 + stored header 5 = byte 48)
+    val badFilter = good.clone()
+    badFilter(48) = 2
+    assert(decodeOne(badFilter).getLong(10) > 0L, "filter violation must count")
+  }
+
   test("stub features have the declared batch shape and range") {
     val feats = Multimodal.frameFeatures(
       Multimodal.frames(Multimodal.mediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
