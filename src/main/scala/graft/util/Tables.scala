@@ -23,22 +23,68 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
-    * TIMESTAMP(MICROS) across driver testdata generations, so adapt to the
-    * read schema. NANOS is unreadable natively in Spark 4: read it as a
-    * nanos long (legacy conf) and truncate to microseconds (lossless on
-    * this data; DuckDB does the same ns→µs truncation). Either way the
-    * column ends as NTZ so dumps compare naively against the oracle — the
-    * session runs in UTC so LTZ→NTZ preserves wall time.
+    * TIMESTAMP(MICROS) across driver testdata generations, so dispatch on
+    * the parquet FOOTER's logical type (one footer read, constant cost —
+    * never a data scan, never a guess from the Spark-side schema, which
+    * cannot distinguish a NANOS timestamp from a plain INT64 once the
+    * legacy conf maps both to long). NANOS is unreadable natively in
+    * Spark 4: read it as a nanos long and truncate to microseconds
+    * (lossless on this data; DuckDB does the same ns→µs truncation). A ts
+    * column that is not a TIMESTAMP annotation at all fails loudly rather
+    * than silently dividing. Either way the column ends as NTZ so dumps
+    * compare naively against the oracle — the session runs in UTC so
+    * LTZ→NTZ preserves wall time.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts DIV 1000"))
-      case _ => raw.col("ts")
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    tsTimeUnit(s, d) match {
+      case TimeUnit.NANOS =>
+        // The conf must stay set for the lifetime of any NANOS-events plan:
+        // executors re-convert file footers AT SCAN TIME with the
+        // then-current conf, so a save/restore around the read would break
+        // the very query it built. It is therefore only set when the data
+        // really is nanos; no other graft table carries a timestamp column,
+        // so nothing else in the session can be silently affected.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        table(s, d, "events").withColumn(
+          "ts", timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case _ => // MICROS / MILLIS read natively as timestamps
+        val raw = table(s, d, "events")
+        raw.withColumn("ts", raw.col("ts").cast(TimestampNTZType))
     }
-    raw.withColumn("ts", ts.cast(TimestampNTZType))
+  }
+
+  /** The parquet logical time unit of events.ts, from the first footer
+    * (file or directory-of-parts layout both handled). Fails loudly on a
+    * non-TIMESTAMP ts column — a plain INT64 of unknown unit must never be
+    * silently divided into wrong wall times.
+    */
+  private def tsTimeUnit(
+      s: SparkSession, d: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(s"$d/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .headOption.getOrElse(throw new IllegalStateException(
+            s"no parquet part files under $root"))
+      else root
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation => ts.getUnit
+        case other => throw new IllegalStateException(
+          s"events.ts is ${Option(other).map(_.toString).getOrElse("plain INT64")}, " +
+            "not a parquet TIMESTAMP — refusing to guess its unit")
+      }
+    } finally reader.close()
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
