@@ -55,9 +55,15 @@ object Bench {
     // single external-load spike most distorts a min-of-2 (the driver host
     // shows 5-10x spikes), and the bounded extra wall time buys separation
     // between real regressions and noise
+    // SPARK_GRAFT_RUNS=1: single-shot mode for the sf1 scale probe, where
+    // relative shape (x10 growth) dwarfs host noise; driver leaves it unset.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "0").toInt
     val results = names.map { n =>
-      val m2 = math.min(timed(n), timed(n))
-      n -> (if (m2 > 2.0) math.min(m2, timed(n)) else m2)
+      if (runs == 1) n -> timed(n)
+      else {
+        val m2 = math.min(timed(n), timed(n))
+        n -> (if (m2 > 2.0) math.min(m2, timed(n)) else m2)
+      }
     }
     // ms precision: full-precision doubles pushed the per-query line past
     // the driver's log tail (BENCH_r04/r05 parsed:null — the line's FRONT

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Args, BinaryFunctions, BloomFunctions, ByteStride, ShingleHashFunctions, SortedIntersectCount, TextFunctions, VecDot, VectorFunctions, Winnow, WinnowFunctions, WordShingleHashes, WordShingles}
+import graft.functions.{Args, BinaryFunctions, BloomFunctions, ByteStride, LangIdFunctions, LangIdHits, ShingleHashFunctions, SortedIntersectCount, TextFunctions, VecDot, VectorFunctions, Winnow, WinnowFunctions, WordShingleHashes, WordShingles}
 
 /** `spark.sql.extensions=graft.GraftExtensions` injects the engine's native
   * functions at session build time — the config-file route to the same
@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[SortedIntersectCount].getName, ShingleHashFunctions.intersectName),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(LangIdFunctions.hitsName),
+      new ExpressionInfo(classOf[LangIdHits].getName, LangIdFunctions.hitsName),
+      (exprs: Seq[Expression]) => LangIdHits(exprs.head),
     ))
     ext.injectFunction((
       FunctionIdentifier(BloomFunctions.aggName),

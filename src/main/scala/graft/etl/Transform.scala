@@ -92,6 +92,7 @@ object Transform {
       lit(0L),
     )
 
+    graft.functions.LangIdFunctions.ensureRegistered(flat.sparkSession)
     flat.select(
       col("doc_id"), col("group_idx"), col("pos"),
       ad.getField("ad_archive_id").as("ad_id"),

@@ -172,7 +172,7 @@ object LangId {
   /** The whole scoring table as data: (stopword, language index). One
     * array-of-struct Literal node in the plan regardless of language count.
     */
-  private val vocab: Seq[(String, Int)] = {
+  private[functions] val vocab: Seq[(String, Int)] = {
     val byLang: Seq[(String, Seq[String])] =
       langs.map(l => l -> stopwords(l)) ++ groupOrder.flatMap(g => scriptGroups(g))
     byLang.zipWithIndex.flatMap { case ((_, ws), i) => ws.map(w => (w, i)) }
@@ -205,13 +205,18 @@ object LangId {
     * (stopword, language) pair — a language's count is its number of
     * DISTINCT matched stopwords, exactly the round-7
     * `size(array_intersect(tokens, stopwords))` semantics.
+    *
+    * Round 9: the expression form (`filter(vocabLiteral, p =>
+    * array_contains(toks, w))`) scanned every vocabulary entry against
+    * every token — ~|vocab|·|tokens| string compares per row, the
+    * q_text_langid hot loop. [[LangIdHits]] is the token-major native
+    * kernel: each DISTINCT token is one hash lookup in a static
+    * stopword→languages table, O(tokens) per row, same (word, language)
+    * hit multiset (the downstream argmax is order-insensitive), null-vs-
+    * empty difference unobservable behind [[decide]]'s null/empty guard.
     */
   private def hitsExpr(text: Column): Column =
-    bind(array_distinct(split(lower(text), "\\s+"))) { toks =>
-      transform(
-        filter(typedlit(vocab), p => array_contains(toks, p.getField("_1"))),
-        p => p.getField("_2"))
-    }
+    call_function(LangIdFunctions.hitsName, text)
 
   /** Argmax over the hit counts restricted to index span [lo, hi]; null
     * when the span has no hits. Count and tie-break ride one packed
@@ -255,8 +260,10 @@ object LangId {
     * now just a withColumn.
     */
   def withLangId(df: org.apache.spark.sql.DataFrame, text: Column, out: String)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    LangIdFunctions.ensureRegistered(df.sparkSession)
     df.withColumn(out, langId(text))
+  }
 
   /** The same heuristic as DuckDB SQL, parameterized on the text
     * expression — used by graft.text oracle queries so the two sides stay
@@ -291,4 +298,85 @@ object LangId {
         $scriptCases
         ELSE coalesce(${argmax(latinSpan)}, 'undetected') END))[1]"""
   }
+}
+
+/** Token-major stopword scorer (see [[LangId.hitsExpr]]): language indices
+  * hit by the text, one entry per matched (stopword, language) pair.
+  * Tokenization is bit-compatible with `array_distinct(split(lower(text),
+  * "\\s+"))` — UTF8String.toLowerCase IS Spark's `lower`, and Java's
+  * `String.split(regex, -1)` is Spark's `split` limit default. Same
+  * native-kernel pattern as [[Winnow]] / [[VecDot]].
+  */
+case class LangIdHits(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${LangIdFunctions.hitsName} expects a string input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    LangIdHits.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LangIdHits.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdHits =
+    copy(child = newChild)
+
+  override def prettyName: String = LangIdFunctions.hitsName
+}
+
+object LangIdHits {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** stopword → the language indices it scores for (a word may belong to
+    * several languages; each membership is one hit entry, as in the
+    * expression form).
+    */
+  private val table: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    LangId.vocab.groupBy(_._1).foreach { case (w, ps) =>
+      m.put(w, ps.map(_._2).toArray)
+    }
+    m
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val out = new java.util.ArrayList[Any](8)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val langs = table.get(t)
+        if (langs != null) {
+          var j = 0
+          while (j < langs.length) { out.add(langs(j)); j += 1 }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Session registration, same contract as [[VectorFunctions]]. */
+object LangIdFunctions {
+
+  val hitsName = "graft_langid_hits"
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      hitsName, exprs => LangIdHits(exprs.head), "built-in")
 }
