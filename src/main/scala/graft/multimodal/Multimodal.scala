@@ -155,13 +155,13 @@ object Multimodal {
     val id = col("doc_id")
     val n = plantedSamples(id)
     val rate = plantedRate(id)
-    val hex2 = (v: Column) => lpad(hex(v), 2, "0")
-    // each sample as 4 hex chars (low byte first = little-endian), one
-    // array_join + unhex for the whole data chunk
+    // each sample as 4 hex chars (low byte first = little-endian, rendered
+    // by ONE hex call: low·256 + high), one array_join + unhex for the
+    // whole data chunk
     val data = unhex(array_join(
       transform(sequence(lit(0), n - 1), i => {
         val u = plantedSampleU(id, i)
-        concat(hex2(u.bitwiseAND(0xFF)), hex2(shiftright(u, 8)))
+        lpad(hex(u.bitwiseAND(0xFF) * 256 + shiftright(u, 8)), 4, "0")
       }), ""))
     val dataLen = n * 2
     val payload = concat(
@@ -203,14 +203,14 @@ object Multimodal {
     val w = plantedImgW(id)
     val h = plantedImgH(id)
     val stride = (w * 3 + 3).bitwiseAND(-4)
-    val hex2 = (v: Column) => lpad(hex(v), 2, "0")
-    // row j of the stored array is image row y = h-1-j (bottom-up)
+    // row j of the stored array is image row y = h-1-j (bottom-up); one
+    // hex call renders each pixel's three bytes (B·65536 + G·256 + R)
     val rowsHex = transform(sequence(lit(0), h - 1), j => {
       val y = h - 1 - j
       concat(
         array_join(transform(sequence(lit(0), w - 1), x =>
-          concat(hex2(plantedB(id, x, y)), hex2(plantedG(id, x, y)),
-            hex2(plantedR(id, x, y)))), ""),
+          lpad(hex(plantedB(id, x, y) * 65536 + plantedG(id, x, y) * 256
+            + plantedR(id, x, y)), 6, "0")), ""),
         lit("000000").substr(lit(1), (stride - w * 3) * 2)) // row padding
     })
     val payload = concat(
@@ -255,29 +255,38 @@ object Multimodal {
     val h = plantedPngH(id)
     val rowBytes = w * 3 + 1 // filter byte + RGB per pixel
     val rawLen = h * rowBytes
-    val hex2 = (v: Column) => lpad(hex(v), 2, "0")
-    // scanlines top-down, each prefixed by filter type 0
+    // scanlines top-down, each prefixed by filter type 0; one hex call per
+    // pixel (R·65536 + G·256 + B renders the three channel bytes at once)
     val rawHex = array_join(
       transform(sequence(lit(0), h - 1), y =>
         concat(lit("00"), array_join(transform(sequence(lit(0), w - 1), x =>
-          concat(hex2(plantedR(id, x, y)), hex2(plantedG(id, x, y)),
-            hex2(plantedB(id, x, y)))), ""))), "")
-    // adler32 over the raw scanline stream, from the planting formula (one
-    // fold; A,B stay < 65521 so the arithmetic never widens)
-    val adler = aggregate(
-      sequence(lit(0), rawLen - 1),
-      struct(lit(1L).as("a"), lit(0L).as("b")),
-      (st, i) => {
-        val j = pmod(i, rowBytes)
-        val x = (((j - 1) - pmod(j - 1, lit(3))) / 3).cast(IntegerType)
-        val y = ((i - j) / rowBytes).cast(IntegerType)
-        val v = when(j === 0, lit(0))
-          .when(pmod(j - 1, lit(3)) === 0, plantedR(id, x, y))
-          .when(pmod(j - 1, lit(3)) === 1, plantedG(id, x, y))
-          .otherwise(plantedB(id, x, y))
-        val a2 = pmod(st.getField("a") + v, lit(65521L))
-        struct(a2.as("a"), pmod(st.getField("b") + a2, lit(65521L)).as("b"))
-      })
+          lpad(hex(plantedR(id, x, y) * 65536 + plantedG(id, x, y) * 256
+            + plantedB(id, x, y)), 6, "0")), ""))), "")
+    // adler32 in closed form over PIXELS, not bytes: A = 1 + Σd; for the
+    // byte at 0-based stream index k, its B contribution is (n-k)·d (B is
+    // the sum of all prefix A values; filter bytes are 0). Raw sums stay
+    // < 2^25, so one mod at the end is exact — a w·h fold replaces the
+    // per-byte one.
+    val adler = {
+      val folded = aggregate(
+        sequence(lit(0), w * h - 1),
+        struct(lit(0L).as("s"), lit(0L).as("t")),
+        (st, i) => {
+          val x = pmod(i, w)
+          val y = ((i - x) / w).cast(IntegerType)
+          val kR = (y * rowBytes + 1 + x * 3).cast(LongType) // 0-based index
+          val r = plantedR(id, x, y).cast(LongType)
+          val g = plantedG(id, x, y).cast(LongType)
+          val bC = plantedB(id, x, y).cast(LongType)
+          struct(
+            (st.getField("s") + r + g + bC).as("s"),
+            (st.getField("t") + (rawLen - kR) * r + (rawLen - kR - 1L) * g
+              + (rawLen - kR - 2L) * bC).as("t"))
+        })
+      struct(
+        pmod(folded.getField("s") + 1L, lit(65521L)).as("a"),
+        pmod(folded.getField("t") + rawLen.cast(LongType), lit(65521L)).as("b"))
+    }
     val ihdrBody = concat(lit("IHDR".getBytes(ascii)), u32be(w), u32be(h),
       b(0x08, 0x02, 0x00, 0x00, 0x00)) // depth 8, color 2 (RGB), no interlace
     val idatBody = concat(
@@ -648,9 +657,16 @@ object Multimodal {
       when(ok, leU16(p, lit(23))).as("channels"),
       when(ok, leU32(p, lit(25))).as("sample_rate"),
       when(ok, shiftright(leU32(p, lit(41)), 1).cast(IntegerType)).as("n"))
-    val decoded = parsed.withColumn("samples",
+    // the data chunk is hexed ONCE per row; sample i is then one LE swap of
+    // two 2-char slices + conv (leU16 re-sliced and re-hexed the binary per
+    // sample — the same per-byte constant the pixel decoders dropped)
+    val decoded = parsed
+      .withColumn("dataHex", hex(p.substr(lit(45), col("n") * 2)))
+      .withColumn("samples",
       transform(sequence(lit(0), col("n") - 1), i => {
-        val u = leU16(col("payload"), lit(45) + i * 2).cast(LongType)
+        val u = conv(
+          concat(col("dataHex").substr(i * 4 + 3, lit(2)),
+            col("dataHex").substr(i * 4 + 1, lit(2))), 16, 10).cast(LongType)
         u - when(u >= 32768L, 65536L).otherwise(0L)
       }))
     val nCrossPairs = size(col("samples")) - 1
@@ -732,16 +748,22 @@ object Multimodal {
       when(ok, leU32(p, lit(23)).cast(IntegerType)).as("h"),
       when(ok, leU32(p, lit(11)).cast(IntegerType)).as("off"))
       .withColumn("stride", (col("w") * 3 + 3).bitwiseAND(-4))
-    val byteAt = (pos: Column) =>
-      conv(hex(p.substr(pos, lit(1))), 16, 10).cast(LongType)
+    // the pixel array is hexed ONCE per row; the fold reads byte k of the
+    // region as a 2-char slice + conv (hex(substr) per byte was ~3
+    // allocations per payload byte — the decode family's dominant constant)
+    val byteAt = (rel: Column) =>
+      conv(col("pxHex").substr(rel * 2 + 1, lit(2)), 16, 10).cast(LongType)
     val zero = struct(lit(0L).as("sr"), lit(0L).as("sg"), lit(0L).as("sb"),
       lit(0L).as("wr"))
-    val folded = parsed.withColumn("acc",
+    val folded = parsed
+      .withColumn("pxHex",
+        hex(p.substr(col("off") + 1, col("stride") * col("h"))))
+      .withColumn("acc",
       aggregate(sequence(lit(0), col("w") * col("h") - 1), zero, (st, i) => {
         val x = pmod(i, col("w"))
         val y = ((i - x) / col("w")).cast(IntegerType)
-        // bottom-up: image row y lives in stored row h-1-y
-        val base = col("off") + (col("h") - 1 - y) * col("stride") + x * 3 + 1
+        // bottom-up: image row y lives in stored row h-1-y of the region
+        val base = (col("h") - 1 - y) * col("stride") + x * 3
         val bC = byteAt(base)
         val gC = byteAt(base + 1)
         val rC = byteAt(base + 2)
@@ -868,15 +890,24 @@ object Multimodal {
         leU16(p, (zOff + 3).cast(IntegerType)) === rawLen &&
         leU16(p, (zOff + 5).cast(IntegerType)) === lit(65535) - rawLen
     val rawOff = zOff + 7
-    // one pass: pixels, weighted checksum, filter bytes, adler32
+    // one pass: pixels, weighted checksum, filter bytes, adler32. The raw
+    // region is hexed ONCE per row into a projection column first — the
+    // fold then reads byte i as a 2-char string slice + conv, instead of
+    // re-slicing the binary and re-hexing per byte (hex(substr) per byte
+    // was the dominant constant: ~3 allocations per byte of payload).
+    val hexByteAt = (i: Column) =>
+      conv(col("rawHex").substr((i * 2 + 1).cast(IntegerType), lit(2)), 16, 10)
+        .cast(LongType)
     val zero = struct(lit(0L).as("sr"), lit(0L).as("sg"), lit(0L).as("sb"),
       lit(0L).as("wr"), lit(1L).as("a"), lit(0L).as("b"), lit(0L).as("viol"))
     val folded = parsed
       .withColumn("zlib_ok", zlibOk)
+      .withColumn("rawHex",
+        hex(p.substr(rawOff.cast(IntegerType), rawLen.cast(IntegerType))))
       .withColumn("acc",
         aggregate(sequence(lit(0L), rawLen - 1L), zero, (st, i) => {
           val j = pmod(i, rowBytes.cast(LongType))
-          val vByte = byteAt(rawOff + i)
+          val vByte = hexByteAt(i)
           val a2 = pmod(st.getField("a") + vByte, lit(65521L))
           val b2 = pmod(st.getField("b") + a2, lit(65521L))
           val chan = pmod(j - 1, lit(3L))
