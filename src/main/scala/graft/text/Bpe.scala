@@ -139,6 +139,65 @@ object Bpe {
   private[graft] def totalCountSql(text: String): String =
     s"(${bpeCountSql(text)} + ${otherCountSql(text)})"
 
+  /** The TRAINER that produced [[piecesByLen]] — Sennrich et al. 2016
+    * byte-pair encoding, structured the way production tokenizer trainers
+    * (subword-nmt, HF tokenizers) are: the DATA-scale part — counting
+    * corpus words — is a distributed groupBy; the VOCAB-scale part — the
+    * sequential most-frequent-pair merge loop — runs on the aggregated
+    * word-frequency table, which Zipf bounds to thousands of rows
+    * regardless of corpus size (at 100 TB the word count is still the
+    * only full scan; 200 global argmax rounds over a distributed
+    * ~5k-row table would be 200 near-empty shuffles for nothing).
+    * Ties break (frequency desc, pair lexicographic) so training is
+    * deterministic; BpeSpec pins that this trainer, run on the sf0.01
+    * corpus with the documented stop rule, reproduces the shipped merges
+    * table exactly.
+    */
+  def learnMerges(docs: org.apache.spark.sql.DataFrame, maxMerges: Int,
+      minFreq: Long): Seq[(String, String)] = {
+    val wordCounts: Map[Seq[String], Long] = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit(wordRe),
+        lit(0))).as("w"))
+      .groupBy("w").count()
+      .collect()
+      .map(r => (r.getString(0).map(_.toString): Seq[String]) -> r.getLong(1))
+      .toMap
+    var words = wordCounts
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var it = 0
+    while (!done && it < maxMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (w, c) =>
+        w.sliding(2).foreach {
+          case Seq(a, b2) =>
+            pairCounts((a, b2)) = pairCounts.getOrElse((a, b2), 0L) + c
+          case _ =>
+        }
+      }
+      val best = pairCounts.toSeq
+        .sortBy { case ((a, b2), c) => (-c, a, b2) }.headOption
+      best match {
+        case Some(((a, b2), c)) if c >= minFreq =>
+          merges += ((a, b2))
+          val ab = a + b2
+          words = words.toSeq.map { case (w, cnt) =>
+            val out = Seq.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              if (i < w.length - 1 && w(i) == a && w(i + 1) == b2) {
+                out += ab; i += 2
+              } else { out += w(i); i += 1 }
+            }
+            out.result() -> cnt
+          }.groupBy(_._1).map { case (w, cs) => w -> cs.map(_._2).sum }
+          it += 1
+        case _ => done = true
+      }
+    }
+    merges.result()
+  }
+
   /** Per-document tokenizer accounting: subword tokens, how many came
     * from learned merges (compression evidence), non-letter tokens, and
     * the total the packer budgets on.

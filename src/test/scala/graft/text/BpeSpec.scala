@@ -78,6 +78,18 @@ class BpeSpec extends SparkSpec {
     assert(n2 === 2L)
   }
 
+  test("the shipped merges table IS what the trainer learns from the corpus") {
+    // provenance pin: Sennrich training on the sf0.01 documents with the
+    // documented stop rule (max 200 merges, min pair frequency 20) must
+    // reproduce the piecesByLen literal exactly — the vocabulary is
+    // learned, not invented, and re-derivable from the repo alone
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val merges = Bpe.learnMerges(docs, maxMerges = 200, minFreq = 20L)
+    val learnedPieces = merges.map { case (a, b) => a + b }.toSet
+    val shipped = Bpe.piecesByLen.flatMap(_._2).toSet
+    assert(learnedPieces === shipped)
+  }
+
   test("pack budget consumes the tokenizer totals (count composition)") {
     val Seq((nb, _, no)) = sparkCounts(Seq("pack 2 streams: go!"))
     import spark.implicits._
