@@ -642,51 +642,24 @@ object Multimodal {
       FROM c GROUP BY doc_id ORDER BY media_id
     """),
   ) { (s, d) =>
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val p = col("payload")
-    val ok = p.substr(1, 4) === lit("RIFF".getBytes(ascii)) &&
-      p.substr(9, 4) === lit("WAVE".getBytes(ascii)) &&
-      p.substr(13, 4) === lit("fmt ".getBytes(ascii)) &&
-      leU16(p, lit(21)) === 1 && // PCM
-      leU16(p, lit(35)) === 16 && // 16-bit
-      p.substr(37, 4) === lit("data".getBytes(ascii))
-    // bind parsed fields and the sample array as REAL projection columns
-    // (Catalyst does not CSE through lambda bodies — SURVEY §8)
-    val parsed = audioTable(Tables.documents(s, d)).select(
-      col("media_id"), p,
-      when(ok, leU16(p, lit(23))).as("channels"),
-      when(ok, leU32(p, lit(25))).as("sample_rate"),
-      when(ok, shiftright(leU32(p, lit(41)), 1).cast(IntegerType)).as("n"))
-    // the data chunk is hexed ONCE per row; sample i is then one LE swap of
-    // two 2-char slices + conv (leU16 re-sliced and re-hexed the binary per
-    // sample — the same per-byte constant the pixel decoders dropped)
-    val decoded = parsed
-      .withColumn("dataHex", hex(p.substr(lit(45), col("n") * 2)))
-      .withColumn("samples",
-      transform(sequence(lit(0), col("n") - 1), i => {
-        val u = conv(
-          concat(col("dataHex").substr(i * 4 + 3, lit(2)),
-            col("dataHex").substr(i * 4 + 1, lit(2))), 16, 10).cast(LongType)
-        u - when(u >= 32768L, 65536L).otherwise(0L)
-      }))
-    val nCrossPairs = size(col("samples")) - 1
-    decoded
+    // one compiled pass per row (native kernel): fmt-chunk gate, header
+    // data-chunk length, LE signed sample decode, and all four folds —
+    // the interpreted transform/aggregate lambdas this replaces paid ~3
+    // allocations per sample (graft.functions.MediaDecode.wav)
+    graft.functions.MediaDecodeFunctions.ensureRegistered(s)
+    audioTable(Tables.documents(s, d))
+      .select(col("media_id"),
+        graft.functions.MediaDecodeFunctions.wavStats(col("payload")).as("st"))
       .select(
-        col("media_id"), col("channels"), col("sample_rate"),
-        size(col("samples")).cast(LongType).as("n_samples"),
-        array_max(transform(col("samples"), abs(_))).as("peak"),
-        aggregate(col("samples"), lit(0L), (a, x) => a + x * x).as("sum_sq"),
-        size(filter(
-          zip_with(
-            slice(col("samples"), lit(1), nCrossPairs),
-            slice(col("samples"), lit(2), nCrossPairs),
-            (a, b) => (a < 0) =!= (b < 0)),
-          x => x)).cast(LongType).as("zero_crossings"),
-        aggregate(col("samples"), lit(0L), (a, x) => a + x).as("sum_s"),
-      )
-      .withColumn("rms", sqrt(col("sum_sq") / col("n_samples")))
-      .withColumn("mean_amp", col("sum_s") / col("n_samples"))
-      .drop("sum_s")
+        col("media_id"),
+        col("st.channels").as("channels"),
+        col("st.sample_rate").as("sample_rate"),
+        col("st.n_samples").as("n_samples"),
+        col("st.peak").as("peak"),
+        col("st.sum_sq").as("sum_sq"),
+        col("st.zero_crossings").as("zero_crossings"),
+        sqrt(col("st.sum_sq") / col("st.n_samples")).as("rms"),
+        (col("st.sum_s") / col("st.n_samples")).as("mean_amp"))
       .orderBy("media_id")
   }
 
@@ -734,52 +707,20 @@ object Multimodal {
       FROM c GROUP BY doc_id ORDER BY media_id
     """),
   ) { (s, d) =>
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val p = col("payload")
-    val ok = p.substr(1, 2) === lit("BM".getBytes(ascii)) &&
-      leU16(p, lit(27)) === 1 && // planes
-      leU16(p, lit(29)) === 24 && // bits per pixel
-      leU32(p, lit(31)) === 0 // BI_RGB: uncompressed
-    // parsed geometry bound as real projection columns (no CSE through
-    // lambda bodies — SURVEY §8); stride is the format's 4-byte row round-up
-    val parsed = imageTable(Tables.documents(s, d)).select(
-      col("media_id"), p,
-      when(ok, leU32(p, lit(19)).cast(IntegerType)).as("w"),
-      when(ok, leU32(p, lit(23)).cast(IntegerType)).as("h"),
-      when(ok, leU32(p, lit(11)).cast(IntegerType)).as("off"))
-      .withColumn("stride", (col("w") * 3 + 3).bitwiseAND(-4))
-    // the pixel array is hexed ONCE per row; the fold reads byte k of the
-    // region as a 2-char slice + conv (hex(substr) per byte was ~3
-    // allocations per payload byte — the decode family's dominant constant)
-    val byteAt = (rel: Column) =>
-      conv(col("pxHex").substr(rel * 2 + 1, lit(2)), 16, 10).cast(LongType)
-    val zero = struct(lit(0L).as("sr"), lit(0L).as("sg"), lit(0L).as("sb"),
-      lit(0L).as("wr"))
-    val folded = parsed
-      .withColumn("pxHex",
-        hex(p.substr(col("off") + 1, col("stride") * col("h"))))
-      .withColumn("acc",
-      aggregate(sequence(lit(0), col("w") * col("h") - 1), zero, (st, i) => {
-        val x = pmod(i, col("w"))
-        val y = ((i - x) / col("w")).cast(IntegerType)
-        // bottom-up: image row y lives in stored row h-1-y of the region
-        val base = (col("h") - 1 - y) * col("stride") + x * 3
-        val bC = byteAt(base)
-        val gC = byteAt(base + 1)
-        val rC = byteAt(base + 2)
-        struct(
-          (st.getField("sr") + rC).as("sr"),
-          (st.getField("sg") + gC).as("sg"),
-          (st.getField("sb") + bC).as("sb"),
-          (st.getField("wr") + (i.cast(LongType) + 1L) * rC).as("wr"))
-      }))
-    folded
+    // one compiled pass per row (native kernel): header gate, bottom-up
+    // BGR stride walk, channel sums + the position-weighted checksum —
+    // the interpreted aggregate lambda this replaces re-evaluated a struct
+    // expression per pixel (graft.functions.MediaDecode.bmp)
+    graft.functions.MediaDecodeFunctions.ensureRegistered(s)
+    imageTable(Tables.documents(s, d))
+      .select(col("media_id"),
+        graft.functions.MediaDecodeFunctions.bmpStats(col("payload")).as("st"))
       .select(
         col("media_id"),
-        col("w").as("width"), col("h").as("height"),
-        (col("w") * col("h")).cast(LongType).as("n_pixels"),
-        col("acc.sr").as("sum_r"), col("acc.sg").as("sum_g"),
-        col("acc.sb").as("sum_b"), col("acc.wr").as("wsum_r"))
+        col("st.w").as("width"), col("st.h").as("height"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+        col("st.sum_b").as("sum_b"), col("st.wsum_r").as("wsum_r"))
       .withColumn("mean_r", col("sum_r") / col("n_pixels"))
       .withColumn("mean_luma",
         ((lit(0.299) * col("sum_r") + lit(0.587) * col("sum_g"))
@@ -847,95 +788,27 @@ object Multimodal {
     * fire.
     */
   def decodePng(media: DataFrame): DataFrame = {
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val p = col("payload")
-    val byteAt = (pos: Column) =>
-      conv(hex(p.substr(pos.cast(IntegerType), lit(1))), 16, 10).cast(LongType)
-    // fixed-offset IHDR parse (the spec mandates IHDR first) + CRC check
-    val sigOk = p.substr(1, 8) === b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
-    val ihdrOk = sigOk && beU32(p, lit(9)) === 13 &&
-      p.substr(13, 4) === lit("IHDR".getBytes(ascii)) &&
-      byteAt(lit(25)) === 8 && byteAt(lit(26)) === 2 && // 8-bit truecolor
-      byteAt(lit(27)) === 0 && byteAt(lit(28)) === 0 && byteAt(lit(29)) === 0
-    val ihdrCrcOk = beU32(p, lit(30)) === crc32(p.substr(13, 17))
-    // bounded chunk walk to the first IDAT: skip ancillary chunks by their
-    // declared length (8 hops bounds any header a writer emits before IDAT)
-    val walk = aggregate(sequence(lit(1), lit(8)),
-      struct(lit(34L).as("pos"), lit(0).as("found")),
-      (st, _) => {
-        val pos = st.getField("pos")
-        val isIdat = p.substr(pos.cast(IntegerType) + 4, lit(4)) ===
-          lit("IDAT".getBytes(ascii))
-        when(st.getField("found") === 1 || isIdat,
-          struct(pos.as("pos"),
-            when(st.getField("found") === 1, st.getField("found")).otherwise(1)
-              .as("found")))
-          .otherwise(struct((pos + beU32(p, pos.cast(IntegerType)) + 12L).as("pos"),
-            lit(0).as("found")))
-      })
-    val parsed = media.select(
-      col("media_id"), p,
-      when(ihdrOk, beU32(p, lit(17)).cast(IntegerType)).as("w"),
-      when(ihdrOk, beU32(p, lit(21)).cast(IntegerType)).as("h"),
-      ihdrCrcOk.as("ihdr_crc_ok"),
-      when(ihdrOk && walk.getField("found") === 1, walk.getField("pos"))
-        .as("idat"))
-    val rowBytes = col("w") * 3 + 1
-    val rawLen = (col("h") * rowBytes).cast(LongType)
-    val zOff = col("idat") + 8 // zlib stream start (chunk len + type)
-    val zlibOk =
-      byteAt(zOff) === 0x78 && // deflate, 32K window
-        pmod(byteAt(zOff) * 256 + byteAt(zOff + 1), lit(31L)) === 0 &&
-        byteAt(zOff + 2) === 0x01 && // BFINAL=1, BTYPE=00 (stored)
-        leU16(p, (zOff + 3).cast(IntegerType)) === rawLen &&
-        leU16(p, (zOff + 5).cast(IntegerType)) === lit(65535) - rawLen
-    val rawOff = zOff + 7
-    // one pass: pixels, weighted checksum, filter bytes, adler32. The raw
-    // region is hexed ONCE per row into a projection column first — the
-    // fold then reads byte i as a 2-char string slice + conv, instead of
-    // re-slicing the binary and re-hexing per byte (hex(substr) per byte
-    // was the dominant constant: ~3 allocations per byte of payload).
-    val hexByteAt = (i: Column) =>
-      conv(col("rawHex").substr((i * 2 + 1).cast(IntegerType), lit(2)), 16, 10)
-        .cast(LongType)
-    val zero = struct(lit(0L).as("sr"), lit(0L).as("sg"), lit(0L).as("sb"),
-      lit(0L).as("wr"), lit(1L).as("a"), lit(0L).as("b"), lit(0L).as("viol"))
-    val folded = parsed
-      .withColumn("zlib_ok", zlibOk)
-      .withColumn("rawHex",
-        hex(p.substr(rawOff.cast(IntegerType), rawLen.cast(IntegerType))))
-      .withColumn("acc",
-        aggregate(sequence(lit(0L), rawLen - 1L), zero, (st, i) => {
-          val j = pmod(i, rowBytes.cast(LongType))
-          val vByte = hexByteAt(i)
-          val a2 = pmod(st.getField("a") + vByte, lit(65521L))
-          val b2 = pmod(st.getField("b") + a2, lit(65521L))
-          val chan = pmod(j - 1, lit(3L))
-          val x = ((j - 1 - chan) / 3L).cast(LongType)
-          val y = ((i - j) / rowBytes).cast(LongType)
-          val ppos = y * col("w") + x
-          struct(
-            (st.getField("sr") + when(j > 0 && chan === 0, vByte).otherwise(0L)).as("sr"),
-            (st.getField("sg") + when(j > 0 && chan === 1, vByte).otherwise(0L)).as("sg"),
-            (st.getField("sb") + when(j > 0 && chan === 2, vByte).otherwise(0L)).as("sb"),
-            (st.getField("wr") + when(j > 0 && chan === 0, (ppos + 1L) * vByte)
-              .otherwise(0L)).as("wr"),
-            a2.as("a"), b2.as("b"),
-            (st.getField("viol") + when(j === 0 && vByte =!= 0, 1L).otherwise(0L))
-              .as("viol"))
-        }))
-      .withColumn("adler_ok",
-        col("zlib_ok") &&
-          beU32(p, (rawOff + rawLen).cast(IntegerType)) ===
-          col("acc.b") * 65536L + col("acc.a"))
-    folded
+    // one compiled pass per row (native kernel): signature + IHDR gate with
+    // its CRC32, the bounded 8-hop chunk walk to the first IDAT, zlib
+    // CMF/FLG + stored-block framing checks, then the fold over raw
+    // scanlines (channel sums, position-weighted checksum, filter-byte
+    // violations, adler32) — the interpreted aggregate lambda this replaces
+    // re-evaluated a 7-field struct expression per payload byte
+    // (graft.functions.MediaDecode.png; corruption semantics pinned there
+    // and exercised by MultimodalSpec's flipped-byte cases)
+    graft.functions.MediaDecodeFunctions.ensureRegistered(media.sparkSession)
+    media
+      .select(col("media_id"),
+        graft.functions.MediaDecodeFunctions.pngStats(col("payload")).as("st"))
       .select(
-        col("media_id"), col("w").as("width"), col("h").as("height"),
-        (col("w") * col("h")).cast(LongType).as("n_pixels"),
-        col("acc.sr").as("sum_r"), col("acc.sg").as("sum_g"),
-        col("acc.sb").as("sum_b"), col("acc.wr").as("wsum_r"),
-        col("ihdr_crc_ok"), col("adler_ok"),
-        col("acc.viol").as("filter_violations"))
+        col("media_id"),
+        col("st.w").as("width"), col("st.h").as("height"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+        col("st.sum_b").as("sum_b"), col("st.wsum_r").as("wsum_r"),
+        col("st.ihdr_crc_ok").as("ihdr_crc_ok"),
+        col("st.adler_ok").as("adler_ok"),
+        col("st.filter_violations").as("filter_violations"))
       .withColumn("mean_luma",
         ((lit(0.299) * col("sum_r") + lit(0.587) * col("sum_g"))
           + lit(0.114) * col("sum_b")) / col("n_pixels"))
