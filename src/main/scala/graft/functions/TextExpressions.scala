@@ -94,18 +94,118 @@ object WordShingles {
   private val empty = new GenericArrayData(Array.empty[Any])
 }
 
+/** Gopher repetition statistics over a document's token array — native
+  * kernel twin of the explode → groupBy(doc_id, gram) → groupBy(doc_id)
+  * cascade [[graft.text.TextAnalysis.repetitionGates]] shipped through
+  * round 9. The statistics (most-frequent unigram/bigram count, hapax
+  * count, token totals) are DOCUMENT-LOCAL: shuffling the entire exploded
+  * token stream twice (unigrams + bigrams, ~n_tokens rows each) purely to
+  * count within-document frequencies is exactly the avoidable-shuffle
+  * shape a 100 TB corpus cannot afford. One compiled pass per row with two
+  * per-document hash tables replaces four shuffles with zero.
+  *
+  * Returns null when the document has no tokens (the groupBy cascade
+  * emitted no row — callers filter), and null bigram fields for
+  * single-token documents (the bigram side's left join came back empty).
+  * Bigram identity: tokens come from a whitespace split, so the
+  * space-joined pair "w1 w2" is collision-free as a hash key.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_repetition_stats expects an array<string> of tokens, got $other")
+    }
+
+  override def dataType: DataType = RepetitionStats.outType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    RepetitionStats.compute(t.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.RepetitionStats.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_repetition_stats"
+}
+
+object RepetitionStats {
+
+  val outType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top_uni", LongType, nullable = false),
+    StructField("n_hapax", LongType, nullable = false),
+    StructField("n_bigrams", LongType),
+    StructField("top_big", LongType)))
+
+  /** null for an empty token array (no row in the groupBy formulation). */
+  def compute(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    if (n == 0) return null
+    val uni = new java.util.HashMap[UTF8String, Long](n * 2)
+    var topUni = 0L
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i)
+      val c = uni.merge(w, 1L, _ + _)
+      if (c > topUni) topUni = c
+      i += 1
+    }
+    var hapax = 0L
+    val it = uni.values().iterator()
+    while (it.hasNext) if (it.next() == 1L) hapax += 1
+    val out = new Array[Any](5)
+    out(0) = java.lang.Long.valueOf(n.toLong)
+    out(1) = java.lang.Long.valueOf(topUni)
+    out(2) = java.lang.Long.valueOf(hapax)
+    if (n >= 2) {
+      val big = new java.util.HashMap[UTF8String, Long](n * 2)
+      var topBig = 0L
+      i = 0
+      while (i < n - 1) {
+        val pair = UTF8String.concatWs(UTF8String.fromString(" "),
+          toks.getUTF8String(i), toks.getUTF8String(i + 1))
+        val c = big.merge(pair, 1L, _ + _)
+        if (c > topBig) topBig = c
+        i += 1
+      }
+      out(3) = java.lang.Long.valueOf(n.toLong - 1L)
+      out(4) = java.lang.Long.valueOf(topBig)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}
+
 /** Session registration, same contract as [[VectorFunctions]]. */
 object TextFunctions {
 
   val shinglesName = "graft_word_shingles"
+  val repetitionName = "graft_repetition_stats"
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       shinglesName,
       exprs => WordShingles(exprs.head, Args.intLiteral(shinglesName, exprs, 1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      repetitionName, exprs => RepetitionStats(exprs.head), "built-in")
+  }
 
   /** Column-level handle (n baked in as a literal). */
   def wordShingles(text: Column, n: Int): Column =
     call_function(shinglesName, text, org.apache.spark.sql.functions.lit(n))
+
+  def repetitionStats(toks: Column): Column =
+    call_function(repetitionName, toks)
 }

@@ -352,9 +352,9 @@ object TextAnalysis {
     * tokens taken by the most frequent unigram/bigram, and the singleton
     * (hapax) fraction. Highly repetitive machine-generated text fails these
     * even when the simple ratio gates (q_text_quality) pass. Plan shape:
-    * explode → two partial-aggregated groupBys keyed on doc_id — everything
-    * shuffles by doc_id once per n-gram order, no corpus-global state, so
-    * the operator is linear at any scale. All fractions are int/int double
+    * scan-speed — the statistics are document-local, so a native per-row
+    * kernel ([[graft.functions.RepetitionStats]]) computes them with ZERO
+    * shuffles; no corpus-global state at any scale. All fractions are int/int double
     * divisions (exact on both engines); docs with <2 tokens emit a null
     * bigram fraction via the left join on both sides.
     */
@@ -405,32 +405,23 @@ object TextAnalysis {
     * gate to false).
     */
   def repetitionGates(docs: DataFrame): DataFrame = {
-    val bgType = ArrayType(StructType(Seq(
-      StructField("w1", StringType), StructField("w2", StringType))))
-    val f = docs
+    // the statistics are document-local: one compiled pass per row (native
+    // kernel, graft.functions.RepetitionStats) replaces the explode →
+    // groupBy(doc_id, gram) → groupBy(doc_id) cascade that shuffled the
+    // whole token stream twice — zero shuffles at any corpus size. Null
+    // kernel result = zero tokens = no row in the groupBy formulation;
+    // null bigram fields mirror the bigram side's empty left join.
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    docs
       // bound toks projection: no CSE through lambda bodies
       .select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
-    val t = f.select(col("doc_id"), explode_outer(col("toks")).as("w"))
-      .filter(col("w").isNotNull)
-    val us = t.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("c")).as("n_tokens"),
-        max(col("c")).as("top_uni"),
-        sum(when(col("c") === 1, 1).otherwise(0)).as("n_hapax"))
-    val b = f.select(col("doc_id"), explode_outer(
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1), i =>
-            struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2"))))
-          .otherwise(array().cast(bgType))).as("bg"))
-      .filter(col("bg").isNotNull)
-    val bs = b.groupBy(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_big"))
-    us.join(bs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.repetitionStats(col("toks")).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.top_uni").as("top_uni"), col("st.n_hapax").as("n_hapax"),
+        col("st.n_bigrams").as("n_bigrams"), col("st.top_big").as("top_big"))
       .select(
         col("doc_id"), col("n_tokens"),
         (col("top_uni") * lit(1.0) / col("n_tokens")).as("top_unigram_frac"),

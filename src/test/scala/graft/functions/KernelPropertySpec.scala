@@ -73,6 +73,36 @@ class KernelPropertySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("RepetitionStats equals a plain-Scala count over random token lists") {
+    import spark.implicits._
+    val genToks: Gen[Seq[String]] =
+      Gen.chooseNum(0, 25).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "bb", "é", "嗨", "x1")).map(_.toSeq))
+    val lists = samples(genToks, 300)
+    TextFunctions.ensureRegistered(spark)
+    val rows = lists.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+      .select(col("id"), TextFunctions.repetitionStats(col("toks")).as("st"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    lists.zipWithIndex.foreach { case (toks, i) =>
+      val st = rows(i.toLong)
+      if (toks.isEmpty) assert(st.isEmpty, s"empty list $i must be null")
+      else {
+        val s = st.get
+        val uni = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        assert(s.getLong(0) === toks.size.toLong, s"n_tokens for $i")
+        assert(s.getLong(1) === uni.values.max, s"top_uni for $i")
+        assert(s.getLong(2) === uni.values.count(_ == 1L).toLong, s"n_hapax for $i")
+        if (toks.size < 2) assert(s.isNullAt(3) && s.isNullAt(4), s"bigram nulls for $i")
+        else {
+          val big = toks.sliding(2).toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+          assert(s.getLong(3) === toks.size.toLong - 1, s"n_bigrams for $i")
+          assert(s.getLong(4) === big.values.max, s"top_big for $i")
+        }
+      }
+    }
+  }
+
   test("ByteStride equals the per-element reference on random payloads") {
     val genBytes: Gen[Array[Byte]] =
       Gen.chooseNum(0, 64).flatMap(n =>
