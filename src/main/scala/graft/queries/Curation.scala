@@ -210,6 +210,7 @@ object Curation {
     """),
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    Bpe.ensureRegistered(s)
     val budget = 256
     val toks = Tables.documents(s, d).select(
       col("doc_id"), col("source"),

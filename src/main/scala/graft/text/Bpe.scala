@@ -22,24 +22,24 @@ import graft.util.{Q, Tables}
   * decode over a BPE vocabulary; unknown characters fall back to
   * single-symbol tokens, so every input encodes.
   *
-  * Engine shape: encoding is ONE fold per word — `aggregate` over
-  * character positions carrying a single LONG that packs
-  * (skip, merged-count, token-count) as skip·10¹² + merged·10⁶ + count.
-  * Integer state means the DuckDB oracle (`list_reduce` with the same
-  * packed long) is bit-identical, and the whole encoder is built-in
-  * expressions: no UDF, no shuffle, constant plan size in vocabulary
-  * size (the pieces are array literals, data not plan — same design as
-  * [[graft.functions.LangId]]). At 100 TB this runs at scan speed; the
-  * classic Zipf rewrite (fold each DISTINCT word once, join counts back)
-  * is a drop-in if per-char cost ever dominates — documented, not
-  * needed at current piece-set sizes.
+  * Engine shape: encoding is one compiled row-local pass — the
+  * [[graft.functions.BpeCounts]] native kernel (greedy longest-match with
+  * each ≤8-letter piece packed into a long, one hash probe per candidate
+  * length). No UDF, no shuffle, constant plan size in vocabulary size.
+  * The DuckDB oracle carries the original packed-long `list_reduce`
+  * formulation (skip·10¹² + merged·10⁶ + count per word) — an independent
+  * integer-state implementation of the same maximal munch, so the
+  * hash-compare cross-checks the kernel against a second engine. At
+  * 100 TB this runs at scan speed; the classic Zipf rewrite (encode each
+  * DISTINCT word once, join counts back) is a drop-in if per-char cost
+  * ever dominates — documented, not needed at current piece-set sizes.
   */
 object Bpe {
 
   /** Learned merge results, bucketed by piece length (longest first for
     * maximal munch). Single-character symbols are implicit.
     */
-  private[text] val piecesByLen: Seq[(Int, Seq[String])] = Seq(
+  private[graft] val piecesByLen: Seq[(Int, Seq[String])] = Seq(
     8 -> Seq("customer"),
     6 -> Seq("column", "filter", "stream", "vector", "window"),
     5 -> Seq("batch", "colum", "custo", "ector", "group", "indow", "merge",
@@ -55,57 +55,35 @@ object Bpe {
       "or", "ow", "qu", "st", "up"),
   )
 
-  /** skip·SKIP + merged·MERGED + count, all headroom-checked: skip ≤ 7,
-    * counts < 10⁶ per word (words are regex letter runs, far shorter).
-    */
-  private val SKIP = 1000000000000L
-  private val MERGED = 1000000L
-
   private val wordRe = "[a-z]+"
   // digit runs and non-alphanumeric symbols tokenize as-is (no merges)
   private val otherRe = "[0-9]+|[^a-z0-9\\s]"
 
-  /** One fold step: consume position `i` of word `w`. Skipping the tail
-    * of a matched piece costs one branch; otherwise the longest piece at
-    * `i` wins (substr truncates at word end, so an over-long probe can
-    * never equal a full-length piece — no boundary guard needed).
+  /** The kernel call (callers must [[ensureRegistered]] first). Null text
+    * → null struct, so the count accessors coalesce to 0 as the fold did.
     */
-  private def step(w: Column, acc: Column, i: Column): Column = {
-    val matched = piecesByLen.foldRight(acc + 1L) { case ((len, pieces), elze) =>
-      when(array_contains(lit(pieces.toArray), w.substr(i, lit(len))),
-        acc + ((len - 1) * SKIP + MERGED + 1L)).otherwise(elze)
-    }
-    when(acc >= SKIP, acc - SKIP).otherwise(matched)
-  }
+  private def counts(text: Column): Column =
+    graft.functions.BpeFunctions.bpeCounts(text)
 
-  /** Per-word packed codes for every letter-run word of `text` (null-safe:
-    * null text → empty array).
-    */
-  private def wordCodes(text: Column): Column =
-    transform(
-      coalesce(regexp_extract_all(lower(text), lit(wordRe), lit(0)), array()),
-      w => aggregate(sequence(lit(1), length(w)), lit(0L),
-        (acc, i) => step(w, acc, i)))
-
-  private def sumPart(codes: Column, part: Column => Column): Column =
-    aggregate(codes, lit(0L), (a, x) => a + part(x))
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.BpeFunctions.ensureRegistered(spark)
 
   /** Subword token count over letter-run words. */
   def bpeCount(text: Column): Column =
-    sumPart(wordCodes(text), _ % MERGED)
+    coalesce(counts(text).getField("n_bpe"), lit(0L))
 
   /** How many of those tokens are multi-character merged pieces. */
   def mergedCount(text: Column): Column =
-    sumPart(wordCodes(text), x => floor(x / MERGED).cast("long") % MERGED)
+    coalesce(counts(text).getField("n_merged"), lit(0L))
 
   /** Non-letter tokens: digit runs + single symbols (null text → 0). */
   def otherCount(text: Column): Column =
-    coalesce(size(regexp_extract_all(lower(text), lit(otherRe), lit(0))), lit(0))
-      .cast("long")
+    coalesce(counts(text).getField("n_other"), lit(0L))
 
   /** Total tokenizer output length — what sequence packing budgets on. */
   def totalCount(text: Column): Column =
-    bpeCount(text) + otherCount(text)
+    coalesce(counts(text).getField("n_bpe") + counts(text).getField("n_other"),
+      lit(0L))
 
   // ---- DuckDB mirrors (same literals, same packed-long fold) ----
 
@@ -214,6 +192,7 @@ object Bpe {
       ORDER BY doc_id
     """),
   ) { (s, d) =>
+    ensureRegistered(s)
     Tables.documents(s, d).select(
       col("doc_id"),
       bpeCount(col("text")).as("n_bpe"),

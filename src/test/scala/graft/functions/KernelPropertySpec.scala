@@ -103,6 +103,48 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("BpeCounts equals a regex + greedy-match reference on adversarial text") {
+    import spark.implicits._
+    // mixed words/digits/symbols/multibyte/odd whitespace (NBSP is NOT
+    // Java \s, so it must count as a symbol token)
+    val genDoc: Gen[String] = {
+      val piece = Gen.oneOf("customer", "filter", "spark", "que", "ry", "zz",
+        "a", "42", "3", ",", "é", "嗨", " ", " ", "  ", "\t", "\n", "")
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+    }
+    def ref(text: String): (Long, Long, Long) = {
+      val lowered = text.toLowerCase
+      val words = "[a-z]+".r.findAllIn(lowered).toSeq
+      val byLen = graft.text.Bpe.piecesByLen.map { case (l, ps) => l -> ps.toSet }
+      var nBpe = 0L; var nMerged = 0L
+      words.foreach { w =>
+        var i = 0
+        while (i < w.length) {
+          byLen.find { case (l, ps) =>
+            i + l <= w.length && ps.contains(w.substring(i, i + l))
+          } match {
+            case Some((l, _)) => nBpe += 1; nMerged += 1; i += l
+            case None => nBpe += 1; i += 1
+          }
+        }
+      }
+      val nOther = "[0-9]+|[^a-z0-9\\s]".r.findAllIn(lowered).size.toLong
+      (nBpe, nMerged, nOther)
+    }
+    val texts = samples(genDoc, 300)
+    BpeFunctions.ensureRegistered(spark)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), BpeFunctions.bpeCounts(col("text")).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (b, m, o) = ref(t)
+      val s = rows(i.toLong)
+      assert((s.getLong(0), s.getLong(1), s.getLong(2)) === ((b, m, o)),
+        s"counts for ${t.map(c => f"\\u$c%04x").mkString}")
+    }
+  }
+
   test("ByteStride equals the per-element reference on random payloads") {
     val genBytes: Gen[Array[Byte]] =
       Gen.chooseNum(0, 64).flatMap(n =>
