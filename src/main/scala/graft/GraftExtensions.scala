@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Args, BinaryFunctions, BloomFunctions, ByteStride, LangIdFunctions, LangIdHits, ShingleHashFunctions, SortedIntersectCount, TextFunctions, VecDot, VectorFunctions, Winnow, WinnowFunctions, WordShingleHashes, WordShingles}
+import graft.functions.{Args, BinaryFunctions, BloomFunctions, BmpStats, BpeCounts, BpeFunctions, ByteStride, LangIdFunctions, LangIdHits, MediaDecodeFunctions, PngStats, RepetitionStats, ShingleHashFunctions, SortedIntersectCount, TextFunctions, VecDot, VectorFunctions, WavStats, Winnow, WinnowFunctions, WordShingleHashes, WordShingles}
 
 /** `spark.sql.extensions=graft.GraftExtensions` injects the engine's native
   * functions at session build time — the config-file route to the same
@@ -57,6 +57,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(LangIdFunctions.hitsName),
       new ExpressionInfo(classOf[LangIdHits].getName, LangIdFunctions.hitsName),
       (exprs: Seq[Expression]) => LangIdHits(exprs.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(TextFunctions.repetitionName),
+      new ExpressionInfo(classOf[RepetitionStats].getName, TextFunctions.repetitionName),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(BpeFunctions.countsName),
+      new ExpressionInfo(classOf[BpeCounts].getName, BpeFunctions.countsName),
+      (exprs: Seq[Expression]) => BpeCounts(exprs.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(MediaDecodeFunctions.pngName),
+      new ExpressionInfo(classOf[PngStats].getName, MediaDecodeFunctions.pngName),
+      (exprs: Seq[Expression]) => PngStats(exprs.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(MediaDecodeFunctions.bmpName),
+      new ExpressionInfo(classOf[BmpStats].getName, MediaDecodeFunctions.bmpName),
+      (exprs: Seq[Expression]) => BmpStats(exprs.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(MediaDecodeFunctions.wavName),
+      new ExpressionInfo(classOf[WavStats].getName, MediaDecodeFunctions.wavName),
+      (exprs: Seq[Expression]) => WavStats(exprs.head),
     ))
     ext.injectFunction((
       FunctionIdentifier(BloomFunctions.aggName),

@@ -283,17 +283,18 @@ case class WavStats(child: Expression) extends MediaDecodeExpression {
 /** Session registration, same contract as [[VectorFunctions]]. */
 object MediaDecodeFunctions {
 
+  val pngName = "graft_png_stats"
+  val bmpName = "graft_bmp_stats"
+  val wavName = "graft_wav_stats"
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_png_stats",
-      exprs => PngStats(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_bmp_stats",
-      exprs => BmpStats(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_wav_stats",
-      exprs => WavStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(pngName, exprs => PngStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(bmpName, exprs => BmpStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(wavName, exprs => WavStats(exprs.head), "built-in")
   }
 
-  def pngStats(payload: Column): Column = call_function("graft_png_stats", payload)
-  def bmpStats(payload: Column): Column = call_function("graft_bmp_stats", payload)
-  def wavStats(payload: Column): Column = call_function("graft_wav_stats", payload)
+  def pngStats(payload: Column): Column = call_function(pngName, payload)
+  def bmpStats(payload: Column): Column = call_function(bmpName, payload)
+  def wavStats(payload: Column): Column = call_function(wavName, payload)
 }

@@ -68,5 +68,25 @@ class ExtensionsSpec extends SparkSpec {
     // interned UTF8String round-trip safety: shingles over multibyte text
     val uni = WordShingles(Literal("é 嗨 x"), 3).eval(null).asInstanceOf[ArrayData]
     assert(uni.getUTF8String(0) === UTF8String.fromString("é 嗨 x"))
+    // media decode kernels: junk bytes gate to an all-null-field struct,
+    // never a crash (PNG additionally reports no CRC verdict — the header
+    // region doesn't exist)
+    val junk = "definitely not media".getBytes
+    val pngRow = PngStats(Literal(junk)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert((0 until 9).forall(pngRow.isNullAt))
+    val bmpRow = BmpStats(Literal(junk)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert((0 until 6).forall(bmpRow.isNullAt))
+    val wavRow = WavStats(Literal(junk)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert((0 until 7).forall(wavRow.isNullAt))
+    // repetition stats: empty token list evals to null (= "no row")
+    assert(RepetitionStats.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])) === null)
+    // bpe counts: "spark spark!" = 2 merged words + 1 symbol
+    val bpe = BpeCounts(Literal("spark spark!")).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(bpe.getLong(0) === 2L && bpe.getLong(1) === 2L && bpe.getLong(2) === 1L)
   }
 }
