@@ -233,5 +233,97 @@ object Curation {
       .orderBy("source", "pack_id")
   }
 
-  def all: Seq[Q] = Seq(q_curate_verdict, q_pack_sequences)
+  /** Temperature-based source mixing — the corpus-composition step a
+    * training run decides last (The Pile's mixing weights, LLaMA's
+    * source-level sampling): source s gets weight ∝ n_s^α (α = 0.5 here —
+    * the square-root temperature that upsamples small sources), a global
+    * token budget of half the corpus is allocated by weight, and each
+    * document is kept by a deterministic salted-md5 draw against its
+    * source's inclusion probability — no RNG state, stable under
+    * repartition/reordering, the same design as q_sample_hash/split.
+    * Token counts are the REAL tokenizer's ([[graft.text.Bpe]]), so the
+    * budget means model tokens, not whitespace words.
+    *
+    * Cross-engine exactness: the weight normalizer Σ√n_s goes through a
+    * DECIMAL(20,12) sum (order-independent — a double sum would differ in
+    * the last ulp by accumulation order), √ is IEEE-correctly-rounded on
+    * both engines, and the md5 draw compares fixed-width HEX STRINGS
+    * (threshold rendered via floor → hex → lpad) so no float comparison
+    * crosses engines. p ≥ 1 (a source smaller than its allocation) keeps
+    * every document explicitly — hex-rendering 2^24 would truncate.
+    *
+    * Scale shape: one scan for per-doc token counts, a 20-row source
+    * aggregate, the scalar normalizer broadcast back, then a scan-speed
+    * keep decision — at 100 TB the only data-scale passes are the two
+    * linear scans; everything between is dimension-table sized.
+    */
+  val q_mix_sources: Q = Q(
+    "q_mix_sources",
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, ${Bpe.totalCountSql("text")} AS nt FROM documents
+      ), s AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source
+      ), g AS (
+        SELECT CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(20,12))) AS DOUBLE) AS z,
+               CAST(0.5 AS DOUBLE) * CAST(SUM(n_tokens) AS BIGINT) AS b
+        FROM s
+      ), w AS (
+        SELECT s.source, s.n_docs, s.n_tokens,
+               sqrt(CAST(s.n_tokens AS DOUBLE)) / g.z AS weight,
+               (g.b * (sqrt(CAST(s.n_tokens AS DOUBLE)) / g.z))
+                 / CAST(s.n_tokens AS DOUBLE) AS p
+        FROM s, g
+      ), k AS (
+        SELECT t.source, t.nt,
+               w.p >= 1.0 OR
+                 upper(substring(md5('mix-' || CAST(t.doc_id AS VARCHAR)), 1, 6))
+                   < lpad(hex(CAST(floor(w.p * 16777216.0) AS BIGINT)), 6, '0') AS keep
+        FROM t JOIN w ON t.source = w.source
+      ), a AS (
+        SELECT source,
+               COUNT(*) FILTER (WHERE keep) AS kept_docs,
+               CAST(coalesce(SUM(nt) FILTER (WHERE keep), 0) AS BIGINT) AS kept_tokens
+        FROM k GROUP BY source
+      )
+      SELECT w.source, w.n_docs, w.n_tokens, w.weight,
+             least(w.p, CAST(1.0 AS DOUBLE)) AS sample_p,
+             a.kept_docs, a.kept_tokens,
+             a.kept_tokens * 1.0 / w.n_tokens AS realized_rate
+      FROM w JOIN a ON w.source = a.source
+      ORDER BY w.source
+    """),
+  ) { (s, d) =>
+    Bpe.ensureRegistered(s)
+    val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      Bpe.totalCount(col("text")).as("nt"))
+    val srcStats = t.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val nD = col("n_tokens").cast(org.apache.spark.sql.types.DoubleType)
+    val g = srcStats.agg(
+      sum(sqrt(nD).cast(org.apache.spark.sql.types.DecimalType(20, 12)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("z"),
+      (lit(0.5) * sum(col("n_tokens"))).as("b"))
+    val w = srcStats.crossJoin(broadcast(g))
+      .withColumn("weight", sqrt(nD) / col("z"))
+      .withColumn("p", (col("b") * (sqrt(nD) / col("z"))) / nD)
+    val hashHex = upper(substring(
+      md5(concat(lit("mix-"), col("doc_id").cast("string")).cast(BinaryType)), 1, 6))
+    val k = t.join(broadcast(w.select("source", "p")), "source")
+      .select(col("source"), col("nt"),
+        (col("p") >= 1.0 ||
+          hashHex < lpad(hex(floor(col("p") * lit(16777216.0))), 6, "0")).as("keep"))
+    val a = k.groupBy("source").agg(
+      count(when(col("keep"), 1)).as("kept_docs"),
+      coalesce(sum(when(col("keep"), col("nt"))), lit(0L)).as("kept_tokens"))
+    w.join(a, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        least(col("p"), lit(1.0)).as("sample_p"),
+        col("kept_docs"), col("kept_tokens"),
+        (col("kept_tokens") * lit(1.0) / col("n_tokens")).as("realized_rate"))
+      .orderBy("source")
+  }
+
+  def all: Seq[Q] = Seq(q_curate_verdict, q_pack_sequences, q_mix_sources)
 }

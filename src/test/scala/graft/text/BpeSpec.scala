@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Pins the expression-fold subword encoder against a direct JVM greedy
-  * longest-match reference over the same learned merge vocabulary.
+/** Pins the subword encoder (the BpeCounts native kernel since round 9)
+  * against a direct JVM greedy longest-match reference over the same
+  * learned merge vocabulary.
   */
 class BpeSpec extends SparkSpec {
 
@@ -38,6 +39,7 @@ class BpeSpec extends SparkSpec {
 
   private def sparkCounts(texts: Seq[String]): Seq[(Long, Long, Long)] = {
     import spark.implicits._
+    Bpe.ensureRegistered(spark)
     texts.toDF("text")
       .select(Bpe.bpeCount(col("text")), Bpe.mergedCount(col("text")),
         Bpe.otherCount(col("text")))
@@ -93,6 +95,7 @@ class BpeSpec extends SparkSpec {
   test("pack budget consumes the tokenizer totals (count composition)") {
     val Seq((nb, _, no)) = sparkCounts(Seq("pack 2 streams: go!"))
     import spark.implicits._
+    Bpe.ensureRegistered(spark)
     val total = Seq("pack 2 streams: go!").toDF("text")
       .select(Bpe.totalCount(col("text"))).as[Long].head()
     assert(total === nb + no)
