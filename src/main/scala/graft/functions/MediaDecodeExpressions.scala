@@ -47,7 +47,7 @@ object MediaDecode {
     (u8(p, i).toLong << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) |
       u8(p, i + 3)
   private def ascii(p: Array[Byte], i: Int, s: String): Boolean = {
-    if (i + s.length > p.length) return false
+    if (i < 0 || i + s.length > p.length) return false
     var k = 0
     while (k < s.length) {
       if (p(i + k) != s.charAt(k).toByte) return false
@@ -92,25 +92,30 @@ object MediaDecode {
     out(0) = Integer.valueOf(w)
     out(1) = Integer.valueOf(h)
     // bounded chunk walk (8 hops, as the expression walk): 0-based chunk
-    // start; length field at pos, type at pos+4
-    var pos = 33
+    // start; length field at pos, type at pos+4. A hostile declared length
+    // may overflow the position — keep it in Long and stop on any escape
+    // from the payload (the expression walk's out-of-range reads nulled).
+    var pos = 33L
     var found = false
     var hop = 0
-    while (hop < 8 && !found && pos + 8 <= p.length) {
-      if (ascii(p, pos + 4, "IDAT")) found = true
-      else pos += beU32(p, pos).toInt + 12
+    while (hop < 8 && !found && pos >= 0 && pos + 8 <= p.length) {
+      if (ascii(p, pos.toInt + 4, "IDAT")) found = true
+      else pos += beU32(p, pos.toInt) + 12L
       hop += 1
     }
-    if (!found) return new GenericInternalRow(out) // adler/sums stay null
-    val rowBytes = w * 3 + 1
+    if (!found || pos < 0 || pos + 8 > p.length)
+      return new GenericInternalRow(out) // adler/sums stay null
+    // hostile header dims wrap the expression version's INT cast too; any
+    // non-positive geometry means the raw region is unreadable → null sums
+    val rowBytes = w.toLong * 3 + 1
     val rawLen = h.toLong * rowBytes
-    val z = pos + 8 // zlib CMF byte (skip IDAT length + type)
+    val z = pos.toInt + 8 // zlib CMF byte (skip IDAT length + type)
     val zlibOk = z + 7 <= p.length &&
       u8(p, z) == 0x78 && (u8(p, z) * 256 + u8(p, z + 1)) % 31 == 0 &&
       u8(p, z + 2) == 0x01 && // BFINAL=1, BTYPE=00 (stored)
       leU16(p, z + 3) == rawLen && leU16(p, z + 5) == 65535 - rawLen
     val rawOff = z + 7
-    if (rawOff + rawLen + 4 > p.length || rawLen > Int.MaxValue) {
+    if (w <= 0 || h <= 0 || rawOff + rawLen + 4 > p.length || rawLen > Int.MaxValue) {
       // region over-runs the payload: the expression fold's reads came back
       // null here — sums stay null; framing verdict still reported
       if (!zlibOk) out(3) = java.lang.Boolean.FALSE
@@ -167,14 +172,19 @@ object MediaDecode {
     val h = leU32(p, 22).toInt
     out(0) = Integer.valueOf(w)
     out(1) = Integer.valueOf(h)
-    val stride = (w * 3 + 3) & ~3
-    if (off.toLong + stride.toLong * h > p.length || w <= 0 || h <= 0)
-      return new GenericInternalRow(out) // sums stay null, as the fold's
+    // stride in Long: a hostile width wraps the Int product; any negative
+    // or out-of-payload geometry → null sums (the expression fold's
+    // out-of-range reads nulled, never threw)
+    val stride = (w.toLong * 3 + 3) & ~3L
+    if (off < 0 || w <= 0 || h <= 0 ||
+      off.toLong + stride * h > p.length || stride > Int.MaxValue)
+      return new GenericInternalRow(out)
+    val strideI = stride.toInt // fits: guarded above
     var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
     var y = 0
     var i = 0L // image-order pixel index (top-down), drives the weighted sum
     while (y < h) {
-      var base = off + (h - 1 - y) * stride
+      var base = off + (h - 1 - y) * strideI
       var x = 0
       while (x < w) {
         val bC = u8(p, base)
