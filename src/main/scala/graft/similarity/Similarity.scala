@@ -545,7 +545,77 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Hard-negative mining — the contrastive-training data step (triplet /
+    * InfoNCE pipelines, Schroff et al. 2015 FaceNet): for each probe, the
+    * top-5 most-similar vectors with a DIFFERENT label are its hard
+    * negatives, and each is flagged semi-hard-vs-hard by whether it
+    * outranks the probe's nearest same-label positive (`harder_than_pos`
+    * — negatives inside the positive margin are the ones that move a
+    * contrastive loss; they are also the mislabeling suspects the kNN
+    * audit hunts from the other direction).
+    *
+    * Exactness: ranks and the margin flag come from the same sequential-
+    * fold cosine the oracle's list kernel computes bit-identically, with
+    * deterministic (cos desc, cid) tie-breaks; raw cosines stay OUT of the
+    * output hash scope (rank + boolean only), same contract as
+    * q_sim_topk_cosine. Plan shape: one broadcast-nested-loop scoring scan
+    * over the repartitioned corpus, then ONE qid-partitioned exchange
+    * serving both the positive-margin window max and the negative rank.
+    * The 100 TB swap replaces the exact scan with the LSH/IVF candidate
+    * paths — margin logic unchanged.
+    */
+  val q_embed_hard_negatives: Q = Q(
+    "q_embed_hard_negatives",
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+                 FROM embeddings WHERE vec_id < 50),
+      p AS (
+        SELECT qid, qlabel, c.vec_id AS cid, c.label AS clabel,
+               list_cosine_similarity(qe::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        FROM q, embeddings c WHERE c.vec_id <> qid),
+      r AS (
+        SELECT qid, qlabel, cid, clabel, cos,
+               MAX(CASE WHEN clabel = qlabel THEN cos END)
+                 OVER (PARTITION BY qid) AS pos_cos
+        FROM p),
+      neg AS (
+        SELECT qid, cid, clabel, cos, pos_cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        FROM r WHERE clabel <> qlabel)
+      SELECT qid, rn, cid AS neg_id, clabel AS neg_label,
+             cos > pos_cos AS harder_than_pos
+      FROM neg WHERE rn <= 5
+      ORDER BY qid, rn
+    """),
+  ) { (s, d) =>
+    VectorFunctions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel")))
+    val c = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("clabel"))
+      .repartition(s.sparkContext.defaultParallelism, col("cid"))
+    val p = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        cosine(col("qe"), col("ce")).as("cos"))
+    val byQ = Window.partitionBy("qid")
+    p
+      .withColumn("pos_cos",
+        max(when(col("clabel") === col("qlabel"), col("cos"))).over(byQ))
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("rn",
+        row_number().over(byQ.orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid").as("neg_id"),
+        col("clabel").as("neg_label"),
+        (col("cos") > col("pos_cos")).as("harder_than_pos"))
+      .orderBy("qid", "rn")
+  }
+
   def all: Seq[Q] =
     Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding,
-      q_embed_quantize, q_embed_centroids, q_embed_knn_audit)
+      q_embed_quantize, q_embed_centroids, q_embed_knn_audit,
+      q_embed_hard_negatives)
 }
