@@ -157,4 +157,25 @@ class PlanSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3, // 2 lists + final
       s"every ranking cut must be top-k, never a full sort:\n${p.take(1500)}")
   }
+
+  test("source mixing broadcasts the per-source stats back into the keep scan") {
+    val p = plan("q_mix_sources")
+    // the normalizer and per-source probabilities are dimension-table
+    // sized: the doc-scale side must see them as broadcasts, never a
+    // fact-fact shuffle join
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"stats frames must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no doc-scale shuffle join in the mix decision:\n${p.take(1500)}")
+  }
+
+  test("hard-negative mining: one qid exchange serves both margin and rank windows") {
+    val p = plan("q_embed_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    // both window passes (positive-margin max, negative row_number) must
+    // reuse one hashpartitioning(qid) exchange
+    assert("hashpartitioning\\(qid".r.findAllIn(p).size <= 2,
+      s"windows re-shuffled the scored stream:\n${p.take(1500)}")
+  }
 }
