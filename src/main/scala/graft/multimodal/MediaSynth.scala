@@ -1,0 +1,216 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native synthesizers for the three REAL media fixture tables — the
+  * compiled twins of the declarative payload constructions (per-pixel
+  * `lpad(hex(...))` transforms, the closed-form adler fold, chunk-level
+  * `concat`s) that dominated the decode queries' cost once the decode side
+  * itself was kernel-compiled: synthesizing a 5k-document PNG table spent
+  * ~350 µs/row in interpreted lambdas to produce ~1 KB of bytes. One
+  * compiled byte-array build per row replaces all of it.
+  *
+  * The BYTES ARE THE CONTRACT, pinned independently of how they're
+  * produced: MultimodalSpec decodes every PNG with javax.imageio (full
+  * zlib inflate + CRC checks), re-decodes WAV/BMP with java.nio reference
+  * readers, and the DuckDB oracles recompute every feature from the
+  * planting FORMULAS without touching bytes — any deviation from the
+  * declarative construction (which these kernels mirror field-for-field:
+  * true CRC32s, closed-form adler32, RIFF/data sizes, bottom-up BGR
+  * stride rows) hash-mismatches or fails ImageIO. Planted formulas stay
+  * in one place ([[MediaSynth]]) for both kernels and Scaladoc.
+  */
+object MediaSynth {
+
+  // ---- shared little/big-endian writers ----------------------------------
+  private def beU32(out: Array[Byte], i: Int, v: Long): Unit = {
+    out(i) = (v >>> 24).toByte; out(i + 1) = (v >>> 16).toByte
+    out(i + 2) = (v >>> 8).toByte; out(i + 3) = v.toByte
+  }
+  private def leU32(out: Array[Byte], i: Int, v: Long): Unit = {
+    out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+  }
+  private def leU16(out: Array[Byte], i: Int, v: Int): Unit = {
+    out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+  }
+  private def ascii(out: Array[Byte], i: Int, s: String): Unit = {
+    var k = 0
+    while (k < s.length) { out(i + k) = s.charAt(k).toByte; k += 1 }
+  }
+  private def crc32(p: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32(); c.update(p, off, len); c.getValue
+  }
+
+  /** Stored-deflate truecolor PNG (same layout the declarative builder
+    * emitted: IHDR with true CRC, one stored-block IDAT with true adler32
+    * and CRC, IEND). Planted: w = 4+id%7, h = 4+id%5, R=(id+7x+13y)%256,
+    * G=(3id+5x+11y)%256, B=(5id+3x+17y)%256.
+    */
+  def png(id: Long): Array[Byte] = {
+    val w = (4 + id % 7).toInt
+    val h = (4 + id % 5).toInt
+    val rowBytes = w * 3 + 1
+    val rawLen = h * rowBytes
+    // sig 8 + IHDR 25 + IDAT(12 + 7 + rawLen + 4) + IEND 12
+    val out = new Array[Byte](8 + 25 + 12 + 7 + rawLen + 4 + 12)
+    out(0) = 0x89.toByte; ascii(out, 1, "PNG")
+    out(4) = 0x0D; out(5) = 0x0A; out(6) = 0x1A; out(7) = 0x0A
+    beU32(out, 8, 13); ascii(out, 12, "IHDR")
+    beU32(out, 16, w); beU32(out, 20, h)
+    out(24) = 8; out(25) = 2 // 8-bit truecolor, compr/filter/interlace 0
+    beU32(out, 29, crc32(out, 12, 17))
+    beU32(out, 33, rawLen + 11L); ascii(out, 37, "IDAT")
+    out(41) = 0x78; out(42) = 0x01 // zlib CMF/FLG
+    out(43) = 0x01 // BFINAL=1, BTYPE=00
+    leU16(out, 44, rawLen); leU16(out, 46, 65535 - rawLen)
+    var a = 1L; var b = 0L
+    var i = 48
+    var y = 0
+    while (y < h) {
+      out(i) = 0 // filter type 0; adler: a += 0
+      b += a; if (b >= 65521L) b -= 65521L
+      i += 1
+      var x = 0
+      while (x < w) {
+        val r = ((id + 7L * x + 13L * y) % 256).toInt
+        val g = ((3L * id + 5L * x + 11L * y) % 256).toInt
+        val bl = ((5L * id + 3L * x + 17L * y) % 256).toInt
+        out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = bl.toByte
+        a += r; if (a >= 65521L) a -= 65521L
+        b += a; if (b >= 65521L) b -= 65521L
+        a += g; if (a >= 65521L) a -= 65521L
+        b += a; if (b >= 65521L) b -= 65521L
+        a += bl; if (a >= 65521L) a -= 65521L
+        b += a; if (b >= 65521L) b -= 65521L
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    beU32(out, i, b * 65536L + a)
+    beU32(out, i + 4, crc32(out, 37, 4 + 7 + rawLen + 4)) // over IDAT body
+    beU32(out, i + 8, 0); ascii(out, i + 12, "IEND")
+    beU32(out, i + 16, 0xAE426082L)
+    out
+  }
+
+  /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
+    * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
+    * the PNG but with the BMP moduli for dimensions.
+    */
+  def bmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 8).toInt
+    val h = (4 + id % 6).toInt
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    ascii(out, 0, "BM"); leU32(out, 2, 54L + stride * h)
+    leU32(out, 10, 54); leU32(out, 14, 40)
+    leU32(out, 18, w); leU32(out, 22, h)
+    leU16(out, 26, 1); leU16(out, 28, 24)
+    leU32(out, 30, 0); leU32(out, 34, stride.toLong * h)
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j // stored row j holds image row y (bottom-up)
+      var i = 54 + j * stride
+      var x = 0
+      while (x < w) {
+        out(i) = ((5L * id + 3L * x + 17L * y) % 256).toByte // B
+        out(i + 1) = ((3L * id + 5L * x + 11L * y) % 256).toByte // G
+        out(i + 2) = ((id + 7L * x + 13L * y) % 256).toByte // R
+        i += 3; x += 1
+      }
+      // stride padding bytes stay zero
+      j += 1
+    }
+    out
+  }
+
+  /** Mono PCM16 WAV with true RIFF/byte-rate/data sizes. Planted:
+    * n = 64+id%64 samples, rate by id%4, unsigned sample rendering
+    * (id·7919 + i·104729) mod 65536, little-endian.
+    */
+  def wav(id: Long): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    val rate = (id % 4) match {
+      case 0 => 8000L; case 1 => 16000L; case 2 => 22050L; case _ => 44100L
+    }
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    ascii(out, 0, "RIFF"); leU32(out, 4, dataLen + 36L)
+    ascii(out, 8, "WAVEfmt "); leU32(out, 16, 16)
+    leU16(out, 20, 1); leU16(out, 22, 1) // PCM, mono
+    leU32(out, 24, rate); leU32(out, 28, rate * 2)
+    leU16(out, 32, 2); leU16(out, 34, 16) // block align, bits/sample
+    ascii(out, 36, "data"); leU32(out, 40, dataLen)
+    var i = 0
+    while (i < n) {
+      val u = ((id * 7919L + i * 104729L) % 65536L).toInt
+      leU16(out, 44 + 2 * i, u)
+      i += 1
+    }
+    out
+  }
+}
+
+private[multimodal] abstract class MediaSynthExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a bigint doc id, got $other")
+  }
+  override def dataType: DataType = BinaryType
+}
+
+case class PngSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.png(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.png($c);")
+  override protected def withNewChildInternal(newChild: Expression): PngSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_png_synth"
+}
+
+case class BmpSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.bmp(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.bmp($c);")
+  override protected def withNewChildInternal(newChild: Expression): BmpSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bmp_synth"
+}
+
+case class WavSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.wav(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.wav($c);")
+  override protected def withNewChildInternal(newChild: Expression): WavSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_wav_synth"
+}
+
+/** Session registration, same contract as the functions-package kernels. */
+object MediaSynthFunctions {
+
+  val pngName = "graft_png_synth"
+  val bmpName = "graft_bmp_synth"
+  val wavName = "graft_wav_synth"
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(pngName, exprs => PngSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
+  }
+
+  def pngSynth(docId: Column): Column = call_function(pngName, docId)
+  def bmpSynth(docId: Column): Column = call_function(bmpName, docId)
+  def wavSynth(docId: Column): Column = call_function(wavName, docId)
+}

@@ -132,17 +132,6 @@ object Multimodal {
 
   // --------------------------------------------------- real PCM audio table
 
-  /** Planted sample count per document (64–127 samples). */
-  private def plantedSamples(docId: Column): Column =
-    (lit(64) + pmod(docId, lit(64))).cast(IntegerType)
-
-  /** The planted waveform: sample i of doc d has UNSIGNED 16-bit rendering
-    * (d*7919 + i*104729) mod 65536 — full-range, sign-alternating, and
-    * recomputable by the oracle without touching bytes.
-    */
-  private def plantedSampleU(docId: Column, i: Column): Column =
-    pmod(docId * 7919 + i * 104729, lit(65536))
-
   /** A COMPLETELY REAL mono PCM16 WAV file per document — unlike
     * [[mediaTable]]'s stand-in bodies, every field here is spec-true: RIFF
     * size, byte rate, block align, data-chunk length, and a data chunk
@@ -151,158 +140,56 @@ object Multimodal {
     * PCM is NOT stubbed — it needs no codec, only byte arithmetic.
     */
   def audioTable(docs: DataFrame): DataFrame = {
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val id = col("doc_id")
-    val n = plantedSamples(id)
-    val rate = plantedRate(id)
-    // each sample as 4 hex chars (low byte first = little-endian, rendered
-    // by ONE hex call: low·256 + high), one array_join + unhex for the
-    // whole data chunk
-    val data = unhex(array_join(
-      transform(sequence(lit(0), n - 1), i => {
-        val u = plantedSampleU(id, i)
-        lpad(hex(u.bitwiseAND(0xFF) * 256 + shiftright(u, 8)), 4, "0")
-      }), ""))
-    val dataLen = n * 2
-    val payload = concat(
-      lit("RIFF".getBytes(ascii)), u32le(dataLen + 36),
-      lit("WAVEfmt ".getBytes(ascii)), u32le(lit(16)),
-      u16le(lit(1)), u16le(lit(1)), // PCM, mono
-      u32le(rate), u32le(rate * 2), // sample rate, byte rate (2 B/frame)
-      u16le(lit(2)), u16le(lit(16)), // block align, bits per sample
-      lit("data".getBytes(ascii)), u32le(dataLen),
-      data)
+    // one compiled byte-array build per row ([[MediaSynth.wav]], same
+    // fields the declarative concat/hex construction emitted); the bytes
+    // stay pinned by MultimodalSpec's java.nio reference decode
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.wavSynth(col("doc_id")).as("payload"))
   }
 
   // --------------------------------------------------- real BMP image table
-
-  /** Planted image dimensions (4–11 × 4–9 pixels) and per-pixel RGB. */
-  private def plantedImgW(docId: Column): Column =
-    (lit(4) + pmod(docId, lit(8))).cast(IntegerType)
-  private def plantedImgH(docId: Column): Column =
-    (lit(4) + pmod(docId, lit(6))).cast(IntegerType)
-  private def plantedR(id: Column, x: Column, y: Column): Column =
-    pmod(id + x * 7 + y * 13, lit(256))
-  private def plantedG(id: Column, x: Column, y: Column): Column =
-    pmod(id * 3 + x * 5 + y * 11, lit(256))
-  private def plantedB(id: Column, x: Column, y: Column): Column =
-    pmod(id * 5 + x * 3 + y * 17, lit(256))
 
   /** A COMPLETELY REAL 24-bit uncompressed BMP per document: BITMAPFILEHEADER
     * + BITMAPINFOHEADER with true sizes, then the pixel array in the format's
     * actual layout — rows BOTTOM-UP, bytes B,G,R per pixel, each row padded
     * to a 4-byte boundary. Pixel decode for uncompressed BMP needs no codec,
-    * so [[q_mm_pixels]] can decode genuine pixels, not a stand-in.
+    * so [[q_mm_pixels]] can decode genuine pixels, not a stand-in. Planted
+    * dimensions 4–11 × 4–9 and the RGB field live in [[MediaSynth.bmp]],
+    * the compiled per-row builder; bytes stay pinned by MultimodalSpec's
+    * java.nio reference decode.
     */
   def imageTable(docs: DataFrame): DataFrame = {
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val id = col("doc_id")
-    val w = plantedImgW(id)
-    val h = plantedImgH(id)
-    val stride = (w * 3 + 3).bitwiseAND(-4)
-    // row j of the stored array is image row y = h-1-j (bottom-up); one
-    // hex call renders each pixel's three bytes (B·65536 + G·256 + R)
-    val rowsHex = transform(sequence(lit(0), h - 1), j => {
-      val y = h - 1 - j
-      concat(
-        array_join(transform(sequence(lit(0), w - 1), x =>
-          lpad(hex(plantedB(id, x, y) * 65536 + plantedG(id, x, y) * 256
-            + plantedR(id, x, y)), 6, "0")), ""),
-        lit("000000").substr(lit(1), (stride - w * 3) * 2)) // row padding
-    })
-    val payload = concat(
-      lit("BM".getBytes(ascii)), u32le(stride * h + 54), u32le(lit(0)),
-      u32le(lit(54)), // pixel-array offset
-      u32le(lit(40)), u32le(w), u32le(h), // info header, width, height
-      u16le(lit(1)), u16le(lit(24)), // planes, bits per pixel
-      u32le(lit(0)), u32le(stride * h), // BI_RGB (uncompressed), image size
-      u32le(lit(0)), u32le(lit(0)), u32le(lit(0)), u32le(lit(0)),
-      unhex(array_join(rowsHex, "")))
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.bmpSynth(col("doc_id")).as("payload"))
   }
 
   // ----------------------------------------- real stored-deflate PNG table
 
-  /** Planted PNG dimensions (4–10 × 4–8; moduli differ from the BMP table
-    * so a decoder reading the wrong table cannot accidentally pass).
-    */
-  private def plantedPngW(docId: Column): Column =
-    (lit(4) + pmod(docId, lit(7))).cast(IntegerType)
-  private def plantedPngH(docId: Column): Column =
-    (lit(4) + pmod(docId, lit(5))).cast(IntegerType)
-
   /** A COMPLETELY REAL truecolor PNG per document, decodable without a
     * Huffman codec: 8-byte signature; IHDR (8-bit RGB, no interlace) with
-    * its true CRC32 (Spark's `crc32` IS the PNG chunk CRC — CRC-32/ISO-HDLC);
-    * one IDAT whose zlib stream (CMF/FLG 0x78 0x01) holds a single STORED
-    * deflate block (BFINAL=1, BTYPE=00 — the spec-valid output of zlib
-    * compression level 0) wrapping filter-type-0 scanlines of the planted
-    * RGB field, followed by the true adler32 (folded over the raw bytes in
-    * the same expression pass that renders them); IEND. Every length,
-    * checksum, and complement is spec-true — `java.imageio` or libpng
-    * would decode these files byte-identically (MultimodalSpec pins the
-    * ImageIO decode).
+    * its true CRC32; one IDAT whose zlib stream (CMF/FLG 0x78 0x01) holds
+    * a single STORED deflate block (BFINAL=1, BTYPE=00 — the spec-valid
+    * output of zlib compression level 0) wrapping filter-type-0 scanlines
+    * of the planted RGB field, followed by the true adler32; IEND. Every
+    * length, checksum, and complement is spec-true — `java.imageio` or
+    * libpng decodes these files byte-identically (MultimodalSpec pins the
+    * ImageIO decode). Planted dimensions 4–10 × 4–8 (moduli differ from
+    * the BMP table so a decoder reading the wrong table cannot
+    * accidentally pass) and the construction live in [[MediaSynth.png]],
+    * the compiled per-row builder.
     */
   def pngTable(docs: DataFrame): DataFrame = {
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val id = col("doc_id")
-    val w = plantedPngW(id)
-    val h = plantedPngH(id)
-    val rowBytes = w * 3 + 1 // filter byte + RGB per pixel
-    val rawLen = h * rowBytes
-    // scanlines top-down, each prefixed by filter type 0; one hex call per
-    // pixel (R·65536 + G·256 + B renders the three channel bytes at once)
-    val rawHex = array_join(
-      transform(sequence(lit(0), h - 1), y =>
-        concat(lit("00"), array_join(transform(sequence(lit(0), w - 1), x =>
-          lpad(hex(plantedR(id, x, y) * 65536 + plantedG(id, x, y) * 256
-            + plantedB(id, x, y)), 6, "0")), ""))), "")
-    // adler32 in closed form over PIXELS, not bytes: A = 1 + Σd; for the
-    // byte at 0-based stream index k, its B contribution is (n-k)·d (B is
-    // the sum of all prefix A values; filter bytes are 0). Raw sums stay
-    // < 2^25, so one mod at the end is exact — a w·h fold replaces the
-    // per-byte one.
-    val adler = {
-      val folded = aggregate(
-        sequence(lit(0), w * h - 1),
-        struct(lit(0L).as("s"), lit(0L).as("t")),
-        (st, i) => {
-          val x = pmod(i, w)
-          val y = ((i - x) / w).cast(IntegerType)
-          val kR = (y * rowBytes + 1 + x * 3).cast(LongType) // 0-based index
-          val r = plantedR(id, x, y).cast(LongType)
-          val g = plantedG(id, x, y).cast(LongType)
-          val bC = plantedB(id, x, y).cast(LongType)
-          struct(
-            (st.getField("s") + r + g + bC).as("s"),
-            (st.getField("t") + (rawLen - kR) * r + (rawLen - kR - 1L) * g
-              + (rawLen - kR - 2L) * bC).as("t"))
-        })
-      struct(
-        pmod(folded.getField("s") + 1L, lit(65521L)).as("a"),
-        pmod(folded.getField("t") + rawLen.cast(LongType), lit(65521L)).as("b"))
-    }
-    val ihdrBody = concat(lit("IHDR".getBytes(ascii)), u32be(w), u32be(h),
-      b(0x08, 0x02, 0x00, 0x00, 0x00)) // depth 8, color 2 (RGB), no interlace
-    val idatBody = concat(
-      lit("IDAT".getBytes(ascii)),
-      b(0x78, 0x01), // zlib: deflate/32K, FLG passes the %31 check, no dict
-      b(0x01), u16le(rawLen), u16le(lit(65535) - rawLen), // stored block
-      unhex(rawHex),
-      u32be(adler.getField("b") * 65536L + adler.getField("a")))
-    val payload = concat(
-      b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A),
-      u32be(lit(13)), ihdrBody, u32be(crc32(ihdrBody)),
-      u32be(rawLen + 11), idatBody, u32be(crc32(idatBody)),
-      u32be(lit(0)), lit("IEND".getBytes(ascii)), u32be(lit(0xAE426082L)))
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.pngSynth(col("doc_id")).as("payload"))
   }
 
   // ------------------------------------------------ header metadata readers
