@@ -102,7 +102,16 @@ object Tables {
     * `spark.sql(...)` with the same scan behavior as the DataFrame API.
     */
   def registerViews(s: SparkSession, sfDir: String): Unit = {
+    // the complete native-function surface, same set GraftExtensions injects
     graft.functions.VectorFunctions.ensureRegistered(s)
+    graft.functions.TextFunctions.ensureRegistered(s)
+    graft.functions.BinaryFunctions.ensureRegistered(s)
+    graft.functions.WinnowFunctions.ensureRegistered(s)
+    graft.functions.ShingleHashFunctions.ensureRegistered(s)
+    graft.functions.LangIdFunctions.ensureRegistered(s)
+    graft.functions.BloomFunctions.ensureRegistered(s)
+    graft.functions.BpeFunctions.ensureRegistered(s)
+    graft.functions.MediaDecodeFunctions.ensureRegistered(s)
     names.foreach(n => loaders(n)(s, sfDir).createOrReplaceTempView(n))
   }
 }

@@ -26,5 +26,18 @@ class ViewsSpec extends SparkSpec {
       "SELECT graft_vec_dot(embedding, embedding) AS nrm2 FROM embeddings LIMIT 5")
       .collect().map(_.getDouble(0))
     assert(d.nonEmpty && d.forall(_ > 0.0))
+    // the round-9 kernels through the same façade: tokenizer accounting,
+    // repetition stats over a token array, and a media decode struct
+    val r = spark.sql(
+      """SELECT graft_bpe_counts(text).n_bpe AS nb,
+        |       graft_repetition_stats(filter(split(lower(text), '\\s+'),
+        |                                     t -> t <> '')).n_tokens AS nt
+        |FROM documents WHERE text IS NOT NULL LIMIT 5""".stripMargin)
+      .collect()
+    assert(r.nonEmpty && r.forall(row => row.getLong(0) >= 0 && row.getLong(1) > 0))
+    val shapes = spark.sql(
+      "SELECT graft_wav_stats(payload) AS st FROM (SELECT CAST(NULL AS BINARY) AS payload)")
+      .collect()
+    assert(shapes.length === 1) // null payload -> null struct, no error
   }
 }
