@@ -207,6 +207,69 @@ object Dedup {
     setSimilarityJoin(Tables.documents(s, d), 0.5).orderBy("i", "j")
   }
 
+  /** Directed containment join: |A∩B| / |A| ≥ t — the ASYMMETRIC
+    * near-dup relation symmetric Jaccard misses: a short document quoted
+    * whole inside a much longer one has high containment but low Jaccard
+    * (the union is dominated by the container). Curation pipelines run
+    * this for quote/subset detection and to drop "wrapper" rehosts of
+    * existing pages.
+    *
+    * Candidate pruning differs from PPJoin because the relation is
+    * directed: the CONTAINED side keeps its (|A| − ⌈t·|A|⌉ + 1)-token
+    * rare-first prefix (pigeonhole: B can miss at most |A| − ⌈t·|A|⌉ of
+    * A's tokens, so at least one prefix token must hit), but the container
+    * side must index ALL its tokens — no symmetric prefix bound exists for
+    * B, only the size filter |B| ≥ ⌈t·|A|⌉. Rescore divides the
+    * sorted-merge intersection by |A| only. Same hashed-postings layout,
+    * 64-bit keys, and collision tolerance as [[setSimilarityJoin]].
+    */
+  def containmentJoin(docs: DataFrame, t: Double): DataFrame = {
+    val sets = hashedShingleSets(docs).localCheckpoint()
+    val posting = sets
+      .select(col("doc_id"), col("sz"), explode_outer(col("shh")).as("sh_h"))
+      .filter(col("sh_h").isNotNull)
+    val freq = posting.groupBy("sh_h").agg(count(lit(1)).as("freq"))
+    val ranked = posting
+      .join(freq, "sh_h")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("freq"), col("sh_h"))))
+    val prefix = ranked
+      .filter(col("rank") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("sh_h"), col("doc_id").as("i"), col("sz").as("sz_i"))
+    val cands = prefix
+      .join(posting.select(col("sh_h"), col("doc_id").as("j"), col("sz").as("sz_j")),
+        Seq("sh_h"))
+      .filter(col("i") =!= col("j") && col("sz_j") >= ceil(lit(t) * col("sz_i")))
+      .select("i", "j").distinct()
+    val inter = graft.functions.ShingleHashFunctions
+      .sortedIntersectCount(col("shh_i"), col("shh_j"))
+    cands
+      .join(sets.select(col("doc_id").as("i"), col("shh").as("shh_i"),
+        col("sz").as("sz_i")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("shh").as("shh_j")), "j")
+      .withColumn("containment", inter * lit(1.0) / col("sz_i"))
+      .filter(col("containment") >= t)
+      .select("i", "j", "containment")
+  }
+
+  val q_dedup_containment: Q = Q(
+    "q_dedup_containment",
+    Some(s"""
+      WITH s AS (
+        SELECT doc_id, $shinglesSql AS sh FROM documents
+      ), sz AS (
+        SELECT doc_id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0
+      )
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             len(list_intersect(a.sh, b.sh)) * 1.0 / a.sz AS containment
+      FROM sz a JOIN sz b ON a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / a.sz >= 0.8
+      ORDER BY i, j
+    """),
+  ) { (s, d) =>
+    containmentJoin(Tables.documents(s, d), 0.8).orderBy("i", "j")
+  }
+
   // -------------------------------------------------- duplicate clustering
 
   /** Distributed connected components over an undirected duplicate-pair
@@ -835,7 +898,8 @@ object Dedup {
   }
 
   def all: Seq[Q] =
-    Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_dedup_simhash,
+    Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
+      q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
       q_graph_pagerank, q_decontaminate, q_dedup_passage)
 }

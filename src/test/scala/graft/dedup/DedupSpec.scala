@@ -30,6 +30,22 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty) // the datagen plants near-dups; empty would be vacuous
   }
 
+  test("containment join equals brute force (directed, exact recall)") {
+    val fast = pairSet(Dedup.containmentJoin(docs, 0.8))
+    val sets = Dedup.shingleSets(docs).filter(col("sz") > 0)
+    val a = sets.select(col("doc_id").as("i"), col("sh").as("sh_i"), col("sz").as("sz_i"))
+    val b = sets.select(col("doc_id").as("j"), col("sh").as("sh_j"))
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    val brute = a.join(b, col("i") =!= col("j"))
+      .withColumn("containment", inter * lit(1.0) / col("sz_i"))
+      .filter(col("containment") >= 0.8)
+    assert(fast === pairSet(brute))
+    assert(fast.nonEmpty)
+    // directionality is real: exact mutual dups appear in both directions,
+    // and the relation is not required to be symmetric in general
+    assert(fast.forall { case (i, j) => i != j })
+  }
+
   test("minhash-LSH: precision 1 (rescored) and high recall vs exact join") {
     val exact = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
     val lsh   = pairSet(Dedup.minHashLshJoin(docs, 0.5))
