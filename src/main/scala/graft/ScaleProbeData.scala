@@ -42,7 +42,12 @@ object ScaleProbeData {
 
   def amplify(table: String, df: DataFrame, cols: Seq[String],
       bases: Map[String, Long], factor: Int): DataFrame =
-    (0 until factor).map { i =>
+    // dimension tables (no shift columns) stay FIXED — one copy, as TPC-H
+    // scaling does. Unioning identical replicas would duplicate every
+    // dimension key, fanning each nation/region join out by the factor and
+    // turning the probe's join ratios into a data artifact.
+    if (cols.isEmpty) df
+    else (0 until factor).map { i =>
       val shifted = cols.foldLeft(df) { (acc, c) =>
         acc.withColumn(c, col(c) + lit(i * bases(baseOf(c))))
       }
