@@ -742,7 +742,7 @@ object Dedup {
     val f = Tables.documents(s, d)
       // bound toks projection: no CSE through lambda bodies
       .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        filter(split(lower(col("text")), graft.text.TextAnalysis.wsRe), t => t =!= "").as("toks"))
       .filter(size(col("toks")) > 0)
     val p = f.select(col("doc_id"), explode_outer(
         transform(sequence(lit(0), ceil(size(col("toks")) / lit(10.0)).cast("int") - 1),

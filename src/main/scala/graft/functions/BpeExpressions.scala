@@ -26,9 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fallback — pieces are ≤ 8 ASCII letters, so a piece packs into one
   *    long and each probe is one hash lookup instead of a set scan;
   *  - "other" tokens are digit runs plus every single non-[a-z0-9\s]
-  *    code point, with `\s` being Java regex's ASCII whitespace class
-  *    ([ \t\n\x0B\f\r]) — a leading UTF-8 byte identifies one code point,
-  *    so the byte scan counts exactly what the regex alternation matched.
+  *    code point, with `\s` being RE2's whitespace class [ \t\n\f\r] —
+  *    the oracle's regex engine; vertical tab counts as a symbol (Java's
+  *    `\s` would swallow it, silently diverging the engines) — a leading
+  *    UTF-8 byte identifies one code point, so the byte scan counts
+  *    exactly what the regex alternation matched.
   */
 case class BpeCounts(child: Expression) extends UnaryExpression {
 
@@ -112,8 +114,9 @@ object BpeCounts {
       } else if (c >= '0' && c <= '9') {
         while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
         nOther += 1
-      } else if (c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' ||
-        c == '\r') {
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+        // RE2's \s set (the oracle's regex engine) — Java's \s would also
+        // skip \x0B, but RE2 counts VT as a symbol, and the oracle wins
         i += 1
       } else {
         // one "other" token per non-word non-digit non-\s code point; a

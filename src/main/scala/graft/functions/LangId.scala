@@ -352,7 +352,9 @@ object LangIdHits {
   }
 
   def compute(text: UTF8String): ArrayData = {
-    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    // RE2's \s set, matching the oracle's string_split_regex (Java's \s
+    // additionally contains \x0B — see graft.text.TextAnalysis.wsRe)
+    val toks = text.toLowerCase.toString.split("[ \\t\\n\\f\\r]+", -1)
     val seen = new java.util.HashSet[String](toks.length * 2)
     val out = new java.util.ArrayList[Any](8)
     var i = 0

@@ -602,7 +602,7 @@ object Analytics {
       ORDER BY lang
     """),
   ) { (s, d) =>
-    val toks = split(col("text"), "\\s+")
+    val toks = split(col("text"), graft.text.TextAnalysis.wsRe)
     val weight = size(array_distinct(toks)) * lit(1.0) / size(toks)
     val h16 = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 4),
       16, 10).cast(DoubleType)

@@ -272,8 +272,9 @@ object Curation {
       ), w AS (
         SELECT s.source, s.n_docs, s.n_tokens,
                sqrt(CAST(s.n_tokens AS DOUBLE)) / g.z AS weight,
-               (g.b * (sqrt(CAST(s.n_tokens AS DOUBLE)) / g.z))
-                 / CAST(s.n_tokens AS DOUBLE) AS p
+               CASE WHEN s.n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE (g.b * (sqrt(CAST(s.n_tokens AS DOUBLE)) / g.z))
+                           / CAST(s.n_tokens AS DOUBLE) END AS p
         FROM s, g
       ), k AS (
         SELECT t.source, t.nt,
@@ -307,7 +308,10 @@ object Curation {
       (lit(0.5) * sum(col("n_tokens"))).as("b"))
     val w = srcStats.crossJoin(broadcast(g))
       .withColumn("weight", sqrt(nD) / col("z"))
-      .withColumn("p", (col("b") * (sqrt(nD) / col("z"))) / nD)
+      // a zero-token source would make p = 0/0 = NaN, which the oracle's
+      // CAST(floor(...) AS BIGINT) hard-errors on — pin it to 0 (keep none)
+      .withColumn("p", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise((col("b") * (sqrt(nD) / col("z"))) / nD))
     val hashHex = upper(substring(
       md5(concat(lit("mix-"), col("doc_id").cast("string")).cast(BinaryType)), 1, 6))
     val k = t.join(broadcast(w.select("source", "p")), "source")

@@ -14,8 +14,18 @@ import graft.util.{Q, Tables}
   */
 object TextAnalysis {
 
+  /** The whitespace class every tokenizing split uses — RE2's `\s` set,
+    * spelled out. DuckDB's regex engine (RE2) defines `\s` as
+    * [ \t\n\f\r]; Java's additionally contains \x0B (vertical tab), so a
+    * literal `\s+` on both sides silently diverges the moment a corpus
+    * byte is VT. The explicit class is engine-neutral: the oracle keeps
+    * its `\s+` (identical to this set under RE2) and the Spark side pins
+    * the same five characters.
+    */
+  val wsRe = "[ \\t\\n\\f\\r]+"
+
   /** Whitespace tokens — shared with the dedup family. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokens(text: Column): Column = split(text, wsRe)
 
   /** BPE-ish subword count: letter runs, digit runs, or single symbols. */
   private val bpeIsh = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -184,7 +194,7 @@ object TextAnalysis {
     """),
   ) { (s, d) =>
     Tables.documents(s, d)
-      .select(explode_outer(split(lower(col("text")), "\\s+")).as("token"))
+      .select(explode_outer(split(lower(col("text")), wsRe)).as("token"))
       .filter(col("token").isNotNull && col("token") =!= "")
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
@@ -258,7 +268,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val tok = docs
-      .select(col("doc_id"), explode_outer(split(lower(col("text")), "\\s+")).as("token"))
+      .select(col("doc_id"), explode_outer(split(lower(col("text")), wsRe)).as("token"))
       .filter(col("token").isNotNull && col("token") =!= "")
     // tf feeds both the df aggregation and the final join — localCheckpoint
     // materializes the tokenize+count stage exactly once and hands the
@@ -319,7 +329,7 @@ object TextAnalysis {
     val f = Tables.documents(s, d)
       // bound toks projection: no CSE through lambda bodies
       .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        filter(split(lower(col("text")), wsRe), t => t =!= "").as("toks"))
     val t = f.select(col("doc_id"), explode_outer(col("toks")).as("w"))
       .filter(col("w").isNotNull)
     // guard size >= 2: sequence(1, 0) would count DOWN, not produce empty
@@ -415,7 +425,7 @@ object TextAnalysis {
     docs
       // bound toks projection: no CSE through lambda bodies
       .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        filter(split(lower(col("text")), wsRe), t => t =!= "").as("toks"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.repetitionStats(col("toks")).as("st"))
       .filter(col("st").isNotNull)
@@ -469,7 +479,7 @@ object TextAnalysis {
     val f = Tables.documents(s, d)
       // bound toks projection: no CSE through lambda bodies
       .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        filter(split(lower(col("text")), wsRe), t => t =!= "").as("toks"))
       .filter(size(col("toks")) > 0)
     val nchunks = when(size(col("toks")) <= 10, 1)
       .otherwise(ceil((size(col("toks")) - 10) / lit(40.0))).cast(IntegerType)
@@ -606,7 +616,7 @@ object TextAnalysis {
     val queryTerms = Seq("join", "window", "hash")
     val f = Tables.documents(s, d)
       .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        filter(split(lower(col("text")), wsRe), t => t =!= "").as("toks"))
     val dl = f.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
     val tf = f
       .select(col("doc_id"), explode_outer(col("toks")).as("w"))
@@ -696,7 +706,7 @@ object TextAnalysis {
     val queryTerms = Seq("join", "window", "hash")
     val f = Tables.documents(s, d)
       .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("toks"))
+        filter(split(lower(col("text")), wsRe), t => t =!= "").as("toks"))
     val dl = f.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
     val tf = f
       .select(col("doc_id"), explode_outer(col("toks")).as("w"))

@@ -199,10 +199,18 @@ class MultimodalSpec extends SparkSpec {
     // pristine payload: both integrity booleans true, zero violations
     val clean = decodeOne(good)
     assert(clean.getBoolean(8) && clean.getBoolean(9) && clean.getLong(10) === 0L)
-    // flip a pixel byte inside the stored block → adler32 must mismatch
+    // flip a pixel byte inside the stored block → the recomputed adler32
+    // over the corrupted scanlines must mismatch the stored trailer.
+    // Offset 60 is raw-region byte 12 of doc 3 (w=7: j = 12 % 22 ≠ 0, so a
+    // channel byte, not a filter byte) — an end-relative offset here would
+    // land in the adler field itself and never exercise the fold
     val flipPixel = good.clone()
-    flipPixel(good.length - 20) = (flipPixel(good.length - 20) ^ 0x5A).toByte
+    flipPixel(60) = (flipPixel(60) ^ 0x5A).toByte
     assert(!decodeOne(flipPixel).getBoolean(9), "adler_ok must catch a payload flip")
+    // and flipping the stored trailer itself must also fire
+    val flipTrailer = good.clone()
+    flipTrailer(good.length - 20) = (flipTrailer(good.length - 20) ^ 0x5A).toByte
+    assert(!decodeOne(flipTrailer).getBoolean(9), "adler_ok must catch a trailer flip")
     // flip a bit of the IHDR width field → the IHDR CRC must mismatch
     val flipIhdr = good.clone()
     flipIhdr(18) = (flipIhdr(18) ^ 0x01).toByte

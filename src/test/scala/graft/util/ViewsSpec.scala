@@ -28,11 +28,15 @@ class ViewsSpec extends SparkSpec {
     assert(d.nonEmpty && d.forall(_ > 0.0))
     // the round-9 kernels through the same façade: tokenizer accounting,
     // repetition stats over a token array, and a media decode struct
+    // deterministic doc choice + a length floor: repetition stats are null
+    // for token-less text, so an arbitrary LIMIT over an unordered scan
+    // would be a fixture-dependent flake
     val r = spark.sql(
       """SELECT graft_bpe_counts(text).n_bpe AS nb,
         |       graft_repetition_stats(filter(split(lower(text), '\\s+'),
         |                                     t -> t <> '')).n_tokens AS nt
-        |FROM documents WHERE text IS NOT NULL LIMIT 5""".stripMargin)
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 10
+        |ORDER BY doc_id LIMIT 5""".stripMargin)
       .collect()
     assert(r.nonEmpty && r.forall(row => row.getLong(0) >= 0 && row.getLong(1) > 0))
     val shapes = spark.sql(
