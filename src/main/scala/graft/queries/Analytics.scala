@@ -804,9 +804,80 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Distribution-drift detection between two time halves of the event
+    * stream — the Population Stability Index every production pipeline
+    * monitors before retraining (PSI = Σ (p_late − p_early)·ln(p_late /
+    * p_early) over value buckets; > 0.1 flags drift): a crawl snapshot or
+    * feature feed whose value distribution shifts should fail loudly
+    * before it trains a model. Fixed-width buckets (floor(value/50), top
+    * bucket open) + Laplace-smoothed integer-count ratios, so every input
+    * to ln is an exact int/int double on both engines; the 10-term PSI
+    * sum goes through DECIMAL(20,12) — the same order-independent decimal
+    * accumulation the moments/bigram-LM queries pin — because a plain
+    * double sum would differ in the last ulp by partition order. Buckets
+    * absent from BOTH halves contribute nothing on either engine (the
+    * count frame only materializes observed buckets). Scale shape: one
+    * scan, one (type, bucket) groupBy, a type-count-sized broadcast back
+    * — two linear passes at any scale.
+    */
+  val q_drift_psi: Q = Q(
+    "q_drift_psi",
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half,
+               CAST(least(floor(value / 50.0), 9) AS INT) AS bucket
+        FROM events
+      ), c AS (
+        SELECT event_type, bucket,
+               COUNT(*) FILTER (WHERE half = 0) AS c_e,
+               COUNT(*) FILTER (WHERE half = 1) AS c_l
+        FROM e GROUP BY event_type, bucket
+      ), n AS (
+        SELECT event_type, CAST(SUM(c_e) AS BIGINT) AS n_e,
+               CAST(SUM(c_l) AS BIGINT) AS n_l
+        FROM c GROUP BY event_type
+      ), p AS (
+        SELECT c.event_type, c.bucket, n.n_e, n.n_l,
+               (c.c_e + 1) * 1.0 / (n.n_e + 10) AS p_e,
+               (c.c_l + 1) * 1.0 / (n.n_l + 10) AS p_l
+        FROM c JOIN n ON c.event_type = n.event_type
+      )
+      SELECT event_type,
+             CAST(min(n_e) AS BIGINT) AS n_early,
+             CAST(min(n_l) AS BIGINT) AS n_late,
+             CAST(SUM(CAST((p_l - p_e) * ln(p_l / p_e) AS DECIMAL(20,12)))
+               AS DOUBLE) AS psi,
+             CAST(SUM(CAST((p_l - p_e) * ln(p_l / p_e) AS DECIMAL(20,12)))
+               AS DOUBLE) > 0.1 AS drifted
+      FROM p GROUP BY event_type ORDER BY event_type
+    """),
+  ) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      col("event_type"),
+      when(col("ts") < to_timestamp(lit("2024-01-16")), 0).otherwise(1).as("half"),
+      least(floor(col("value") / 50.0), lit(9L)).cast(IntegerType).as("bucket"))
+    val c = e.groupBy("event_type", "bucket").agg(
+      count(when(col("half") === 0, 1)).as("c_e"),
+      count(when(col("half") === 1, 1)).as("c_l"))
+    val n = c.groupBy("event_type").agg(
+      sum(col("c_e")).as("n_e"), sum(col("c_l")).as("n_l"))
+    val p = c.join(broadcast(n), "event_type")
+      .withColumn("p_e", (col("c_e") + 1) * lit(1.0) / (col("n_e") + 10))
+      .withColumn("p_l", (col("c_l") + 1) * lit(1.0) / (col("n_l") + 10))
+    val term = (col("p_l") - col("p_e")) * log(col("p_l") / col("p_e"))
+    p.groupBy("event_type")
+      .agg(
+        min(col("n_e")).as("n_early"),
+        min(col("n_l")).as("n_late"),
+        sum(term.cast(DecimalType(20, 12))).cast(DoubleType).as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .orderBy("event_type")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
-    q_sample_split, q_outlier_mad, q_histogram_equidepth)
+    q_sample_split, q_outlier_mad, q_histogram_equidepth, q_drift_psi)
 }
