@@ -759,6 +759,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SLIDING-window repeated-substring audit (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" signal,
+    * window-granular): every 20-token window of every document,
+    * cross-referenced for appearance in any OTHER document. The disjoint
+    * 10-token chunks of [[q_dedup_passage]] miss UNALIGNED repeats — a
+    * passage repeated at a 5-token offset never shares a chunk boundary —
+    * while sliding windows catch any shared span ≥ 20 tokens wherever it
+    * sits. Per-doc windows come from the [[graft.functions.WordShingles]]
+    * kernel at n = 20 (distinct per doc, single-space split, one compiled
+    * pass), so this reuses the shingle machinery at a different order.
+    * Scale shape: linear explode (one row per distinct window), one
+    * groupBy on the window key, one join back — same as the passage
+    * query; at 100 TB the window strings would carry as 64-bit hashes
+    * (the q_dedup_ngram_jaccard posting design), kept as strings here for
+    * the SQL oracle.
+    */
+  val q_dedup_substring: Q = Q(
+    "q_dedup_substring",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 18, 1)),
+                 i -> array_to_string(list_slice(string_split(text, ' '),
+                                                 i, i + 19), ' '))) AS gs
+        FROM documents
+      ), g AS (
+        SELECT doc_id, unnest(gs) AS g FROM f
+      ), dc AS (
+        SELECT g, COUNT(*) AS nd FROM g GROUP BY g
+      )
+      SELECT g.doc_id,
+             COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             SUM(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               AS shared_frac
+      FROM g JOIN dc USING (g)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id
+    """),
+  ) { (s, d) =>
+    graft.functions.TextFunctions.ensureRegistered(s)
+    val f = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 20).as("gs"))
+    val g = f.select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    // windows are distinct per doc (the kernel's contract), so a plain
+    // count IS the distinct-document count — no countDistinct state
+    val dc = g.groupBy("g").agg(count(lit(1)).as("nd"))
+    g.join(dc, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_shared"))
+      .withColumn("shared_frac", col("n_shared") * lit(1.0) / col("n_windows"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup by normalized-content hash: canonical = min doc_id. */
@@ -901,5 +962,5 @@ object Dedup {
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
       q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
-      q_graph_pagerank, q_decontaminate, q_dedup_passage)
+      q_graph_pagerank, q_decontaminate, q_dedup_passage, q_dedup_substring)
 }
