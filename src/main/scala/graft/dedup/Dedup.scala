@@ -827,11 +827,16 @@ object Dedup {
       ORDER BY g.doc_id
     """),
   ) { (s, d) =>
-    graft.functions.TextFunctions.ensureRegistered(s)
+    graft.functions.ShingleHashFunctions.ensureRegistered(s)
+    // windows carry as 64-bit xxhash64 values (the fused shingle+hash
+    // kernel at n = 20), not ~120-byte strings — the window-key shuffle is
+    // the whole cost here, and the hash layout is the jaccard family's
+    // documented collision tolerance (a collision can only merge two
+    // distinct windows, vanishing at 2^-64 scale)
     val f = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        graft.functions.TextFunctions.wordShingles(col("text"), 20).as("gs"))
+        graft.functions.ShingleHashFunctions.wordShingleHashes(col("text"), 20).as("gs"))
     val g = f.select(col("doc_id"), explode_outer(col("gs")).as("g"))
       .filter(col("g").isNotNull)
     // windows are distinct per doc (the kernel's contract), so a plain
