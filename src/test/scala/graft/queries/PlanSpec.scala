@@ -169,6 +169,20 @@ class PlanSpec extends SparkSpec {
       s"no doc-scale shuffle join in the mix decision:\n${p.take(1500)}")
   }
 
+  test("drift PSI broadcasts the per-type totals, never a fact-side shuffle join") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("containment and substring joins never degrade to a cartesian") {
+    Seq("q_dedup_containment", "q_dedup_substring").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q grew a product join:\n${p.take(1200)}")
+    }
+  }
+
   test("hard-negative mining: one qid exchange serves both margin and rank windows") {
     val p = plan("q_embed_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
