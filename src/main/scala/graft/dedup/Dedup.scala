@@ -225,9 +225,9 @@ object Dedup {
     * common tokens after its position in BOTH documents
     * (min(|A|−r_a, |B|−r_b) + 1 ≥ α = ⌈t·|A|⌉) — and a frequent token
     * sits near the END of every posting's ranking, so exactly the
-    * postings that are long are the ones the bound prunes (measured 5.5×
-    * faster at the 10× probe scale, where the un-positioned join went
-    * super-linear on hot tokens). Rescore divides the sorted-merge
+    * postings that are long are the ones the bound prunes (measured at
+    * the 10× probe scale: 35 s un-positioned → 25 s with this bound →
+    * 19.9 s once the ranked postings also materialize once). Rescore divides the sorted-merge
     * intersection by |A| only. Same hashed-postings layout, 64-bit keys,
     * and collision tolerance as [[setSimilarityJoin]].
     *
@@ -792,14 +792,15 @@ object Dedup {
     * 10-token chunks of [[q_dedup_passage]] miss UNALIGNED repeats — a
     * passage repeated at a 5-token offset never shares a chunk boundary —
     * while sliding windows catch any shared span ≥ 20 tokens wherever it
-    * sits. Per-doc windows come from the [[graft.functions.WordShingles]]
-    * kernel at n = 20 (distinct per doc, single-space split, one compiled
-    * pass), so this reuses the shingle machinery at a different order.
-    * Scale shape: linear explode (one row per distinct window), one
-    * groupBy on the window key, one join back — same as the passage
-    * query; at 100 TB the window strings would carry as 64-bit hashes
-    * (the q_dedup_ngram_jaccard posting design), kept as strings here for
-    * the SQL oracle.
+    * sits. Per-doc windows come from the fused
+    * [[graft.functions.WordShingleHashes]] kernel at n = 20 (sorted
+    * distinct xxhash64 per doc, single-space split, one compiled pass), so
+    * the window-key shuffle — the whole cost here — carries 64-bit longs,
+    * not ~120-byte strings, under the jaccard family's documented
+    * collision tolerance; the DuckDB oracle keeps string windows, which
+    * is what the hash gate cross-checks. Scale shape: linear explode (one
+    * row per distinct window), one groupBy on the window key, one join
+    * back — same as the passage query.
     */
   val q_dedup_substring: Q = Q(
     "q_dedup_substring",

@@ -855,7 +855,11 @@ object Analytics {
   ) { (s, d) =>
     val e = Tables.events(s, d).select(
       col("event_type"),
-      when(col("ts") < to_timestamp(lit("2024-01-16")), 0).otherwise(1).as("half"),
+      // ts is TIMESTAMP_NTZ (Tables.events): the boundary literal must be
+      // NTZ too — a to_timestamp literal would re-introduce a session-
+      // timezone dependence the naive oracle compare doesn't have
+      when(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-16T00:00")), 0)
+        .otherwise(1).as("half"),
       least(floor(col("value") / 50.0), lit(9L)).cast(IntegerType).as("bucket"))
     val c = e.groupBy("event_type", "bucket").agg(
       count(when(col("half") === 0, 1)).as("c_e"),
