@@ -303,9 +303,11 @@ object LangId {
 /** Token-major stopword scorer (see [[LangId.hitsExpr]]): language indices
   * hit by the text, one entry per matched (stopword, language) pair.
   * Tokenization is bit-compatible with `array_distinct(split(lower(text),
-  * "\\s+"))` — UTF8String.toLowerCase IS Spark's `lower`, and Java's
-  * `String.split(regex, -1)` is Spark's `split` limit default. Same
-  * native-kernel pattern as [[Winnow]] / [[VecDot]].
+  * TextAnalysis.wsRe))` and the oracle's RE2 `\s+` — the explicit
+  * [ \t\n\f\r] class (see [[graft.text.TextAnalysis.wsRe]]: Java's `\s`
+  * would also swallow vertical tab, RE2's does not), and
+  * UTF8String.toLowerCase IS Spark's `lower`. Same native-kernel pattern
+  * as [[Winnow]] / [[VecDot]].
   */
 case class LangIdHits(child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

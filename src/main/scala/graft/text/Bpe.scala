@@ -56,7 +56,9 @@ object Bpe {
   )
 
   private val wordRe = "[a-z]+"
-  // digit runs and non-alphanumeric symbols tokenize as-is (no merges)
+  // digit runs and non-alphanumeric symbols tokenize as-is (no merges).
+  // ORACLE-side regex only (RE2): its \s is [ \t\n\f\r], which is exactly
+  // the whitespace set the BpeCounts kernel skips — see TextAnalysis.wsRe
   private val otherRe = "[0-9]+|[^a-z0-9\\s]"
 
   /** The kernel call (callers must [[ensureRegistered]] first). Null text
