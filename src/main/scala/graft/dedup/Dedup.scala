@@ -580,6 +580,91 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document (doc_id, cluster_id, nt, split) frame behind
+    * [[q_split_leakage_safe]] — exposed so DedupSpec can assert the
+    * invariant the operator exists for: no near-dup pair ever straddles
+    * two splits.
+    */
+  def leakageSafeAssignments(docs: DataFrame): DataFrame = {
+    val clusters = clusterAssignments(setSimilarityJoin(docs, 0.5))
+      .select("doc_id", "cluster_id")
+    val assign = docs
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        size(TextAnalysis.tokens(col("text"))).as("nt"))
+    val h = substring(
+      md5(concat(lit("csplit-"), col("cluster_id").cast("string")).cast(BinaryType)),
+      1, 2)
+    assign.withColumn("split",
+      when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+  }
+
+  /** Leakage-safe train/val/test split — the dedup-aware fix for the
+    * classic evaluation bug: a per-document hash split (q_sample_split)
+    * puts near-duplicate documents on BOTH sides of the train/test
+    * boundary, leaking training content into eval. Here the split is
+    * assigned per duplicate CLUSTER (near-dup pairs at Jaccard ≥ 0.5 →
+    * connected components; unpaired documents are their own singleton
+    * cluster), so a cluster's members can never straddle splits. Same
+    * salted-md5 fixed-width-hex assignment as q_sample_split, keyed by
+    * cluster id. Scale shape: the clustering path (linear, see
+    * [[clusterAssignments]]) + a scan-speed hash; the oracle recomputes
+    * clusters with its recursive transitive-closure CTE and must land on
+    * identical totals.
+    */
+  val q_split_leakage_safe: Q = Q(
+    "q_split_leakage_safe",
+    Some(s"""
+      WITH RECURSIVE s AS (
+        SELECT doc_id, $shinglesSql AS sh FROM documents
+      ), sz AS (
+        SELECT doc_id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) >= 0.5
+      ), edges AS (
+        SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs
+      ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      ), cl AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+      ), assign AS (
+        SELECT d.doc_id,
+               coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+               len(string_split_regex(d.text, '\\s+')) AS nt
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      ), sp AS (
+        SELECT doc_id, cluster_id, nt,
+               CASE WHEN substring(md5('csplit-' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+                      THEN 'train'
+                    WHEN substring(md5('csplit-' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assign
+      )
+      SELECT split,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT cluster_id) AS n_clusters,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM sp
+      GROUP BY split
+      ORDER BY split
+    """),
+  ) { (s, d) =>
+    leakageSafeAssignments(Tables.documents(s, d))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("nt")).as("n_tokens"))
+      .orderBy("split")
+  }
+
   /** The 100 TB composition of the dedup family: LSH candidate generation →
     * exact rescore → connected components. The exact-pair clustering above
     * is the oracle ground truth; this one swaps the quadratic-prone exact
@@ -994,5 +1079,6 @@ object Dedup {
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
       q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
-      q_graph_pagerank, q_decontaminate, q_dedup_passage, q_dedup_substring)
+      q_graph_pagerank, q_decontaminate, q_dedup_passage, q_dedup_substring,
+      q_split_leakage_safe)
 }

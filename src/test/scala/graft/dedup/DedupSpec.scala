@@ -46,6 +46,29 @@ class DedupSpec extends SparkSpec {
     assert(fast.forall { case (i, j) => i != j })
   }
 
+  test("leakage-safe split: no near-dup pair straddles two splits; doc split would") {
+    val assign = Dedup.leakageSafeAssignments(docs)
+      .select("doc_id", "split")
+    val pairs = Dedup.setSimilarityJoin(docs, 0.5).select("i", "j")
+    val straddling = pairs
+      .join(assign.withColumnRenamed("doc_id", "i").withColumnRenamed("split", "si"), "i")
+      .join(assign.withColumnRenamed("doc_id", "j").withColumnRenamed("split", "sj"), "j")
+    assert(straddling.filter(col("si") =!= col("sj")).count() === 0,
+      "a duplicate cluster crossed the train/test boundary")
+    assert(straddling.count() > 0, "vacuous without near-dup pairs")
+    // the naive per-DOC hash split (q_sample_split's scheme) does leak on
+    // this corpus — which is the point of clustering first
+    val docSplit = assign.select(col("doc_id"),
+      when(substring(md5(concat(lit("csplit-"), col("doc_id").cast("string"))
+        .cast(org.apache.spark.sql.types.BinaryType)), 1, 2) < "cc", "train")
+        .otherwise("other").as("split"))
+    val naive = pairs
+      .join(docSplit.withColumnRenamed("doc_id", "i").withColumnRenamed("split", "si"), "i")
+      .join(docSplit.withColumnRenamed("doc_id", "j").withColumnRenamed("split", "sj"), "j")
+      .filter(col("si") =!= col("sj")).count()
+    assert(naive > 0, "expected the per-doc split to leak on planted near-dups")
+  }
+
   test("minhash-LSH: precision 1 (rescored) and high recall vs exact join") {
     val exact = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
     val lsh   = pairSet(Dedup.minHashLshJoin(docs, 0.5))
