@@ -129,14 +129,56 @@ object BpeCounts {
   }
 }
 
+/** Total tokenizer output length (n_bpe + n_other) in ONE kernel pass.
+  * Summing two getFields off separate [[BpeCounts]] references runs the
+  * tokenizer twice per row wherever Catalyst's subexpression elimination
+  * doesn't fire (interpreted eval, some filter contexts); this variant
+  * evaluates the scan once and adds the two counters in place.
+  */
+case class BpeTotal(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_total expects a string input, got $other")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(t: Any): Any =
+    BpeTotal.compute(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeTotal.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTotal =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bpe_total"
+}
+
+object BpeTotal {
+  def compute(text: UTF8String): Long = {
+    val r = BpeCounts.compute(text)
+    r.getLong(0) + r.getLong(2)
+  }
+}
+
 /** Session registration, same contract as [[VectorFunctions]]. */
 object BpeFunctions {
 
   val countsName = "graft_bpe_counts"
+  val totalName = "graft_bpe_total"
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       countsName, exprs => BpeCounts(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      totalName, exprs => BpeTotal(exprs.head), "built-in")
+  }
 
   def bpeCounts(text: Column): Column = call_function(countsName, text)
+
+  def bpeTotal(text: Column): Column = call_function(totalName, text)
 }

@@ -115,7 +115,11 @@ object MediaDecode {
       u8(p, z + 2) == 0x01 && // BFINAL=1, BTYPE=00 (stored)
       leU16(p, z + 3) == rawLen && leU16(p, z + 5) == 65535 - rawLen
     val rawOff = z + 7
-    if (w <= 0 || h <= 0 || rawOff + rawLen + 4 > p.length || rawLen > Int.MaxValue) {
+    // rawLen <= 0 also catches Long overflow of h*rowBytes: the max hostile
+    // product 2^31*(3*2^31+1) < 2^64, so any wrapped value is negative —
+    // without this, a negative rawLen slips past both range checks below
+    // and rawLen.toInt drives an out-of-bounds scanline read.
+    if (w <= 0 || h <= 0 || rawLen <= 0 || rawOff + rawLen + 4 > p.length || rawLen > Int.MaxValue) {
       // region over-runs the payload: the expression fold's reads came back
       // null here — sums stay null; framing verdict still reported
       if (!zlibOk) out(3) = java.lang.Boolean.FALSE

@@ -82,10 +82,14 @@ object Bpe {
   def otherCount(text: Column): Column =
     coalesce(counts(text).getField("n_other"), lit(0L))
 
-  /** Total tokenizer output length — what sequence packing budgets on. */
+  /** Total tokenizer output length — what sequence packing budgets on.
+    * Uses the dedicated [[graft.functions.BpeTotal]] kernel so the
+    * tokenizer scan runs ONCE per row: summing two getFields off separate
+    * counts() references re-ran it wherever Catalyst's subexpression
+    * elimination doesn't fire (interpreted eval, some filter contexts).
+    */
   def totalCount(text: Column): Column =
-    coalesce(counts(text).getField("n_bpe") + counts(text).getField("n_other"),
-      lit(0L))
+    coalesce(graft.functions.BpeFunctions.bpeTotal(text), lit(0L))
 
   // ---- DuckDB mirrors (same literals, same packed-long fold) ----
 
