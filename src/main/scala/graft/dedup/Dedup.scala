@@ -256,17 +256,32 @@ object Dedup {
         row_number().over(Window.partitionBy("doc_id").orderBy(col("freq"), col("sh_h"))))
       .select("sh_h", "doc_id", "sz", "rank")
       .localCheckpoint()
+    // alpha must never exceed the smallest intersection the rescore keeps:
+    // t*sz in double can round ABOVE the true rational product (0.8 is not
+    // exactly representable), inflating ceil() by 1 and pruning an
+    // exact-boundary pair the final containment >= t filter would keep.
+    // The epsilon-backoff keeps ceil at or below the true bound.
+    def alphaOf(sz: Column): Column = ceil(lit(t) * sz - lit(1e-9))
     val prefix = ranked
-      .filter(col("rank") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .filter(col("rank") <= col("sz") - alphaOf(col("sz")) + 1)
       .select(col("sh_h"), col("doc_id").as("i"), col("sz").as("sz_i"),
         col("rank").as("rank_i"))
-    val alpha = ceil(lit(t) * col("sz_i"))
+    val alpha = alphaOf(col("sz_i"))
     val cands = prefix
       .join(ranked.select(col("sh_h"), col("doc_id").as("j"),
         col("sz").as("sz_j"), col("rank").as("rank_j")), Seq("sh_h"))
       .filter(col("i") =!= col("j") && col("sz_j") >= alpha
         && least(col("sz_i") - col("rank_i"), col("sz_j") - col("rank_j")) + 1 >= alpha)
       .select("i", "j").distinct()
+    containmentRescore(cands, sets, t)
+  }
+
+  /** Exact directed-containment rescore of (i, j) candidates against the
+    * hashed sets: |Sᵢ∩Sⱼ| by sorted-merge, divided by |Sᵢ| only. Shared by
+    * the exact [[containmentJoin]] and the [[containmentSketchJoin]]
+    * candidate path, so both emit identical rows for identical pairs.
+    */
+  private def containmentRescore(cands: DataFrame, sets: DataFrame, t: Double): DataFrame = {
     val inter = graft.functions.ShingleHashFunctions
       .sortedIntersectCount(col("shh_i"), col("shh_j"))
     cands
@@ -1000,18 +1015,25 @@ object Dedup {
     * candidates (pair probability ~1-(1-j⁴)¹⁶: >0.99 at j=0.7); candidates
     * are exact-rescored so precision is 1, recall is the LSH curve.
     */
+  /** Band hashes off a 64-column MinHash signature frame: one row per
+    * (doc_id, band, band_hash), `bands × rowsPer` ≤ [[numHashes]] positions
+    * consumed in order. Shared by the symmetric Jaccard LSH and the
+    * asymmetric containment sketch (different band geometry, same hashes).
+    */
+  private def bandedHashes(sig: DataFrame, bands: Int, rowsPer: Int): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { j =>
+        xxhash64(lit(j) +: (0 until rowsPer)
+          .map(r => col(s"m${j * rowsPer + r}")): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+
   def minHashLshJoin(docs: DataFrame, t: Double): DataFrame = {
     // sets feeds the signature AND both rescore sides; banded feeds both
     // sides of the candidate self-join. localCheckpoint, not persist:
     // materialized once, ContextCleaner-owned, no CacheManager leak (see
     // setSimilarityJoin).
     val sets = hashedShingleSets(docs).localCheckpoint()
-    val banded = withSignature(sets)
-      .select(col("doc_id"),
-        posexplode(array((0 until numBands).map { j =>
-          xxhash64(lit(j) +: (0 until rowsPerBand)
-            .map(r => col(s"m${j * rowsPerBand + r}")): _*)
-        }: _*)).as(Seq("band", "band_hash")))
+    val banded = bandedHashes(withSignature(sets), numBands, rowsPerBand)
       .localCheckpoint()
     val cands = banded.as("a")
       .join(banded.as("b"),
@@ -1027,6 +1049,81 @@ object Dedup {
     */
   val q_dedup_minhash_lsh: Q = Q("q_dedup_minhash_lsh", None) { (s, d) =>
     minHashLshJoin(Tables.documents(s, d), 0.5).orderBy("i", "j")
+  }
+
+  // ----------------------------------- asymmetric containment sketch
+
+  /** Containment-sketch band geometry: shorter bands (2 rows × 32 bands over
+    * the same 64 hashes) than the Jaccard LSH's 4 × 16, because the padded
+    * collision probability for a true containment pair sits well below its
+    * plain Jaccard (see [[containmentSketchJoin]]) — the flatter curve
+    * keeps recall at padded-J ≈ 0.25 where 4-row bands would drop it.
+    */
+  val cSketchBands = 32
+  val cSketchRows: Int = numHashes / cSketchBands
+
+  /** Asymmetric-MinHash candidate path for directed containment
+    * (Shrivastava & Li 2015, "Asymmetric Minwise Hashing"): plain MinHash
+    * collision probability is Jaccard, which does NOT preserve containment
+    * — a small doc fully inside a large one can have tiny Jaccard. The
+    * asymmetric transform pads ONLY the container side to a fixed budget
+    * M = next-power-of-two(|B|) with per-doc-unique synthetic hashes, so a
+    * query signature (unpadded A) collides with a padded container
+    * signature (B⁺) with probability
+    *   J(A, B⁺) = |A∩B| / (|A| + M_B − |A∩B|),
+    * monotone in the intersection for fixed sizes. Banding those mixed
+    * signatures (query side × container side, [[cSketchBands]] bands)
+    * yields DIRECTED candidates (i ⊆? j) that [[containmentRescore]] then
+    * scores exactly — precision 1 by construction, recall the banding
+    * curve, same sketch-plus-exact-rescore pairing as
+    * [[minHashLshJoin]] → [[setSimilarityJoin]].
+    *
+    * Why this is the 100 TB path: the exact [[containmentJoin]]'s candidate
+    * volume is corpus-overlap-driven (~34M pairs at the 10× probe scale);
+    * here a pair only surfaces when 2 of 64 minima collide, so candidate
+    * volume tracks the true-pair count plus a hub term bounded by band-hash
+    * equality — sub-linear in corpus overlap, linear shuffles otherwise
+    * (explode → groupBy signature → band self-join). Padding at most
+    * doubles the container's posting rows (M < 2|B|).
+    *
+    * Honest limitation, inherent to the method (S&L report the same): for
+    * EXTREME size ratios (|B| ≫ |A|) the padded collision probability
+    * t·|A|/(|A| + M_B) decays toward zero, so recall concentrates on
+    * moderate-ratio pairs; at ratio ≤ ~2 and t = 0.8 the padded J stays
+    * ≥ ~0.25 where the 2-row/32-band curve is ≥ 0.87. Pairs beyond that
+    * need the exact join (or a bottom-k containment sample, the documented
+    * alternative estimator).
+    */
+  def containmentSketchJoin(docs: DataFrame, t: Double): DataFrame = {
+    val sets = hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
+    // query side: signature of A as-is
+    val qBanded = bandedHashes(withSignature(sets), cSketchBands, cSketchRows)
+    // container side: pad B to M = 2^ceil(log2 |B|) with synthetic hashes
+    // unique per (doc, position) — xxhash64 over a salt no shingle hash
+    // path produces; the 2^-64 collision with a real shingle hash is the
+    // same accepted tolerance as the hashed-posting design.
+    val m = pow(lit(2.0), ceil(log(2.0, col("sz")))).cast("long")
+    val padded = sets.select(col("doc_id"),
+      concat(col("shh"),
+        when(m > col("sz"),
+          transform(sequence(lit(1L), m - col("sz")),
+            p => xxhash64(lit("containment-pad"), col("doc_id"), p)))
+          .otherwise(array().cast(ArrayType(LongType)))).as("shh"))
+    val cBanded = bandedHashes(withSignature(padded), cSketchBands, cSketchRows)
+    val cands = qBanded.as("a")
+      .join(cBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    containmentRescore(cands, sets, t)
+  }
+
+  /** Rows-only: the asymmetric banding isn't SQL-expressible; precision 1 /
+    * recall vs the exact [[containmentJoin]] pinned in DedupSpec.
+    */
+  val q_dedup_containment_sketch: Q = Q("q_dedup_containment_sketch", None) { (s, d) =>
+    containmentSketchJoin(Tables.documents(s, d), 0.8).orderBy("i", "j")
   }
 
   // --------------------------------------------------------------- simhash
@@ -1077,6 +1174,7 @@ object Dedup {
 
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
+      q_dedup_containment_sketch,
       q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
       q_graph_pagerank, q_decontaminate, q_dedup_passage, q_dedup_substring,

@@ -69,6 +69,17 @@ class DedupSpec extends SparkSpec {
     assert(naive > 0, "expected the per-doc split to leak on planted near-dups")
   }
 
+  test("containment sketch: precision 1 (rescored) and recall >= 0.9 vs exact") {
+    val exact  = pairSet(Dedup.containmentJoin(docs, 0.8))
+    val sketch = pairSet(Dedup.containmentSketchJoin(docs, 0.8))
+    assert(sketch.subsetOf(exact), "exact rescore guarantees no false positives")
+    val recall = sketch.size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"asymmetric-minhash recall $recall below floor (32 bands x 2 rows)")
+    // directionality survives the sketch: i is the contained side
+    assert(sketch.forall { case (i, j) => i != j })
+  }
+
   test("minhash-LSH: precision 1 (rescored) and high recall vs exact join") {
     val exact = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
     val lsh   = pairSet(Dedup.minHashLshJoin(docs, 0.5))
