@@ -585,7 +585,17 @@ object Dedup {
     """),
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val clusters = clusterAssignments(setSimilarityJoin(docs, 0.5))
+    canonicalFrom(docs, setSimilarityJoin(docs, 0.5))
+  }
+
+  /** Keep-longest canonical selection over a duplicate-pair source — the
+    * policy body shared by the exact [[q_dedup_canonical]] and its LSH
+    * production twin, so the two can never drift: cluster via connected
+    * components, keep exactly the longest member (n_chars DESC, doc_id as
+    * deterministic tiebreak) per cluster.
+    */
+  private def canonicalFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = clusterAssignments(pairs)
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("n_chars").desc, col("doc_id"))
     clusters
@@ -595,13 +605,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The 100 TB canonical-selection path: same keep-longest policy, but fed
+    * by the banded MinHash join instead of the quadratic-prone exact SSJ —
+    * the composition a production dedup run executes. Rows-only (banding
+    * isn't SQL-expressible); DedupSpec pins one-keep-per-cluster and the
+    * keep-set agreement vs the exact canonical.
+    */
+  val q_dedup_canonical_lsh: Q = Q("q_dedup_canonical_lsh", None) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    canonicalFrom(docs, minHashLshJoin(docs, 0.5))
+  }
+
+  /** Non-canonical members of LSH near-dup clusters, as (doc_id,
+    * near_dup = true) — the duplicate evidence the production curation
+    * verdict consumes (see Curation.q_curate_verdict_lsh).
+    */
+  def lshNonCanonicalIds(docs: DataFrame): DataFrame =
+    canonicalFrom(docs, minHashLshJoin(docs, 0.5))
+      .filter(!col("keep"))
+      .select(col("doc_id"), lit(true).as("near_dup"))
+
   /** Per-document (doc_id, cluster_id, nt, split) frame behind
     * [[q_split_leakage_safe]] — exposed so DedupSpec can assert the
     * invariant the operator exists for: no near-dup pair ever straddles
     * two splits.
     */
-  def leakageSafeAssignments(docs: DataFrame): DataFrame = {
-    val clusters = clusterAssignments(setSimilarityJoin(docs, 0.5))
+  def leakageSafeAssignments(docs: DataFrame): DataFrame =
+    leakageSafeAssignmentsFrom(docs, setSimilarityJoin(docs, 0.5))
+
+  /** Split-assignment body parameterized by the duplicate-pair source, so
+    * the exact oracle path and the LSH production twin share one policy
+    * (cluster-keyed salted-md5 split; singletons are their own cluster).
+    */
+  private[graft] def leakageSafeAssignmentsFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = clusterAssignments(pairs)
       .select("doc_id", "cluster_id")
     val assign = docs
       .join(clusters, Seq("doc_id"), "left")
@@ -672,6 +709,25 @@ object Dedup {
     """),
   ) { (s, d) =>
     leakageSafeAssignments(Tables.documents(s, d))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("nt")).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  /** The 100 TB leakage-safe split: identical cluster-keyed assignment
+    * policy, but clusters come from the banded MinHash join instead of the
+    * exact SSJ. The production guarantee is honest about its sketch: no
+    * pair the LSH DETECTS ever straddles splits (DedupSpec pins this plus
+    * a bounded assignment-flip rate vs the exact split); undetected pairs
+    * are the LSH recall complement, the same residual any sketch-based
+    * dedup run carries. Rows-only (banding isn't SQL-expressible).
+    */
+  val q_split_leakage_safe_lsh: Q = Q("q_split_leakage_safe_lsh", None) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    leakageSafeAssignmentsFrom(docs, minHashLshJoin(docs, 0.5))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1177,6 +1233,7 @@ object Dedup {
       q_dedup_containment_sketch,
       q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
+      q_dedup_canonical_lsh,
       q_graph_pagerank, q_decontaminate, q_dedup_passage, q_dedup_substring,
-      q_split_leakage_safe)
+      q_split_leakage_safe, q_split_leakage_safe_lsh)
 }

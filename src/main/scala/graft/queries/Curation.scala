@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
@@ -120,19 +121,31 @@ object Curation {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
-    // exact dedup: only the canonical copy of each normalized fingerprint
-    // survives, selected by the SAME keep-longest policy q_dedup_canonical
-    // ships (n_chars DESC, doc_id as the deterministic tiebreak) so the two
-    // curation answers cannot drift. argmax via max(struct): fingerprint
-    // groups stay a single partial-aggregated groupBy — no window, no
-    // second shuffle beyond the join back.
+    verdictFrom(corpus, bench, exactDup(corpus))
+  }
+
+  /** Exact dedup gate: only the canonical copy of each normalized
+    * fingerprint survives, selected by the SAME keep-longest policy
+    * q_dedup_canonical ships (n_chars DESC, doc_id as the deterministic
+    * tiebreak) so the two curation answers cannot drift. argmax via
+    * max(struct): fingerprint groups stay a single partial-aggregated
+    * groupBy — no window, no second shuffle beyond the join back.
+    */
+  private def exactDup(corpus: DataFrame): DataFrame = {
     val fp = corpus.select(col("doc_id"), col("n_chars"),
       md5(TextAnalysis.normalize(col("text")).cast(BinaryType)).as("f"))
     val canon = fp.groupBy("f")
       .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("m"))
       .select(col("f"), (-col("m.nid")).as("canonical_id"))
-    val dup = fp.join(canon, "f")
+    fp.join(canon, "f")
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+  }
+
+  /** Verdict body shared by the oracle-exact gate and the LSH production
+    * twin: everything but the duplicate gate is identical, so the two
+    * verdicts differ only where their dedup evidence differs.
+    */
+  private def verdictFrom(corpus: DataFrame, bench: DataFrame, dup: DataFrame): DataFrame = {
     // benchmark decontamination: broadcast shingle semi-join (Dedup)
     val cont = Dedup.contaminatedIds(corpus, bench)
       .withColumn("is_contaminated", lit(true))
@@ -168,6 +181,28 @@ object Curation {
           .when(!col("repetition_ok"), "repetition")
           .otherwise("keep"))
       .orderBy("doc_id")
+  }
+
+  /** The 100 TB curation verdict: the duplicate gate additionally flags
+    * NEAR-duplicates via the banded MinHash path (non-keep members of LSH
+    * clusters under the shared keep-longest policy), unioned with the
+    * exact-fingerprint gate — which still catches identical short texts
+    * whose shingle sets are empty and therefore invisible to the sketch.
+    * Every other gate is byte-identical to [[q_curate_verdict]]. Rows-only
+    * (banding isn't SQL-expressible); CurationSpec bounds the verdict-flip
+    * rate vs the exact verdict and pins that every flip is duplicate-gate
+    * induced.
+    */
+  val q_curate_verdict_lsh: Q = Q("q_curate_verdict_lsh", None) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
+    val bench = docs.filter(col("doc_id") < 20)
+    val nearDup = Dedup.lshNonCanonicalIds(corpus)
+    val dup = exactDup(corpus)
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("is_duplicate") || coalesce(col("near_dup"), lit(false))).as("is_duplicate"))
+    verdictFrom(corpus, bench, dup)
   }
 
   /** Sequence packing — the step between curation and tokenization that
@@ -329,5 +364,6 @@ object Curation {
       .orderBy("source")
   }
 
-  def all: Seq[Q] = Seq(q_curate_verdict, q_pack_sequences, q_mix_sources)
+  def all: Seq[Q] =
+    Seq(q_curate_verdict, q_curate_verdict_lsh, q_pack_sequences, q_mix_sources)
 }

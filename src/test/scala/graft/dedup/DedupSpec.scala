@@ -69,6 +69,47 @@ class DedupSpec extends SparkSpec {
     assert(naive > 0, "expected the per-doc split to leak on planted near-dups")
   }
 
+  test("LSH canonical: one keep per cluster, bounded keep-flips vs exact") {
+    val exact = graft.SparkEntry.queries("q_dedup_canonical")(spark, sf())
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lshDf = graft.SparkEntry.queries("q_dedup_canonical_lsh")(spark, sf())
+    // policy invariant: exactly one keep per cluster, always
+    val badClusters = lshDf.groupBy("cluster_id")
+      .agg(sum(col("keep").cast("int")).as("keeps"))
+      .filter(col("keeps") =!= 1).count()
+    assert(badClusters === 0, "a cluster kept zero or several members")
+    val lsh = lshDf.select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the sketch sees the same paired-doc universe only up to recall; flips
+    // (doc present in both with a different keep verdict, or fragmenting a
+    // cluster) must stay a small residual of the paired population
+    val common = exact.keySet intersect lsh.keySet
+    assert(common.nonEmpty)
+    val flips = common.count(id => exact(id) != lsh(id))
+    assert(flips.toDouble / common.size <= 0.1,
+      s"$flips keep-flips over ${common.size} shared paired docs")
+  }
+
+  test("LSH split: no DETECTED pair straddles; bounded assignment flips vs exact") {
+    val lshPairs = Dedup.minHashLshJoin(docs, 0.5).select("i", "j").localCheckpoint()
+    val assign = Dedup.leakageSafeAssignmentsFrom(docs, lshPairs)
+      .select("doc_id", "split").localCheckpoint()
+    val straddling = lshPairs
+      .join(assign.withColumnRenamed("doc_id", "i").withColumnRenamed("split", "si"), "i")
+      .join(assign.withColumnRenamed("doc_id", "j").withColumnRenamed("split", "sj"), "j")
+    assert(straddling.filter(col("si") =!= col("sj")).count() === 0,
+      "a detected near-dup pair crossed the split boundary")
+    assert(straddling.count() > 0, "vacuous without detected pairs")
+    val exact = Dedup.leakageSafeAssignments(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = assign.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === exact.keySet, "split must cover every document")
+    val flips = exact.count { case (id, s) => got(id) != s }
+    assert(flips.toDouble / exact.size <= 0.1,
+      s"$flips split flips over ${exact.size} docs")
+  }
+
   test("containment sketch: precision 1 (rescored) and recall >= 0.9 vs exact") {
     val exact  = pairSet(Dedup.containmentJoin(docs, 0.8))
     val sketch = pairSet(Dedup.containmentSketchJoin(docs, 0.8))

@@ -8,6 +8,35 @@ import graft.util.Tables
 
 class CurationSpec extends SparkSpec {
 
+  test("LSH verdict: flips only through the duplicate gate, monotone and bounded") {
+    def byDoc(name: String): Map[Long, (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, String)] =
+      graft.SparkEntry.queries(name)(spark, sf()).collect().map { r =>
+        r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getString(7))
+      }.toMap
+    val exact = byDoc("q_curate_verdict")
+    val lsh = byDoc("q_curate_verdict_lsh")
+    assert(lsh.keySet === exact.keySet, "same corpus, same verdict universe")
+    var added = 0
+    lsh.foreach { case (id, (dupL, contL, langL, qualL, repL, keepL, _)) =>
+      val (dupE, contE, langE, qualE, repE, keepE, _) = exact(id)
+      // every non-dup gate is byte-identical
+      assert((contL, langL, qualL, repL) === ((contE, langE, qualE, repE)),
+        s"non-duplicate gate drifted for doc $id")
+      // the LSH dup gate is a superset of the exact-fingerprint gate
+      assert(!dupE || dupL, s"doc $id lost its exact-duplicate flag")
+      if (dupL && !dupE) {
+        added += 1
+        // a dup-gate flip can only ever REVOKE a keep
+        assert(!keepL || keepE === keepL)
+      }
+      if (dupL == dupE) assert(keepL === keepE, s"keep flipped without dup evidence for $id")
+    }
+    assert(added > 0, "vacuous: the corpus plants near-dups the sketch should flag")
+    assert(added.toDouble / exact.size <= 0.25,
+      s"$added near-dup-induced flips over ${exact.size} docs")
+  }
+
   test("sequence packing matches an independent Scala re-derivation") {
     val budget = 256
     val toks = Tables.documents(spark, sf())
