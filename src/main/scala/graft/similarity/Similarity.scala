@@ -288,6 +288,15 @@ object Similarity {
     val file = assignCells(corpus, cents)
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("ce"))
+    probeFrom(queries, cents, file, k, nprobe)
+  }
+
+  /** The probe phase shared by the in-memory [[ivfTopK]] and the
+    * persisted-index [[ivfProbeIndex]]: rank cells per query by centroid
+    * cosine, keep `nprobe`, exact-score only the probed cells' lists.
+    */
+  private def probeFrom(queries: DataFrame, cents: DataFrame, file: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .join(broadcast(cents))
       .select(col("qid"), col("qe"), col("cent_id").as("cell"),
@@ -304,6 +313,42 @@ object Similarity {
       .withColumn("rn",
         row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rn") <= k)
+  }
+
+  /** Build the IVF index ONCE and persist it as a SnapshotTable pair under
+    * `dir`: `centroids` (cent_id, cvec — numCells rows) and `file`
+    * (cid, cell, ce) PARTITIONED BY cell — the inverted file IS the
+    * partition layout. This is the shape a 100 TB vector store actually
+    * runs: Lloyd + the full-corpus assignment happen once at ingest;
+    * every later query batch probes a committed snapshot, and the
+    * cell-partitioned parquet means a probe scan reads only the probed
+    * cells' directories (static pruning for point lookups, dynamic
+    * partition pruning under the probe join). Versioned like every other
+    * snapshot table: a re-ingest writes v2 while v1 stays readable.
+    */
+  def ivfBuildIndex(corpus: DataFrame, dir: String, numCells: Int = 16): Unit = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, numCells).localCheckpoint()
+    graft.io.SnapshotTable.create(cents, s"$dir/centroids")
+    val file = assignCells(corpus, cents)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("ce"))
+    graft.io.SnapshotTable.create(file, s"$dir/file", partitionBy = Seq("cell"))
+  }
+
+  /** Probe a persisted IVF index: same ranking/scoring as [[ivfTopK]], but
+    * centroids and the inverted file come from the committed snapshot —
+    * repeated ANN query batches never re-run Lloyd or the corpus
+    * assignment. Equality with the in-memory path is pinned in
+    * SimilaritySpec (the whole pipeline is deterministic).
+    */
+  def ivfProbeIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val cents = graft.io.SnapshotTable.read(spark, s"$dir/centroids")
+    val file = graft.io.SnapshotTable.read(spark, s"$dir/file")
+      .select(col("cid"), col("cell"), col("ce"))
+    probeFrom(queries, cents, file, k, nprobe)
   }
 
   /** Rows-only (centroid refinement isn't SQL-expressible); recall vs brute

@@ -51,6 +51,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === pairs(Similarity.ivfTopK(queries, emb, 5, numCells = 16, nprobe = 8)))
   }
 
+  test("persisted IVF index: probe equals the in-memory path, index round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("qid", "cid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Similarity.ivfBuildIndex(emb, dir, numCells = 16)
+    // round-trip: the committed inverted file covers the corpus exactly once
+    val file = graft.io.SnapshotTable.read(spark, s"$dir/file")
+    assert(file.count() === emb.count())
+    assert(file.select("cid").distinct().count() === emb.count())
+    assert(graft.io.SnapshotTable.read(spark, s"$dir/centroids").count() === 16)
+    // probing the snapshot = running the in-memory pipeline (deterministic)
+    val persisted = rows(Similarity.ivfProbeIndex(queries, dir, 5, nprobe = 8))
+    val inMemory  = rows(Similarity.ivfTopK(queries, emb, 5, numCells = 16, nprobe = 8))
+    assert(persisted === inMemory)
+    assert(persisted.nonEmpty)
+    // the probe scan is partition-pruned: the file read plans with the cell
+    // partition join key, so only probed directories are touched (DPP)
+    val plan = Similarity.ivfProbeIndex(queries, dir, 5, nprobe = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "inverted-file scan lost its dynamic partition pruning")
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
