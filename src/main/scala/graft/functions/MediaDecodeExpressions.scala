@@ -110,27 +110,73 @@ object MediaDecode {
     val rowBytes = w.toLong * 3 + 1
     val rawLen = h.toLong * rowBytes
     val z = pos.toInt + 8 // zlib CMF byte (skip IDAT length + type)
-    val zlibOk = z + 7 <= p.length &&
-      u8(p, z) == 0x78 && (u8(p, z) * 256 + u8(p, z + 1)) % 31 == 0 &&
-      u8(p, z + 2) == 0x01 && // BFINAL=1, BTYPE=00 (stored)
-      leU16(p, z + 3) == rawLen && leU16(p, z + 5) == 65535 - rawLen
-    val rawOff = z + 7
-    // rawLen <= 0 also catches Long overflow of h*rowBytes: the max hostile
-    // product 2^31*(3*2^31+1) < 2^64, so any wrapped value is negative —
-    // without this, a negative rawLen slips past both range checks below
-    // and rawLen.toInt drives an out-of-bounds scanline read.
-    if (w <= 0 || h <= 0 || rawLen <= 0 || rawOff + rawLen + 4 > p.length || rawLen > Int.MaxValue) {
-      // region over-runs the payload: the expression fold's reads came back
-      // null here — sums stay null; framing verdict still reported
-      if (!zlibOk) out(3) = java.lang.Boolean.FALSE
+    val zlibHdrOk = z + 2 <= p.length &&
+      u8(p, z) == 0x78 && (u8(p, z) * 256 + u8(p, z + 1)) % 31 == 0
+    if (z + 3 <= p.length && u8(p, z + 2) == 0x01) {
+      // ---- stored single-block fast path: BFINAL=1/BTYPE=00 with the whole
+      // raw region in place — fold straight off the payload, zero copy.
+      val zlibOk = z + 7 <= p.length && zlibHdrOk &&
+        leU16(p, z + 3) == rawLen && leU16(p, z + 5) == 65535 - rawLen
+      val rawOff = z + 7
+      // rawLen <= 0 also catches Long overflow of h*rowBytes: the max hostile
+      // product 2^31*(3*2^31+1) < 2^64, so any wrapped value is negative —
+      // without this, a negative rawLen slips past both range checks below
+      // and rawLen.toInt drives an out-of-bounds scanline read.
+      if (w <= 0 || h <= 0 || rawLen <= 0 || rawOff + rawLen + 4 > p.length || rawLen > Int.MaxValue) {
+        // region over-runs the payload: the expression fold's reads came back
+        // null here — sums stay null; framing verdict still reported
+        if (!zlibOk) out(3) = java.lang.Boolean.FALSE
+        return new GenericInternalRow(out)
+      }
+      val n = rawLen.toInt
+      val adler = foldScanlines(p, rawOff, n, rowBytes, w, out)
+      out(3) = java.lang.Boolean.valueOf(
+        zlibOk && beU32(p, rawOff + n) == adler)
       return new GenericInternalRow(out)
     }
+    // ---- general inflate path: stored + fixed-Huffman (BTYPE 00/01)
+    // blocks with full LZ77 back-references, bounded by the first IDAT
+    // chunk's body (whose last 4 bytes are the zlib adler trailer).
+    // Dynamic-Huffman (BTYPE=10) bodies remain the declared stub tier.
+    val chunkLen = beU32(p, pos.toInt)
+    val idatEnd = pos + 8L + chunkLen
+    val streamOk = zlibHdrOk && idatEnd <= p.length && idatEnd - z >= 7
+    if (!streamOk) {
+      // stream unreadable: the stored path's zlibOk would have been false
+      out(3) = java.lang.Boolean.FALSE
+      return new GenericInternalRow(out)
+    }
+    // the compressed path must allocate the inflated image, so a hostile
+    // header can no longer be bounded by the payload length alone — cap
+    // the declared geometry (64 MiB of scanlines) before trusting it
+    if (w <= 0 || h <= 0 || rawLen <= 0 || rawLen > (1L << 26))
+      return new GenericInternalRow(out) // geometry unusable; sums stay null
+    val n = rawLen.toInt
+    val scratch = new Array[Byte](n)
+    val produced = inflate(p, z + 2, (idatEnd - 4).toInt, scratch)
+    if (produced != n) {
+      // malformed/truncated deflate data, or it decodes to the wrong size:
+      // integrity fails, sums stay null (there are no trustworthy bytes)
+      out(3) = java.lang.Boolean.FALSE
+      return new GenericInternalRow(out)
+    }
+    val adler = foldScanlines(scratch, 0, n, rowBytes, w, out)
+    out(3) = java.lang.Boolean.valueOf(beU32(p, (idatEnd - 4).toInt) == adler)
+    new GenericInternalRow(out)
+  }
+
+  /** One pass over `n` scanline bytes at `src[off..)`: channel sums, the
+    * position-weighted checksum, filter-byte violations (into out(4..8))
+    * and the running adler32, returned for the trailer comparison. Shared
+    * verbatim by the zero-copy stored path and the inflate path.
+    */
+  private def foldScanlines(src: Array[Byte], off: Int, n: Int,
+      rowBytes: Long, w: Int, out: Array[Any]): Long = {
     var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L; var viol = 0L
     var a = 1L; var b = 0L
     var i = 0
-    val n = rawLen.toInt
     while (i < n) {
-      val v = u8(p, rawOff + i)
+      val v = u8(src, off + i)
       a += v; if (a >= 65521L) a -= 65521L
       b += a; if (b >= 65521L) b -= 65521L
       val j = i % rowBytes
@@ -145,14 +191,126 @@ object MediaDecode {
       } else if (v != 0) viol += 1
       i += 1
     }
-    out(3) = java.lang.Boolean.valueOf(
-      zlibOk && beU32(p, rawOff + n) == b * 65536L + a)
     out(4) = java.lang.Long.valueOf(sr)
     out(5) = java.lang.Long.valueOf(sg)
     out(6) = java.lang.Long.valueOf(sb)
     out(7) = java.lang.Long.valueOf(wr)
     out(8) = java.lang.Long.valueOf(viol)
-    new GenericInternalRow(out)
+    b * 65536L + a
+  }
+
+  // ---- RFC 1951 fixed-alphabet inflate -----------------------------------
+
+  private val lenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+    23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val distBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
+    97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577)
+  private val distExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+    6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  /** Inflate the deflate stream at `p[from, limit)` into `dst`, supporting
+    * stored (BTYPE=00) and fixed-Huffman (BTYPE=01) blocks — RFC 1951
+    * §3.2.4/§3.2.6 — including LZ77 length/distance back-references.
+    * Returns the produced byte count, or -1 on ANY malformed condition
+    * (bit-starved stream, bad NLEN, reserved/unsupported block type,
+    * invalid code, distance before the window, output overflow) — the
+    * never-throw contract the hostile-header property test pins. Bit
+    * packing per the RFC: fields fill bytes LSB-first; Huffman codes are
+    * read MSB-of-code-first; extra-bit fields are plain LSB-first
+    * integers. Per-bit decoding is fine at fixture scale; the table-driven
+    * fast path (canonical-code lookup tables, as every production inflater
+    * builds) is the documented upgrade, not a semantic change.
+    */
+  private[graft] def inflate(p: Array[Byte], from: Int, limit: Int,
+      dst: Array[Byte]): Int = {
+    var bit = from.toLong << 3
+    val bitEnd = limit.toLong << 3
+    var o = 0
+    var fin = false
+    def bits(k: Int): Int = {
+      if (bit + k > bitEnd) return -1
+      var v = 0
+      var i = 0
+      while (i < k) {
+        v |= ((p((bit >> 3).toInt) >> (bit & 7L).toInt) & 1) << i
+        bit += 1
+        i += 1
+      }
+      v
+    }
+    while (!fin) {
+      val bf = bits(1); if (bf < 0) return -1
+      val bt = bits(2); if (bt < 0) return -1
+      fin = bf == 1
+      if (bt == 0) { // stored: align, LEN/NLEN, copy
+        bit = (bit + 7L) & ~7L
+        val bp = (bit >> 3).toInt
+        if (bp + 4 > limit) return -1
+        val len = leU16(p, bp)
+        if ((len ^ 0xFFFF) != leU16(p, bp + 2)) return -1
+        if (bp + 4 + len > limit || o + len > dst.length) return -1
+        System.arraycopy(p, bp + 4, dst, o, len)
+        o += len
+        bit = (bp + 4 + len).toLong << 3
+      } else if (bt == 1) { // fixed Huffman
+        var eob = false
+        while (!eob) {
+          var c = 0
+          var nb = 0
+          while (nb < 7) {
+            val b1 = bits(1); if (b1 < 0) return -1
+            c = (c << 1) | b1
+            nb += 1
+          }
+          var sym = -1
+          if (c <= 0x17) sym = 256 + c
+          else {
+            val b1 = bits(1); if (b1 < 0) return -1
+            c = (c << 1) | b1
+            if (c >= 0x30 && c <= 0xBF) sym = c - 0x30
+            else if (c >= 0xC0 && c <= 0xC7) sym = 280 + (c - 0xC0)
+            else {
+              val b2 = bits(1); if (b2 < 0) return -1
+              c = (c << 1) | b2
+              if (c >= 0x190 && c <= 0x1FF) sym = 144 + (c - 0x190)
+              else return -1
+            }
+          }
+          if (sym < 256) {
+            if (o >= dst.length) return -1
+            dst(o) = sym.toByte
+            o += 1
+          } else if (sym == 256) eob = true
+          else {
+            if (sym > 285) return -1
+            val li = sym - 257
+            val e = bits(lenExtra(li)); if (e < 0) return -1
+            val runLen = lenBase(li) + e
+            var dc = 0
+            var k = 0
+            while (k < 5) {
+              val b1 = bits(1); if (b1 < 0) return -1
+              dc = (dc << 1) | b1
+              k += 1
+            }
+            if (dc > 29) return -1
+            val de = bits(distExtra(dc)); if (de < 0) return -1
+            val dist = distBase(dc) + de
+            if (dist > o || o + runLen > dst.length) return -1
+            var t = 0
+            while (t < runLen) {
+              dst(o) = dst(o - dist)
+              o += 1
+              t += 1
+            }
+          }
+        }
+      } else return -1 // BTYPE=10 (dynamic) unimplemented; 11 reserved
+    }
+    o
   }
 
   // ---- BMP ---------------------------------------------------------------

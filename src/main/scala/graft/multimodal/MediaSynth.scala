@@ -99,6 +99,137 @@ object MediaSynth {
     out
   }
 
+  // ---- RFC 1951 fixed-Huffman encoder (the BTYPE=01 fixture path) --------
+
+  // the RFC's public length/distance alphabets (mirrored, independently,
+  // by the decoder in graft.functions.MediaDecode — encoder and decoder
+  // deliberately do NOT share code so a table typo cannot self-verify)
+  private val encLenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17,
+    19, 23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val encLenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+    2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val encDistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49,
+    65, 97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097,
+    6145, 8193, 12289, 16385, 24577)
+  private val encDistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+    6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  /** One fixed-Huffman deflate block (BFINAL=1, BTYPE=01) over `raw`,
+    * written per RFC 1951 bit packing: fields fill bytes LSB-first,
+    * Huffman codes emit MSB-of-code-first, extra-bit fields are plain
+    * LSB-first integers. Even scanline rows emit literal codes; every odd
+    * row emits ONE LZ77 back-reference (len = dist = rowBytes) copying the
+    * row above — legal because [[pngFixed]] plants odd rows as exact
+    * repeats — so the fixture stream exercises the literal, length-extra,
+    * and distance-extra decode paths, not just literals.
+    */
+  private[graft] def fixedDeflate(raw: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var cur = 0
+    var nb = 0
+    def putBit(v: Int): Unit = {
+      cur |= (v & 1) << nb
+      nb += 1
+      if (nb == 8) { out += cur.toByte; cur = 0; nb = 0 }
+    }
+    def putCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBit((code >> i) & 1); i -= 1 }
+    }
+    def putBits(v: Int, len: Int): Unit = {
+      var i = 0
+      while (i < len) { putBit((v >> i) & 1); i += 1 }
+    }
+    def putLit(v: Int): Unit =
+      if (v < 144) putCode(0x30 + v, 8) else putCode(0x190 + (v - 144), 9)
+    def putMatch(len: Int, dist: Int): Unit = {
+      var li = encLenBase.length - 1
+      while (encLenBase(li) > len) li -= 1
+      val sym = 257 + li
+      if (sym <= 279) putCode(sym - 256, 7) else putCode(0xC0 + (sym - 280), 8)
+      putBits(len - encLenBase(li), encLenExtra(li))
+      var di = encDistBase.length - 1
+      while (encDistBase(di) > dist) di -= 1
+      putCode(di, 5)
+      putBits(dist - encDistBase(di), encDistExtra(di))
+    }
+    putBit(1) // BFINAL
+    putBits(1, 2) // BTYPE=01
+    val h = raw.length / rowBytes
+    var y = 0
+    while (y < h) {
+      if (y % 2 == 1) putMatch(rowBytes, rowBytes)
+      else {
+        var x = 0
+        while (x < rowBytes) { putLit(raw(y * rowBytes + x) & 0xFF); x += 1 }
+      }
+      y += 1
+    }
+    putCode(0, 7) // end-of-block (symbol 256)
+    if (nb > 0) out += cur.toByte
+    out.toArray
+  }
+
+  /** Fixed-Huffman truecolor PNG — the BTYPE=01 sibling of [[png]]: same
+    * signature/IHDR/IEND framing with true CRCs and adler32, but the IDAT
+    * body is one fixed-Huffman deflate block mixing literals and LZ77
+    * back-references (see [[fixedDeflate]]). Planted: w = 4+id%6,
+    * h = 4+id%7, pixels take the stored fixture's RGB formulas evaluated
+    * at y' = y − y%2 — odd rows repeat their predecessor exactly, which is
+    * what makes the whole-row back-reference legal AND keeps the oracle a
+    * pure formula (the DuckDB side just substitutes y').
+    */
+  def pngFixed(id: Long): Array[Byte] = {
+    val w = (4 + id % 6).toInt
+    val h = (4 + id % 7).toInt
+    val rowBytes = w * 3 + 1
+    val rawLen = h * rowBytes
+    val raw = new Array[Byte](rawLen)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      val ys = y - (y % 2)
+      raw(i) = 0 // filter type 0
+      i += 1
+      var x = 0
+      while (x < w) {
+        raw(i) = ((id + 7L * x + 13L * ys) % 256).toByte
+        raw(i + 1) = ((3L * id + 5L * x + 11L * ys) % 256).toByte
+        raw(i + 2) = ((5L * id + 3L * x + 17L * ys) % 256).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    var a = 1L
+    var b = 0L
+    var k = 0
+    while (k < rawLen) {
+      val v = raw(k) & 0xFF
+      a += v; if (a >= 65521L) a -= 65521L
+      b += a; if (b >= 65521L) b -= 65521L
+      k += 1
+    }
+    val deflated = fixedDeflate(raw, rowBytes)
+    val idatLen = 2 + deflated.length + 4
+    val out = new Array[Byte](8 + 25 + 12 + idatLen + 12)
+    out(0) = 0x89.toByte; ascii(out, 1, "PNG")
+    out(4) = 0x0D; out(5) = 0x0A; out(6) = 0x1A; out(7) = 0x0A
+    beU32(out, 8, 13); ascii(out, 12, "IHDR")
+    beU32(out, 16, w); beU32(out, 20, h)
+    out(24) = 8; out(25) = 2 // 8-bit truecolor, compr/filter/interlace 0
+    beU32(out, 29, crc32(out, 12, 17))
+    beU32(out, 33, idatLen); ascii(out, 37, "IDAT")
+    out(41) = 0x78; out(42) = 0x9C.toByte // CMF/FLG (0x789C % 31 == 0)
+    System.arraycopy(deflated, 0, out, 43, deflated.length)
+    beU32(out, 43 + deflated.length, b * 65536L + a)
+    beU32(out, 47 + deflated.length, crc32(out, 37, 4 + idatLen))
+    val e = 51 + deflated.length
+    beU32(out, e, 0); ascii(out, e + 4, "IEND")
+    beU32(out, e + 8, 0xAE426082L)
+    out
+  }
+
   /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
     * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
     * the PNG but with the BMP moduli for dimensions.
@@ -176,6 +307,16 @@ case class PngSynth(child: Expression) extends MediaSynthExpression {
   override def prettyName: String = "graft_png_synth"
 }
 
+case class PngFixedSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.pngFixed(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.pngFixed($c);")
+  override protected def withNewChildInternal(newChild: Expression): PngFixedSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_png_fixed_synth"
+}
+
 case class BmpSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.bmp(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -200,17 +341,21 @@ case class WavSynth(child: Expression) extends MediaSynthExpression {
 object MediaSynthFunctions {
 
   val pngName = "graft_png_synth"
+  val pngFixedName = "graft_png_fixed_synth"
   val bmpName = "graft_bmp_synth"
   val wavName = "graft_wav_synth"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(pngName, exprs => PngSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(pngFixedName, exprs => PngFixedSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
   }
 
   def pngSynth(docId: Column): Column = call_function(pngName, docId)
+
+  def pngFixedSynth(docId: Column): Column = call_function(pngFixedName, docId)
   def bmpSynth(docId: Column): Column = call_function(bmpName, docId)
   def wavSynth(docId: Column): Column = call_function(wavName, docId)
 }

@@ -12,17 +12,20 @@ import graft.util.{Q, Tables}
   *
   * Decode tiers, honestly labeled:
   *  - REAL: BMP pixel decode (`q_mm_pixels`), PCM16 WAV sample decode
-  *    (`q_mm_audio`), and — round 9 — PNG pixel decode for stored-deflate
-  *    IDAT streams (`q_mm_png_pixels`): full chunk walk, real CRC32 and
-  *    adler32 verification, filter-type-0 scanline reconstruction. A PNG
-  *    whose deflate stream uses stored (BTYPE=00) blocks is spec-valid
-  *    output of `zlib level 0`, so this is a genuine subset decoder, not a
-  *    stand-in.
-  *  - STUB (codec-bound only): Huffman-coded deflate bodies and JPEG DCT
-  *    entropy decode — these need a bit-level codec, not byte arithmetic;
-  *    `mediaTable` fabricates payloads with REAL spec-valid headers and a
-  *    stand-in body, and `frameFeatures` derives a deterministic fake
-  *    feature vector from frame hashes.
+  *    (`q_mm_audio`), PNG pixel decode for stored-deflate IDAT streams
+  *    (`q_mm_png_pixels`, round 9): full chunk walk, real CRC32 and
+  *    adler32 verification, filter-type-0 scanline reconstruction — and,
+  *    round 10, FIXED-HUFFMAN deflate bodies (`q_mm_png_pixels_fh`): a
+  *    bit-level RFC 1951 inflater for BTYPE=00/01 blocks including LZ77
+  *    length/distance back-references, parity-pinned against
+  *    java.util.zip.Inflater in KernelPropertySpec. Stored and
+  *    fixed-Huffman are both spec-valid zlib output, so these are genuine
+  *    subset decoders, not stand-ins.
+  *  - STUB (codec-bound only): DYNAMIC-Huffman deflate bodies (BTYPE=10 —
+  *    needs the code-length-code table machinery) and JPEG DCT entropy
+  *    decode; `mediaTable` fabricates payloads with REAL spec-valid
+  *    headers and a stand-in body, and `frameFeatures` derives a
+  *    deterministic fake feature vector from frame hashes.
   * Everything else is real and tested: binary schema, format sniffing,
   * HEADER METADATA EXTRACTION (PNG/JPEG width+height from IHDR / SOF, WAV
   * channels+sample-rate from the fmt chunk — pure expressions, the same
@@ -190,6 +193,21 @@ object Multimodal {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         MediaSynthFunctions.pngSynth(col("doc_id")).as("payload"))
+  }
+
+  /** The fixed-Huffman (BTYPE=01) PNG table — same spec-true framing as
+    * [[pngTable]], but each IDAT holds one fixed-Huffman deflate block
+    * mixing literal codes and LZ77 back-references (odd scanline rows are
+    * whole-row copies of the row above). Planted dims 4–9 × 4–10 and the
+    * y' = y−y%2 pixel field live in [[MediaSynth.pngFixed]]; ImageIO
+    * decodes these files byte-identically (MultimodalSpec).
+    */
+  def pngFixedTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.pngFixedSynth(col("doc_id")).as("payload"))
   }
 
   // ------------------------------------------------ header metadata readers
@@ -669,6 +687,52 @@ object Multimodal {
     decodePng(pngTable(Tables.documents(s, d)))
   }
 
+  /** Fixed-Huffman sibling of [[q_mm_png_pixels]]: identical decode plan
+    * (one compiled kernel pass, zero shuffles), but the payloads force the
+    * BTYPE=01 inflate path — Huffman literal codes, length/distance extra
+    * bits, LZ77 window copies — before the same scanline fold. The oracle
+    * never touches bytes: it recomputes every sum from the planted
+    * formulas at y' = y − y%2 (odd rows repeat their predecessor, which is
+    * what the back-references encode).
+    */
+  val q_mm_png_pixels_fh: Q = Q(
+    "q_mm_png_pixels_fh",
+    Some("""
+      WITH px AS (
+        SELECT doc_id, 4 + doc_id % 6 AS w, 4 + doc_id % 7 AS h,
+               CAST(unnest(range((4 + doc_id % 6) * (4 + doc_id % 7))) AS BIGINT) AS i
+        FROM documents
+      ), v AS (
+        SELECT doc_id, w, h, i, i % w AS x,
+               (i // w) - ((i // w) % 2) AS ys
+        FROM px
+      ), c AS (
+        SELECT doc_id, w, h, i,
+               (doc_id + 7 * x + 13 * ys) % 256 AS r,
+               (3 * doc_id + 5 * x + 11 * ys) % 256 AS g,
+               (5 * doc_id + 3 * x + 17 * ys) % 256 AS b
+        FROM v
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             count(*) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((i + 1) * r) AS BIGINT) AS wsum_r,
+             true AS ihdr_crc_ok,
+             true AS adler_ok,
+             CAST(0 AS BIGINT) AS filter_violations,
+             ((CAST(0.299 AS DOUBLE) * CAST(sum(r) AS BIGINT)
+               + CAST(0.587 AS DOUBLE) * CAST(sum(g) AS BIGINT))
+              + CAST(0.114 AS DOUBLE) * CAST(sum(b) AS BIGINT)) / count(*) AS mean_luma
+      FROM c GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    decodePng(pngFixedTable(Tables.documents(s, d)))
+  }
+
   /** The stored-deflate PNG decoder over any (media_id, payload) frame —
     * factored out of [[q_mm_png_pixels]] so MultimodalSpec can drive it
     * over deliberately corrupted payloads and watch the integrity columns
@@ -704,5 +768,5 @@ object Multimodal {
 
   def all: Seq[Q] =
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio,
-      q_mm_pixels, q_mm_png_pixels)
+      q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh)
 }

@@ -191,6 +191,58 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("fixed-Huffman inflate agrees with java.util.zip.Inflater, incl. copies") {
+    def jdkInflate(stream: Array[Byte], outLen: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
+      inf.setInput(stream)
+      val out = new Array[Byte](outLen)
+      var got = 0
+      while (got < outLen && !inf.finished()) got += inf.inflate(out, got, outLen - got)
+      inf.end()
+      assert(got === outLen, "JDK inflater produced the wrong size")
+      out
+    }
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 100) {
+      // raw = k repeated-row pairs: rows 2i+1 repeat row 2i, which is what
+      // the encoder's whole-row back-references (len = dist = L) encode
+      val l = 13 + rnd.nextInt(28)
+      val k = 1 + rnd.nextInt(4)
+      val base = Array.fill(k) { val r = new Array[Byte](l); rnd.nextBytes(r); r }
+      val raw = base.flatMap(r => r ++ r)
+      val stream = graft.multimodal.MediaSynth.fixedDeflate(raw, l)
+      // the JDK's production inflater accepts and reproduces the stream
+      assert(jdkInflate(stream, raw.length).toSeq === raw.toSeq, s"trial $trial (jdk)")
+      // and the kernel's inflate agrees byte-for-byte
+      val mine = new Array[Byte](raw.length)
+      val n = MediaDecode.inflate(stream, 0, stream.length, mine)
+      assert(n === raw.length, s"trial $trial (size)")
+      assert(mine.toSeq === raw.toSeq, s"trial $trial (bytes)")
+    }
+    // multi-block: a non-final STORED block followed by a final fixed block
+    val part1 = new Array[Byte](17)
+    new scala.util.Random(7L).nextBytes(part1)
+    val row = new Array[Byte](13)
+    new scala.util.Random(8L).nextBytes(row)
+    val part2 = row ++ row
+    val stored = Array[Byte](0x00, // BFINAL=0, BTYPE=00, padded to byte
+      (part1.length & 0xFF).toByte, 0x00,
+      (~part1.length & 0xFF).toByte, 0xFF.toByte) ++ part1
+    val stream = stored ++ graft.multimodal.MediaSynth.fixedDeflate(part2, 13)
+    val raw = part1 ++ part2
+    assert(jdkInflate(stream, raw.length).toSeq === raw.toSeq)
+    val mine = new Array[Byte](raw.length)
+    assert(MediaDecode.inflate(stream, 0, stream.length, mine) === raw.length)
+    assert(mine.toSeq === raw.toSeq)
+    // malformed streams report -1, never throw
+    val junk = new Array[Byte](64)
+    new scala.util.Random(9L).nextBytes(junk)
+    junk(0) = 0x03 // BFINAL=1, BTYPE=01 then garbage codes
+    val scratch = new Array[Byte](4096)
+    assert(MediaDecode.inflate(junk, 0, junk.length, scratch) <= scratch.length)
+    assert(MediaDecode.inflate(Array[Byte](0x05), 0, 1, scratch) === -1)
+  }
+
   test("ByteStride equals the per-element reference on random payloads") {
     val genBytes: Gen[Array[Byte]] =
       Gen.chooseNum(0, 64).flatMap(n =>

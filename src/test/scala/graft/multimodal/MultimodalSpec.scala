@@ -189,6 +189,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fixed-Huffman PNGs decode under javax.imageio — the files are spec-valid") {
+    val subset = docs.filter(col("doc_id") < 40)
+    val byId = Multimodal.pngFixedTable(subset)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val decoded = graft.SparkEntry.queries("q_mm_png_pixels_fh")(spark, sf())
+      .filter(col("media_id") < 40).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size === byId.size)
+    byId.foreach { case (id, payload) =>
+      // the JDK's PNG reader runs a REAL inflater: if the hand-rolled
+      // fixed-Huffman encoding (codes, extra bits, back-references, bit
+      // packing) were wrong anywhere, ImageIO would reject or mis-decode
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected fixed-Huffman PNG $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val pix = for (y <- 0 until h; x <- 0 until w) yield {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+      }
+      val row = decoded(id)
+      assert(row.getInt(1) === w && row.getInt(2) === h, s"dims for $id")
+      assert(row.getLong(4) === pix.map(_._1.toLong).sum, s"sum_r for $id")
+      assert(row.getLong(5) === pix.map(_._2.toLong).sum, s"sum_g for $id")
+      assert(row.getLong(6) === pix.map(_._3.toLong).sum, s"sum_b for $id")
+      val wsum = pix.zipWithIndex.map { case ((r, _, _), i) => (i + 1L) * r }.sum
+      assert(row.getLong(7) === wsum, s"wsum_r for $id")
+      assert(row.getBoolean(8) && row.getBoolean(9), s"integrity for $id")
+      assert(row.getLong(10) === 0L, s"filter_violations for $id")
+      // odd rows really are planted repeats (what the back-references copy)
+      for (y <- 1 until h by 2; x <- 0 until w)
+        assert(img.getRGB(x, y) === img.getRGB(x, y - 1), s"row repeat $id ($x,$y)")
+    }
+  }
+
+  test("fixed-Huffman decoder integrity checks fire on corrupted bytes") {
+    import spark.implicits._
+    val good = Multimodal.pngFixedTable(docs.filter(col("doc_id") === 3))
+      .collect().head.getAs[Array[Byte]](1)
+    def decodeOne(payload: Array[Byte]) =
+      Multimodal.decodePng(Seq((3L, payload)).toDF("media_id", "payload"))
+        .collect().head
+    val clean = decodeOne(good)
+    assert(clean.getBoolean(8) && clean.getBoolean(9) && clean.getLong(10) === 0L)
+    // flip a byte of Huffman-coded data (deflate body starts at byte 43):
+    // either the stream derails (wrong size → false) or decodes to
+    // different bytes (adler mismatch → false) — never silently passes
+    val flipData = good.clone()
+    flipData(50) = (flipData(50) ^ 0x5A).toByte
+    assert(!decodeOne(flipData).getBoolean(9), "adler_ok must catch a data flip")
+    // the zlib adler trailer sits 20 bytes before the end (IEND 12 + CRC 4
+    // + trailer 4), same layout as the stored fixture
+    val flipTrailer = good.clone()
+    flipTrailer(good.length - 20) = (flipTrailer(good.length - 20) ^ 0x5A).toByte
+    assert(!decodeOne(flipTrailer).getBoolean(9), "adler_ok must catch a trailer flip")
+    // IHDR width bit → header CRC fires
+    val flipIhdr = good.clone()
+    flipIhdr(18) = (flipIhdr(18) ^ 0x01).toByte
+    assert(!decodeOne(flipIhdr).getBoolean(8), "ihdr_crc_ok must catch a header flip")
+  }
+
   test("PNG decoder integrity checks actually fire on corrupted bytes") {
     import spark.implicits._
     val good = Multimodal.pngTable(docs.filter(col("doc_id") === 3))
