@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -820,6 +821,44 @@ object Analytics {
     * scan, one (type, bucket) groupBy, a type-count-sized broadcast back
     * — two linear passes at any scale.
     */
+  /** (event_type, bucket, c) histogram counts — the 50-wide, capped-at-9
+    * binning every PSI computation shares.
+    */
+  def bucketCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      least(floor(col("value") / 50.0), lit(9L)).cast(IntegerType).as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+
+  /** PSI of `cur` histogram counts against `ref` counts — the two-frame
+    * form of [[q_drift_psi]]'s one-pass computation, shared with the
+    * streaming per-batch twin (Streaming.psiDriftPerBatch). The bucket
+    * support is the full-outer union of both frames (exactly the support
+    * the one-pass two-filter groupBy produces — a group exists iff either
+    * side saw it; StreamingSpec pins the equality), smoothing and the
+    * DECIMAL(20,12) ln-term sums are identical. Both count frames are
+    * type-count × ≤10-bucket tiny at any corpus scale — the heavy scan
+    * happened in [[bucketCounts]]'s partial-aggregated groupBy.
+    * Output: (event_type, n_ref, n_cur, psi, drifted).
+    */
+  def psiFromCounts(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val c = ref.select(col("event_type"), col("bucket"), col("c").as("c_e"))
+      .join(cur.select(col("event_type"), col("bucket"), col("c").as("c_l")),
+        Seq("event_type", "bucket"), "full_outer")
+      .na.fill(0L, Seq("c_e", "c_l"))
+    val n = c.groupBy("event_type").agg(
+      sum(col("c_e")).as("n_e"), sum(col("c_l")).as("n_l"))
+    val p = c.join(broadcast(n), "event_type")
+      .withColumn("p_e", (col("c_e") + 1) * lit(1.0) / (col("n_e") + 10))
+      .withColumn("p_l", (col("c_l") + 1) * lit(1.0) / (col("n_l") + 10))
+    val term = (col("p_l") - col("p_e")) * log(col("p_l") / col("p_e"))
+    p.groupBy("event_type")
+      .agg(
+        min(col("n_e")).as("n_ref"),
+        min(col("n_l")).as("n_cur"),
+        sum(term.cast(DecimalType(20, 12))).cast(DoubleType).as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+  }
+
   val q_drift_psi: Q = Q(
     "q_drift_psi",
     Some("""

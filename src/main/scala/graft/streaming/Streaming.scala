@@ -397,4 +397,35 @@ object Streaming {
       }
       .start()
   }
+
+  /** Per-micro-batch PSI drift detection — the streaming incarnation of
+    * Analytics.q_drift_psi: each arriving batch's value histogram is
+    * scored against a FIXED reference histogram (the "training
+    * distribution" a monitor pins at deploy time), via the shared
+    * [[graft.queries.Analytics.psiFromCounts]] so batch and stream can
+    * never drift in their drift definition. The reference frame is
+    * type-count × ≤10-bucket tiny, so at scale it broadcasts; the only
+    * per-batch heavy work is one partial-aggregated groupBy over the
+    * batch's rows. `sink` receives (psi frame stamped with batch_id,
+    * batchId) per micro-batch — the production sink would append to a
+    * snapshot table or page an alerting topic; StreamingSpec collects and
+    * compares against the batch computation of the same files.
+    */
+  def psiDriftPerBatch(
+      spark: SparkSession,
+      landingDir: String,
+      reference: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery =
+    readEvents(spark, landingDir, options).writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          graft.queries.Analytics
+            .psiFromCounts(reference, graft.queries.Analytics.bucketCounts(batch))
+            .withColumn("batch_id", lit(batchId)),
+          batchId)
+      }
+      .start()
 }

@@ -7,6 +7,25 @@ import graft.util.Tables
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("psiFromCounts (two-frame) equals the one-pass q_drift_psi formulation") {
+    val ev = Tables.events(spark, sf())
+    val boundary = java.time.LocalDateTime.parse("2024-01-16T00:00")
+    val early = ev.filter(col("ts") < lit(boundary))
+    val late = ev.filter(col("ts") >= lit(boundary))
+    val twoFrame = Analytics.psiFromCounts(
+      Analytics.bucketCounts(early), Analytics.bucketCounts(late))
+      .select("event_type", "n_ref", "n_cur", "psi", "drifted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    val onePass = graft.SparkEntry.queries("q_drift_psi")(spark, sf())
+      .select("event_type", "n_early", "n_late", "psi", "drifted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    // DECIMAL term sums make the psi doubles bit-identical, not just close
+    assert(twoFrame === onePass)
+    assert(twoFrame.nonEmpty)
+  }
+
   test("gap-fill: contiguous hourly spine, zero-filled gaps, forward fill total") {
     val out = Analytics.q_ts_gapfill.run(spark, sf())
       // epoch-second cast sidesteps the NTZ/LTZ external-type split

@@ -423,4 +423,44 @@ class StreamingSpec extends SparkSpec {
     assert(graft.io.SnapshotTable.snapshot(spark, tableDir, None)
       .meta.get(Streaming.cdcBatchIdKey).contains("2"))
   }
+
+  test("per-batch PSI drift matches the batch computation for every micro-batch") {
+    import spark.implicits._
+    val dir = tmpDir("graft-stream-psi")
+    // batch A sits in the reference's low buckets (large enough that the
+    // add-one smoothing over 10 buckets stays under the 0.1 threshold);
+    // batch B is shifted wholesale into bucket 9
+    def line(id: Int, hour: Int, typ: String, value: Double): String =
+      s"""{"event_id":$id,"ts":"2024-06-01T$hour%02d:00:00","user_id":1,""".format(hour) +
+        s""""event_type":"$typ","value":$value,"props":"{}"}"""
+    Files.writeString(Paths.get(dir, "a.json"),
+      ((1 to 20).map(i => line(i, 10, "click", 10.0 + i % 30)) ++
+        (21 to 30).map(i => line(i, 10, "view", 20.0))).mkString("", "\n", "\n"))
+    Files.writeString(Paths.get(dir, "b.json"),
+      (31 to 50).map(i => line(i, 11, "click", 460.0 + i % 30)).mkString("", "\n", "\n"))
+    val reference = Seq(("click", 0, 40L), ("view", 0, 20L))
+      .toDF("event_type", "bucket", "c")
+    type PsiRow = (String, Long, Long, Double, Boolean)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[PsiRow] =
+      df.select("event_type", "n_ref", "n_cur", "psi", "drifted").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4))).toSet
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[PsiRow])]
+    Streaming.psiDriftPerBatch(spark, dir, reference,
+      (df, id) => perBatch += ((id, rows(df))),
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    assert(perBatch.size === 2, "one PSI frame per micro-batch")
+    // parity: each micro-batch result equals the BATCH computation over the
+    // same file's rows through the shared psiFromCounts — order-free because
+    // file-listing order decides batch ids
+    val expected = Seq("a.json", "b.json").map { f =>
+      rows(graft.queries.Analytics.psiFromCounts(reference,
+        graft.queries.Analytics.bucketCounts(
+          spark.read.schema(Streaming.eventSchema).json(s"$dir/$f"))))
+    }.toSet
+    assert(perBatch.map(_._2).toSet === expected)
+    // the planted shift is actually detected: exactly one batch drifts on click
+    val clickDrifted = perBatch.flatMap(_._2).filter(_._1 == "click").map(_._5)
+    assert(clickDrifted.count(identity) === 1, s"drift verdicts: $clickDrifted")
+  }
 }
