@@ -211,18 +211,86 @@ object MediaDecode {
   private val distExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
     6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
 
-  /** Inflate the deflate stream at `p[from, limit)` into `dst`, supporting
-    * stored (BTYPE=00) and fixed-Huffman (BTYPE=01) blocks — RFC 1951
-    * §3.2.4/§3.2.6 — including LZ77 length/distance back-references.
-    * Returns the produced byte count, or -1 on ANY malformed condition
-    * (bit-starved stream, bad NLEN, reserved/unsupported block type,
-    * invalid code, distance before the window, output overflow) — the
-    * never-throw contract the hostile-header property test pins. Bit
-    * packing per the RFC: fields fill bytes LSB-first; Huffman codes are
-    * read MSB-of-code-first; extra-bit fields are plain LSB-first
-    * integers. Per-bit decoding is fine at fixture scale; the table-driven
-    * fast path (canonical-code lookup tables, as every production inflater
-    * builds) is the documented upgrade, not a semantic change.
+  /** Canonical Huffman decoder over a code-length vector (RFC 1951
+    * §3.2.2): per-length first-code/first-symbol-index tables, decoded bit
+    * by bit MSB-of-code-first. `bad` marks an over-subscribed length
+    * vector (Kraft sum > 1) — a malformed dynamic header, rejected before
+    * decoding; INCOMPLETE codes are legal (the fixed distance code is one)
+    * and unassigned patterns simply fail to decode (-1).
+    */
+  private final class Huff(lens: Array[Int]) {
+    private val maxBits = 15
+    private val count = new Array[Int](maxBits + 1)
+    private var i0 = 0
+    while (i0 < lens.length) { if (lens(i0) > 0) count(lens(i0)) += 1; i0 += 1 }
+    private val sorted = new Array[Int](lens.count(_ > 0))
+    private val firstCode = new Array[Int](maxBits + 1)
+    private val firstIdx = new Array[Int](maxBits + 1)
+    val bad: Boolean = {
+      var left = 1
+      var over = false
+      var l = 1
+      var code = 0
+      var idx = 0
+      while (l <= maxBits) {
+        left <<= 1
+        left -= count(l)
+        if (left < 0) over = true
+        firstCode(l) = code
+        firstIdx(l) = idx
+        var s = 0
+        while (s < lens.length) {
+          if (lens(s) == l) { sorted(idx) = s; idx += 1 }
+          s += 1
+        }
+        code = (code + count(l)) << 1
+        l += 1
+      }
+      over
+    }
+    /** Next symbol via `nextBit` (-1 on bit starvation); -1 if no code
+      * matches within 15 bits.
+      */
+    def decode(nextBit: () => Int): Int = {
+      var c = 0
+      var l = 0
+      while (l < maxBits) {
+        val b = nextBit(); if (b < 0) return -1
+        c = (c << 1) | b
+        l += 1
+        val d = c - firstCode(l)
+        if (d >= 0 && d < count(l)) return sorted(firstIdx(l) + d)
+      }
+      -1
+    }
+  }
+
+  // the fixed lit/len + distance codes ARE canonical codes over these
+  // length vectors (that is how RFC 1951 §3.2.6 defines them)
+  private lazy val fixedLit = new Huff(Array.tabulate(288)(i =>
+    if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8))
+  private lazy val fixedDist = new Huff(Array.fill(30)(5))
+
+  // dynamic-header code-length symbols arrive in this fixed order (§3.2.7)
+  private val clOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
+    3, 13, 2, 14, 1, 15)
+
+  /** Inflate the deflate stream at `p[from, limit)` into `dst` — a full
+    * RFC 1951 inflater: stored (BTYPE=00), fixed-Huffman (BTYPE=01) and
+    * dynamic-Huffman (BTYPE=10) blocks, LZ77 length/distance
+    * back-references, multi-block streams. Returns the produced byte
+    * count, or -1 on ANY malformed condition (bit-starved stream, bad
+    * NLEN, reserved block type, over-subscribed or unassigned code, bad
+    * repeat op, missing end-of-block code, distance before the window,
+    * output overflow) — the never-throw contract the hostile-header
+    * property test pins. Bit packing per the RFC: fields fill bytes
+    * LSB-first; Huffman codes are read MSB-of-code-first; extra-bit
+    * fields are plain LSB-first integers. Per-bit decoding is fine at
+    * fixture scale; the table-driven fast path (multi-bit canonical
+    * lookup tables, as every production inflater builds) is the
+    * documented upgrade, not a semantic change. Parity with
+    * java.util.zip.Inflater is pinned in KernelPropertySpec on both
+    * hand-rolled fixed streams and real Deflater output.
     */
   private[graft] def inflate(p: Array[Byte], from: Int, limit: Int,
       dst: Array[Byte]): Int = {
@@ -241,6 +309,39 @@ object MediaDecode {
       }
       v
     }
+    val nextBit = () => bits(1)
+    // decode one Huffman-coded block body with the given alphabets;
+    // returns the new output cursor or -1
+    def body(lit: Huff, dist: Huff, oIn: Int): Int = {
+      var o2 = oIn
+      while (true) {
+        val sym = lit.decode(nextBit)
+        if (sym < 0) return -1
+        if (sym < 256) {
+          if (o2 >= dst.length) return -1
+          dst(o2) = sym.toByte
+          o2 += 1
+        } else if (sym == 256) return o2
+        else {
+          if (sym > 285) return -1
+          val li = sym - 257
+          val e = bits(lenExtra(li)); if (e < 0) return -1
+          val runLen = lenBase(li) + e
+          val dc = dist.decode(nextBit)
+          if (dc < 0 || dc > 29) return -1
+          val de = bits(distExtra(dc)); if (de < 0) return -1
+          val d = distBase(dc) + de
+          if (d > o2 || o2 + runLen > dst.length) return -1
+          var t = 0
+          while (t < runLen) {
+            dst(o2) = dst(o2 - d)
+            o2 += 1
+            t += 1
+          }
+        }
+      }
+      -1 // unreachable
+    }
     while (!fin) {
       val bf = bits(1); if (bf < 0) return -1
       val bt = bits(2); if (bt < 0) return -1
@@ -255,60 +356,60 @@ object MediaDecode {
         System.arraycopy(p, bp + 4, dst, o, len)
         o += len
         bit = (bp + 4 + len).toLong << 3
-      } else if (bt == 1) { // fixed Huffman
-        var eob = false
-        while (!eob) {
-          var c = 0
-          var nb = 0
-          while (nb < 7) {
-            val b1 = bits(1); if (b1 < 0) return -1
-            c = (c << 1) | b1
-            nb += 1
-          }
-          var sym = -1
-          if (c <= 0x17) sym = 256 + c
+      } else if (bt == 1) {
+        o = body(fixedLit, fixedDist, o)
+        if (o < 0) return -1
+      } else if (bt == 2) { // dynamic: read the code-length code, then the
+        // lit/len + distance length vectors (with 16/17/18 repeat ops),
+        // build both canonical decoders, decode the body
+        val hlit = bits(5); if (hlit < 0) return -1
+        val hdist = bits(5); if (hdist < 0) return -1
+        val hclen = bits(4); if (hclen < 0) return -1
+        val nlit = hlit + 257
+        val ndist = hdist + 1
+        if (nlit > 286) return -1
+        val clLens = new Array[Int](19)
+        var k = 0
+        while (k < hclen + 4) {
+          val v = bits(3); if (v < 0) return -1
+          clLens(clOrder(k)) = v
+          k += 1
+        }
+        val cl = new Huff(clLens)
+        if (cl.bad) return -1
+        val lens = new Array[Int](nlit + ndist)
+        var i = 0
+        while (i < lens.length) {
+          val s = cl.decode(nextBit)
+          if (s < 0 || s > 18) return -1
+          if (s < 16) { lens(i) = s; i += 1 }
           else {
-            val b1 = bits(1); if (b1 < 0) return -1
-            c = (c << 1) | b1
-            if (c >= 0x30 && c <= 0xBF) sym = c - 0x30
-            else if (c >= 0xC0 && c <= 0xC7) sym = 280 + (c - 0xC0)
-            else {
-              val b2 = bits(1); if (b2 < 0) return -1
-              c = (c << 1) | b2
-              if (c >= 0x190 && c <= 0x1FF) sym = 144 + (c - 0x190)
-              else return -1
+            var rep = 0
+            var v = 0
+            if (s == 16) {
+              if (i == 0) return -1
+              v = lens(i - 1)
+              val r = bits(2); if (r < 0) return -1
+              rep = r + 3
+            } else if (s == 17) {
+              val r = bits(3); if (r < 0) return -1
+              rep = r + 3
+            } else {
+              val r = bits(7); if (r < 0) return -1
+              rep = r + 11
             }
-          }
-          if (sym < 256) {
-            if (o >= dst.length) return -1
-            dst(o) = sym.toByte
-            o += 1
-          } else if (sym == 256) eob = true
-          else {
-            if (sym > 285) return -1
-            val li = sym - 257
-            val e = bits(lenExtra(li)); if (e < 0) return -1
-            val runLen = lenBase(li) + e
-            var dc = 0
-            var k = 0
-            while (k < 5) {
-              val b1 = bits(1); if (b1 < 0) return -1
-              dc = (dc << 1) | b1
-              k += 1
-            }
-            if (dc > 29) return -1
-            val de = bits(distExtra(dc)); if (de < 0) return -1
-            val dist = distBase(dc) + de
-            if (dist > o || o + runLen > dst.length) return -1
+            if (i + rep > lens.length) return -1
             var t = 0
-            while (t < runLen) {
-              dst(o) = dst(o - dist)
-              o += 1
-              t += 1
-            }
+            while (t < rep) { lens(i) = v; i += 1; t += 1 }
           }
         }
-      } else return -1 // BTYPE=10 (dynamic) unimplemented; 11 reserved
+        if (lens(256) == 0) return -1 // a block with no end-of-block code
+        val lit = new Huff(java.util.Arrays.copyOfRange(lens, 0, nlit))
+        val dist = new Huff(java.util.Arrays.copyOfRange(lens, nlit, lens.length))
+        if (lit.bad || dist.bad) return -1
+        o = body(lit, dist, o)
+        if (o < 0) return -1
+      } else return -1 // BTYPE=11 reserved
     }
     o
   }

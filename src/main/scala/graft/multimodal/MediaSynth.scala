@@ -230,6 +230,63 @@ object MediaSynth {
     out
   }
 
+  /** Dynamic-Huffman truecolor PNG — the IDAT holds whatever the JDK's
+    * REAL zlib (`java.util.zip.Deflater`, level 9, zlib wrapper) emits for
+    * the planted scanlines: with the low-entropy pixel field below the
+    * coder picks dynamic-Huffman (BTYPE=10) blocks, so these fixtures
+    * exercise the code-length-code machinery with production-encoder
+    * output rather than hand-rolled streams (MultimodalSpec asserts the
+    * BTYPE and ImageIO parity). Planted: w = 8+id%9, h = 8+id%7, odd rows
+    * repeat their predecessor (y' = y−y%2) and channels live in a 64-value
+    * range — R=(id+7x+13y')%64, G=(3id+5x+11y')%64, B=(5id+3x+17y')%64 —
+    * the skewed literal histogram that makes a dynamic table beat the
+    * fixed one.
+    */
+  def pngDynamic(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val rowBytes = w * 3 + 1
+    val rawLen = h * rowBytes
+    val raw = new Array[Byte](rawLen)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      val ys = y - (y % 2)
+      raw(i) = 0 // filter type 0
+      i += 1
+      var x = 0
+      while (x < w) {
+        raw(i) = ((id + 7L * x + 13L * ys) % 64).toByte
+        raw(i + 1) = ((3L * id + 5L * x + 11L * ys) % 64).toByte
+        raw(i + 2) = ((5L * id + 3L * x + 17L * ys) % 64).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    val d = new java.util.zip.Deflater(9) // zlib wrapper: CMF/FLG + adler
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](rawLen * 2 + 64)
+    val zn = d.deflate(buf)
+    d.end()
+    val idatLen = zn
+    val out = new Array[Byte](8 + 25 + 12 + idatLen + 12)
+    out(0) = 0x89.toByte; ascii(out, 1, "PNG")
+    out(4) = 0x0D; out(5) = 0x0A; out(6) = 0x1A; out(7) = 0x0A
+    beU32(out, 8, 13); ascii(out, 12, "IHDR")
+    beU32(out, 16, w); beU32(out, 20, h)
+    out(24) = 8; out(25) = 2
+    beU32(out, 29, crc32(out, 12, 17))
+    beU32(out, 33, idatLen); ascii(out, 37, "IDAT")
+    System.arraycopy(buf, 0, out, 41, zn)
+    beU32(out, 41 + zn, crc32(out, 37, 4 + idatLen))
+    val e = 45 + zn
+    beU32(out, e, 0); ascii(out, e + 4, "IEND")
+    beU32(out, e + 8, 0xAE426082L)
+    out
+  }
+
   /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
     * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
     * the PNG but with the BMP moduli for dimensions.
@@ -307,6 +364,16 @@ case class PngSynth(child: Expression) extends MediaSynthExpression {
   override def prettyName: String = "graft_png_synth"
 }
 
+case class PngDynamicSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.pngDynamic(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.pngDynamic($c);")
+  override protected def withNewChildInternal(newChild: Expression): PngDynamicSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_png_dynamic_synth"
+}
+
 case class PngFixedSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.pngFixed(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -342,6 +409,7 @@ object MediaSynthFunctions {
 
   val pngName = "graft_png_synth"
   val pngFixedName = "graft_png_fixed_synth"
+  val pngDynamicName = "graft_png_dynamic_synth"
   val bmpName = "graft_bmp_synth"
   val wavName = "graft_wav_synth"
 
@@ -349,6 +417,7 @@ object MediaSynthFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(pngName, exprs => PngSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(pngFixedName, exprs => PngFixedSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(pngDynamicName, exprs => PngDynamicSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
   }
@@ -356,6 +425,8 @@ object MediaSynthFunctions {
   def pngSynth(docId: Column): Column = call_function(pngName, docId)
 
   def pngFixedSynth(docId: Column): Column = call_function(pngFixedName, docId)
+
+  def pngDynamicSynth(docId: Column): Column = call_function(pngDynamicName, docId)
   def bmpSynth(docId: Column): Column = call_function(bmpName, docId)
   def wavSynth(docId: Column): Column = call_function(wavName, docId)
 }

@@ -12,20 +12,21 @@ import graft.util.{Q, Tables}
   *
   * Decode tiers, honestly labeled:
   *  - REAL: BMP pixel decode (`q_mm_pixels`), PCM16 WAV sample decode
-  *    (`q_mm_audio`), PNG pixel decode for stored-deflate IDAT streams
-  *    (`q_mm_png_pixels`, round 9): full chunk walk, real CRC32 and
-  *    adler32 verification, filter-type-0 scanline reconstruction — and,
-  *    round 10, FIXED-HUFFMAN deflate bodies (`q_mm_png_pixels_fh`): a
-  *    bit-level RFC 1951 inflater for BTYPE=00/01 blocks including LZ77
-  *    length/distance back-references, parity-pinned against
-  *    java.util.zip.Inflater in KernelPropertySpec. Stored and
-  *    fixed-Huffman are both spec-valid zlib output, so these are genuine
-  *    subset decoders, not stand-ins.
-  *  - STUB (codec-bound only): DYNAMIC-Huffman deflate bodies (BTYPE=10 —
-  *    needs the code-length-code table machinery) and JPEG DCT entropy
-  *    decode; `mediaTable` fabricates payloads with REAL spec-valid
-  *    headers and a stand-in body, and `frameFeatures` derives a
-  *    deterministic fake feature vector from frame hashes.
+  *    (`q_mm_audio`), and — complete as of round 10 — PNG pixel decode
+  *    for EVERY deflate block type: stored (`q_mm_png_pixels`, round 9),
+  *    fixed-Huffman (`q_mm_png_pixels_fh`), and dynamic-Huffman
+  *    (`q_mm_png_pixels_dyn`, decoding real `java.util.zip` level-9
+  *    output). The kernel carries a full bit-level RFC 1951 inflater —
+  *    canonical-Huffman table construction, code-length-code headers,
+  *    LZ77 back-references, multi-block streams — parity-pinned against
+  *    java.util.zip.Inflater/Deflater in KernelPropertySpec, plus the
+  *    chunk walk, CRC32/adler32 verification, and filter-type-0 scanline
+  *    reconstruction. Any 8-bit-truecolor non-interlaced single-IDAT PNG
+  *    decodes; this is a genuine decoder, not a stand-in.
+  *  - STUB (codec-bound only): JPEG DCT entropy decode; `mediaTable`
+  *    fabricates payloads with REAL spec-valid headers and a stand-in
+  *    body, and `frameFeatures` derives a deterministic fake feature
+  *    vector from frame hashes.
   * Everything else is real and tested: binary schema, format sniffing,
   * HEADER METADATA EXTRACTION (PNG/JPEG width+height from IHDR / SOF, WAV
   * channels+sample-rate from the fmt chunk — pure expressions, the same
@@ -208,6 +209,20 @@ object Multimodal {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         MediaSynthFunctions.pngFixedSynth(col("doc_id")).as("payload"))
+  }
+
+  /** The dynamic-Huffman PNG table: each IDAT is REAL `java.util.zip`
+    * zlib output (level 9) over the planted scanlines — BTYPE=10 blocks
+    * from a production encoder, not hand-rolled bits. Planted dims
+    * 8–16 × 8–14, 64-value channels, odd rows repeating; see
+    * [[MediaSynth.pngDynamic]].
+    */
+  def pngDynamicTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.pngDynamicSynth(col("doc_id")).as("payload"))
   }
 
   // ------------------------------------------------ header metadata readers
@@ -733,6 +748,52 @@ object Multimodal {
     decodePng(pngFixedTable(Tables.documents(s, d)))
   }
 
+  /** Dynamic-Huffman sibling: the same kernel decode over REAL zlib
+    * (java.util.zip.Deflater level 9) IDAT streams — code-length-code
+    * table, dynamic lit/len + distance alphabets, production-encoder
+    * block splitting. The oracle recomputes the sums from the planted
+    * 64-value formulas at y' = y − y%2; the payload bytes never enter the
+    * comparison, so zlib-version differences in encoding cannot break the
+    * hash (the kernel decodes whatever the encoder produced).
+    */
+  val q_mm_png_pixels_dyn: Q = Q(
+    "q_mm_png_pixels_dyn",
+    Some("""
+      WITH px AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+               CAST(unnest(range((8 + doc_id % 9) * (8 + doc_id % 7))) AS BIGINT) AS i
+        FROM documents
+      ), v AS (
+        SELECT doc_id, w, h, i, i % w AS x,
+               (i // w) - ((i // w) % 2) AS ys
+        FROM px
+      ), c AS (
+        SELECT doc_id, w, h, i,
+               (doc_id + 7 * x + 13 * ys) % 64 AS r,
+               (3 * doc_id + 5 * x + 11 * ys) % 64 AS g,
+               (5 * doc_id + 3 * x + 17 * ys) % 64 AS b
+        FROM v
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             count(*) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((i + 1) * r) AS BIGINT) AS wsum_r,
+             true AS ihdr_crc_ok,
+             true AS adler_ok,
+             CAST(0 AS BIGINT) AS filter_violations,
+             ((CAST(0.299 AS DOUBLE) * CAST(sum(r) AS BIGINT)
+               + CAST(0.587 AS DOUBLE) * CAST(sum(g) AS BIGINT))
+              + CAST(0.114 AS DOUBLE) * CAST(sum(b) AS BIGINT)) / count(*) AS mean_luma
+      FROM c GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    decodePng(pngDynamicTable(Tables.documents(s, d)))
+  }
+
   /** The stored-deflate PNG decoder over any (media_id, payload) frame —
     * factored out of [[q_mm_png_pixels]] so MultimodalSpec can drive it
     * over deliberately corrupted payloads and watch the integrity columns
@@ -768,5 +829,5 @@ object Multimodal {
 
   def all: Seq[Q] =
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio,
-      q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh)
+      q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn)
 }

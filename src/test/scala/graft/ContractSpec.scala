@@ -28,10 +28,13 @@ class ContractSpec extends SparkSpec {
     assert(oracles.keySet.subsetOf(qs))
     assert(oracles.values.forall(_.trim.nonEmpty))
     // rows-only set stays intentional: exactly the probabilistic sketches
-    // (winnowing gained a HUGEINT-residue DuckDB oracle in round 9)
+    // and their round-10 compositions (each pinned against its exact twin
+    // in DedupSpec/CurationSpec/SimilaritySpec instead of DuckDB)
     assert(qs -- oracles.keySet === Set(
       "q_approx_distinct", "q_approx_quantiles", "q_dedup_minhash_lsh",
       "q_dedup_simhash", "q_dedup_clusters_lsh", "q_sim_ann_lsh",
-      "q_sim_ann_ivf"))
+      "q_sim_ann_ivf",
+      "q_dedup_containment_sketch", "q_dedup_canonical_lsh",
+      "q_split_leakage_safe_lsh", "q_curate_verdict_lsh"))
   }
 }

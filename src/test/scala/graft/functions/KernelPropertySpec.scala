@@ -234,12 +234,38 @@ class KernelPropertySpec extends SparkSpec {
     val mine = new Array[Byte](raw.length)
     assert(MediaDecode.inflate(stream, 0, stream.length, mine) === raw.length)
     assert(mine.toSeq === raw.toSeq)
+    // dynamic blocks: REAL raw-deflate output (java.util.zip.Deflater,
+    // nowrap) over assorted data shapes must inflate back byte-for-byte —
+    // this drives the code-length-code path with a production encoder
+    for (trial <- 0 until 50) {
+      val n = 64 + rnd.nextInt(2048)
+      val data = new Array[Byte](n)
+      trial % 3 match {
+        case 0 => rnd.nextBytes(data) // incompressible → stored blocks
+        case 1 => // skewed + repetitive → dynamic blocks
+          var i = 0
+          while (i < n) { data(i) = ((i / 7) % 23).toByte; i += 1 }
+        case _ => // text-ish
+          var i = 0
+          while (i < n) { data(i) = ('a' + (i * i) % 17).toByte; i += 1 }
+      }
+      val d = new java.util.zip.Deflater(9, true)
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](n * 2 + 64)
+      val zn = d.deflate(buf)
+      d.end()
+      val back = new Array[Byte](n)
+      assert(MediaDecode.inflate(buf, 0, zn, back) === n, s"deflater trial $trial")
+      assert(back.toSeq === data.toSeq, s"deflater trial $trial bytes")
+    }
     // malformed streams report -1, never throw
     val junk = new Array[Byte](64)
     new scala.util.Random(9L).nextBytes(junk)
-    junk(0) = 0x03 // BFINAL=1, BTYPE=01 then garbage codes
     val scratch = new Array[Byte](4096)
-    assert(MediaDecode.inflate(junk, 0, junk.length, scratch) <= scratch.length)
+    for (b0 <- Seq(0x03, 0x05)) { // garbage fixed / dynamic blocks
+      junk(0) = b0.toByte
+      assert(MediaDecode.inflate(junk, 0, junk.length, scratch) <= scratch.length)
+    }
     assert(MediaDecode.inflate(Array[Byte](0x05), 0, 1, scratch) === -1)
   }
 

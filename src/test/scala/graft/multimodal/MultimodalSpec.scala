@@ -223,6 +223,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-Huffman PNGs (real zlib output) decode under javax.imageio and the kernel") {
+    val subset = docs.filter(col("doc_id") < 40)
+    val byId = Multimodal.pngDynamicTable(subset)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val decoded = graft.SparkEntry.queries("q_mm_png_pixels_dyn")(spark, sf())
+      .filter(col("media_id") < 40).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size === byId.size)
+    // the fixtures genuinely exercise BTYPE=10: java.util.zip picks the
+    // dynamic table for the skewed 64-value histograms (first deflate byte
+    // at offset 43, BFINAL=1|BTYPE=10 -> low 3 bits 0b101)
+    // (block choice is the encoder's: on the very smallest images zlib may
+    // still prefer a fixed/stored block — the kernel decodes those too)
+    val dynCount = byId.values.count(p => (p(43) & 0x07) == 0x05)
+    assert(dynCount * 10 >= byId.size * 9,
+      s"only $dynCount/${byId.size} fixtures start with a dynamic block")
+    byId.foreach { case (id, payload) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected dynamic-Huffman PNG $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val pix = for (y <- 0 until h; x <- 0 until w) yield {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+      }
+      val row = decoded(id)
+      assert(row.getInt(1) === w && row.getInt(2) === h, s"dims for $id")
+      assert(row.getLong(4) === pix.map(_._1.toLong).sum, s"sum_r for $id")
+      assert(row.getLong(5) === pix.map(_._2.toLong).sum, s"sum_g for $id")
+      assert(row.getLong(6) === pix.map(_._3.toLong).sum, s"sum_b for $id")
+      assert(row.getBoolean(8) && row.getBoolean(9), s"integrity for $id")
+      assert(row.getLong(10) === 0L, s"filter_violations for $id")
+    }
+    // corruption: a flipped byte inside the dynamic block's Huffman data
+    // must fire adler_ok (derailed decode or drifted bytes — never silent)
+    val sample = byId.head._2.clone()
+    sample(52) = (sample(52) ^ 0x5A).toByte
+    import spark.implicits._
+    val bad = Multimodal.decodePng(Seq((0L, sample)).toDF("media_id", "payload"))
+      .collect().head
+    assert(!bad.getBoolean(9), "adler_ok must catch a dynamic-stream flip")
+  }
+
   test("fixed-Huffman decoder integrity checks fire on corrupted bytes") {
     import spark.implicits._
     val good = Multimodal.pngFixedTable(docs.filter(col("doc_id") === 3))
