@@ -1,0 +1,352 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Baseline-JPEG (ITU T.81) grayscale pixel decode — the entropy tier of
+  * the last codec stub made real. The kernel runs the actual decoder
+  * machinery a baseline JPEG needs:
+  *
+  *  - segment walk (SOI, DQT, SOF0, DHT, SOS, EOI) with length-checked
+  *    reads, restricted to the honest envelope: 8-bit precision, ONE
+  *    component (grayscale), no subsampling, baseline Huffman;
+  *  - canonical JPEG Huffman table construction from the file's own DHT
+  *    (BITS[1..16] + HUFFVAL), MSB-first bit reads with 0xFF00 byte
+  *    de-stuffing;
+  *  - per-block DC difference decoding (category + signed-magnitude
+  *    extension, cross-block DC prediction) and full AC run-length
+  *    decoding (EOB, ZRL, run/size pairs) — coefficients are counted and
+  *    dequantized;
+  *  - reconstruction: dequantized coefficients through the 2-D inverse
+  *    DCT (double-precision reference IDCT, rounded and clamped), level
+  *    shift +128, edge blocks cropped to the declared geometry.
+  *
+  * The spec's honest corner: T.81 does NOT mandate a bit-exact IDCT, so
+  * decoders may disagree by ±1 on blocks with AC energy. The fixture
+  * tables (MediaSynth.jpeg) therefore plant DC-ONLY blocks — flat 8×8
+  * patches whose reconstruction (DC·Q/8 + 128) is exact in every
+  * conforming decoder — which is what lets the DuckDB oracle recompute
+  * the sums from the planted formulas and MultimodalSpec pin ImageIO
+  * parity byte-for-byte. Blocks with AC coefficients still decode (the
+  * entropy layer is complete); they are simply not what the oracle
+  * exercises, and `n_ac_coeffs` reports their presence.
+  *
+  * Null/integrity semantics follow the PNG kernel: junk or truncated
+  * payloads return all-null fields, a malformed entropy stream nulls the
+  * sums, and nothing ever throws on hostile input.
+  */
+object JpegDecode {
+
+  val outType: StructType = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("n_blocks", LongType),
+    StructField("sum_luma", LongType), StructField("wsum_luma", LongType),
+    StructField("n_ac_coeffs", LongType)))
+
+  private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+  private def beU16(p: Array[Byte], i: Int): Int = (u8(p, i) << 8) | u8(p, i + 1)
+
+  /** Canonical JPEG Huffman table (T.81 Annex C): decode one symbol via
+    * per-length min-code/max-code/value-pointer arrays, MSB-first.
+    */
+  private final class JHuff(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17) // -1 = no codes at this length
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) maxCode(l) = -1
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l)
+          k += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    /** -1 on no match within 16 bits or bit starvation. */
+    def decode(r: BitReader): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = r.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l)) {
+          val idx = valPtr(l) + (code - minCode(l))
+          if (idx >= vals.length) return -1
+          return vals(idx)
+        }
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * de-stuffing; stops (-1) at any marker or the segment end.
+    */
+  private final class BitReader(p: Array[Byte], var pos: Int, limit: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= limit) return -1
+        var b = u8(p, pos)
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= limit) return -1
+          val m = u8(p, pos)
+          if (m == 0x00) pos += 1 // stuffed data byte
+          else return -1 // a real marker: entropy data ended early
+          b = 0xFF
+        }
+        cur = b
+        nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    /** `n`-bit MSB-first field; -1 on starvation (n ≤ 16). */
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bit()
+        if (b < 0) return -1
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Signed-magnitude EXTEND (T.81 F.2.2.1): an s-bit magnitude v decodes
+    * to v if the top bit is set, else v - (2^s - 1).
+    */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v >= (1 << (s - 1))) v else v - (1 << s) + 1
+
+  def jpeg(p: Array[Byte]): InternalRow = {
+    val out = new Array[Any](6)
+    if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8)
+      return new GenericInternalRow(out)
+    var pos = 2
+    var w = -1
+    var h = -1
+    var quant: Array[Int] = null
+    var dcT: JHuff = null
+    var acT: JHuff = null
+    var sosAt = -1
+    var hops = 0
+    // segment walk to SOS (bounded; APPn/COM skipped by their lengths)
+    while (sosAt < 0 && hops < 32 && pos + 4 <= p.length) {
+      if (u8(p, pos) != 0xFF) return new GenericInternalRow(out)
+      val marker = u8(p, pos + 1)
+      val len = beU16(p, pos + 2)
+      if (len < 2 || pos + 2 + len > p.length) return new GenericInternalRow(out)
+      val body = pos + 4
+      marker match {
+        case 0xDB => // DQT: only 8-bit table 0 in the grayscale envelope
+          if (len >= 67 && (u8(p, body) & 0xF0) == 0) {
+            quant = Array.tabulate(64)(i => u8(p, body + 1 + i))
+          }
+        case 0xC0 => // SOF0 baseline: 8-bit, exactly one 1x1 component
+          if (len >= 11 && u8(p, body) == 8 && u8(p, body + 5) == 1 &&
+            u8(p, body + 7) == 0x11) {
+            h = beU16(p, body + 1)
+            w = beU16(p, body + 3)
+          } else return new GenericInternalRow(out) // outside the envelope
+        case 0xC4 => // DHT: possibly several tables in one segment
+          var q = body
+          while (q + 17 <= pos + 2 + len) {
+            val tc = u8(p, q) >> 4
+            val th = u8(p, q) & 0x0F
+            val bits = new Array[Int](17)
+            var n = 0
+            var l = 1
+            while (l <= 16) { bits(l) = u8(p, q + l); n += bits(l); l += 1 }
+            if (q + 17 + n > pos + 2 + len || n > 256) return new GenericInternalRow(out)
+            val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
+            if (th == 0) {
+              if (tc == 0) dcT = new JHuff(bits, vals)
+              else if (tc == 1) acT = new JHuff(bits, vals)
+            }
+            q += 17 + n
+          }
+        case 0xDA => sosAt = pos // SOS: entropy data follows the header
+        case 0xD9 => return new GenericInternalRow(out) // EOI before SOS
+        case _ => () // APPn / COM / others: skip
+      }
+      if (sosAt < 0) pos += 2 + len
+      hops += 1
+    }
+    if (sosAt < 0 || w <= 0 || h <= 0 || quant == null || dcT == null ||
+      acT == null || w > (1 << 14) || h > (1 << 14))
+      return new GenericInternalRow(out)
+    out(0) = Integer.valueOf(w)
+    out(1) = Integer.valueOf(h)
+    val sosLen = beU16(p, sosAt + 2)
+    val scanStart = sosAt + 2 + sosLen
+    if (scanStart >= p.length) return new GenericInternalRow(out)
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val r = new BitReader(p, scanStart, p.length)
+    var sum = 0L
+    var wsum = 0L
+    var nAc = 0L
+    var pred = 0
+    val coef = new Array[Int](64)
+    var by = 0
+    var ok = true
+    while (ok && by < bh) {
+      var bx = 0
+      while (ok && bx < bw) {
+        java.util.Arrays.fill(coef, 0)
+        // DC: category + extended difference, predicted from the last block
+        val t = dcT.decode(r)
+        if (t < 0 || t > 11) ok = false
+        else {
+          val diffBits = if (t == 0) 0 else r.bits(t)
+          if (diffBits < 0) ok = false
+          else {
+            pred += extend(diffBits, t)
+            coef(0) = pred * quant(0)
+            // AC: run/size pairs until EOB or 63 coefficients
+            var k = 1
+            var eob = false
+            while (ok && !eob && k < 64) {
+              val rs = acT.decode(r)
+              if (rs < 0) ok = false
+              else if (rs == 0x00) eob = true
+              else if (rs == 0xF0) k += 16 // ZRL
+              else {
+                val run = rs >> 4
+                val size = rs & 0x0F
+                k += run
+                if (k > 63) ok = false
+                else {
+                  val m = r.bits(size)
+                  if (m < 0) ok = false
+                  else {
+                    coef(k) = extend(m, size) * quant(k)
+                    nAc += 1
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (ok) {
+              // reconstruct + fold the in-geometry pixels of this block
+              var hasAc = false
+              var i = 1
+              while (i < 64 && !hasAc) { hasAc = coef(i) != 0; i += 1 }
+              var yy = 0
+              while (yy < 8) {
+                val py = by * 8 + yy
+                if (py < h) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val px = bx * 8 + xx
+                    if (px < w) {
+                      val v =
+                        if (!hasAc) {
+                          // flat block: IDCT is exactly DC/8 (T.81 A.3.3)
+                          val f = coef(0)
+                          val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
+                          math.min(255, math.max(0, q8 + 128))
+                        } else idctPixel(coef, xx, yy)
+                      sum += v
+                      wsum += (py.toLong * w + px + 1L) * v
+                    }
+                    xx += 1
+                  }
+                }
+                yy += 1
+              }
+            }
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    out(2) = java.lang.Long.valueOf(bw.toLong * bh)
+    if (ok) {
+      out(3) = java.lang.Long.valueOf(sum)
+      out(4) = java.lang.Long.valueOf(wsum)
+      out(5) = java.lang.Long.valueOf(nAc)
+    }
+    new GenericInternalRow(out)
+  }
+
+  // zig-zag order: index in scan order -> (row, col)
+  private val zzRow = Array(
+    0, 0, 1, 2, 1, 0, 0, 1, 2, 3, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 5, 4,
+    3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 2, 3, 4, 5, 6,
+    7, 7, 6, 5, 4, 3, 4, 5, 6, 7, 7, 6, 5, 6, 7, 7)
+  private val zzCol = Array(
+    0, 1, 0, 0, 1, 2, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0, 0, 1, 2,
+    3, 4, 5, 6, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3,
+    2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 4, 5, 6, 7, 7)
+
+  /** Reference double-precision 2-D IDCT of one pixel (T.81 A.3.3) over
+    * zig-zag-ordered dequantized coefficients; rounded and clamped. Exact
+    * on DC-only blocks; on AC blocks this is the non-mandated tier where
+    * conforming decoders may differ by ±1.
+    */
+  private def idctPixel(coefZz: Array[Int], x: Int, y: Int): Int = {
+    var s = 0.0
+    var k = 0
+    while (k < 64) {
+      val f = coefZz(k)
+      if (f != 0) {
+        val u = zzCol(k)
+        val v = zzRow(k)
+        val cu = if (u == 0) 0.7071067811865476 else 1.0
+        val cv = if (v == 0) 0.7071067811865476 else 1.0
+        s += cu * cv * f *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      k += 1
+    }
+    val p = math.round(s / 4).toInt + 128
+    math.min(255, math.max(0, p))
+  }
+}
+
+case class JpegStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_jpeg_stats expects a binary payload, got $other")
+  }
+  override def dataType: DataType = JpegDecode.outType
+  override def nullSafeEval(p: Any): Any = JpegDecode.jpeg(p.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.JpegDecode.jpeg($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_stats"
+}
+
+object JpegFunctions {
+  val statsName = "graft_jpeg_stats"
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      statsName, exprs => JpegStats(exprs.head), "built-in")
+  def jpegStats(payload: Column): Column = call_function(statsName, payload)
+}

@@ -287,6 +287,102 @@ object MediaSynth {
     out
   }
 
+  // ---- baseline JPEG (ITU T.81) grayscale fixture --------------------------
+
+  // standard Annex K DC-luminance BITS (codes per length 1..16; 12 symbols)
+  private val jpegDcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Canonical JPEG codes from a BITS histogram (T.81 Annex C): (code,len)
+    * per symbol in HUFFVAL order.
+    */
+  private def jpegCodes(bits: Array[Int]): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var code = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l)) { out += ((code, l)); code += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    out.toArray
+  }
+
+  /** Baseline grayscale JPEG with DC-ONLY blocks — REAL entropy framing
+    * (canonical Huffman DC codes from the standard Annex K DC-luminance
+    * table, a minimal one-entry AC table holding just EOB, MSB-first bit
+    * packing with 0xFF00 byte stuffing, cross-block DC prediction), but
+    * every block is flat so reconstruction is IDCT-exact in every
+    * conforming decoder — what lets a formula oracle and byte-exact
+    * ImageIO parity coexist with lossy-format machinery. Planted:
+    * w = 8·(1+id%3), h = 8·(1+id%2), quantizer Q ≡ 8, per-block value
+    * pixel = 48 + (id + 5·bx + 11·by) % 160 (DC = pixel − 128 ∈ [−80, 79],
+    * so no clamping anywhere).
+    */
+  def jpeg(id: Long): Array[Byte] = {
+    val bw = (1 + id % 3).toInt
+    val bh = (1 + id % 2).toInt
+    val w = bw * 8
+    val h = bh * 8
+    def dcOf(bx: Int, by: Int): Int = ((id + 5L * bx + 11L * by) % 160).toInt - 80
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00) // DQT, 8-bit table 0
+    (0 until 64).foreach(_ => out += 8.toByte) // Q == 8 everywhere
+    b(0xFF, 0xC0, 0, 11, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0) // SOF0
+    b(0xFF, 0xC4, 0, 31, 0x00) // DHT: DC table 0 (standard Annex K BITS)
+    (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+    (0 to 11).foreach(v => out += v.toByte) // HUFFVAL = categories 0..11
+    b(0xFF, 0xC4, 0, 20, 0x10) // DHT: AC table 0 — one 1-bit code: EOB
+    b(1); (2 to 16).foreach(_ => b(0))
+    b(0x00)
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS: comp 1, DC 0 / AC 0
+    val dcCode = jpegCodes(jpegDcBits)
+    // MSB-first bit writer with byte stuffing
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val dc = dcOf(bx, by)
+        val diff = dc - pred
+        pred = dc
+        val mag = math.abs(diff)
+        val s = 32 - Integer.numberOfLeadingZeros(mag) // category (0 for 0)
+        val (c, cl) = dcCode(s)
+        putBits(c, cl)
+        if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        putBits(0, 1) // EOB from the one-entry AC table
+        bx += 1
+      }
+      by += 1
+    }
+    if (nb > 0) { // pad the final byte with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+    }
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
   /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
     * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
     * the PNG but with the BMP moduli for dimensions.
@@ -364,6 +460,16 @@ case class PngSynth(child: Expression) extends MediaSynthExpression {
   override def prettyName: String = "graft_png_synth"
 }
 
+case class JpegSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.jpeg(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpeg($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_synth"
+}
+
 case class PngDynamicSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.pngDynamic(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -410,6 +516,7 @@ object MediaSynthFunctions {
   val pngName = "graft_png_synth"
   val pngFixedName = "graft_png_fixed_synth"
   val pngDynamicName = "graft_png_dynamic_synth"
+  val jpegName = "graft_jpeg_synth"
   val bmpName = "graft_bmp_synth"
   val wavName = "graft_wav_synth"
 
@@ -418,9 +525,12 @@ object MediaSynthFunctions {
     reg.createOrReplaceTempFunction(pngName, exprs => PngSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(pngFixedName, exprs => PngFixedSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(pngDynamicName, exprs => PngDynamicSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegName, exprs => JpegSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
   }
+
+  def jpegSynth(docId: Column): Column = call_function(jpegName, docId)
 
   def pngSynth(docId: Column): Column = call_function(pngName, docId)
 

@@ -23,10 +23,18 @@ import graft.util.{Q, Tables}
   *    chunk walk, CRC32/adler32 verification, and filter-type-0 scanline
   *    reconstruction. Any 8-bit-truecolor non-interlaced single-IDAT PNG
   *    decodes; this is a genuine decoder, not a stand-in.
-  *  - STUB (codec-bound only): JPEG DCT entropy decode; `mediaTable`
-  *    fabricates payloads with REAL spec-valid headers and a stand-in
-  *    body, and `frameFeatures` derives a deterministic fake feature
-  *    vector from frame hashes.
+  *  - REAL (with a declared exactness envelope): baseline JPEG
+  *    (`q_mm_jpeg_pixels`) — full T.81 entropy machinery (segment walk,
+  *    canonical Huffman tables from the file's DHT, MSB-first decode
+  *    with byte de-stuffing, DC prediction, AC run-length layer,
+  *    dequant, IDCT reconstruction). T.81 does not mandate a bit-exact
+  *    IDCT, so the oracle-checked fixtures are DC-only grayscale — the
+  *    corner every conforming decoder reconstructs EXACTLY (ImageIO
+  *    parity is byte-identical); AC-bearing blocks decode through the
+  *    reference double IDCT, the non-mandated ±1 tier.
+  *  - STUB: only `mediaTable`'s stand-in bodies (spec-valid headers,
+  *    fake payload) and `frameFeatures`' deterministic fake feature
+  *    vectors remain — the declared model-input plumbing stubs.
   * Everything else is real and tested: binary schema, format sniffing,
   * HEADER METADATA EXTRACTION (PNG/JPEG width+height from IHDR / SOF, WAV
   * channels+sample-rate from the fmt chunk — pure expressions, the same
@@ -209,6 +217,20 @@ object Multimodal {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         MediaSynthFunctions.pngFixedSynth(col("doc_id")).as("payload"))
+  }
+
+  /** Baseline grayscale JPEG table: REAL T.81 entropy framing (standard
+    * Annex K DC table, minimal EOB-only AC table, byte stuffing, DC
+    * prediction) over DC-only flat blocks — the honest corner where a
+    * LOSSY format is exactly decodable and formula-oracle-checkable; see
+    * [[MediaSynth.jpeg]].
+    */
+  def jpegTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.jpegSynth(col("doc_id")).as("payload"))
   }
 
   /** The dynamic-Huffman PNG table: each IDAT is REAL `java.util.zip`
@@ -794,6 +816,56 @@ object Multimodal {
     decodePng(pngDynamicTable(Tables.documents(s, d)))
   }
 
+  /** Baseline-JPEG pixel decode over the DC-exact grayscale fixtures: the
+    * kernel runs the full T.81 baseline machinery (segment walk, canonical
+    * Huffman tables from the file's DHT, MSB-first entropy decode with
+    * byte de-stuffing, DC prediction, AC run-length layer, dequant, IDCT
+    * reconstruction). The oracle recomputes the sums from the planted
+    * flat-block formulas — DC-only blocks are the corner where a lossy
+    * codec's output is exact, so the hash compare is legitimate.
+    */
+  val q_mm_jpeg_pixels: Q = Q(
+    "q_mm_jpeg_pixels",
+    Some("""
+      WITH dim AS (
+        SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS i
+        FROM dim
+      ), v AS (
+        SELECT doc_id, w, h, i,
+               48 + (doc_id + 5 * ((i % w) // 8) + 11 * ((i // w) // 8)) % 160 AS val
+        FROM px
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             CAST(min((w // 8) * (h // 8)) AS BIGINT) AS n_blocks,
+             count(*) AS n_pixels,
+             CAST(sum(val) AS BIGINT) AS sum_luma,
+             CAST(sum((i + 1) * val) AS BIGINT) AS wsum_luma,
+             CAST(0 AS BIGINT) AS n_ac_coeffs,
+             sum(val) * 1.0 / count(*) AS mean_luma
+      FROM v GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    graft.functions.JpegFunctions.ensureRegistered(s)
+    jpegTable(Tables.documents(s, d))
+      .select(col("media_id"),
+        graft.functions.JpegFunctions.jpegStats(col("payload")).as("st"))
+      .select(
+        col("media_id"),
+        col("st.w").as("width"), col("st.h").as("height"),
+        col("st.n_blocks").as("n_blocks"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_luma").as("sum_luma"),
+        col("st.wsum_luma").as("wsum_luma"),
+        col("st.n_ac_coeffs").as("n_ac_coeffs"))
+      .withColumn("mean_luma", col("sum_luma") * lit(1.0) / col("n_pixels"))
+      .orderBy("media_id")
+  }
+
   /** The stored-deflate PNG decoder over any (media_id, payload) frame —
     * factored out of [[q_mm_png_pixels]] so MultimodalSpec can drive it
     * over deliberately corrupted payloads and watch the integrity columns
@@ -829,5 +901,6 @@ object Multimodal {
 
   def all: Seq[Q] =
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio,
-      q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn)
+      q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn,
+      q_mm_jpeg_pixels)
 }

@@ -265,6 +265,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!bad.getBoolean(9), "adler_ok must catch a dynamic-stream flip")
   }
 
+  test("baseline JPEGs decode under javax.imageio byte-identically to the kernel") {
+    val subset = docs.filter(col("doc_id") < 40)
+    val byId = Multimodal.jpegTable(subset)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val decoded = graft.SparkEntry.queries("q_mm_jpeg_pixels")(spark, sf())
+      .filter(col("media_id") < 40).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size === byId.size)
+    byId.foreach { case (id, payload) =>
+      // the JDK's real JPEG reader (full entropy decode + its own IDCT):
+      // DC-only blocks are the corner every conforming decoder must
+      // reconstruct EXACTLY, so the sums match bit-for-bit, not ±1
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected JPEG $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val pix = for (y <- 0 until h; x <- 0 until w) yield raster.getSample(x, y, 0)
+      val row = decoded(id)
+      assert(row.getInt(1) === w && row.getInt(2) === h, s"dims for $id")
+      assert(row.getLong(5) === pix.map(_.toLong).sum, s"sum_luma for $id")
+      val wsum = pix.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+      assert(row.getLong(6) === wsum, s"wsum_luma for $id")
+      assert(row.getLong(7) === 0L, s"fixtures are DC-only for $id")
+    }
+    // corruption: a flipped bit inside the entropy data shifts a DC
+    // category or magnitude — decoded sums must drift or the stream must
+    // derail (null sums); geometry still parses from SOF
+    import spark.implicits._
+    val sample = byId(3L)
+    val goodSum = decoded(3L).getLong(5)
+    val bad = sample.clone()
+    bad(bad.length - 4) = (bad(bad.length - 4) ^ 0x40).toByte
+    graft.functions.JpegFunctions.ensureRegistered(spark)
+    val badRow = Seq((3L, bad)).toDF("media_id", "payload")
+      .select(graft.functions.JpegFunctions.jpegStats(col("payload")).as("st"))
+      .select("st.w", "st.sum_luma").collect().head
+    assert(badRow.getInt(0) > 0, "geometry still parses")
+    assert(badRow.isNullAt(1) || badRow.getLong(1) != goodSum,
+      "an entropy-stream flip cannot decode to the same sums")
+    // hostile inputs never throw
+    for (junk <- Seq(Array.empty[Byte], Array[Byte](0xFF.toByte, 0xD8.toByte),
+      Array.fill(64)(0xFF.toByte), sample.take(20))) {
+      assert(graft.functions.JpegDecode.jpeg(junk) != null)
+    }
+  }
+
   test("fixed-Huffman decoder integrity checks fire on corrupted bytes") {
     import spark.implicits._
     val good = Multimodal.pngFixedTable(docs.filter(col("doc_id") === 3))
