@@ -319,7 +319,16 @@ object MediaSynth {
     * pixel = 48 + (id + 5·bx + 11·by) % 160 (DC = pixel − 128 ∈ [−80, 79],
     * so no clamping anywhere).
     */
-  def jpeg(id: Long): Array[Byte] = {
+  def jpeg(id: Long): Array[Byte] = jpeg(id, withAc = false)
+
+  /** `withAc = true` is the SPEC-ONLY variant: the AC table gains a
+    * run0/size1 code and every block carries one ±1 coefficient at
+    * zig-zag position 1 — exercising the kernel's AC run-length layer
+    * and the reference IDCT, whose parity vs ImageIO is then ±1/pixel
+    * (T.81 mandates no bit-exact IDCT), pinned with a tolerance in
+    * MultimodalSpec. The oracle-checked fixture stays DC-only.
+    */
+  private[graft] def jpeg(id: Long, withAc: Boolean): Array[Byte] = {
     val bw = (1 + id % 3).toInt
     val bh = (1 + id % 2).toInt
     val w = bw * 8
@@ -334,9 +343,16 @@ object MediaSynth {
     b(0xFF, 0xC4, 0, 31, 0x00) // DHT: DC table 0 (standard Annex K BITS)
     (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
     (0 to 11).foreach(v => out += v.toByte) // HUFFVAL = categories 0..11
-    b(0xFF, 0xC4, 0, 20, 0x10) // DHT: AC table 0 — one 1-bit code: EOB
-    b(1); (2 to 16).foreach(_ => b(0))
-    b(0x00)
+    if (withAc) {
+      // AC table 0: EOB ('0', 1 bit) + run0/size1 ('10', 2 bits)
+      b(0xFF, 0xC4, 0, 21, 0x10)
+      b(1, 1); (3 to 16).foreach(_ => b(0))
+      b(0x00, 0x01)
+    } else {
+      b(0xFF, 0xC4, 0, 20, 0x10) // DHT: AC table 0 — one 1-bit code: EOB
+      b(1); (2 to 16).foreach(_ => b(0))
+      b(0x00)
+    }
     b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS: comp 1, DC 0 / AC 0
     val dcCode = jpegCodes(jpegDcBits)
     // MSB-first bit writer with byte stuffing
@@ -369,7 +385,11 @@ object MediaSynth {
         val (c, cl) = dcCode(s)
         putBits(c, cl)
         if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-        putBits(0, 1) // EOB from the one-entry AC table
+        if (withAc) {
+          putBits(2, 2) // run0/size1 code '10'
+          putBits(if ((id + bx + by) % 2 == 0) 1 else 0, 1) // ±1 magnitude
+        }
+        putBits(0, 1) // EOB
         bx += 1
       }
       by += 1

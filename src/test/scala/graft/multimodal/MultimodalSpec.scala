@@ -311,6 +311,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG AC layer: ±1 coefficients decode within the T.81 IDCT tolerance") {
+    for (id <- 0L until 12L) {
+      val payload = MediaSynth.jpeg(id, withAc = true)
+      val st = graft.functions.JpegDecode.jpeg(payload)
+      assert(!st.isNullAt(3), s"AC fixture $id must decode")
+      val (w, h) = (st.getInt(0), st.getInt(1))
+      // the AC run-length layer really fired: one coefficient per block
+      assert(st.getLong(5) === st.getLong(2), s"n_ac == n_blocks for $id")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected AC JPEG $id")
+      val raster = img.getRaster
+      val refSum = (for (y <- 0 until h; x <- 0 until w)
+        yield raster.getSample(x, y, 0).toLong).sum
+      // T.81 mandates no bit-exact IDCT: conforming decoders may differ by
+      // ±1 per pixel on AC-bearing blocks — bound the sum accordingly
+      assert(math.abs(st.getLong(3) - refSum) <= w.toLong * h,
+        s"AC sum drift beyond IDCT tolerance for $id: ${st.getLong(3)} vs $refSum")
+    }
+  }
+
   test("fixed-Huffman decoder integrity checks fire on corrupted bytes") {
     import spark.implicits._
     val good = Multimodal.pngFixedTable(docs.filter(col("doc_id") === 3))
