@@ -35,6 +35,7 @@ class ContractSpec extends SparkSpec {
       "q_dedup_simhash", "q_dedup_clusters_lsh", "q_sim_ann_lsh",
       "q_sim_ann_ivf",
       "q_dedup_containment_sketch", "q_dedup_canonical_lsh",
-      "q_split_leakage_safe_lsh", "q_curate_verdict_lsh"))
+      "q_split_leakage_safe_lsh", "q_curate_verdict_lsh",
+      "q_embed_pca"))
   }
 }

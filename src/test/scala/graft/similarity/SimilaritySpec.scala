@@ -77,6 +77,55 @@ class SimilaritySpec extends SparkSpec {
       "inverted-file scan lost its dynamic partition pruning")
   }
 
+  test("PCA: one-pass Gramian matches brute force; the basis is a genuine eigenbasis") {
+    val d = 64
+    val emb = Tables.embeddings(spark, sf())
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val n = vecs.length
+    // distributed one-pass mean/covariance vs a driver brute force
+    val (mean, cov, nGot) = Pca.covariance(emb, d)
+    assert(nGot === n.toLong)
+    val meanRef = Array.tabulate(d)(i => vecs.map(_._2(i)).sum / n)
+    val covRef = Array.tabulate(d, d) { (i, j) =>
+      vecs.map { case (_, v) => (v(i) - meanRef(i)) * (v(j) - meanRef(j)) }.sum / n
+    }
+    for (i <- 0 until d) assert(math.abs(mean(i) - meanRef(i)) < 1e-9, s"mean $i")
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(cov(i)(j) - covRef(i)(j)) < 1e-7, s"cov($i,$j)")
+    val model = Pca.fit(emb, k = 4)
+    // orthonormal loadings
+    for (a <- model.loadings.indices; b <- model.loadings.indices) {
+      val dotAb = (0 until d).map(i => model.loadings(a)(i) * model.loadings(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dotAb - want) < 1e-8, s"orthonormality ($a,$b)")
+    }
+    // each loading is a genuine eigenvector of the BRUTE-FORCE covariance
+    model.loadings.zip(model.eigenValues).foreach { case (v, lam) =>
+      val res = (0 until d).map { i =>
+        val cv = (0 until d).map(j => covRef(i)(j) * v(j)).sum
+        math.abs(cv - lam * v(i))
+      }.max
+      assert(res < 1e-7, s"eigen residual $res for eigenvalue $lam")
+    }
+    // spectrum: descending, non-negative, and the top-4 beat a uniform share
+    assert(model.eigenValues.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(model.eigenValues.forall(_ >= -1e-10))
+    val trace = (0 until d).map(i => covRef(i)(i)).sum
+    assert(model.eigenValues.sum > 4.0 / d * trace, "top-4 below uniform share")
+    // projection parity with the driver-side (e - mean) · v
+    val proj = Pca.project(emb, model).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(j => r.getDouble(j)).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val got = proj(id)
+      model.loadings.zipWithIndex.foreach { case (l, j) =>
+        val want = (0 until d).map(i => (v(i) - meanRef(i)) * l(i)).sum
+        assert(math.abs(got(j) - want) < 1e-6, s"projection pc${j + 1} for vec $id")
+      }
+    }
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
