@@ -1,0 +1,120 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.util.{Q, Tables}
+
+/** Product quantization (Jégou et al. 2011) — THE compressed representation
+  * a 100 TB vector store actually serves from (FAISS IVF-PQ): the d-dim
+  * embedding splits into `m` subvectors, each quantized against its own
+  * `ksub`-centroid codebook, so a 64-float vector becomes m=8 single-byte
+  * codes (32× compression) and asymmetric distances become table lookups.
+  *
+  * Spark-first split, same contract as [[Pca]] / [[Similarity.ivfCentroids]]:
+  *  - codebook TRAINING is hash-seeded (top-ksub vectors by xxhash64 — no
+  *    RNG state) + distributed L2 Lloyd steps, all m subspaces fused into
+  *    ONE pass per iteration: a single projection computes every
+  *    subspace's argmin code (codegen'd [[VecDot]] literal dot products,
+  *    struct-min tiebreak to the lower code), then one posexplode →
+  *    (subspace, code, dim) partial-aggregated mean re-centers every
+  *    codebook together. The codebooks are driver-held (m·ksub·d/m
+  *    doubles ≈ 8 KB) exactly like the IVF centroid table; at 100 TB the
+  *    same code trains on a hash sample.
+  *  - ENCODING is one scan: per subspace, the argmin struct also carries
+  *    the chosen centroid's x·c and ‖c‖², so the per-vector squared
+  *    reconstruction error Σ(‖x_s‖² − 2x_s·c + ‖c‖²) and the
+  *    original-vs-reconstruction cosine fall out of the same pass with no
+  *    second lookup — zero shuffles, scan speed.
+  *
+  * Rows-only (codebooks are not SQL-expressible; Lloyd's double means
+  * carry partition-order low bits); SimilaritySpec pins driver brute-force
+  * encode parity, the error identity ‖x − recon‖² = sq_err, and that PQ
+  * strictly beats the one-centroid quantizer.
+  */
+object Pq {
+
+  /** Argmin-by-L2 struct for one subspace against a literal codebook:
+    * (dist, code, dotxc, c2) — struct ordering compares dist first, then
+    * code, so ties break to the lower code deterministically.
+    */
+  private def l2Best(x: Column, book: Array[Array[Double]]): Column = {
+    val x2 = VectorFunctions.vecDot(x, x)
+    array_min(array(book.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(v => v * v).sum
+      val dotxc = VectorFunctions.vecDot(x, typedLit(c.toSeq))
+      struct(
+        (x2 - lit(2.0) * dotxc + lit(c2)).as("dist"),
+        lit(j).as("code"),
+        dotxc.as("dotxc"),
+        lit(c2).as("c2"))
+    }.toIndexedSeq: _*))
+  }
+
+  private def sub(e: Column, s: Int, ds: Int): Column =
+    slice(e, s * ds + 1, ds).cast("array<double>")
+
+  /** Train m codebooks of ksub centroids each. */
+  def codebooks(emb: DataFrame, m: Int = 8, ksub: Int = 16, d: Int = 64,
+      lloydIters: Int = 1): Array[Array[Array[Double]]] = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val ds = d / m
+    require(m * ds == d, s"d=$d must split evenly into m=$m subspaces")
+    // deterministic seed: the ksub hash-first vectors, sliced per subspace
+    val seed = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seed.length == ksub, s"corpus smaller than ksub=$ksub")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => Array.tabulate(ksub)(j => seed(j).slice(s * ds, s * ds + ds)))
+    for (_ <- 0 until lloydIters) {
+      // ONE pass re-centers every subspace: assign all m codes, explode to
+      // (s, code, dim, value), partial-aggregated mean, tiny collect
+      val e = col("embedding")
+      val perSub = array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          l2Best(sub(e, s, ds), books(s)).getField("code").as("code"),
+          sub(e, s, ds).as("x"))
+      }.toIndexedSeq: _*)
+      val means = emb.select(explode(perSub).as("a"))
+        .select(col("a.s"), col("a.code"), posexplode(col("a.x")).as(Seq("dim", "v")))
+        .groupBy("s", "code", "dim").agg(avg(col("v")).as("mu"))
+        .collect()
+      val next = Array.tabulate(m, ksub)((s, j) => books(s)(j).clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      // empty cells keep their previous centroid (the clone above)
+      books = next
+    }
+    books
+  }
+
+  /** Encode + audit in one scan: (vec_id, codes, sq_err, cos_recon). */
+  def encode(emb: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val m = books.length
+    val ds = books(0)(0).length
+    val e = col("embedding")
+    val best = (0 until m).map(s => l2Best(sub(e, s, ds), books(s)).as(s"b$s"))
+    val withBest = emb.select(col("vec_id") +: (e +: best.map(c => c)): _*)
+    val sqErr = (0 until m).map(s => col(s"b$s.dist")).reduce(_ + _)
+    val dotXR = (0 until m).map(s => col(s"b$s.dotxc")).reduce(_ + _)
+    val r2 = (0 until m).map(s => col(s"b$s.c2")).reduce(_ + _)
+    val x2 = VectorFunctions.vecDot(e.cast("array<double>"), e.cast("array<double>"))
+    withBest.select(
+      col("vec_id"),
+      array((0 until m).map(s => col(s"b$s.code")).toIndexedSeq: _*).as("codes"),
+      sqErr.as("sq_err"),
+      (dotXR / (sqrt(x2) * sqrt(r2))).as("cos_recon"))
+  }
+
+  /** Rows-only PQ audit over the embeddings table: 8×16 codebooks (8-byte
+    * codes for 64 floats), per-vector reconstruction error and cosine.
+    */
+  val q_embed_pq: Q = Q("q_embed_pq", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    encode(emb, codebooks(emb)).orderBy("vec_id")
+  }
+}

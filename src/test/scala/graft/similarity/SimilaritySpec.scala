@@ -126,6 +126,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes match brute-force encode; error identity holds; beats 1-centroid") {
+    val d = 64
+    val m = 8
+    val ds = d / m
+    val emb = Tables.embeddings(spark, sf())
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val books = Pq.codebooks(emb, m = m, ksub = 16, d = d)
+    val got = Pq.encode(emb, books).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toArray, r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === vecs.keySet)
+    var pqErrSum = 0.0
+    vecs.foreach { case (id, x) =>
+      val (codes, sqErr, cosR) = got(id)
+      val recon = new Array[Double](d)
+      var refErr = 0.0
+      for (s <- 0 until m) {
+        // brute-force nearest centroid (L2, lower code on ties)
+        val xs = x.slice(s * ds, s * ds + ds)
+        val best = books(s).zipWithIndex.minBy { case (c, j) =>
+          (xs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }._2
+        assert(codes(s) === best, s"code mismatch vec $id subspace $s")
+        for (i <- 0 until ds) recon(s * ds + i) = books(s)(best)(i)
+        refErr += xs.zipWithIndex
+          .map { case (a, i) => (a - books(s)(best)(i)) * (a - books(s)(best)(i)) }.sum
+      }
+      // the error identity: the argmin struct's folded distance IS ||x-recon||^2
+      assert(math.abs(sqErr - refErr) < 1e-6, s"sq_err identity for $id")
+      val dotXR = x.zip(recon).map { case (a, b) => a * b }.sum
+      val cosRef = dotXR / (math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(recon.map(v => v * v).sum))
+      assert(math.abs(cosR - cosRef) < 1e-6, s"cos_recon for $id")
+      pqErrSum += sqErr
+    }
+    // 16-centroid-per-subspace PQ strictly beats the one-centroid quantizer
+    val books1 = Pq.codebooks(emb, m = m, ksub = 1, d = d)
+    val err1 = Pq.encode(emb, books1).agg(sum("sq_err")).head().getDouble(0)
+    assert(pqErrSum < err1, s"PQ err $pqErrSum not below 1-centroid err $err1")
+    // reconstruction points the right way on average
+    val meanCos = got.values.map(_._3).sum / got.size
+    assert(meanCos > 0.3, s"mean reconstruction cosine $meanCos too low")
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
