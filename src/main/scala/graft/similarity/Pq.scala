@@ -107,7 +107,68 @@ object Pq {
       col("vec_id"),
       array((0 until m).map(s => col(s"b$s.code")).toIndexedSeq: _*).as("codes"),
       sqErr.as("sq_err"),
-      (dotXR / (sqrt(x2) * sqrt(r2))).as("cos_recon"))
+      (dotXR / (sqrt(x2) * sqrt(r2))).as("cos_recon"),
+      r2.as("r2"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over the PQ-compressed corpus — the
+    * IVF-PQ serving path: per query, the m×ksub lookup table of
+    * query-subvector · centroid dot products is a TINY frame (built with
+    * the same codegen'd [[VectorFunctions.vecDot]] and broadcast); the
+    * compressed corpus explodes its m codes and one broadcast equi-join +
+    * one partial-aggregated sum reconstructs every q·recon(x) score
+    * WITHOUT touching a corpus float — the corpus-side bytes per vector
+    * are m codes, which is the whole point at 100 TB. Scores rank by
+    * reconstructed cosine (q·r / (‖q‖·‖r‖), with ‖r‖² accumulated from
+    * the codes' own ‖c‖² terms at encode time). Approximate by
+    * construction — recall vs the exact scan is pinned in SimilaritySpec;
+    * the exact-rescore composition (ADC shortlist → true-vector top-k)
+    * follows the same sketch-then-rescore pairing as every ANN path here.
+    */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, books: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val ds = books(0)(0).length
+    val spark = corpus.sparkSession
+    // (s, code, cvec) centroid frame — m·ksub rows, driver-built, broadcast
+    val centRows = for (s <- books.indices; j <- books(s).indices)
+      yield (s, j, books(s)(j).toSeq)
+    import spark.implicits._
+    val cents = centRows.toDF("s", "code", "cvec")
+    val e = col("embedding")
+    val qSub = queries.select(col("vec_id").as("qid"),
+      sqrt(VectorFunctions.vecDot(e.cast("array<double>"), e.cast("array<double>"))).as("qnorm"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), sub(e, s, ds).as("qs"))).toIndexedSeq: _*)).as("a"))
+      .select(col("qid"), col("qnorm"), col("a.s").as("s"), col("a.qs").as("qs"))
+    val lut = qSub.join(broadcast(cents), "s")
+      .select(col("qid"), col("qnorm"), col("s"), col("code"),
+        VectorFunctions.vecDot(col("qs"), col("cvec")).as("dotval"))
+    val exploded = encode(corpus, books)
+      .select(col("vec_id").as("cid"), col("r2"), posexplode(col("codes")).as(Seq("s", "code")))
+    exploded.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("qid", "cid")
+      .agg(sum(col("dotval")).as("dot_qr"), min(col("r2")).as("r2"),
+        min(col("qnorm")).as("qnorm"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (col("dot_qr") / (col("qnorm") * sqrt(col("r2")))).as("cos_adc"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos_adc").desc, col("cid"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Rows-only ADC search audit: 20 probes against the 8-byte-coded
+    * corpus; recall vs the exact scan pinned in SimilaritySpec.
+    */
+  val q_sim_ann_pq: Q = Q("q_sim_ann_pq", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val books = codebooks(emb)
+    adcTopK(emb.filter(col("vec_id") < 20), emb, books, 5)
+      .select("qid", "cid", "rn")
+      .orderBy("qid", "rn")
   }
 
   /** Rows-only PQ audit over the embeddings table: 8×16 codebooks (8-byte

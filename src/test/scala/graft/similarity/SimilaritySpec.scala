@@ -171,6 +171,27 @@ class SimilaritySpec extends SparkSpec {
     assert(meanCos > 0.3, s"mean reconstruction cosine $meanCos too low")
   }
 
+  test("PQ-ADC search: k rows per probe and useful recall vs the exact scan") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val books = Pq.codebooks(emb)
+    val adcDf = Pq.adcTopK(queries, emb, books, 5)
+    // exactly k rows per probe, self excluded, ranks dense
+    val byQ = adcDf.groupBy("qid").agg(count(lit(1)).as("n"), max("rn").as("mx")).collect()
+    assert(byQ.length === 20)
+    byQ.foreach(r => assert(r.getLong(1) === 5L && r.getInt(2) === 5))
+    val adc = pairs(adcDf, "qid", "cid")
+    assert(adc.forall { case (q, c) => q != c })
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 5), "qid", "cid")
+    val recall = (exact intersect adc).size.toDouble / exact.size
+    info(s"PQ-ADC recall@5 = $recall over ${exact.size} truth pairs (8x16 codes)")
+    // 8-byte codes on random 64-d data: coarse by design, but the scores
+    // must carry real signal, not noise (random top-5 of 500 ≈ 0.01)
+    assert(recall >= 0.15, s"ADC recall $recall at chance level")
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
