@@ -89,14 +89,118 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   * them, so the library works without any spark.sql.extensions config
   * (and [[graft.GraftExtensions]] offers the config route too).
   */
+/** Argmin-by-L2 over a FOLDABLE codebook (kernel 16, for product
+  * quantization): one call scans all ksub centroids in a tight primitive
+  * loop and returns (dist, code, dotxc, c2) of the nearest one. The
+  * expression-tree formulation — ksub separate [[VecDot]] literal dot
+  * products folded through array_min(struct…) — was semantically identical
+  * but each run carried a codebook-sized generated-code body (literals
+  * inline into codegen, so every fresh codebook recompiles ~130
+  * expressions); here the codebook and its precomputed ‖c‖² live as
+  * codegen REFERENCE OBJECTS, the generated call site is one line, and
+  * the per-row cost is the two nested loops PQ actually needs. Ties break
+  * to the lower code (ascending scan, strict improvement), matching the
+  * struct-min ordering it replaces bit-for-bit.
+  */
+case class PqArgmin(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okLeft = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val okRight = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    if (okLeft && okRight) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_argmin expects (array<float|double>, foldable array<array<double>>), " +
+          s"got ${left.dataType} / ${right.dataType} (foldable=${right.foldable})")
+    }
+  }
+
+  override def dataType: DataType = PqArgmin.outType
+
+  @transient private lazy val book: Array[Array[Double]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
+  }
+  @transient private lazy val c2: Array[Double] = book.map(_.map(v => v * v).sum)
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqArgmin.compute(a.asInstanceOf[ArrayData], leftIsFloat, book, c2)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqBook", book, "double[][]")
+    val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.PqArgmin.compute($a, $leftIsFloat, $bookRef, $c2Ref);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqArgmin =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_pq_argmin"
+}
+
+object PqArgmin {
+
+  val outType: StructType = StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("dotxc", DoubleType, nullable = false),
+    StructField("c2", DoubleType, nullable = false)))
+
+  def compute(x: ArrayData, isFloat: Boolean, book: Array[Array[Double]],
+      c2: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    val d = book(0).length
+    val xv = new Array[Double](d)
+    val n = math.min(x.numElements(), d)
+    var i = 0
+    while (i < n) {
+      xv(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var x2 = 0.0
+    i = 0
+    while (i < d) { x2 += xv(i) * xv(i); i += 1 }
+    var bestDist = Double.PositiveInfinity
+    var bestJ = 0
+    var bestDot = 0.0
+    var j = 0
+    while (j < book.length) {
+      val c = book(j)
+      var dot = 0.0
+      var k = 0
+      while (k < d) { dot += xv(k) * c(k); k += 1 }
+      val dist = x2 - 2 * dot + c2(j)
+      if (dist < bestDist) { bestDist = dist; bestJ = j; bestDot = dot }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestDist, bestJ, bestDot, c2(bestJ)))
+  }
+}
+
 object VectorFunctions {
 
   val dotName = "graft_vec_dot"
+  val pqArgminName = "graft_pq_argmin"
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       dotName, exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      pqArgminName, exprs => PqArgmin(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column-level handle (resolves against the session registry). */
   def vecDot(a: Column, b: Column): Column = call_function(dotName, a, b)
+
+  def pqArgmin(x: Column, book: Column): Column = call_function(pqArgminName, x, book)
 }

@@ -36,21 +36,14 @@ import graft.util.{Q, Tables}
 object Pq {
 
   /** Argmin-by-L2 struct for one subspace against a literal codebook:
-    * (dist, code, dotxc, c2) — struct ordering compares dist first, then
-    * code, so ties break to the lower code deterministically.
+    * (dist, code, dotxc, c2), ties to the lower code — one
+    * [[graft.functions.PqArgmin]] kernel call (the codebook rides as a
+    * codegen reference object; the ksub-separate-VecDot + array_min
+    * formulation it replaces recompiled a codebook-sized expression body
+    * per fresh codebook).
     */
-  private def l2Best(x: Column, book: Array[Array[Double]]): Column = {
-    val x2 = VectorFunctions.vecDot(x, x)
-    array_min(array(book.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(v => v * v).sum
-      val dotxc = VectorFunctions.vecDot(x, typedLit(c.toSeq))
-      struct(
-        (x2 - lit(2.0) * dotxc + lit(c2)).as("dist"),
-        lit(j).as("code"),
-        dotxc.as("dotxc"),
-        lit(c2).as("c2"))
-    }.toIndexedSeq: _*))
-  }
+  private def l2Best(x: Column, book: Array[Array[Double]]): Column =
+    VectorFunctions.pqArgmin(x, typedLit(book.map(_.toSeq).toSeq))
 
   private def sub(e: Column, s: Int, ds: Int): Column =
     slice(e, s * ds + 1, ds).cast("array<double>")
@@ -167,6 +160,82 @@ object Pq {
     val emb = Tables.embeddings(s, d)
     val books = codebooks(emb)
     adcTopK(emb.filter(col("vec_id") < 20), emb, books, 5)
+      .select("qid", "cid", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** IVF-PQ — the full FAISS-style composition and the shape a 100 TB
+    * vector store actually serves: the coarse quantizer
+    * ([[Similarity.ivfCentroids]] cells) restricts each query to its
+    * `nprobe` closest cells' posting lists, and ADC ranks ONLY those
+    * candidates from their 8-byte codes — so per query the scan is a
+    * `nprobe/numCells` fraction of the corpus and the scanned bytes per
+    * vector are m codes, not d floats. Candidate generation is the
+    * probes⨝file cell equi-join from [[Similarity.ivfTopK]]; scoring is
+    * the (qid, s, code) LUT join from [[adcTopK]] — both broadcast-keyed,
+    * zero all-pairs anywhere. Probes with fewer than k coded candidates
+    * in their probed cells return fewer rows, exactly like ivfTopK.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int,
+      numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val ds = books(0)(0).length
+    val spark = corpus.sparkSession
+    val cents = Similarity.ivfCentroids(corpus, numCells).localCheckpoint()
+    // the coded inverted file: (cid, cell, codes, r2)
+    val file = Similarity.assignCells(corpus, cents)
+      .join(encode(corpus, books).withColumnRenamed("vec_id", "cid")
+        .select("cid", "codes", "r2"), col("vec_id") === col("cid"))
+      .select("cid", "cell", "codes", "r2")
+    // query side: nprobe closest cells (coarse) + the ADC lookup table
+    val e = col("embedding")
+    val qn = queries.select(col("vec_id").as("qid"), e.as("qe"),
+      sqrt(VectorFunctions.vecDot(e.cast("array<double>"), e.cast("array<double>"))).as("qnorm"))
+      .localCheckpoint()
+    val probes = qn
+      .join(broadcast(cents))
+      .select(col("qid"), col("cent_id").as("cell"),
+        Similarity.cosine(col("qe"), col("cvec")).as("ccos"))
+      .withColumn("pr",
+        row_number().over(Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "cell")
+    val centRows = for (s <- books.indices; j <- books(s).indices)
+      yield (s, j, books(s)(j).toSeq)
+    import spark.implicits._
+    val pqCents = centRows.toDF("s", "code", "cvec")
+    val lut = qn.select(col("qid"), col("qnorm"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), sub(col("qe"), s, ds).as("qs"))).toIndexedSeq: _*)).as("a"))
+      .select(col("qid"), col("qnorm"), col("a.s").as("s"), col("a.qs").as("qs"))
+      .join(broadcast(pqCents), "s")
+      .select(col("qid"), col("qnorm"), col("s"), col("code"),
+        VectorFunctions.vecDot(col("qs"), col("cvec")).as("dotval"))
+    // candidates = probed cells' lists; score them from their codes alone
+    probes.join(file, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("r2"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy("qid", "cid")
+      .agg(sum(col("dotval")).as("dot_qr"), min(col("r2")).as("r2"),
+        min(col("qnorm")).as("qnorm"))
+      .select(col("qid"), col("cid"),
+        (col("dot_qr") / (col("qnorm") * sqrt(col("r2")))).as("cos_adc"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos_adc").desc, col("cid"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Rows-only IVF-PQ audit; composition shape + recall pinned in
+    * SimilaritySpec.
+    */
+  val q_sim_ann_ivfpq: Q = Q("q_sim_ann_ivfpq", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val books = codebooks(emb)
+    ivfAdcTopK(emb.filter(col("vec_id") < 20), emb, books, 5, nprobe = 8)
       .select("qid", "cid", "rn")
       .orderBy("qid", "rn")
   }

@@ -36,6 +36,6 @@ class ContractSpec extends SparkSpec {
       "q_sim_ann_ivf",
       "q_dedup_containment_sketch", "q_dedup_canonical_lsh",
       "q_split_leakage_safe_lsh", "q_curate_verdict_lsh",
-      "q_embed_pca", "q_embed_pq", "q_sim_ann_pq"))
+      "q_embed_pca", "q_embed_pq", "q_sim_ann_pq", "q_sim_ann_ivfpq"))
   }
 }

@@ -192,6 +192,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"ADC recall $recall at chance level")
   }
 
+  test("IVF-PQ: candidates honor the probed cells; recall above chance") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 20)
+    val books = Pq.codebooks(emb)
+    val out = Pq.ivfAdcTopK(queries, emb, books, 5, numCells = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // shape: at most k per probe, no self-pairs
+    out.groupBy(_._1).foreach { case (_, g) => assert(g.size <= 5) }
+    assert(out.forall { case (q, c) => q != c })
+    assert(out.nonEmpty)
+    // composition honesty: every returned candidate sits in one of its
+    // query's nprobe probed cells
+    val cents = Similarity.ivfCentroids(emb, 16).localCheckpoint()
+    val cellOf = Similarity.assignCells(emb, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("cent_id"),
+        Similarity.cosine(col("qe"), col("cvec")).as("ccos"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r.getDouble(2), r.getInt(1))).take(8).map(_.getInt(1)).toSet
+      }
+    out.foreach { case (q, c) =>
+      assert(probed(q).contains(cellOf(c)), s"candidate $c outside $q's probed cells")
+    }
+    // recall: coarse cells x 8-byte codes still beat chance comfortably
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect out.toSet).size.toDouble / exact.size
+    info(s"IVF-PQ recall@5 = $recall over ${exact.size} truth pairs (nprobe 8/16)")
+    assert(recall >= 0.1, s"IVF-PQ recall $recall at chance level")
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
