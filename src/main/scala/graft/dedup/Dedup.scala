@@ -1182,6 +1182,44 @@ object Dedup {
     containmentSketchJoin(Tables.documents(s, d), 0.8).orderBy("i", "j")
   }
 
+  /** Bottom-k containment candidates — the estimator that covers the
+    * asymmetric-minhash sketch's documented blind spot (|B| ≫ |A|):
+    * because [[hashedShingleSets]] keeps hashes SORTED, a doc's bottom-k
+    * sketch is literally `slice(shh, 1, k)` — a uniform sample of its
+    * shingle set under the hash order. Each sampled hash probes the full
+    * posting index; per candidate pair, hits/k is an unbiased estimate of
+    * |A∩B|/|A| REGARDLESS of |B| (membership of a sampled element of A in
+    * B does not depend on B's size — exactly what the padded-signature
+    * collision probability loses). Pairs clearing a slack-relaxed
+    * threshold (t − 0.3, absorbing binomial spread at k = 16) go through
+    * the shared exact rescore, so precision is 1 and the slack only costs
+    * rescore volume. Per-doc probe cost is k posting lookups — a k/|A|
+    * fraction of the exact path's candidate stream; hub hashes land in a
+    * sketch only at their uniform rate.
+    */
+  def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16): DataFrame = {
+    val sets = hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
+    val probes = sets
+      .select(col("doc_id").as("i"), least(col("sz"), lit(k)).as("k_eff"),
+        explode(slice(col("shh"), 1, k)).as("h"))
+    val posting = hashedPosting(sets).select(col("doc_id").as("j"), col("h"))
+    val cands = probes.join(posting, Seq("h"))
+      .filter(col("i") =!= col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("hits"), min(col("k_eff")).as("k_eff"))
+      .filter(col("hits") >= ceil((lit(t) - lit(0.3)) * col("k_eff") - lit(1e-9)))
+      .select("i", "j")
+    containmentRescore(cands, sets, t)
+  }
+
+  /** Rows-only; DedupSpec pins precision 1 / recall ≥ 0.9 vs the exact
+    * join AND that a planted extreme-ratio containment (a small doc inside
+    * a 10× larger one — the banded sketch's blind spot) is found.
+    */
+  val q_dedup_containment_bottomk: Q = Q("q_dedup_containment_bottomk", None) { (s, d) =>
+    containmentBottomKJoin(Tables.documents(s, d), 0.8).orderBy("i", "j")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash: majority vote per bit over shingle hashes, as explode →
@@ -1230,7 +1268,7 @@ object Dedup {
 
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
-      q_dedup_containment_sketch,
+      q_dedup_containment_sketch, q_dedup_containment_bottomk,
       q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
       q_dedup_canonical_lsh,

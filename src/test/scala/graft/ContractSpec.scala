@@ -34,7 +34,8 @@ class ContractSpec extends SparkSpec {
       "q_approx_distinct", "q_approx_quantiles", "q_dedup_minhash_lsh",
       "q_dedup_simhash", "q_dedup_clusters_lsh", "q_sim_ann_lsh",
       "q_sim_ann_ivf",
-      "q_dedup_containment_sketch", "q_dedup_canonical_lsh",
+      "q_dedup_containment_sketch", "q_dedup_containment_bottomk",
+      "q_dedup_canonical_lsh",
       "q_split_leakage_safe_lsh", "q_curate_verdict_lsh",
       "q_embed_pca", "q_embed_pq", "q_sim_ann_pq", "q_sim_ann_ivfpq"))
   }

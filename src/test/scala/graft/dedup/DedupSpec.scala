@@ -121,6 +121,28 @@ class DedupSpec extends SparkSpec {
     assert(sketch.forall { case (i, j) => i != j })
   }
 
+  test("bottom-k containment: precision 1, recall >= 0.9, finds extreme ratios") {
+    val exact = pairSet(Dedup.containmentJoin(docs, 0.8))
+    val bk = pairSet(Dedup.containmentBottomKJoin(docs, 0.8))
+    assert(bk.subsetOf(exact), "exact rescore guarantees no false positives")
+    val recall = bk.size.toDouble / exact.size
+    assert(recall >= 0.9, s"bottom-k recall $recall below floor (k=16, slack 0.3)")
+    // the banded sketch's blind spot: a small doc fully inside a 10x
+    // larger one. Plant it and the bottom-k path must find the DIRECTED
+    // pair (small ⊆ big); padded-signature collision probability decays
+    // with the size ratio, the membership sample does not.
+    import org.apache.spark.sql.functions.lit
+    val small = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (1 to 300).map(i => s"pad$i").mkString(" ")
+    val spark2 = spark
+    import spark2.implicits._
+    val planted = Seq((100001L, small), (100002L, big)).toDF("doc_id", "text")
+      .withColumn("source", lit("synthetic")).withColumn("n_chars", lit(0))
+    val found = pairSet(Dedup.containmentBottomKJoin(planted, 0.8))
+    assert(found.contains((100001L, 100002L)),
+      s"extreme-ratio containment missed: $found")
+  }
+
   test("minhash-LSH: precision 1 (rescored) and high recall vs exact join") {
     val exact = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
     val lsh   = pairSet(Dedup.minHashLshJoin(docs, 0.5))
