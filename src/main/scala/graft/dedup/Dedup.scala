@@ -1199,17 +1199,36 @@ object Dedup {
     */
   def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16): DataFrame = {
     val sets = hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
-    val probes = sets
-      .select(col("doc_id").as("i"), least(col("sz"), lit(k)).as("k_eff"),
-        explode(slice(col("shh"), 1, k)).as("h"))
+    def kEffOf(sz: Column): Column = least(sz, lit(k))
+    // minimum sampled hits the estimator demands (slack 0.3 absorbs
+    // binomial spread at k = 16; epsilon-backoff as in alphaOf above)
+    def bkAlpha(sz: Column): Column =
+      ceil((lit(t) - lit(0.3)) * kEffOf(sz) - lit(1e-9))
+    // pigeonhole prefix: a pair clearing alpha of kEff sampled hits must
+    // share one of the FIRST kEff − alpha + 1 samples — so only those
+    // probe the posting index (9 of 16 at t = 0.8), and the hit COUNT
+    // moves to the rescore stage as a cheap k-vs-set sorted-merge instead
+    // of a per-occurrence shuffle: the heavy exchange carries distinct
+    // candidate pairs, not one row per shared-hash occurrence.
+    val probes = sets.select(col("doc_id").as("i"),
+      explode(slice(col("shh"), lit(1),
+        (kEffOf(col("sz")) - bkAlpha(col("sz")) + 1).cast("int"))).as("h"))
     val posting = hashedPosting(sets).select(col("doc_id").as("j"), col("h"))
     val cands = probes.join(posting, Seq("h"))
-      .filter(col("i") =!= col("j"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("hits"), min(col("k_eff")).as("k_eff"))
-      .filter(col("hits") >= ceil((lit(t) - lit(0.3)) * col("k_eff") - lit(1e-9)))
-      .select("i", "j")
-    containmentRescore(cands, sets, t)
+      .filter(col("i") =!= col("j")).select("i", "j").distinct()
+    val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
+      slice(col("shh_i"), lit(1), kEffOf(col("sz_i")).cast("int")), col("shh_j"))
+    val inter = graft.functions.ShingleHashFunctions
+      .sortedIntersectCount(col("shh_i"), col("shh_j"))
+    cands
+      .join(sets.select(col("doc_id").as("i"), col("shh").as("shh_i"),
+        col("sz").as("sz_i")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("shh").as("shh_j")), "j")
+      // estimator gate first (16-vs-set merge), full intersect only after
+      .filter(bkHits >= bkAlpha(col("sz_i")))
+      .withColumn("containment", inter * lit(1.0) / col("sz_i"))
+      .filter(col("containment") >= t)
+      .select("i", "j", "containment")
   }
 
   /** Rows-only; DedupSpec pins precision 1 / recall ≥ 0.9 vs the exact

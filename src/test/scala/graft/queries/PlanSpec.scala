@@ -105,14 +105,36 @@ class PlanSpec extends SparkSpec {
 
   test("media decodes shuffle once (the explicit repartition) then stay row-local") {
     // decode is a projection fold: beyond the byte-proportional repartition
-    // and the dump's final sort, no exchange may appear
-    Seq("q_mm_audio", "q_mm_pixels").foreach { q =>
+    // and the dump's final sort, no exchange may appear — incl. every
+    // round-10 codec path (fixed/dynamic deflate, JPEG entropy decode)
+    Seq("q_mm_audio", "q_mm_pixels", "q_mm_png_pixels_fh",
+      "q_mm_png_pixels_dyn", "q_mm_jpeg_pixels").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges <= 3, // repartition + sort's range partitioning (+AQE read)
         s"$q grew extra shuffles ($exchanges):\n${p.take(1500)}")
       assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
     }
+  }
+
+  test("PQ family: kernel in the plan, broadcast LUT joins, no all-pairs") {
+    val enc = plan("q_embed_pq")
+    // the compiled argmin actually plans (no literal-tree fallback), and
+    // encoding stays a scan: only the final dump sort may shuffle
+    assert(enc.contains("pq_argmin"), "PqArgmin kernel missing from the encode plan")
+    assert("Exchange".r.findAllIn(enc).size <= 2,
+      s"PQ encode grew shuffles:\n${enc.take(1500)}")
+    Seq("q_sim_ann_pq", "q_sim_ann_ivfpq").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast LUT join")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$q degraded to an all-pairs join")
+    }
+  }
+
+  test("bottom-k containment probes via a hash equi-join, never a nested loop") {
+    val p = plan("q_dedup_containment_bottomk")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
   test("bm25 keeps top-k physical and broadcasts the corpus statistics") {
