@@ -127,8 +127,12 @@ class PlanSpec extends SparkSpec {
     Seq("q_sim_ann_pq", "q_sim_ann_ivfpq").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast LUT join")
-      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
-        s"$q degraded to an all-pairs join")
+      // the only nested loops allowed are the <=16-row centroid
+      // cross-scores (the q_sim_ann_ivf shape); every one must be a
+      // BROADCAST nested loop, and a true cartesian is always a bug
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      val bnl = "BroadcastNestedLoop".r.findAllIn(p).size
+      assert(bnl <= 2, s"$q grew unexpected nested loops ($bnl)")
     }
   }
 
