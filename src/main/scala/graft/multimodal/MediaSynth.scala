@@ -268,7 +268,8 @@ object MediaSynth {
     d.setInput(raw)
     d.finish()
     val buf = new Array[Byte](rawLen * 2 + 64)
-    val zn = d.deflate(buf)
+    var zn = 0
+    while (!d.finished()) zn += d.deflate(buf, zn, buf.length - zn)
     d.end()
     val idatLen = zn
     val out = new Array[Byte](8 + 25 + 12 + idatLen + 12)

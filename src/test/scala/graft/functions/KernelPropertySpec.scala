@@ -188,6 +188,12 @@ class KernelPropertySpec extends SparkSpec {
       assert(MediaDecode.png(payload) != null)
       assert(MediaDecode.bmp(payload) != null)
       assert(MediaDecode.wav(payload) != null)
+      assert(JpegDecode.jpeg(payload) != null)
+    }
+    // JPEG-prefixed junk drives the segment walk + entropy machinery
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    samples(genBytes, 200).foreach { tail =>
+      assert(JpegDecode.jpeg(soi ++ tail) != null)
     }
   }
 
