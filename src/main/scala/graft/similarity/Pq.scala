@@ -180,17 +180,26 @@ object Pq {
       books: Array[Array[Array[Double]]], k: Int,
       numCells: Int = 16, nprobe: Int = 4): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    val m = books.length
-    val ds = books(0)(0).length
-    val spark = corpus.sparkSession
     val cents = Similarity.ivfCentroids(corpus, numCells).localCheckpoint()
     // the coded inverted file: (cid, cell, codes, r2)
     val file = Similarity.assignCells(corpus, cents)
       .join(encode(corpus, books).withColumnRenamed("vec_id", "cid")
         .select("cid", "codes", "r2"), col("vec_id") === col("cid"))
       .select("cid", "cell", "codes", "r2")
-    // query side: nprobe closest cells (coarse) + the ADC lookup table
+    adcProbe(queries, cents, books, file, k, nprobe)
+  }
+
+  /** The IVF-PQ probe body shared by the in-memory [[ivfAdcTopK]] and the
+    * persisted-index [[ivfpqProbeIndex]]: rank cells, build the per-query
+    * LUT, score the probed cells' codes.
+    */
+  private def adcProbe(queries: DataFrame, cents: DataFrame,
+      books: Array[Array[Array[Double]]], file: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val ds = books(0)(0).length
+    val spark = queries.sparkSession
     val e = col("embedding")
     val qn = queries.select(col("vec_id").as("qid"), e.as("qe"),
       sqrt(VectorFunctions.vecDot(e.cast("array<double>"), e.cast("array<double>"))).as("qnorm"))
@@ -227,6 +236,57 @@ object Pq {
       .withColumn("rn",
         row_number().over(Window.partitionBy("qid").orderBy(col("cos_adc").desc, col("cid"))))
       .filter(col("rn") <= k)
+  }
+
+  /** Build and persist the COMPLETE IVF-PQ index as a SnapshotTable trio
+    * under `dir`: `centroids` (the coarse quantizer), `codebooks`
+    * ((s, code, cvec) — the PQ tables, ~8 KB), and `file` — the coded
+    * inverted file (cid, codes, r2) PARTITIONED BY cell. This is the
+    * FAISS-on-disk shape in Spark-native form: ingest runs Lloyd + PQ
+    * training + assignment ONCE and commits; every later query batch
+    * reads a versioned snapshot whose probe scan holds m bytes per
+    * vector AND dynamically prunes to the probed cells' directories —
+    * the two multiplicative reductions (32× bytes, nprobe/numCells rows)
+    * a 100 TB vector store needs to serve from disk.
+    */
+  def ivfpqBuildIndex(corpus: DataFrame, dir: String, numCells: Int = 16,
+      m: Int = 8, ksub: Int = 16): Unit = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val cents = Similarity.ivfCentroids(corpus, numCells).localCheckpoint()
+    graft.io.SnapshotTable.create(cents, s"$dir/centroids")
+    val books = codebooks(corpus, m, ksub)
+    val bookRows = for (s <- books.indices; j <- books(s).indices)
+      yield (s, j, books(s)(j).toSeq)
+    import spark.implicits._
+    graft.io.SnapshotTable.create(bookRows.toDF("s", "code", "cvec"),
+      s"$dir/codebooks")
+    val file = Similarity.assignCells(corpus, cents)
+      .join(encode(corpus, books).withColumnRenamed("vec_id", "cid")
+        .select("cid", "codes", "r2"), col("vec_id") === col("cid"))
+      .select("cid", "cell", "codes", "r2")
+    graft.io.SnapshotTable.create(file, s"$dir/file", partitionBy = Seq("cell"))
+  }
+
+  /** Probe a persisted IVF-PQ index: centroids, codebooks, and the coded
+    * file come from the committed snapshots — no Lloyd, no PQ training,
+    * no corpus floats at query time. Equality with the in-memory
+    * composition is pinned in SimilaritySpec.
+    */
+  def ivfpqProbeIndex(queries: DataFrame, dir: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val cents = graft.io.SnapshotTable.read(spark, s"$dir/centroids")
+    val bookRows = graft.io.SnapshotTable.read(spark, s"$dir/codebooks")
+      .select("s", "code", "cvec").collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val ksub = bookRows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    bookRows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val file = graft.io.SnapshotTable.read(spark, s"$dir/file")
+      .select("cid", "cell", "codes", "r2")
+    adcProbe(queries, cents, books, file, k, nprobe)
   }
 
   /** Rows-only IVF-PQ audit; composition shape + recall pinned in

@@ -226,6 +226,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"IVF-PQ recall $recall at chance level")
   }
 
+  test("persisted IVF-PQ index: probe equals the in-memory composition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 20)
+    Pq.ivfpqBuildIndex(emb, dir)
+    // the coded file covers the corpus once, at m bytes of codes per vector
+    val file = graft.io.SnapshotTable.read(spark, s"$dir/file")
+    assert(file.count() === emb.count())
+    assert(graft.io.SnapshotTable.read(spark, s"$dir/codebooks").count() === 8L * 16)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("qid", "cid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val persisted = rows(Pq.ivfpqProbeIndex(queries, dir, 5, nprobe = 8))
+    val books = Pq.codebooks(emb)
+    val inMemory = rows(Pq.ivfAdcTopK(queries, emb, books, 5, nprobe = 8))
+    assert(persisted === inMemory)
+    assert(persisted.nonEmpty)
+    // the probe scan dynamically prunes the cell-partitioned coded file
+    val plan = Pq.ivfpqProbeIndex(queries, dir, 5, nprobe = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "coded-file scan lost its dynamic partition pruning")
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
