@@ -285,14 +285,33 @@ object SnapshotTable {
     * basePath keeps partition-directory columns recoverable when the
     * table was created with `partitionBy`.
     */
+  /** Manifest-file read that survives PARTITIONED multi-commit snapshots:
+    * Spark's partition discovery refuses partition directories under
+    * DIFFERENT non-partition parents — after one merge, each commit
+    * directory becomes its own "suspicious root" even with a table-level
+    * basePath, and the read throws CONFLICTING_DIRECTORY_STRUCTURES. So:
+    * group the manifest's file list by commit directory, read each group
+    * with ITS commit dir as basePath (a single consistent root per
+    * group), and union by name. Unpartitioned tables take the same path
+    * (basePath is then irrelevant) and schema'd groups union in manifest
+    * column order. The manifest-held schema keeps its role: columns a
+    * later merge added read as null from older files, zero footer reads.
+    */
+  private def readFiles(spark: SparkSession, dir: String, files: Seq[String],
+      schemaDdl: Option[String]): DataFrame = {
+    require(files.nonEmpty, "readFiles needs at least one manifest file")
+    val groups = files.groupBy(_.split('/').take(2).mkString("/"))
+      .toSeq.sortBy(_._1)
+    groups.map { case (cdir, fs) =>
+      val base = spark.read.option("basePath", s"$dir/$cdir")
+      schemaDdl.map(d => base.schema(StructType.fromDDL(d))).getOrElse(base)
+        .parquet(fs.map(f => s"$dir/$f"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, dir, version)
-    val base = spark.read.option("basePath", dir)
-    // manifest-held schema: columns a later merge added read as null from
-    // older files, with zero footer reads (pre-schema manifests fall back
-    // to the files' own uniform schema)
-    snap.schemaDdl.map(d => base.schema(StructType.fromDDL(d))).getOrElse(base)
-      .parquet(snap.files.map(f => s"$dir/$f"): _*)
+    readFiles(spark, dir, snap.files, snap.schemaDdl)
   }
 
   /** Create version 1 from `df`, optionally partitioned by a
@@ -396,13 +415,10 @@ object SnapshotTable {
     // file doesn't carry the evolved column — an unschema'd read would
     // throw UNRESOLVED_COLUMN when every touched file is old, or silently
     // drop the column from carried-over unmatched rows on a mixed set
-    val touchedBase = spark.read.option("basePath", dir)
-    val touchedSchemed = prev.schemaDdl
-      .map(d => touchedBase.schema(StructType.fromDDL(d))).getOrElse(touchedBase)
+    // (readFiles: touched files may span commit dirs on a partitioned table)
     val touchedRows =
       if (touchedRel.isEmpty) withNewCols(current).limit(0)
-      else withNewCols(touchedSchemed
-          .parquet(touchedRel.map(f => s"$dir/$f"): _*))
+      else withNewCols(readFiles(spark, dir, touchedRel, prev.schemaDdl))
         .select(cols.map(col): _*)
     // row-wins full-outer merge: a matched key takes the change row whole
     // (a legitimate NULL in a change column stays NULL — no column-level
@@ -467,10 +483,7 @@ object SnapshotTable {
     // manifest schema, not the files' own: post-evolution commits disagree
     // on columns, and an unschema'd multi-file read silently drops the new
     // ones
-    val smallBase = spark.read.option("basePath", dir)
-    val rows = prev.schemaDdl
-      .map(d => smallBase.schema(StructType.fromDDL(d))).getOrElse(smallBase)
-      .parquet(small.map(f => s"$dir/$f"): _*)
+    val rows = readFiles(spark, dir, small, prev.schemaDdl)
     val arranged =
       if (clusterBy.nonEmpty)
         // range-partition + intra-partition sort: global order across files
@@ -513,14 +526,11 @@ object SnapshotTable {
         case None => true
       }
     }
-    val base0 = spark.read.option("basePath", dir)
-    val base = snap.schemaDdl
-      .map(d => base0.schema(StructType.fromDDL(d))).getOrElse(base0)
     val df =
       if (keep.isEmpty)
         // schema from an arbitrary manifest file, zero rows
-        base.parquet(snap.files.map(f => s"$dir/$f"): _*).limit(0)
-      else base.parquet(keep.map(f => s"$dir/$f"): _*)
+        readFiles(spark, dir, snap.files, snap.schemaDdl).limit(0)
+      else readFiles(spark, dir, keep, snap.schemaDdl)
     df.filter(col(column).cast(DoubleType).between(lower, upper))
   }
 

@@ -411,6 +411,69 @@ object Streaming {
     * snapshot table or page an alerting topic; StreamingSpec collects and
     * compares against the batch computation of the same files.
     */
+  /** vectors landing schema (JSON lines: id + embedding). */
+  val vectorSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+  ))
+
+  /** Streaming vector ingestion into a COMMITTED IVF-PQ index
+    * (Pq.ivfpqBuildIndex's layout) — how a production vector store absorbs
+    * new embeddings without retraining: each micro-batch reads the tiny
+    * centroid/codebook snapshots, assigns cells and PQ codes against the
+    * FROZEN quantizers (one scan, the same compiled argmin kernel), and
+    * MERGEs the coded rows into the cell-partitioned file table keyed by
+    * vec id — re-ingesting a vector upserts its codes, and the
+    * checkpoint-lineage-scoped batch-id skip (the CDC machinery above)
+    * makes post-crash replays no-ops. Probes see every committed batch on
+    * their next snapshot read; quantizer drift is a REBUILD (new index
+    * version), never an in-place mutation — the same split FAISS deploys
+    * run.
+    */
+  def vectorIngest(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery =
+    spark.readStream.options(options).schema(vectorSchema).json(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fileDir = s"$indexDir/file"
+        val runId = cdcRunId(checkpointDir)
+        val meta = graft.io.SnapshotTable.snapshot(spark, fileDir, None).meta
+        val applied = meta.get(cdcBatchIdKey).map(_.toLong)
+          .filter(_ => meta.get(cdcRunIdKey).contains(runId))
+        if (applied.exists(_ >= batchId)) ()
+        else {
+          val cents = graft.io.SnapshotTable.read(spark, s"$indexDir/centroids")
+            .localCheckpoint()
+          val bookRows = graft.io.SnapshotTable.read(spark, s"$indexDir/codebooks")
+            .select("s", "code", "cvec").collect()
+          val m = bookRows.map(_.getInt(0)).max + 1
+          val ksub = bookRows.map(_.getInt(1)).max + 1
+          val books = Array.ofDim[Array[Double]](m, ksub)
+          bookRows.foreach(r =>
+            books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+          val deduped = batch.dropDuplicates("vec_id").localCheckpoint()
+          if (!deduped.isEmpty) {
+            val coded = graft.similarity.Similarity.assignCells(deduped, cents)
+              .join(graft.similarity.Pq.encode(deduped, books)
+                .withColumnRenamed("vec_id", "cid")
+                .select("cid", "codes", "r2"), col("vec_id") === col("cid"))
+              .select("cid", "cell", "codes", "r2")
+            graft.io.SnapshotTable.merge(spark, fileDir, coded, "cid",
+              meta = Map(cdcBatchIdKey -> batchId.toString,
+                cdcRunIdKey -> runId))
+            ()
+          }
+        }
+      }
+      .start()
+
   def psiDriftPerBatch(
       spark: SparkSession,
       landingDir: String,

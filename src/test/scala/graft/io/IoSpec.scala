@@ -328,6 +328,17 @@ class IoSpec extends SparkSpec {
     val orig = base.filter(col("o_orderkey") % 7 === 0)
       .agg(sum(col("o_totalprice") * 2)).head.getDouble(0)
     assert(math.abs(doubled - orig) < 1e-6)
+    // REGRESSION: a NARROW merge leaves untouched files in the old commit
+    // dir, so the snapshot spans multiple commit dirs — Spark's partition
+    // discovery refuses partition dirs under different roots unless each
+    // commit reads with its own basePath (the first merge above touched
+    // every file, which is why it never caught this)
+    val oneKey = base.orderBy("o_orderkey").limit(1)
+      .withColumn("o_totalprice", lit(999999.0))
+    SnapshotTable.merge(spark, dir, oneKey, "o_orderkey")
+    val v3 = SnapshotTable.read(spark, dir)
+    assert(v3.count() === base.count(), "multi-commit partitioned read broke")
+    assert(v3.filter(col("o_totalprice") === 999999.0).count() === 1)
   }
 
   test("snapshot table: zone maps skip files on range scans, survive merges") {

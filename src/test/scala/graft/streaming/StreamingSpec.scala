@@ -424,6 +424,53 @@ class StreamingSpec extends SparkSpec {
       .meta.get(Streaming.cdcBatchIdKey).contains("2"))
   }
 
+  test("streaming vector ingest merges coded batches into the IVF-PQ snapshot") {
+    import graft.similarity.{Pq, Similarity}
+    import graft.util.Tables
+    val landing = tmpDir("graft-stream-vec")
+    val idx = tmpDir("graft-stream-ivfpq")
+    val emb = Tables.embeddings(spark, sf())
+    Pq.ivfpqBuildIndex(emb, idx)
+    val before = graft.io.SnapshotTable.read(spark, s"$idx/file").count()
+    def embOf(id: Long): Seq[Float] = emb.filter(col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0)
+    def vecJson(id: Long, v: Seq[Float]): String =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    // 100001 is an exact twin of vector 7 — the probe must surface it
+    Files.writeString(Paths.get(landing, "b1.json"),
+      vecJson(100001L, embOf(7L)) + "\n" + vecJson(100002L, embOf(123L)) + "\n")
+    Files.writeString(Paths.get(landing, "b2.json"),
+      vecJson(100003L, embOf(321L)) + "\n")
+    Streaming.vectorIngest(spark, landing, idx, tmpDir("graft-vec-cp"),
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    val after = graft.io.SnapshotTable.read(spark, s"$idx/file")
+    assert(after.count() === before + 3)
+    // the streamed rows carry the codes the BATCH encoder assigns against
+    // the committed (frozen) quantizers
+    val cents = graft.io.SnapshotTable.read(spark, s"$idx/centroids")
+    val bookRows = graft.io.SnapshotTable.read(spark, s"$idx/codebooks")
+      .select("s", "code", "cvec").collect()
+    val books = Array.ofDim[Array[Double]](8, 16)
+    bookRows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val twin = emb.filter(col("vec_id") === 7L)
+      .select(lit(100001L).as("vec_id"), col("embedding"))
+    val wantCodes = Pq.encode(twin, books).select("codes").head().getSeq[Int](0)
+    val wantCell = Similarity.assignCells(twin, cents).select("cell").head().getInt(0)
+    val gotRow = after.filter(col("cid") === 100001L)
+      .select("cell", "codes").head()
+    assert(gotRow.getInt(0) === wantCell, "streamed cell assignment drifted")
+    assert(gotRow.getSeq[Int](1) === wantCodes, "streamed PQ codes drifted")
+    // the ingested twin of vector 7 surfaces in vector 7's probe results
+    val res = Pq.ivfpqProbeIndex(emb.filter(col("vec_id") === 7L), idx, 5, nprobe = 8)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(res.contains(100001L), s"ingested twin missing from probe: $res")
+    // replaying the same files through a FRESH checkpoint re-merges
+    // identical rows: content must not change (row-wins upsert)
+    Streaming.vectorIngest(spark, landing, idx, tmpDir("graft-vec-cp2"),
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    assert(graft.io.SnapshotTable.read(spark, s"$idx/file").count() === before + 3)
+  }
+
   test("per-batch PSI drift matches the batch computation for every micro-batch") {
     import spark.implicits._
     val dir = tmpDir("graft-stream-psi")
