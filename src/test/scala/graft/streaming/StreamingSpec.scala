@@ -469,6 +469,18 @@ class StreamingSpec extends SparkSpec {
     Streaming.vectorIngest(spark, landing, idx, tmpDir("graft-vec-cp2"),
       Map("maxFilesPerTrigger" -> "1")).awaitTermination()
     assert(graft.io.SnapshotTable.read(spark, s"$idx/file").count() === before + 3)
+    // maintenance: compacting the merge-fragmented coded file keeps the
+    // partition layout and leaves probe results untouched
+    val preCompact = Pq.ivfpqProbeIndex(emb.filter(col("vec_id") < 20), idx, 5, nprobe = 8)
+      .select("qid", "cid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.io.SnapshotTable.compact(spark, s"$idx/file",
+      minFileBytes = Long.MaxValue, targetPartitions = 4)
+    assert(graft.io.SnapshotTable.read(spark, s"$idx/file").count() === before + 3)
+    val postCompact = Pq.ivfpqProbeIndex(emb.filter(col("vec_id") < 20), idx, 5, nprobe = 8)
+      .select("qid", "cid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(postCompact === preCompact, "compaction changed probe results")
   }
 
   test("per-batch PSI drift matches the batch computation for every micro-batch") {
