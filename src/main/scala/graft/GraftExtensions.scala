@@ -69,6 +69,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => BpeCounts(exprs.head),
     ))
     ext.injectFunction((
+      FunctionIdentifier(BpeFunctions.totalName),
+      new ExpressionInfo(
+        classOf[graft.functions.BpeTotal].getName, BpeFunctions.totalName),
+      (exprs: Seq[Expression]) => graft.functions.BpeTotal(exprs.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(VectorFunctions.pqArgminName),
+      new ExpressionInfo(
+        classOf[graft.functions.PqArgmin].getName, VectorFunctions.pqArgminName),
+      (exprs: Seq[Expression]) => graft.functions.PqArgmin(exprs(0), exprs(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.JpegFunctions.statsName),
+      new ExpressionInfo(
+        classOf[graft.functions.JpegStats].getName,
+        graft.functions.JpegFunctions.statsName),
+      (exprs: Seq[Expression]) => graft.functions.JpegStats(exprs.head),
+    ))
+    ext.injectFunction((
       FunctionIdentifier(MediaDecodeFunctions.pngName),
       new ExpressionInfo(classOf[PngStats].getName, MediaDecodeFunctions.pngName),
       (exprs: Seq[Expression]) => PngStats(exprs.head),
@@ -92,6 +111,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           exprs(0), exprs(1), exprs(2)),
     ))
+    Seq[(String, Class[_], Seq[Expression] => Expression)](
+      (graft.multimodal.MediaSynthFunctions.pngName,
+        classOf[graft.multimodal.PngSynth], es => graft.multimodal.PngSynth(es.head)),
+      (graft.multimodal.MediaSynthFunctions.pngFixedName,
+        classOf[graft.multimodal.PngFixedSynth], es => graft.multimodal.PngFixedSynth(es.head)),
+      (graft.multimodal.MediaSynthFunctions.pngDynamicName,
+        classOf[graft.multimodal.PngDynamicSynth], es => graft.multimodal.PngDynamicSynth(es.head)),
+      (graft.multimodal.MediaSynthFunctions.jpegName,
+        classOf[graft.multimodal.JpegSynth], es => graft.multimodal.JpegSynth(es.head)),
+      (graft.multimodal.MediaSynthFunctions.bmpName,
+        classOf[graft.multimodal.BmpSynth], es => graft.multimodal.BmpSynth(es.head)),
+      (graft.multimodal.MediaSynthFunctions.wavName,
+        classOf[graft.multimodal.WavSynth], es => graft.multimodal.WavSynth(es.head)),
+    ).foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
     ext.injectFunction((
       FunctionIdentifier(BloomFunctions.containsName),
       new ExpressionInfo(
