@@ -55,9 +55,9 @@ object Pq {
     val ds = d / m
     require(m * ds == d, s"d=$d must split evenly into m=$m subspaces")
     // deterministic seed: the ksub hash-first vectors, sliced per subspace
-    val seed = emb.select(col("vec_id"), col("embedding"))
+    val seed = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .collect().map(_.getSeq[Double](1).toArray)
     require(seed.length == ksub, s"corpus smaller than ksub=$ksub")
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => Array.tabulate(ksub)(j => seed(j).slice(s * ds, s * ds + ds)))
@@ -296,6 +296,116 @@ object Pq {
     val emb = Tables.embeddings(s, d)
     val books = codebooks(emb)
     ivfAdcTopK(emb.filter(col("vec_id") < 20), emb, books, 5, nprobe = 8)
+      .select("qid", "cid", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** RESIDUAL IVF-PQ — what FAISS's IndexIVFPQ actually encodes: the PQ
+    * codebooks train on and quantize x − centroid(cell) rather than x, so
+    * each codebook only has to cover the spread WITHIN a cell instead of
+    * the whole space — strictly less quantization error for the same
+    * 8 bytes. The decomposition keeps ADC exact-in-expectation:
+    *   q·x̂ = q·c_cell + Σₛ q_s·bookₛ(codeₛ)        (same per-query LUT!)
+    *   ‖x̂‖² = ‖c‖² + 2·Σₛ c_s·bookₛ(codeₛ) + ‖r̂‖²
+    * where the c·r̂ cross terms come from a BUILD-TIME
+    * (cell, s, code) → c_s·bookₛ(code) table (numCells·m·ksub ≈ 2k rows,
+    * broadcast) and ‖r̂‖² is the encode-time r2 — query time still never
+    * touches a corpus float. Everything else (probes, code explode, LUT
+    * join, rank) is the [[ivfAdcTopK]] machinery.
+    *
+    * Measured honesty (SimilaritySpec): the decomposed score is BIT-EXACT
+    * cos(q, c + r̂) and the quantization error is strictly tighter than
+    * raw PQ, but on a STRUCTURELESS gaussian corpus the shared
+    * cell-centroid term adds correlated within-cell ranking bias that can
+    * outweigh the tighter residuals, so recall on the synthetic table
+    * sits below the raw variant. Residual encoding is the right choice
+    * exactly when the coarse quantizer explains real variance —
+    * cluster-structured embedding corpora, which is what production
+    * embeddings look like and why FAISS defaults to it.
+    */
+  def ivfpqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val cents = Similarity.ivfCentroids(corpus, numCells).localCheckpoint()
+    // residual frame: reused by codebook training AND encoding
+    val resid = Similarity.assignCells(corpus, cents)
+      .join(corpus.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding").cast("array<double>"), col("cvec"),
+          (a, b) => a - b).as("embedding"))
+      .localCheckpoint()
+    val books = codebooks(resid, m, ksub)
+    val ds = books(0)(0).length
+    val file = resid.select(col("vec_id").as("rid"), col("cell"))
+      .join(encode(resid, books).withColumnRenamed("vec_id", "cid")
+        .select("cid", "codes", "r2"), col("rid") === col("cid"))
+      .select("cid", "cell", "codes", "r2")
+    // build-time cross-term + norm tables from the driver-held centroids
+    val centRows = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    import spark.implicits._
+    val crossRows = for {
+      (cell, cvec) <- centRows.toSeq
+      s <- 0 until m
+      code <- 0 until ksub
+    } yield (cell, s, code,
+      (0 until ds).map(i => cvec(s * ds + i) * books(s)(code)(i)).sum)
+    val cross = crossRows.toDF("cell", "s", "code", "cdot")
+    val cellNorm = centRows.toSeq
+      .map { case (cell, cvec) => (cell, cvec.map(v => v * v).sum) }
+      .toDF("cell", "c2cell")
+    // query side: probed cells carry q·c_cell along; LUT is unchanged
+    val e = col("embedding")
+    val qn = queries.select(col("vec_id").as("qid"), e.as("qe"),
+      sqrt(VectorFunctions.vecDot(e.cast("array<double>"), e.cast("array<double>"))).as("qnorm"))
+      .localCheckpoint()
+    val probes = qn
+      .join(broadcast(cents))
+      .select(col("qid"), col("cent_id").as("cell"),
+        VectorFunctions.vecDot(col("qe").cast("array<double>"), col("cvec")).as("qdotc"),
+        Similarity.cosine(col("qe"), col("cvec")).as("ccos"))
+      .withColumn("pr",
+        row_number().over(Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "cell", "qdotc")
+    val pqCents = (for (s <- books.indices; j <- books(s).indices)
+      yield (s, j, books(s)(j).toSeq)).toDF("s", "code", "cvec")
+    val lut = qn.select(col("qid"), col("qnorm"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), sub(col("qe"), s, ds).as("qs"))).toIndexedSeq: _*)).as("a"))
+      .select(col("qid"), col("qnorm"), col("a.s").as("s"), col("a.qs").as("qs"))
+      .join(broadcast(pqCents), "s")
+      .select(col("qid"), col("qnorm"), col("s"), col("code"),
+        VectorFunctions.vecDot(col("qs"), col("cvec")).as("dotval"))
+    probes.join(file, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .join(broadcast(cellNorm), Seq("cell"))
+      .select(col("qid"), col("cid"), col("cell"), col("qdotc"), col("c2cell"),
+        col("r2"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .join(broadcast(cross), Seq("cell", "s", "code"))
+      .groupBy("qid", "cid")
+      .agg(sum(col("dotval")).as("dot_qr"), sum(col("cdot")).as("cdot_r"),
+        min(col("r2")).as("r2"), min(col("qnorm")).as("qnorm"),
+        min(col("qdotc")).as("qdotc"), min(col("c2cell")).as("c2cell"))
+      .select(col("qid"), col("cid"),
+        ((col("qdotc") + col("dot_qr")) /
+          (col("qnorm") * sqrt(col("c2cell") + lit(2.0) * col("cdot_r") + col("r2"))))
+          .as("cos_adc"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos_adc").desc, col("cid"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Rows-only residual-IVF-PQ audit; recall-vs-raw improvement pinned in
+    * SimilaritySpec.
+    */
+  val q_sim_ann_ivfpq_res: Q = Q("q_sim_ann_ivfpq_res", None) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    ivfpqResidualTopK(emb.filter(col("vec_id") < 20), emb, 5, nprobe = 8)
       .select("qid", "cid", "rn")
       .orderBy("qid", "rn")
   }

@@ -226,6 +226,62 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"IVF-PQ recall $recall at chance level")
   }
 
+  test("residual IVF-PQ: score identity exact, quantization tighter, recall real") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 20)
+    val d = 64
+    val m = 8
+    val ds = d / m
+    // shared geometry, computed once
+    val cents = Similarity.ivfCentroids(emb, 16).localCheckpoint()
+    val centArr = cents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val cellOf = Similarity.assignCells(emb, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val resid = Similarity.assignCells(emb, cents)
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), col("cvec"),
+          (a, b) => a - b).as("embedding"))
+    val resBooks = Pq.codebooks(resid)
+    // 1. the decomposed ADC score IS cos(q, c_cell + recon(residual)) —
+    //    the LUT + cross-term + norm bookkeeping reconstructs it exactly
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val codesOf = Pq.encode(resid, resBooks).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val out = Pq.ivfpqResidualTopK(queries, emb, 5, nprobe = 8)
+      .select("qid", "cid", "cos_adc").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, c, got) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val recon = centArr(cellOf(c)).clone()
+      val codes = codesOf(c)
+      for (s <- 0 until m; i <- 0 until ds)
+        recon(s * ds + i) += resBooks(s)(codes(s))(i)
+      val qv = vecs(q)
+      val want = qv.zip(recon).map { case (a, b) => a * b }.sum /
+        (math.sqrt(qv.map(v => v * v).sum) * math.sqrt(recon.map(v => v * v).sum))
+      assert(math.abs(got - want) < 1e-9, s"score identity broke for ($q,$c)")
+    }
+    // 2. residual quantization is strictly tighter than raw PQ
+    val rawErr = Pq.encode(emb, Pq.codebooks(emb)).agg(avg("sq_err")).head().getDouble(0)
+    val resErr = Pq.encode(resid, resBooks).agg(avg("sq_err")).head().getDouble(0)
+    info(s"avg sq_err: raw $rawErr vs residual $resErr")
+    assert(resErr < rawErr, "residual quantization must beat raw")
+    // 3. recall stays well above chance. NOTE (documented in Pq): on this
+    //    STRUCTURELESS gaussian corpus the shared cell-centroid term adds
+    //    correlated within-cell bias that can outweigh the tighter
+    //    residuals, so recall may sit below the raw variant here — the
+    //    regime residual encoding is built for is cluster-structured data
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect res).size.toDouble / exact.size
+    info(s"residual IVF-PQ recall@5 = $recall")
+    assert(recall >= 0.1, "residual IVF-PQ at chance level")
+  }
+
   test("persisted IVF-PQ index: probe equals the in-memory composition") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
     val emb = Tables.embeddings(spark, sf())
