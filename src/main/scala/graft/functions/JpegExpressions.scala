@@ -299,7 +299,7 @@ object JpegDecode {
   private val zzCol = Array(
     0, 1, 0, 0, 1, 2, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0, 0, 1, 2,
     3, 4, 5, 6, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3,
-    2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 4, 5, 6, 7, 7)
+    2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 5, 6, 7, 7, 6, 7)
 
   /** Reference double-precision 2-D IDCT of one pixel (T.81 A.3.3) over
     * zig-zag-ordered dequantized coefficients; rounded and clamped. Exact
