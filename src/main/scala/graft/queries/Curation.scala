@@ -205,6 +205,159 @@ object Curation {
     verdictFrom(corpus, bench, dup)
   }
 
+  /** The WHOLE pipeline as one oracle-checked query — what "a user could
+    * run every query they run today" looks like end to end: curation
+    * verdict (every gate) → keep set → leakage-safe cluster-keyed
+    * train/val/test split over the KEPT docs → fixed-budget sequence
+    * packing with real BPE token counts, reported per (split, source).
+    * Each stage is an already-hash-green component (q_curate_verdict,
+    * q_split_leakage_safe, q_pack_sequences) composed through the same
+    * shared policy bodies, and the DuckDB oracle chains the same three
+    * verified SQL bodies — so this pins that the COMPOSITION holds, not
+    * just the parts. Scale shape: the union of its stages' shapes; the
+    * LSH twins swap in exactly as they do stage-by-stage.
+    */
+  val q_pipeline_e2e: Q = Q(
+    "q_pipeline_e2e",
+    Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 20
+      ), fp AS (
+        SELECT doc_id, n_chars, md5(${TextAnalysis.normalizeSql}) AS f FROM corpus
+      ), canon AS (
+        SELECT f, doc_id AS canonical_id FROM (
+          SELECT f, doc_id,
+                 row_number() OVER (PARTITION BY f
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM fp
+        ) WHERE rk = 1
+      ), dup AS (
+        SELECT doc_id, doc_id <> canonical_id AS is_duplicate
+        FROM fp JOIN canon USING (f)
+      ), s0 AS (
+        SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents
+      ), bench AS (
+        SELECT DISTINCT unnest(sh) AS g FROM s0 WHERE doc_id < 20
+      ), cont AS (
+        SELECT s0.doc_id,
+               EXISTS (SELECT 1 FROM bench, unnest(s0.sh) AS t(g2) WHERE g2 = bench.g)
+                 AS is_contaminated
+        FROM s0 WHERE doc_id >= 20
+      ), lang AS (
+        SELECT doc_id,
+               ${LangId.duckDbSql("text")} <> 'undetected' AS lang_ok
+        FROM corpus
+      ), qual AS (
+        SELECT doc_id, ${TextAnalysis.qualityGateSql} AS quality_ok FROM corpus
+      ), f2 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM corpus
+      ), t2 AS (
+        SELECT doc_id, unnest(toks) AS w FROM f2
+      ), uni AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM t2 GROUP BY doc_id, w
+      ), us AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM uni GROUP BY doc_id
+      ), bb AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(toks), 1)),
+                       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+              FROM f2)
+      ), big AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c FROM bb GROUP BY doc_id, w1, w2
+      ), bs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_big
+        FROM big GROUP BY doc_id
+      ), gop AS (
+        SELECT us.doc_id,
+               top_uni * 1.0 / n_tokens <= 0.2
+                 AND coalesce(top_big * 1.0 / n_bigrams, 0.0) <= 0.18
+                 AND n_hapax * 1.0 / n_tokens >= 0.1 AS repetition_ok
+        FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+      ), keep AS (
+        SELECT c.doc_id
+        FROM corpus c
+        LEFT JOIN dup ON c.doc_id = dup.doc_id
+        LEFT JOIN cont ON c.doc_id = cont.doc_id
+        LEFT JOIN lang ON c.doc_id = lang.doc_id
+        LEFT JOIN qual ON c.doc_id = qual.doc_id
+        LEFT JOIN gop ON c.doc_id = gop.doc_id
+        WHERE NOT coalesce(dup.is_duplicate, false)
+          AND NOT coalesce(cont.is_contaminated, false)
+          AND coalesce(lang.lang_ok, false)
+          AND coalesce(qual.quality_ok, false)
+          AND coalesce(gop.repetition_ok, false)
+      ), ks AS (
+        SELECT s0.doc_id, sh, len(sh) AS sz
+        FROM s0 JOIN keep USING (doc_id) WHERE len(sh) > 0
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ks a JOIN ks b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) >= 0.5
+      ), edges AS (
+        SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs
+      ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      ), cl AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+      ), sp AS (
+        SELECT k.doc_id,
+               CASE WHEN substring(md5('csplit-' ||
+                      CAST(coalesce(cl.cluster_id, k.doc_id) AS VARCHAR)), 1, 2) < 'cc'
+                      THEN 'train'
+                    WHEN substring(md5('csplit-' ||
+                      CAST(coalesce(cl.cluster_id, k.doc_id) AS VARCHAR)), 1, 2) < 'e6'
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keep k LEFT JOIN cl ON k.doc_id = cl.doc_id
+      ), toks3 AS (
+        SELECT d.doc_id, d.source, sp.split,
+               ${Bpe.totalCountSql("text")} AS nt
+        FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+      ), cum AS (
+        SELECT *, sum(nt) OVER (PARTITION BY split, source ORDER BY doc_id) AS cum
+        FROM toks3
+      )
+      SELECT split, source,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(max((cum - nt) // 256) + 1 AS BIGINT) AS n_packs
+      FROM cum
+      GROUP BY split, source
+      ORDER BY split, source
+    """),
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Bpe.ensureRegistered(s)
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
+    val bench = docs.filter(col("doc_id") < 20)
+    val kept = verdictFrom(corpus, bench, exactDup(corpus))
+      .filter(col("keep")).select("doc_id")
+    val keptDocs = docs.join(kept, "doc_id")
+    val assign = Dedup.leakageSafeAssignments(keptDocs).select("doc_id", "split")
+    val toks = keptDocs
+      .select(col("doc_id"), col("source"), Bpe.totalCount(col("text")).as("nt"))
+      .join(assign, "doc_id")
+    val w = Window.partitionBy("split", "source").orderBy("doc_id")
+    toks
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("nt")) / lit(256.0)))
+      .groupBy("split", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        (max(col("pack_id")) + 1).cast("long").as("n_packs"))
+      .orderBy("split", "source")
+  }
+
   /** Sequence packing — the step between curation and tokenization that
     * concatenates documents into fixed-budget training sequences (the
     * GPT-style "pack the stream, cut every N tokens" regime). Documents are
@@ -365,5 +518,6 @@ object Curation {
   }
 
   def all: Seq[Q] =
-    Seq(q_curate_verdict, q_curate_verdict_lsh, q_pack_sequences, q_mix_sources)
+    Seq(q_curate_verdict, q_curate_verdict_lsh, q_pack_sequences, q_mix_sources,
+      q_pipeline_e2e)
 }

@@ -37,6 +37,24 @@ class CurationSpec extends SparkSpec {
       s"$added near-dup-induced flips over ${exact.size} docs")
   }
 
+  test("pipeline e2e totals reconcile with the verdict keep set") {
+    val e2e = graft.SparkEntry.queries("q_pipeline_e2e")(spark, sf()).collect()
+    val kept = graft.SparkEntry.queries("q_curate_verdict")(spark, sf())
+      .filter(col("keep")).count()
+    // every kept doc lands in exactly one (split, source) row
+    assert(e2e.map(_.getAs[Long]("n_docs")).sum === kept)
+    // pack counts are positive and can't exceed doc counts... no — a pack
+    // holds many docs; the real bound: n_packs <= n_docs is false in
+    // general only when docs are tiny; what must hold is n_packs >= 1 and
+    // the budget arithmetic n_packs >= ceil(n_tokens/256) is NOT exact
+    // (overflow spill), but n_packs <= n_tokens/256 + 1 per group is
+    e2e.foreach { r =>
+      val (nt, np) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_packs"))
+      assert(np >= 1L && np <= nt / 256 + 1, s"pack bound broke: $r")
+    }
+    assert(e2e.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("sequence packing matches an independent Scala re-derivation") {
     val budget = 256
     val toks = Tables.documents(spark, sf())
