@@ -382,7 +382,10 @@ object Dedup {
         // so each round runs ONE job, not checkpoint-then-sum
         .localCheckpoint(false)
       val sum0 = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
-      val s = BigDecimal(sum0)
+      // an EMPTY pair graph (e.g. clustering a corpus the dedup gate
+      // already cleaned) sums to SQL NULL — that's the converged fixpoint
+      // of zero nodes, not an error
+      val s = if (sum0 == null) BigDecimal(0) else BigDecimal(sum0)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -358,6 +358,44 @@ object Curation {
       .orderBy("split", "source")
   }
 
+  /** The 100 TB incarnation of [[q_pipeline_e2e]]: every stage swaps in
+    * its LSH production twin — near-dup-aware verdict (banded-MinHash
+    * clusters ∪ exact fingerprints), leakage-safe split on LSH clusters —
+    * while the packing stage is shared (it was already linear). Rows-only
+    * (banding isn't SQL-expressible); CurationSpec reconciles its totals
+    * against its own keep set and pins the split/pack invariants.
+    */
+  val q_pipeline_e2e_lsh: Q = Q("q_pipeline_e2e_lsh", None) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Bpe.ensureRegistered(s)
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
+    val bench = docs.filter(col("doc_id") < 20)
+    val nearDup = Dedup.lshNonCanonicalIds(corpus)
+    val dup = exactDup(corpus)
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("is_duplicate") || coalesce(col("near_dup"), lit(false))).as("is_duplicate"))
+    val kept = verdictFrom(corpus, bench, dup)
+      .filter(col("keep")).select("doc_id")
+    val keptDocs = docs.join(kept, "doc_id")
+    val assign = Dedup.leakageSafeAssignmentsFrom(keptDocs,
+      Dedup.minHashLshJoin(keptDocs, 0.5)).select("doc_id", "split")
+    val toks = keptDocs
+      .select(col("doc_id"), col("source"), Bpe.totalCount(col("text")).as("nt"))
+      .join(assign, "doc_id")
+    val w = Window.partitionBy("split", "source").orderBy("doc_id")
+    toks
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("nt")) / lit(256.0)))
+      .groupBy("split", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        (max(col("pack_id")) + 1).cast("long").as("n_packs"))
+      .orderBy("split", "source")
+  }
+
   /** Sequence packing — the step between curation and tokenization that
     * concatenates documents into fixed-budget training sequences (the
     * GPT-style "pack the stream, cut every N tokens" regime). Documents are
@@ -519,5 +557,5 @@ object Curation {
 
   def all: Seq[Q] =
     Seq(q_curate_verdict, q_curate_verdict_lsh, q_pack_sequences, q_mix_sources,
-      q_pipeline_e2e)
+      q_pipeline_e2e, q_pipeline_e2e_lsh)
 }

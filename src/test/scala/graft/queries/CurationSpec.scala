@@ -53,6 +53,17 @@ class CurationSpec extends SparkSpec {
       assert(np >= 1L && np <= nt / 256 + 1, s"pack bound broke: $r")
     }
     assert(e2e.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // the LSH production twin reconciles against ITS OWN keep set (the
+    // near-dup gate removes more docs than the exact-fingerprint one)
+    val lsh = graft.SparkEntry.queries("q_pipeline_e2e_lsh")(spark, sf()).collect()
+    val keptLsh = graft.SparkEntry.queries("q_curate_verdict_lsh")(spark, sf())
+      .filter(col("keep")).count()
+    assert(lsh.map(_.getAs[Long]("n_docs")).sum === keptLsh)
+    assert(lsh.map(_.getAs[Long]("n_docs")).sum <= e2e.map(_.getAs[Long]("n_docs")).sum)
+    lsh.foreach { r =>
+      val (nt, np) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_packs"))
+      assert(np >= 1L && np <= nt / 256 + 1, s"lsh pack bound broke: $r")
+    }
   }
 
   test("sequence packing matches an independent Scala re-derivation") {
