@@ -18,6 +18,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -86,6 +87,27 @@ def type_check(con, name, sql, dump):
     return problems
 
 
+def driver_sortable(out_dir, name):
+    """Replicate the driver's dump loader: it reads the parquet dump into
+    pandas and sorts by ALL columns before hashing / counting rows. A cell
+    type pandas cannot lexsort (numpy.ndarray from a Spark array column,
+    dicts from structs) crashes the driver even for a rows-only query —
+    r10's `q_embed_pq` shipped red exactly this way while every local check
+    passed. Returns a list of problems (empty = sortable)."""
+    try:
+        df = pd.read_parquet(Path(out_dir) / name)
+    except Exception as e:
+        return [f"pandas cannot read dump: {e}"]
+    try:
+        df.sort_values(by=list(df.columns))
+    except Exception as e:
+        return [
+            f"dump not driver-sortable (pandas sort_values failed): "
+            f"{type(e).__name__}: {e} — project array/struct columns to "
+            f"scalars in the dump (array_join / xxhash64)"]
+    return []
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -103,6 +125,13 @@ def main():
             spark_rows, spark_cols = sp.fetchall(), [d[0] for d in sp.description]
         except Exception as e:
             print(f"FAIL {name}: cannot read spark dump: {e}")
+            n_fail += 1
+            continue
+        sort_problems = driver_sortable(out_dir, name)
+        if sort_problems:
+            print(f"FAIL {name}:")
+            for p in sort_problems:
+                print(f"    {p}")
             n_fail += 1
             continue
         if name not in oracle_sql:
