@@ -663,5 +663,5 @@ object Similarity {
     Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding,
       q_embed_quantize, q_embed_centroids, q_embed_knn_audit,
       q_embed_hard_negatives, Pca.q_embed_pca, Pq.q_embed_pq, Pq.q_sim_ann_pq,
-      Pq.q_sim_ann_ivfpq, Pq.q_sim_ann_ivfpq_res)
+      Pq.q_sim_ann_ivfpq, Pq.q_sim_ann_ivfpq_res, Pq.q_sim_ann_ivfpq_idx)
 }

@@ -38,6 +38,9 @@ class ContractSpec extends SparkSpec {
       "q_dedup_canonical_lsh",
       "q_split_leakage_safe_lsh", "q_curate_verdict_lsh",
       "q_embed_pca", "q_embed_pq", "q_sim_ann_pq", "q_sim_ann_ivfpq",
-      "q_sim_ann_ivfpq_res", "q_pipeline_e2e_lsh"))
+      "q_sim_ann_ivfpq_res", "q_pipeline_e2e_lsh",
+      // r11: the persisted-index serving twin of q_sim_ann_ivfpq — pinned
+      // bit-equal to it in SimilaritySpec, so no new unchecked surface
+      "q_sim_ann_ivfpq_idx"))
   }
 }

@@ -306,6 +306,18 @@ class SimilaritySpec extends SparkSpec {
       "coded-file scan lost its dynamic partition pruning")
   }
 
+  test("q_sim_ann_ivfpq_idx gate query equals the in-query composition") {
+    // the memoized persisted-index path (what the driver times) must return
+    // exactly what q_sim_ann_ivfpq computes with in-query training — both
+    // train from the same deterministic hash seed, so equality is exact
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = rows(Pq.q_sim_ann_ivfpq_idx.run(spark, sf()))
+    val mem = rows(Pq.q_sim_ann_ivfpq.run(spark, sf()))
+    assert(idx === mem)
+    assert(idx.nonEmpty)
+  }
+
   test("embedding near-dup: LSH path has precision 1 and good recall vs exact") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
