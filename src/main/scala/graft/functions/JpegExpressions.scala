@@ -149,9 +149,12 @@ object JpegDecode {
     var dcT: JHuff = null
     var acT: JHuff = null
     var sosAt = -1
-    var hops = 0
-    // segment walk to SOS (bounded; APPn/COM skipped by their lengths)
-    while (sosAt < 0 && hops < 32 && pos + 4 <= p.length) {
+    // Segment walk to SOS, bounded by position progress alone: every
+    // iteration advances pos by 2+len with len >= 2 enforced below, so the
+    // walk is O(p.length) and an APPn/COM-heavy file (EXIF/XMP) with any
+    // number of metadata segments still reaches its SOS (a fixed hop cap
+    // silently nulled such files out).
+    while (sosAt < 0 && pos + 4 <= p.length) {
       if (u8(p, pos) != 0xFF) return new GenericInternalRow(out)
       val marker = u8(p, pos + 1)
       val len = beU16(p, pos + 2)
@@ -190,7 +193,6 @@ object JpegDecode {
         case _ => () // APPn / COM / others: skip
       }
       if (sosAt < 0) pos += 2 + len
-      hops += 1
     }
     if (sosAt < 0 || w <= 0 || h <= 0 || quant == null || dcT == null ||
       acT == null || w > (1 << 14) || h > (1 << 14))

@@ -124,6 +124,11 @@ case class PqArgmin(left: Expression, right: Expression) extends BinaryExpressio
 
   override def dataType: DataType = PqArgmin.outType
 
+  // null (not a plausible wrong code) on a vector whose length differs from
+  // the codebook dimension — dimension mismatch is a caller bug, and
+  // silently zero-padding/truncating would hand back wrong codes
+  override def nullable: Boolean = true
+
   @transient private lazy val book: Array[Array[Double]] = {
     val ad = right.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
@@ -139,7 +144,8 @@ case class PqArgmin(left: Expression, right: Expression) extends BinaryExpressio
     val bookRef = ctx.addReferenceObj("pqBook", book, "double[][]")
     val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[]")
     nullSafeCodeGen(ctx, ev, (a, _) =>
-      s"${ev.value} = graft.functions.PqArgmin.compute($a, $leftIsFloat, $bookRef, $c2Ref);")
+      s"""${ev.value} = graft.functions.PqArgmin.compute($a, $leftIsFloat, $bookRef, $c2Ref);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqArgmin =
@@ -159,8 +165,9 @@ object PqArgmin {
   def compute(x: ArrayData, isFloat: Boolean, book: Array[Array[Double]],
       c2: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
     val d = book(0).length
+    if (x.numElements() != d) return null // dimension mismatch → null row
     val xv = new Array[Double](d)
-    val n = math.min(x.numElements(), d)
+    val n = d
     var i = 0
     while (i < n) {
       xv(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)

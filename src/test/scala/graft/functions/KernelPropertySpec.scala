@@ -172,7 +172,7 @@ class KernelPropertySpec extends SparkSpec {
         b(0, 0, 0, 4, 0, 0, 0, 4, 8, 2, 0, 0, 0) ++ b(0, 0, 0, 0) ++
         b(0xFF, 0xFF, 0xFF, 0xF0) ++ "tEXt".getBytes ++ Array.fill(32)(0.toByte),
       // BMP: magic + 24bpp gate with a negative pixel offset and huge width
-      ("BM" + " " * 8).getBytes ++ b(0xFF, 0xFF, 0xFF, 0xFF) ++
+      ("BM" + "\u0000" * 8).getBytes ++ b(0xFF, 0xFF, 0xFF, 0xFF) ++
         b(40, 0, 0, 0) ++ b(0xFF, 0xFF, 0xFF, 0x7F) ++ b(4, 0, 0, 0) ++
         b(1, 0) ++ b(24, 0) ++ b(0, 0, 0, 0) ++ Array.fill(32)(0.toByte),
       // WAV: valid gates, data length far past the payload
@@ -195,6 +195,17 @@ class KernelPropertySpec extends SparkSpec {
     samples(genBytes, 200).foreach { tail =>
       assert(JpegDecode.jpeg(soi ++ tail) != null)
     }
+    // AC-bearing streams: every single-byte flip and every truncation of a
+    // real zig-zag-10 fixture must return a row, never throw — the AC
+    // run/size/ZRL branches see in-envelope-but-corrupt data
+    val acFix = graft.multimodal.MediaSynth.jpegAc(5L)
+    for (i <- acFix.indices) {
+      val m = acFix.clone()
+      m(i) = (m(i) ^ 0x55).toByte
+      assert(JpegDecode.jpeg(m) != null)
+    }
+    for (len <- 0 to acFix.length)
+      assert(JpegDecode.jpeg(acFix.take(len)) != null)
   }
 
   test("fixed-Huffman inflate agrees with java.util.zip.Inflater, incl. copies") {

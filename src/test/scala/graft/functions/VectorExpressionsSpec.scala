@@ -40,6 +40,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nullOut(0).isNullAt(0))
   }
 
+  test("pq_argmin nulls out a codebook-dimension mismatch instead of guessing") {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val book = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val df = Seq(Seq(0.9, 1.1), Seq(0.9, 1.1, 7.0), Seq(0.9)).toDF("x")
+    val out = df.select(
+      VectorFunctions.pqArgmin(col("x"), typedLit(book)).as("b")).collect()
+    assert(out(0).getStruct(0).getInt(1) === 1) // matched length still codes
+    assert(out(1).isNullAt(0)) // longer than d: null, not silent truncation
+    assert(out(2).isNullAt(0)) // shorter than d: null, not zero-padding
+  }
+
   test("vec_dot handles mixed float/double arrays and nulls") {
     VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
