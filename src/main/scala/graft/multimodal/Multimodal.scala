@@ -32,9 +32,17 @@ import graft.util.{Q, Tables}
   *    corner every conforming decoder reconstructs EXACTLY (ImageIO
   *    parity is byte-identical); AC-bearing blocks decode through the
   *    reference double IDCT, the non-mandated ±1 tier.
-  *  - STUB: only `mediaTable`'s stand-in bodies (spec-valid headers,
-  *    fake payload) and `frameFeatures`' deterministic fake feature
-  *    vectors remain — the declared model-input plumbing stubs.
+  *  - REAL fixtures everywhere (r11): every query's payload is a
+  *    spec-true file from [[MediaSynth]] — the md5-derived stand-in
+  *    bodies are gone. [[realMediaTable]] (PNG/JPEG/WAV) feeds the
+  *    metadata parse; [[rawMediaTable]] (BMP/WAV — the two formats whose
+  *    bytes a SQL oracle can rebuild EXACTLY, no CRC32/entropy coding)
+  *    feeds the byte-level frame/feature/resize plumbing, so those
+  *    oracles still hash whole payload bytes.
+  *  - STUB: only `frameFeatures`' deterministic fake feature vectors
+  *    remain — the declared stand-in for the vision/audio encoder this
+  *    container does not ship; the batch shape, partitioning, and
+  *    downstream consumers are real.
   * Everything else is real and tested: binary schema, format sniffing,
   * HEADER METADATA EXTRACTION (PNG/JPEG width+height from IHDR / SOF, WAV
   * channels+sample-rate from the fmt chunk — pure expressions, the same
@@ -48,23 +56,15 @@ object Multimodal {
   final case class Magic(format: String, bytes: Seq[Int], hexPrefix: String)
   val magics: Seq[Magic] = Seq(
     Magic("png", Seq(0x89, 0x50, 0x4E, 0x47), "89504E47"),
-    Magic("jpeg", Seq(0xFF, 0xD8, 0xFF, 0xE0), "FFD8FFE0"),
+    // FF D8 FF alone: JFIF's APP0 is customary, not mandatory (a file may
+    // open with DQT/DHT/APPn), so the sniff keys on SOI + a marker prefix
+    Magic("jpeg", Seq(0xFF, 0xD8, 0xFF), "FFD8FF"),
     Magic("wav", Seq(0x52, 0x49, 0x46, 0x46), "52494646"),
   )
 
   // --------------------------------------------- binary int builders/readers
 
   private def b(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
-
-  /** Big-endian byte renderings of an int column (header construction). */
-  private def u16be(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
-  private def u32be(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
-
-  /** Little-endian renderings (RIFF/WAV is an LE format). */
-  private def u16le(v: Column): Column = concat((0 to 1).map(i =>
-    unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(0xFF)), 2, "0"))): _*)
-  private def u32le(v: Column): Column = concat((0 to 3).map(i =>
-    unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(0xFF)), 2, "0"))): _*)
 
   /** Read an unsigned big/little-endian int at a 1-based byte position —
     * hex() of a binary slice is two digits per byte, so conv(…, 16, 10) is
@@ -83,69 +83,52 @@ object Multimodal {
     conv(concat((3 to 0 by -1).map(i => hex(p.substr(pos + i, lit(1)))): _*), 16, 10)
       .cast(LongType)
 
-  /** The deterministic planted dimensions (what a decoder would find). */
-  private def plantedWidth(docId: Column): Column =
-    (lit(16) + pmod(docId, lit(64))).cast(IntegerType)
-  private def plantedHeight(docId: Column): Column =
-    (lit(16) + pmod(docId, lit(48))).cast(IntegerType)
-  private def plantedChannels(docId: Column): Column =
-    (lit(1) + pmod(docId, lit(2))).cast(IntegerType)
-  private def plantedRate(docId: Column): Column =
-    when(pmod(docId, lit(4)) === 0, 8000)
-      .when(pmod(docId, lit(4)) === 1, 16000)
-      .when(pmod(docId, lit(4)) === 2, 22050)
-      .otherwise(44100)
-
-  /** Stand-in media table over documents (STUB body, see object doc):
-    * (media_id, payload BINARY, declared_format), with spec-valid headers —
-    * PNG: 8-byte signature + IHDR (width/height as u32 BE at bytes 17/21);
-    * JPEG: SOI, then a 16-byte APP0/JFIF segment, then SOF0 carrying
-    * height/width (u16 BE) — SOF deliberately NOT first, so extraction must
-    * walk segments like a real parser; WAV: canonical 44-byte RIFF/fmt/data
-    * header with channels (u16 LE at 23) and sample rate (u32 LE at 25).
+  /** REAL mixed-format media table over documents: (media_id, payload
+    * BINARY, declared_format) where every payload is a complete spec-true
+    * file — stored-deflate PNG (doc_id%3=0), baseline DC-only JPEG (%3=1,
+    * whose SOF0 sits after DQT so extraction must walk segments like a
+    * real parser), mono PCM16 WAV (%3=2) — all from the [[MediaSynth]]
+    * builders whose bytes are pinned by ImageIO / java.nio reference
+    * decodes in MultimodalSpec. Replaces the r≤10 stand-in bodies.
     * Repartitioned like every compute-bound derivation (binary work scales
     * with payload bytes, not row count).
     */
-  def mediaTable(docs: DataFrame): DataFrame = {
+  def realMediaTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
     val id = col("doc_id")
-    val body = encode(col("text"), "UTF-8")
-    val pngPayload = concat(
-      b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
-        0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52), // IHDR len + type
-      u32be(plantedWidth(id)), u32be(plantedHeight(id)),
-      b(0x08, 0x06, 0x00, 0x00, 0x00, // bit depth, color, compr, filter, interlace
-        0x00, 0x00, 0x00, 0x00), // CRC placeholder (not verified here)
-      body)
-    val jpegPayload = concat(
-      b(0xFF, 0xD8, // SOI
-        0xFF, 0xE0, 0x00, 0x10, // APP0, len 16
-        0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00,
-        0x00, 0x01, 0x00, 0x01, 0x00, 0x00, // JFIF v1.1, 1:1 density
-        0xFF, 0xC0, 0x00, 0x11, 0x08), // SOF0, len 17, 8-bit precision
-      u16be(plantedHeight(id)), u16be(plantedWidth(id)),
-      b(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01), // 3 comps
-      body)
-    val wavPayload = concat(
-      b(0x52, 0x49, 0x46, 0x46, 0x00, 0x00, 0x00, 0x00, // RIFF + size stub
-        0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20, // WAVE, "fmt "
-        0x10, 0x00, 0x00, 0x00, 0x01, 0x00), // fmt len 16, PCM
-      u16le(plantedChannels(id)), u32le(plantedRate(id)),
-      b(0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00, // rates stub, 16-bit
-        0x64, 0x61, 0x74, 0x61, 0x00, 0x00, 0x00, 0x00), // "data" + size stub
-      body)
-    val m = pmod(id, lit(magics.size))
-    val payload = when(m === 0, pngPayload).when(m === 1, jpegPayload)
-      .otherwise(wavPayload)
+    val m = pmod(id, lit(3))
+    val payload = when(m === 0, MediaSynthFunctions.pngSynth(id))
+      .when(m === 1, MediaSynthFunctions.jpegSynth(id))
+      .otherwise(MediaSynthFunctions.wavSynth(id))
     val declared = when(m === 0, "png").when(m === 1, "jpeg").otherwise("wav")
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"), payload.as("payload"), declared.as("declared_format"))
   }
 
+  /** REAL media table for the byte-level plumbing queries (frames /
+    * features / resize): alternating 24-bit BMP (doc_id%2=0) and PCM16
+    * WAV (%2=1) — deliberately the two formats with NO checksum or
+    * entropy coding anywhere in the file, so the DuckDB oracle can
+    * rebuild the payload hex BYTE-EXACTLY from the planting formulas and
+    * the md5-over-bytes checks stay hash-green on genuine files.
+    */
+  def rawMediaTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    val id = col("doc_id")
+    val even = pmod(id, lit(2)) === 0
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        when(even, MediaSynthFunctions.bmpSynth(id))
+          .otherwise(MediaSynthFunctions.wavSynth(id)).as("payload"),
+        when(even, "bmp").otherwise("wav").as("declared_format"))
+  }
+
   // --------------------------------------------------- real PCM audio table
 
-  /** A COMPLETELY REAL mono PCM16 WAV file per document — unlike
-    * [[mediaTable]]'s stand-in bodies, every field here is spec-true: RIFF
+  /** A COMPLETELY REAL mono PCM16 WAV file per document — every field
+    * here is spec-true: RIFF
     * size, byte rate, block align, data-chunk length, and a data chunk
     * holding the planted waveform as little-endian signed 16-bit samples.
     * This is the payload [[q_mm_audio]] decodes back; sample decode for
@@ -231,6 +214,18 @@ object Multimodal {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         MediaSynthFunctions.jpegSynth(col("doc_id")).as("payload"))
+  }
+
+  /** The AC-bearing JPEG table ([[MediaSynth.jpegAc]]): one planted AC
+    * coefficient per block at zig-zag index 10, where reconstruction is
+    * integer-exact — the payloads behind [[q_mm_jpeg_pixels_ac]].
+    */
+  def jpegAcTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.jpegAcSynth(col("doc_id")).as("payload"))
   }
 
   /** The dynamic-Huffman PNG table: each IDAT is REAL `java.util.zip`
@@ -363,67 +358,98 @@ object Multimodal {
 
   // ---------------------------------------------------------------- queries
 
-  private def hexBlob(xs: Int*): String =
-    "'" + xs.map(x => f"\\x$x%02X").mkString + "'::BLOB"
-
-  // the oracle rebuilds the byte-identical payloads: static header parts as
-  // blob literals, planted ints rendered with unhex(lpad(to_hex(…))) (BE)
-  // or byte-by-byte (LE) — mirrors mediaTable exactly
   private val rateSql =
     "(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END)"
-  private val pngSql =
-    s"""(${hexBlob(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
-          0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52)}
-        || unhex(lpad(to_hex(16 + doc_id % 64), 8, '0'))
-        || unhex(lpad(to_hex(16 + doc_id % 48), 8, '0'))
-        || ${hexBlob(0x08, 0x06, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00)}
-        || text::BLOB)"""
-  private val jpegSql =
-    s"""(${hexBlob(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10,
-          0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00,
-          0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
-          0xFF, 0xC0, 0x00, 0x11, 0x08)}
-        || unhex(lpad(to_hex(16 + doc_id % 48), 4, '0'))
-        || unhex(lpad(to_hex(16 + doc_id % 64), 4, '0'))
-        || ${hexBlob(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)}
-        || text::BLOB)"""
-  private val wavSql =
-    s"""(${hexBlob(0x52, 0x49, 0x46, 0x46, 0x00, 0x00, 0x00, 0x00,
-          0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20,
-          0x10, 0x00, 0x00, 0x00, 0x01, 0x00)}
-        || unhex(lpad(to_hex(1 + doc_id % 2), 2, '0')) || '\\x00'::BLOB
-        || unhex(lpad(to_hex($rateSql % 256), 2, '0'))
-        || unhex(lpad(to_hex($rateSql // 256), 2, '0')) || '\\x00\\x00'::BLOB
-        || ${hexBlob(0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
-          0x64, 0x61, 0x74, 0x61, 0x00, 0x00, 0x00, 0x00)}
-        || text::BLOB)"""
-  private val payloadCase =
-    s"CASE WHEN doc_id % 3 = 0 THEN $pngSql WHEN doc_id % 3 = 1 THEN $jpegSql ELSE $wavSql END"
 
-  /** Oracle-checked: sniffed format, byte length, fingerprint, AND the
-    * header metadata (PNG/JPEG width+height, WAV channels+sample rate) all
-    * match. Spark PARSES the dimensions back out of the binary headers
-    * (IHDR fixed offsets / SOF segment walk / fmt chunk); the oracle
-    * recomputes them from the planting formula — so a wrong parse
-    * hash-mismatches against the planted ground truth.
+  // ---- DuckDB hex-rebuild of the REAL rawMediaTable payloads -------------
+  // The oracle reconstructs every BMP/WAV byte from the planting formulas
+  // as an uppercase hex string (Spark's hex() is uppercase; DuckDB's
+  // to_hex lowercase, hence the upper()) — byte-exact, because neither
+  // format carries a checksum or entropy coding.
+  private def hb(e: String): String = s"upper(lpad(to_hex(($e) % 256), 2, '0'))"
+  private def le16Sql(e: String): String = s"(${hb(e)} || ${hb(s"($e) // 256")})"
+  private def le32Sql(e: String): String =
+    s"(${hb(e)} || ${hb(s"($e) // 256")} || ${hb(s"($e) // 65536")} || ${hb(s"($e) // 16777216")})"
+
+  /** [[MediaSynth.bmp]] as hex, over CTE columns (doc_id, w, h, stride):
+    * BITMAPFILEHEADER + BITMAPINFOHEADER, then bottom-up B,G,R rows padded
+    * to the 4-byte stride.
+    */
+  private val bmpHexSql =
+    s"""('424D' || ${le32Sql("54 + stride * h")}
+        || '0000000036000000' || '28000000'
+        || ${le32Sql("w")} || ${le32Sql("h")}
+        || '01001800' || '00000000' || ${le32Sql("stride * h")}
+        || repeat('00', 16)
+        || list_aggregate(list_transform(range(h), j ->
+             list_aggregate(list_transform(range(w), x ->
+                 ${hb("(5 * doc_id + 3 * x + 17 * (h - 1 - j)) % 256")}
+              || ${hb("(3 * doc_id + 5 * x + 11 * (h - 1 - j)) % 256")}
+              || ${hb("(doc_id + 7 * x + 13 * (h - 1 - j)) % 256")}),
+               'string_agg', '') || repeat('00', stride - 3 * w)),
+             'string_agg', ''))"""
+
+  /** [[MediaSynth.wav]] as hex, over CTE columns (doc_id, n, rate): the
+    * canonical 44-byte RIFF/fmt/data header with true sizes, then the
+    * planted samples as little-endian 16-bit words.
+    */
+  private val wavHexSql =
+    s"""('52494646' || ${le32Sql("2 * n + 36")}
+        || '57415645666D7420' || '10000000' || '0100' || '0100'
+        || ${le32Sql("rate")} || ${le32Sql("rate * 2")}
+        || '0200' || '1000' || '64617461' || ${le32Sql("2 * n")}
+        || list_aggregate(list_transform(range(n), i ->
+             ${le16Sql("(doc_id * 7919 + i * 104729) % 65536")}),
+             'string_agg', ''))"""
+
+  /** Shared CTE: (media_id, hx) — the full rawMediaTable payload hex. */
+  private val rawHexCte =
+    s"""g AS (
+        SELECT doc_id,
+               4 + doc_id % 8 AS w, 4 + doc_id % 6 AS h,
+               (((4 + doc_id % 8) * 3 + 3) // 4) * 4 AS stride,
+               64 + doc_id % 64 AS n,
+               $rateSql AS rate
+        FROM documents
+      ),
+      m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN $bmpHexSql ELSE $wavHexSql END AS hx
+        FROM g
+      )"""
+
+  /** Oracle-checked metadata parse over REAL files ([[realMediaTable]]):
+    * Spark sniffs the format from the magic bytes and PARSES the
+    * dimensions back out of the binary headers (IHDR fixed offsets / SOF
+    * segment walk across the preceding DQT / fmt chunk); the oracle
+    * recomputes everything from the planting formulas — format, byte
+    * accounting (closed-form for PNG's fixed framing + stored-deflate and
+    * WAV's true RIFF sizes; JPEG's entropy-coded length has no closed
+    * form, so that cell is pinned null on both sides), and the planted
+    * width/height/channels/rate. The payload BYTES are pinned by
+    * MultimodalSpec's ImageIO / java.nio reference decodes — this row
+    * pins that the header parse extracts the truth from them.
     */
   val q_mm_metadata: Q = Q(
     "q_mm_metadata",
     Some(s"""
-      WITH m AS (SELECT doc_id AS media_id, doc_id, $payloadCase AS payload FROM documents)
-      SELECT media_id,
-             ${magics.map(m => s"WHEN hex(payload)[1:${m.hexPrefix.length}] = '${m.hexPrefix}' THEN '${m.format}'").mkString("CASE ", " ", " ELSE 'unknown' END")} AS format,
-             octet_length(payload) AS n_bytes,
-             md5(hex(payload)) AS fingerprint,
-             CASE WHEN doc_id % 3 IN (0, 1) AND payload IS NOT NULL
-                  THEN CAST(16 + doc_id % 64 AS INT) END AS width,
-             CASE WHEN doc_id % 3 IN (0, 1) AND payload IS NOT NULL
-                  THEN CAST(16 + doc_id % 48 AS INT) END AS height,
-             CASE WHEN doc_id % 3 = 2 AND payload IS NOT NULL
-                  THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
-             CASE WHEN doc_id % 3 = 2 AND payload IS NOT NULL
-                  THEN CAST($rateSql AS BIGINT) END AS sample_rate
-      FROM m
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+             CASE doc_id % 3
+               WHEN 0 THEN CAST(68 + (4 + doc_id % 5) * ((4 + doc_id % 7) * 3 + 1) AS BIGINT)
+               WHEN 2 THEN CAST(44 + 2 * (64 + doc_id % 64) AS BIGINT)
+             END AS n_bytes,
+             CASE doc_id % 3
+               WHEN 0 THEN CAST(4 + doc_id % 7 AS INT)
+               WHEN 1 THEN CAST(8 * (1 + doc_id % 3) AS INT)
+             END AS width,
+             CASE doc_id % 3
+               WHEN 0 THEN CAST(4 + doc_id % 5 AS INT)
+               WHEN 1 THEN CAST(8 * (1 + doc_id % 2) AS INT)
+             END AS height,
+             CASE WHEN doc_id % 3 = 2 THEN CAST(1 AS INT) END AS channels,
+             CASE WHEN doc_id % 3 = 2 THEN CAST($rateSql AS BIGINT) END AS sample_rate
+      FROM documents
       ORDER BY media_id
     """),
   ) { (s, d) =>
@@ -431,12 +457,11 @@ object Multimodal {
     val jpg = jpegDimensions(col("payload"))
     val wav = wavInfo(col("payload"))
     val fmt = sniffFormat(col("payload"))
-    mediaTable(Tables.documents(s, d))
+    realMediaTable(Tables.documents(s, d))
       .select(
         col("media_id"),
         fmt.as("format"),
-        length(col("payload")).cast(LongType).as("n_bytes"),
-        fingerprint(col("payload")).as("fingerprint"),
+        when(fmt =!= "jpeg", length(col("payload")).cast(LongType)).as("n_bytes"),
         when(fmt === "png", png.getField("width"))
           .when(fmt === "jpeg", jpg.getField("width")).as("width"),
         when(fmt === "png", png.getField("height"))
@@ -447,23 +472,25 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Oracle-checked frame accounting: the chunker's row count and byte
-    * totals against DuckDB arithmetic, plus the first frame's digest via
-    * the hex-slice rendering (identical string on both engines).
+  /** Oracle-checked frame accounting over REAL files ([[rawMediaTable]]):
+    * the chunker's row count and byte totals against DuckDB arithmetic,
+    * plus the first frame's digest — the oracle rebuilds the genuine
+    * BMP/WAV payload hex byte-for-byte from the planting formulas
+    * ([[rawHexCte]]), so the digest check hashes real file bytes.
     */
   val q_mm_frames: Q = Q(
     "q_mm_frames",
     Some(s"""
-      WITH m AS (SELECT doc_id AS media_id, $payloadCase AS payload FROM documents)
+      WITH $rawHexCte
       SELECT media_id,
-             CAST(ceil(octet_length(payload) / 16.0) AS BIGINT) AS n_frames,
-             octet_length(payload) AS sum_frame_bytes,
-             md5(hex(payload)[1:32]) AS first_frame_md5
+             CAST(ceil((length(hx) // 2) / 16.0) AS BIGINT) AS n_frames,
+             length(hx) // 2 AS sum_frame_bytes,
+             md5(substring(hx, 1, 32)) AS first_frame_md5
       FROM m
       ORDER BY media_id
     """),
   ) { (s, d) =>
-    frames(mediaTable(Tables.documents(s, d)), frameSize = 16)
+    frames(rawMediaTable(Tables.documents(s, d)), frameSize = 16)
       .groupBy("media_id")
       .agg(
         count(lit(1)).as("n_frames"),
@@ -482,14 +509,13 @@ object Multimodal {
   val q_mm_features: Q = Q(
     "q_mm_features",
     Some(s"""
-      WITH m AS (SELECT doc_id AS media_id, $payloadCase AS payload FROM documents),
-      h AS (SELECT media_id, hex(payload) AS hx FROM m),
+      WITH $rawHexCte,
       -- unnest(range(n)) rather than generate_series: the table function
       -- cannot take lateral column parameters in this DuckDB build
       u AS (
         SELECT media_id, hx,
                CAST(unnest(range(CAST(ceil(length(hx) / 128.0) AS BIGINT))) AS INT) AS frame_idx
-        FROM h
+        FROM m
       ),
       f AS (
         SELECT media_id, frame_idx,
@@ -503,7 +529,7 @@ object Multimodal {
       ORDER BY media_id, frame_idx, dim
     """),
   ) { (s, d) =>
-    frameFeatures(frames(mediaTable(Tables.documents(s, d)), frameSize = 64))
+    frameFeatures(frames(rawMediaTable(Tables.documents(s, d)), frameSize = 64))
       .select(col("media_id"), col("frame_idx"),
         posexplode(col("feature")).as(Seq("dim", "value")))
       .orderBy("media_id", "frame_idx", "dim")
@@ -519,8 +545,8 @@ object Multimodal {
   val q_mm_resize: Q = Q(
     "q_mm_resize",
     Some(s"""
-      WITH m AS (SELECT doc_id AS media_id, $payloadCase AS payload FROM documents),
-      h AS (SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS hx FROM m)
+      WITH $rawHexCte,
+      h AS (SELECT media_id, length(hx) // 2 AS n_bytes, hx FROM m)
       SELECT media_id,
              n_bytes,
              CAST(ceil(n_bytes / 4.0) AS BIGINT) AS n_bytes_resized,
@@ -534,7 +560,7 @@ object Multimodal {
   ) { (s, d) =>
     graft.functions.BinaryFunctions.ensureRegistered(s)
     val resized = graft.functions.BinaryFunctions.byteStride(col("payload"), 4)
-    mediaTable(Tables.documents(s, d))
+    rawMediaTable(Tables.documents(s, d))
       .select(
         col("media_id"),
         length(col("payload")).cast(LongType).as("n_bytes"),
@@ -866,6 +892,63 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** AC-bearing sibling of [[q_mm_jpeg_pixels]] — the AC-exact oracle row:
+    * every block carries its DC plus ONE planted AC at zig-zag index 10
+    * ((u, v) = (0, 4)), where reconstruction is the INTEGER
+    * 128 + dc + ac·s(y), s(y) = +1 for y%4 ∈ {0,3} else −1 (see
+    * [[MediaSynth.jpegAc]] for why the double IDCT's cosine noise
+    * vanishes under rounding). The full AC run-length decode path —
+    * run-9 zero skip, size-1/2 magnitude EXTEND, per-block EOB — is
+    * therefore HASH-checked against a planted formula, not
+    * tolerance-pinned; n_ac_coeffs = n_blocks pins that the AC layer
+    * really decoded one coefficient per block.
+    */
+  val q_mm_jpeg_pixels_ac: Q = Q(
+    "q_mm_jpeg_pixels_ac",
+    Some("""
+      WITH dim AS (
+        SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS i
+        FROM dim
+      ), v AS (
+        SELECT doc_id, w, h, i,
+               48 + (doc_id + 5 * ((i % w) // 8) + 11 * ((i // w) // 8)) % 160
+                 + (1 + (doc_id + (i % w) // 8 + (i // w) // 8) % 3)
+                   * (CASE WHEN (doc_id + (i % w) // 8 + (i // w) // 8) % 2 = 0
+                           THEN 1 ELSE -1 END)
+                   * (CASE WHEN (i // w) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS val
+        FROM px
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             CAST(min((w // 8) * (h // 8)) AS BIGINT) AS n_blocks,
+             count(*) AS n_pixels,
+             CAST(sum(val) AS BIGINT) AS sum_luma,
+             CAST(sum((i + 1) * val) AS BIGINT) AS wsum_luma,
+             CAST(min((w // 8) * (h // 8)) AS BIGINT) AS n_ac_coeffs,
+             sum(val) * 1.0 / count(*) AS mean_luma
+      FROM v GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    graft.functions.JpegFunctions.ensureRegistered(s)
+    jpegAcTable(Tables.documents(s, d))
+      .select(col("media_id"),
+        graft.functions.JpegFunctions.jpegStats(col("payload")).as("st"))
+      .select(
+        col("media_id"),
+        col("st.w").as("width"), col("st.h").as("height"),
+        col("st.n_blocks").as("n_blocks"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_luma").as("sum_luma"),
+        col("st.wsum_luma").as("wsum_luma"),
+        col("st.n_ac_coeffs").as("n_ac_coeffs"))
+      .withColumn("mean_luma", col("sum_luma") * lit(1.0) / col("n_pixels"))
+      .orderBy("media_id")
+  }
+
   /** The stored-deflate PNG decoder over any (media_id, payload) frame —
     * factored out of [[q_mm_png_pixels]] so MultimodalSpec can drive it
     * over deliberately corrupted payloads and watch the integrity columns
@@ -902,5 +985,5 @@ object Multimodal {
   def all: Seq[Q] =
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio,
       q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn,
-      q_mm_jpeg_pixels)
+      q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac)
 }

@@ -10,7 +10,7 @@ class MultimodalSpec extends SparkSpec {
   private def docs = Tables.documents(spark, sf())
 
   test("sniffed format always matches the declared magic header") {
-    val media = Multimodal.mediaTable(docs)
+    val media = Multimodal.realMediaTable(docs)
     val mismatches = media
       .filter(Multimodal.sniffFormat(col("payload")) =!= col("declared_format"))
       .count()
@@ -21,7 +21,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frames reassemble exactly into the original payload") {
-    val media = Multimodal.mediaTable(docs.filter(col("doc_id") < 10))
+    val media = Multimodal.rawMediaTable(docs.filter(col("doc_id") < 10))
     val reassembled = Multimodal.frames(media, frameSize = 7)
       .groupBy("media_id")
       .agg(concat_ws("",
@@ -39,21 +39,28 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("header metadata parses back to the planted dimensions for every row") {
-    val media = Multimodal.mediaTable(docs)
+    // real files now: the parse must recover each MediaSynth builder's
+    // planted geometry (png 4+id%7 × 4+id%5, jpeg 8(1+id%3) × 8(1+id%2),
+    // wav mono at the id%4 rate table)
+    val media = Multimodal.realMediaTable(docs)
       .withColumn("doc_id", col("media_id"))
     val png = media.filter(col("declared_format") === "png")
       .select(Multimodal.pngDimensions(col("payload")).as("d"), col("doc_id"))
-    assert(png.filter(col("d.width") =!= lit(16) + pmod(col("doc_id"), lit(64))
-      || col("d.height") =!= lit(16) + pmod(col("doc_id"), lit(48))).count() === 0)
+    assert(png.filter(col("d.width") =!= lit(4) + pmod(col("doc_id"), lit(7))
+      || col("d.height") =!= lit(4) + pmod(col("doc_id"), lit(5))).count() === 0)
     assert(png.filter(col("d").isNull).count() === 0)
     val jpg = media.filter(col("declared_format") === "jpeg")
       .select(Multimodal.jpegDimensions(col("payload")).as("d"), col("doc_id"))
-    assert(jpg.filter(col("d.width") =!= lit(16) + pmod(col("doc_id"), lit(64))
-      || col("d.height") =!= lit(16) + pmod(col("doc_id"), lit(48))).count() === 0)
+    assert(jpg.filter(col("d.width") =!= lit(8) * (lit(1) + pmod(col("doc_id"), lit(3)))
+      || col("d.height") =!= lit(8) * (lit(1) + pmod(col("doc_id"), lit(2)))).count() === 0)
+    assert(jpg.filter(col("d").isNull).count() === 0)
     val wav = media.filter(col("declared_format") === "wav")
       .select(Multimodal.wavInfo(col("payload")).as("d"), col("doc_id"))
-    assert(wav.filter(col("d.channels") =!= lit(1) + pmod(col("doc_id"), lit(2))).count() === 0)
-    assert(wav.filter(col("d.sample_rate").isNull).count() === 0)
+    assert(wav.filter(col("d.channels") =!= lit(1)).count() === 0)
+    val rate = when(pmod(col("doc_id"), lit(4)) === 0, 8000L)
+      .when(pmod(col("doc_id"), lit(4)) === 1, 16000L)
+      .when(pmod(col("doc_id"), lit(4)) === 2, 22050L).otherwise(44100L)
+    assert(wav.filter(col("d.sample_rate") =!= rate).count() === 0)
   }
 
   test("jpeg segment walk finds SOF behind extra segments; junk input reads null") {
@@ -331,6 +338,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AC-exact JPEG: kernel equals the planted integer formula; entropy flips derail") {
+    // zig-zag-10 fixtures: reconstruction is the integer 128+dc+ac·s(y)
+    // (MediaSynth.jpegAc), so the kernel must match the formula EXACTLY —
+    // this is the deep check behind the q_mm_jpeg_pixels_ac oracle row
+    def s4(y: Int): Long = if (y % 4 == 0 || y % 4 == 3) 1L else -1L
+    for (id <- 0L until 12L) {
+      val payload = MediaSynth.jpegAc(id)
+      val st = graft.functions.JpegDecode.jpeg(payload)
+      assert(!st.isNullAt(3), s"AC-exact fixture $id must decode")
+      val (w, h) = (st.getInt(0), st.getInt(1))
+      def ac(bx: Long, by: Long): Long = {
+        val m = 1L + (id + bx + by) % 3
+        if ((id + bx + by) % 2 == 0) m else -m
+      }
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield 48L + (id + 5L * (x / 8) + 11L * (y / 8)) % 160 + ac(x / 8, y / 8) * s4(y)
+      assert(st.getLong(3) === vals.sum, s"sum_luma exact for $id")
+      assert(st.getLong(4) ===
+        vals.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum,
+        s"wsum_luma exact for $id")
+      assert(st.getLong(5) === st.getLong(2), s"one AC per block for $id")
+      // the files stay real JPEGs: ImageIO accepts them (its IDCT is the
+      // non-mandated tier, so parity is bounded, not bit-exact)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected AC-exact JPEG $id")
+      val raster = img.getRaster
+      val refSum = (for (y <- 0 until h; x <- 0 until w)
+        yield raster.getSample(x, y, 0).toLong).sum
+      assert(math.abs(st.getLong(3) - refSum) <= w.toLong * h,
+        s"AC-exact sum beyond IDCT tolerance for $id")
+    }
+    // corruption trigger: a flipped bit in the AC entropy region must
+    // change the decoded sums or derail the stream — never silently agree
+    val sample = MediaSynth.jpegAc(7L)
+    val goodSum = graft.functions.JpegDecode.jpeg(sample).getLong(3)
+    val bad = sample.clone()
+    bad(bad.length - 4) = (bad(bad.length - 4) ^ 0x20).toByte
+    val st = graft.functions.JpegDecode.jpeg(bad)
+    assert(st.getInt(0) > 0, "geometry still parses")
+    assert(st.isNullAt(3) || st.getLong(3) != goodSum,
+      "an AC entropy flip cannot decode to the same sums")
+  }
+
   test("fixed-Huffman decoder integrity checks fire on corrupted bytes") {
     import spark.implicits._
     val good = Multimodal.pngFixedTable(docs.filter(col("doc_id") === 3))
@@ -393,14 +443,14 @@ class MultimodalSpec extends SparkSpec {
 
   test("stub features have the declared batch shape and range") {
     val feats = Multimodal.frameFeatures(
-      Multimodal.frames(Multimodal.mediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
+      Multimodal.frames(Multimodal.rawMediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
     val rows = feats.select("feature").collect().map(_.getSeq[Double](0))
     assert(rows.nonEmpty)
     assert(rows.forall(_.length === 8))
     assert(rows.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
     // deterministic: same input → same vectors
     val again = Multimodal.frameFeatures(
-      Multimodal.frames(Multimodal.mediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
+      Multimodal.frames(Multimodal.rawMediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
       .select("feature").collect().map(_.getSeq[Double](0))
     assert(rows.toSeq === again.toSeq)
   }
