@@ -1161,7 +1161,11 @@ object Dedup {
     // unique per (doc, position) — xxhash64 over a salt no shingle hash
     // path produces; the 2^-64 collision with a real shingle hash is the
     // same accepted tolerance as the hashed-posting design.
-    val m = pow(lit(2.0), ceil(log(2.0, col("sz")))).cast("long")
+    // ceil with the same 1e-9 backoff as alphaOf: the double ln-ratio log2
+    // can land fractionally ABOVE the integer at exact powers of two, which
+    // would double M and silently halve those docs' padded collision
+    // probability (recall-only, but avoidable)
+    val m = pow(lit(2.0), ceil(log(2.0, col("sz")) - lit(1e-9))).cast("long")
     val padded = sets.select(col("doc_id"),
       concat(col("shh"),
         when(m > col("sz"),
@@ -1200,7 +1204,8 @@ object Dedup {
     * fraction of the exact path's candidate stream; hub hashes land in a
     * sketch only at their uniform rate.
     */
-  def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16): DataFrame = {
+  def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16,
+      dfCap: Int = 64): DataFrame = {
     val sets = hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
     def kEffOf(sz: Column): Column = least(sz, lit(k))
     // minimum sampled hits the estimator demands (slack 0.3 absorbs
@@ -1217,7 +1222,20 @@ object Dedup {
       explode(slice(col("shh"), lit(1),
         (kEffOf(col("sz")) - bkAlpha(col("sz")) + 1).cast("int"))).as("h"))
     val posting = hashedPosting(sets).select(col("doc_id").as("j"), col("h"))
-    val cands = probes.join(posting, Seq("h"))
+    // df-capped probe index (r10 verdict task 6): a gram present in more
+    // than dfCap docs leaves the posting side — each such hub costs
+    // Ω(df) candidate rows PER PROBE while carrying almost no containment
+    // evidence, the same df-pruning role PPJoin's prefix bound plays on
+    // the exact path. The count-over-h window rides the h-partitioned
+    // exchange the join pays anyway. The only trade is recall through
+    // hub-only overlaps, and the estimator gate + exact rescore below are
+    // untouched (precision stays 1); DedupSpec pins recall ≥ 0.9 and the
+    // planted extreme-ratio pair against the capped path.
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val postingCapped = posting
+      .withColumn("df", count(lit(1)).over(byH))
+      .filter(col("df") <= dfCap).drop("df")
+    val cands = probes.join(postingCapped, Seq("h"))
       .filter(col("i") =!= col("j")).select("i", "j").distinct()
     val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
       slice(col("shh_i"), lit(1), kEffOf(col("sz_i")).cast("int")), col("shh_j"))
