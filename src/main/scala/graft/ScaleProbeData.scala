@@ -86,7 +86,12 @@ object ScaleProbeData {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
+    // optional 4th arg: comma-separated table subset — a FACTOR=100 probe
+    // of one pipeline doesn't need 60M amplified lineitem rows on disk
+    val Array(src, out, factorS) = args.take(3)
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else shiftCols.keySet
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -102,7 +107,7 @@ object ScaleProbeData {
         c -> (df.agg(max(col(c))).head.getLong(0) + 1L)
       }
     }.toMap
-    shiftCols.foreach { case (t, cols) =>
+    shiftCols.filter(kv => only(kv._1)).foreach { case (t, cols) =>
       amplify(t, spark.read.parquet(s"$src/$t.parquet"), cols, bases, factor)
         .repartition(math.max(spark.sparkContext.defaultParallelism, factor))
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
