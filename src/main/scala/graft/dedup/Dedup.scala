@@ -1110,6 +1110,58 @@ object Dedup {
     minHashLshJoin(Tables.documents(s, d), 0.5).orderBy("i", "j")
   }
 
+  // ------------------------------------- persisted LSH near-dup index
+
+  /** One row per doc for the PERSISTED LSH index: the 16 Jaccard band
+    * hashes as an array (MERGE requires a unique key per doc; probes
+    * posexplode them back out) alongside the sorted shingle-hash set the
+    * exact rescore needs. Same [[numBands]]×[[rowsPerBand]] geometry and
+    * xxhash64 chain as [[minHashLshJoin]], so index probes and the batch
+    * join agree bit-for-bit.
+    */
+  def lshIndexRows(docs: DataFrame): DataFrame = {
+    val sets = hashedShingleSets(docs).localCheckpoint()
+    val bandsArr = array((0 until numBands).map { j =>
+      xxhash64(lit(j) +: (0 until rowsPerBand)
+        .map(r => col(s"m${j * rowsPerBand + r}")): _*)
+    }: _*)
+    withSignature(sets)
+      .select(col("doc_id"), bandsArr.as("band_hashes"))
+      .join(sets.select("doc_id", "shh", "sz"), "doc_id")
+  }
+
+  /** Build the index as one committed SnapshotTable: the frozen-parameter
+    * near-dup registry a streaming corpus ingests against (see
+    * Streaming.dedupIngest). The band columns are 16 longs/doc; `shh`
+    * rides along for rescores and is column-pruned out of band probes.
+    */
+  def lshIndexBuild(docs: DataFrame, dir: String): Unit =
+    graft.io.SnapshotTable.create(lshIndexRows(docs), dir)
+
+  /** Probe the committed index with new docs: banded candidates against
+    * EVERY indexed doc (including rows merged this batch), exact-rescored
+    * from the stored sets — precision 1, recall the LSH curve, identical
+    * pair semantics to [[minHashLshJoin]] on the union corpus. The index
+    * must already contain the probe docs' rows (ingest merges first, then
+    * probes), so both rescore sides read from one snapshot.
+    */
+  def lshIndexProbe(newDocs: DataFrame, dir: String, t: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = graft.io.SnapshotTable.read(spark, dir)
+    def explodeBands(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        posexplode(col("band_hashes")).as(Seq("band", "band_hash")))
+    val probeBands = explodeBands(lshIndexRows(newDocs))
+    val cands = probeBands.as("a")
+      .join(explodeBands(idx).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
+    rescore(cands, idx.select("doc_id", "shh", "sz"), t)
+  }
+
   // ----------------------------------- asymmetric containment sketch
 
   /** Containment-sketch band geometry: shorter bands (2 rows × 32 bands over

@@ -149,20 +149,33 @@ object Curation {
     // benchmark decontamination: broadcast shingle semi-join (Dedup)
     val cont = Dedup.contaminatedIds(corpus, bench)
       .withColumn("is_contaminated", lit(true))
-    // language gate: any identified language passes; feature-less text fails
-    val lang = LangId.withLangId(corpus, col("text"), "lang_pred")
-      .select(col("doc_id"), (col("lang_pred") =!= "undetected").as("lang_ok"))
-    // structural quality + repetition gates (shared formulas, see TextAnalysis)
-    val qual = corpus.select(col("doc_id"),
-      TextAnalysis.qualityGate(col("text")).as("quality_ok"))
-    val gop = TextAnalysis.repetitionGates(corpus)
-      .select(col("doc_id"), col("passes_repetition_gate").as("repetition_ok"))
+    // The three ROW-LOCAL gates — language id, structural quality,
+    // repetition — fuse into ONE text scan: each is a compiled per-row
+    // kernel/expression, and the sf10 probe put a single full-text pass at
+    // 13–19 s, so the former three-frame formulation paid two avoidable
+    // corpus reads (plus two joins). Formulas are byte-identical to
+    // LangId.langId / TextAnalysis.qualityGate / repetitionGates — the
+    // repetition bound inlines repetitionGates' exact thresholds, with
+    // kernel-null (zero tokens) folding to false exactly as the dropped
+    // row did through the old left join.
+    graft.functions.LangIdFunctions.ensureRegistered(corpus.sparkSession)
+    graft.functions.TextFunctions.ensureRegistered(corpus.sparkSession)
+    val st = graft.functions.TextFunctions.repetitionStats(
+      filter(split(lower(col("text")), TextAnalysis.wsRe), t => t =!= ""))
+    val repOk = st.isNotNull &&
+      st.getField("top_uni") * lit(1.0) / st.getField("n_tokens") <= 0.2 &&
+      coalesce(st.getField("top_big") * lit(1.0) / st.getField("n_bigrams"),
+        lit(0.0)) <= 0.18 &&
+      st.getField("n_hapax") * lit(1.0) / st.getField("n_tokens") >= 0.1
+    val rowGates = corpus.select(
+      col("doc_id"),
+      (LangId.langId(col("text")) =!= "undetected").as("lang_ok"),
+      TextAnalysis.qualityGate(col("text")).as("quality_ok"),
+      repOk.as("repetition_ok"))
     corpus.select("doc_id")
       .join(dup, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
-      .join(lang, Seq("doc_id"), "left")
-      .join(qual, Seq("doc_id"), "left")
-      .join(gop, Seq("doc_id"), "left")
+      .join(rowGates, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("is_duplicate"), lit(false)).as("is_duplicate"),

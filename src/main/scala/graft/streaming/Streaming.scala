@@ -474,6 +474,67 @@ object Streaming {
       }
       .start()
 
+  /** documents landing schema (JSON lines, same columns as the batch
+    * table).
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+
+  /** Streaming near-dup detection against a COMMITTED MinHash-LSH index
+    * (Dedup.lshIndexBuild's layout) — how a crawling pipeline keeps its
+    * corpus deduplicated INCREMENTALLY instead of re-running the O(corpus)
+    * join per refresh: each micro-batch computes its docs' band hashes +
+    * shingle sets against the FROZEN banding parameters, MERGEs them into
+    * the index snapshot keyed by doc id (re-ingest upserts; the
+    * checkpoint-lineage batch-id skip makes post-crash replays no-ops),
+    * then probes the merged snapshot — banded candidates, exact rescore —
+    * so `sink` receives exactly the near-dup pairs involving this batch's
+    * docs, precision 1. Every pair of the growing corpus is reported
+    * exactly once: in the batch where its LATER member arrives (both
+    * members of the probe snapshot, one side from the batch). Per-batch
+    * cost is batch-size band probes against an equality-keyed join —
+    * never a corpus×corpus rescan — which is the operational difference
+    * between this and q_dedup_minhash_lsh at 100 TB.
+    */
+  def dedupIngest(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      t: Double,
+      sink: (DataFrame, Long) => Unit,
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery =
+    spark.readStream.options(options).schema(docSchema).json(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val runId = cdcRunId(checkpointDir)
+        val meta = graft.io.SnapshotTable.snapshot(spark, indexDir, None).meta
+        val applied = meta.get(cdcBatchIdKey).map(_.toLong)
+          .filter(_ => meta.get(cdcRunIdKey).contains(runId))
+        if (applied.exists(_ >= batchId)) ()
+        else {
+          val deduped = batch.dropDuplicates("doc_id").localCheckpoint()
+          if (!deduped.isEmpty) {
+            graft.io.SnapshotTable.merge(spark, indexDir,
+              graft.dedup.Dedup.lshIndexRows(deduped), "doc_id",
+              meta = Map(cdcBatchIdKey -> batchId.toString,
+                cdcRunIdKey -> runId))
+            sink(
+              graft.dedup.Dedup.lshIndexProbe(deduped, indexDir, t)
+                .withColumn("batch_id", lit(batchId)),
+              batchId)
+          }
+        }
+      }
+      .start()
+
   def psiDriftPerBatch(
       spark: SparkSession,
       landingDir: String,

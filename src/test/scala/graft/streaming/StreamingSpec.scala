@@ -483,6 +483,56 @@ class StreamingSpec extends SparkSpec {
     assert(postCompact === preCompact, "compaction changed probe results")
   }
 
+  test("streaming LSH dedup ingest: pairs = batch join on the union, reported once") {
+    import graft.dedup.Dedup
+    import graft.util.Tables
+    val landing = tmpDir("graft-stream-dedup")
+    val idx = tmpDir("graft-stream-lshidx") + "/index"
+    // three corpus slices: A is the pre-built index, B1/B2 stream in
+    val docs = Tables.documents(spark, sf()).localCheckpoint()
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    Dedup.lshIndexBuild(a, idx)
+    def land(name: String, m: Int): Unit = {
+      val lines = docs.filter(col("doc_id") % 3 === m)
+        .select(to_json(struct(col("doc_id"), col("text"), col("source"),
+          col("n_chars")))).collect().map(_.getString(0))
+      Files.writeString(Paths.get(landing, name), lines.mkString("", "\n", "\n"))
+    }
+    land("b1.json", 1)
+    land("b2.json", 2)
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    Streaming.dedupIngest(spark, landing, idx, tmpDir("graft-dedup-cp"), 0.5,
+      (df, id) => got(id) = df.select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.minHashLshJoin(df, 0.5).select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair of the union corpus whose LATER member streamed in is
+    // reported in exactly that member's batch; A-internal pairs are the
+    // index build's business and never re-reported
+    val expected = pairs(docs) -- pairs(a)
+    val streamed = got.values.flatten.toSet
+    assert(streamed === expected)
+    assert(got.values.map(_.size).sum === streamed.size, "no pair reported twice")
+    assert(streamed.nonEmpty, "fixture must contain cross-slice near-dups")
+    // the merged index now covers the whole corpus, one row per doc
+    assert(graft.io.SnapshotTable.read(spark, idx).count() ===
+      Dedup.lshIndexRows(docs).count())
+    // replay through a FRESH checkpoint: upserts are idempotent — same
+    // row count, and re-probing an unchanged index re-detects the same
+    // pairs (the registry is stable, not append-corrupted)
+    val got2 = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    Streaming.dedupIngest(spark, landing, idx, tmpDir("graft-dedup-cp2"), 0.5,
+      (df, id) => got2(id) = df.select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    assert(graft.io.SnapshotTable.read(spark, idx).count() ===
+      Dedup.lshIndexRows(docs).count())
+    assert(got2.values.flatten.toSet.subsetOf(pairs(docs)),
+      "replayed probes must stay within the union corpus pair set")
+  }
+
   test("per-batch PSI drift matches the batch computation for every micro-batch") {
     import spark.implicits._
     val dir = tmpDir("graft-stream-psi")
