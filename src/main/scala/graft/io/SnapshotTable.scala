@@ -510,6 +510,34 @@ object SnapshotTable {
     * turns a selective range query over a sorted-ish 100 TB table into a
     * few file reads, BEFORE parquet's own row-group pruning sees anything.
     */
+  /** Change feed between two committed versions, at the table's
+    * copy-on-write FILE granularity: rows in files the target manifest
+    * gained read as `_change_type = 'insert'`, rows in files it dropped as
+    * `'delete'`. A MERGE that rewrites a file re-emits its unchanged rows
+    * on both sides — exact per-row diffs would need row tracking — but the
+    * (delete, insert) pair CANCELS under any additive aggregate, which is
+    * precisely what incremental view maintenance consumes
+    * ([[IncrementalView]]); Delta/Iceberg CDF make the same file-granular
+    * trade for rewrites without deletion vectors. Versions need not be
+    * adjacent: the file-set diff is cumulative, and a file both added and
+    * removed inside the range correctly vanishes from both sides.
+    */
+  def changesBetween(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = snapshot(spark, dir, Some(fromVersion))
+    val to = snapshot(spark, dir, Some(toVersion))
+    def tagged(files: Seq[String], ddl: Option[String], tag: String) =
+      if (files.isEmpty) None
+      else Some(readFiles(spark, dir, files, ddl).withColumn("_change_type", lit(tag)))
+    val parts = tagged(to.files.diff(from.files), to.schemaDdl, "insert").toSeq ++
+      tagged(from.files.diff(to.files), from.schemaDdl, "delete").toSeq
+    if (parts.isEmpty)
+      read(spark, dir, Some(toVersion)).limit(0).withColumn("_change_type", lit("insert"))
+    else parts.reduce(_ unionByName _)
+  }
+
   def readRange(spark: SparkSession, dir: String, column: String,
       lower: Double, upper: Double, version: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, dir, version)

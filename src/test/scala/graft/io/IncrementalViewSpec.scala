@@ -1,0 +1,106 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The change feed + incremental-aggregate loop: every refresh must land
+  * the view exactly on the full recompute, reading only the delta files.
+  */
+class IncrementalViewSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def rows(xs: (Long, String, Long)*): DataFrame = {
+    import spark.implicits._
+    xs.toDF("doc_id", "source", "n_chars")
+  }
+
+  private def recompute(src: String): Set[(String, Long, Long)] =
+    SnapshotTable.read(spark, src)
+      .groupBy("source")
+      .agg(count(lit(1)).as("c"), sum("n_chars").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def viewRows(view: String): Set[(String, Long, Long)] =
+    SnapshotTable.read(spark, view)
+      .select("source", IncrementalView.countCol, "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("changes between versions cancel to the table diff under addition") {
+    val src = tmp("graft-cdf")
+    SnapshotTable.create(rows((1, "a", 10), (2, "a", 20), (3, "b", 5)), src)
+    SnapshotTable.merge(spark, src,
+      rows((2, "a", 25), (4, "b", 7)), "doc_id") // update + insert
+    val ch = SnapshotTable.changesBetween(spark, src, 1, 2)
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val net = ch.agg(sum(sign * col("n_chars")), sum(sign)).head()
+    // net additive effect = (25-20) + 7 chars, (+1 insert) rows — the
+    // rewritten file's unchanged rows appear on both sides and cancel
+    assert(net.getLong(0) === 12L)
+    assert(net.getLong(1) === 1L)
+    // non-adjacent range equals the cumulative diff
+    SnapshotTable.merge(spark, src, rows((5, "c", 100)), "doc_id")
+    val ch13 = SnapshotTable.changesBetween(spark, src, 1, 3)
+    val net13 = ch13.agg(sum(sign * col("n_chars"))).head().getLong(0)
+    assert(net13 === 12L + 100L)
+    // empty range: no changes
+    assert(SnapshotTable.changesBetween(spark, src, 3, 3).count() === 0)
+  }
+
+  test("incremental refresh equals full recompute across updates and deletes") {
+    val src = tmp("graft-mv-src")
+    val view = tmp("graft-mv-view")
+    SnapshotTable.create(
+      rows((1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "b", 7), (5, "c", 1)), src)
+    IncrementalView.create(spark, src, view, Seq("source"), Seq("n_chars"))
+    assert(viewRows(view) === recompute(src))
+
+    // commit 2: updates shift values, inserts add a new key
+    SnapshotTable.merge(spark, src,
+      rows((2, "a", 200), (6, "d", 50), (7, "a", 3)), "doc_id")
+    // commit 3 BEFORE refreshing: refresh must absorb both commits at once
+    SnapshotTable.merge(spark, src, rows((8, "c", 9)), "doc_id")
+    val v = IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    assert(v === 3)
+    assert(viewRows(view) === recompute(src))
+
+    // commit 4: tombstone every doc of source c — its ledger row must drop
+    import spark.implicits._
+    val del = Seq((5L, "c", 1L, true), (8L, "c", 9L, true))
+      .toDF("doc_id", "source", "n_chars", "gone")
+    SnapshotTable.merge(spark, src, del, "doc_id", deleteCol = Some("gone"))
+    IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    assert(viewRows(view) === recompute(src))
+    assert(!viewRows(view).exists(_._1 == "c"), "net-zero key must leave the view")
+
+    // idempotence: nothing new to reflect — same version back, no commit
+    val vPre = SnapshotTable.latestVersion(view)
+    val again = IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    assert(again === 4)
+    assert(SnapshotTable.latestVersion(view) === vPre, "no-op refresh must not commit")
+  }
+
+  test("refresh reads the delta, not the table") {
+    val src = tmp("graft-mv-delta")
+    val view = tmp("graft-mv-delta-view")
+    // base: many rows across many files; delta: one small commit
+    import spark.implicits._
+    SnapshotTable.create(
+      (1L to 2000L).map(i => (i, s"s${i % 8}", i)).toDF("doc_id", "source", "n_chars")
+        .repartition(8), src)
+    IncrementalView.create(spark, src, view, Seq("source"), Seq("n_chars"))
+    SnapshotTable.merge(spark, src, rows((2001L, "s1", 42)), "doc_id")
+    val ch = SnapshotTable.changesBetween(
+      spark, src, 1, SnapshotTable.latestVersion(src))
+    // the feed carries the new file only — a fraction of the 2000-row table
+    assert(ch.count() < 100,
+      s"change feed read ${ch.count()} rows for a 1-row commit")
+    IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    assert(viewRows(view) === recompute(src))
+  }
+}
