@@ -918,9 +918,66 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** One incremental-ledger fixture per (session, sfDir): a SnapshotTable
+    * of the documents facts, its [[graft.io.IncrementalView]] ledger, then
+    * two deterministic commits (update docs with doc_id % 7 = 2 by +1000
+    * chars; tombstone docs with doc_id % 11 = 3) absorbed by ONE refresh
+    * from the change feed. Memoized like SparkEntry.fixture so bench
+    * re-runs time the refreshed view's read, not table construction.
+    */
+  private val mvCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def mvFixture(s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvCache.computeIfAbsent((s, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+      val base = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      graft.io.SnapshotTable.create(base, s"$dir/src")
+      graft.io.IncrementalView.create(s, s"$dir/src", s"$dir/view",
+        Seq("source"), Seq("n_chars"))
+      graft.io.SnapshotTable.merge(s, s"$dir/src",
+        base.filter(pmod(col("doc_id"), lit(7)) === 2)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        "doc_id")
+      graft.io.SnapshotTable.merge(s, s"$dir/src",
+        base.filter(pmod(col("doc_id"), lit(11)) === 3)
+          .withColumn("gone", lit(true)),
+        "doc_id", deleteCol = Some("gone"))
+      graft.io.IncrementalView.refresh(s, s"$dir/src", s"$dir/view",
+        Seq("source"), Seq("n_chars"))
+      dir
+    })
+
+  /** Incremental materialized ledger, oracle-checked end state: the view
+    * maintained PURELY from the change feed (two commits, one refresh —
+    * update + delete paths both exercised) must equal DuckDB's recompute
+    * of the post-commit table. A wrong file diff, sign, tombstone, or
+    * idempotence bug hash-mismatches.
+    */
+  val q_mv_ledger: Q = Q(
+    "q_mv_ledger",
+    Some("""
+      WITH eff AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 2 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 11 <> 3
+      )
+      SELECT source, count(*) AS mv_count, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM eff GROUP BY source ORDER BY source
+    """),
+  ) { (s, d) =>
+    graft.io.SnapshotTable.read(s, s"${mvFixture(s, d)}/view")
+      .select(col("source"), col(graft.io.IncrementalView.countCol).as("mv_count"),
+        col("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
-    q_sample_split, q_outlier_mad, q_histogram_equidepth, q_drift_psi)
+    q_sample_split, q_outlier_mad, q_histogram_equidepth, q_drift_psi,
+    q_mv_ledger)
 }
