@@ -535,6 +535,49 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ingestion that keeps a fact table AND its incremental
+    * ledger current — the full warehouse loop (ingest → change feed →
+    * materialized aggregate) in one foreachBatch: each micro-batch MERGEs
+    * into the source SnapshotTable (checkpoint-lineage batch-id skip, as
+    * every ingest here), then [[graft.io.IncrementalView.refresh]] rolls
+    * the ledger forward by reading exactly the files the new commits
+    * touched. The refresh keys off the ledger's recorded source version,
+    * so it is idempotent on its own: a crash after the table merge but
+    * before the refresh just leaves the next batch's refresh a two-commit
+    * delta, and a replayed batch refreshes into a no-op.
+    */
+  def ledgerIngest(
+      spark: SparkSession,
+      landingDir: String,
+      tableDir: String,
+      viewDir: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery =
+    spark.readStream.options(options).schema(docSchema).json(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val runId = cdcRunId(checkpointDir)
+        val meta = graft.io.SnapshotTable.snapshot(spark, tableDir, None).meta
+        val applied = meta.get(cdcBatchIdKey).map(_.toLong)
+          .filter(_ => meta.get(cdcRunIdKey).contains(runId))
+        val deduped = batch.dropDuplicates("doc_id").localCheckpoint()
+        if (!applied.exists(_ >= batchId) && !deduped.isEmpty) {
+          graft.io.SnapshotTable.merge(spark, tableDir,
+            deduped.select("doc_id", "source", "n_chars"), "doc_id",
+            meta = Map(cdcBatchIdKey -> batchId.toString, cdcRunIdKey -> runId))
+        }
+        // roll the ledger to whatever the table now holds — also heals a
+        // prior crash between merge and refresh
+        graft.io.IncrementalView.refresh(spark, tableDir, viewDir, keys, sumCols)
+        ()
+      }
+      .start()
+
   def psiDriftPerBatch(
       spark: SparkSession,
       landingDir: String,

@@ -533,6 +533,46 @@ class StreamingSpec extends SparkSpec {
       "replayed probes must stay within the union corpus pair set")
   }
 
+  test("streaming ledger ingest: view tracks the table through every batch") {
+    import graft.io.{IncrementalView, SnapshotTable}
+    import graft.util.Tables
+    val landing = tmpDir("graft-stream-ledger")
+    val tableDir = tmpDir("graft-stream-ledger-t") + "/src"
+    val viewDir = tmpDir("graft-stream-ledger-v") + "/view"
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "source", "n_chars").localCheckpoint()
+    SnapshotTable.create(docs.filter(col("doc_id") % 3 === 0), tableDir)
+    IncrementalView.create(spark, tableDir, viewDir, Seq("source"), Seq("n_chars"))
+    def land(name: String, m: Int): Unit = {
+      val lines = docs.filter(col("doc_id") % 3 === m)
+        .select(to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
+        .collect().map(_.getString(0))
+      Files.writeString(Paths.get(landing, name), lines.mkString("", "\n", "\n"))
+    }
+    land("b1.json", 1)
+    land("b2.json", 2)
+    Streaming.ledgerIngest(spark, landing, tableDir, viewDir,
+      tmpDir("graft-ledger-cp"), Seq("source"), Seq("n_chars"),
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    def ledger(): Set[(String, Long, Long)] =
+      SnapshotTable.read(spark, viewDir)
+        .select("source", IncrementalView.countCol, "n_chars")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SnapshotTable.read(spark, tableDir)
+      .groupBy("source").agg(count(lit(1)), sum("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(SnapshotTable.read(spark, tableDir).count() === docs.count(),
+      "every streamed doc must land in the fact table")
+    assert(ledger() === want)
+    // replay through a fresh checkpoint: merges upsert identical rows,
+    // refresh sees no new source version — ledger and table unchanged
+    Streaming.ledgerIngest(spark, landing, tableDir, viewDir,
+      tmpDir("graft-ledger-cp2"), Seq("source"), Seq("n_chars"),
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    assert(SnapshotTable.read(spark, tableDir).count() === docs.count())
+    assert(ledger() === want)
+  }
+
   test("per-batch PSI drift matches the batch computation for every micro-batch") {
     import spark.implicits._
     val dir = tmpDir("graft-stream-psi")
