@@ -120,6 +120,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.multimodal.PngDynamicSynth], es => graft.multimodal.PngDynamicSynth(es.head)),
       (graft.multimodal.MediaSynthFunctions.jpegName,
         classOf[graft.multimodal.JpegSynth], es => graft.multimodal.JpegSynth(es.head)),
+      (graft.multimodal.MediaSynthFunctions.jpegAcName,
+        classOf[graft.multimodal.JpegAcSynth], es => graft.multimodal.JpegAcSynth(es.head)),
       (graft.multimodal.MediaSynthFunctions.bmpName,
         classOf[graft.multimodal.BmpSynth], es => graft.multimodal.BmpSynth(es.head)),
       (graft.multimodal.MediaSynthFunctions.wavName,

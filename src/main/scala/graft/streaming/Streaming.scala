@@ -518,19 +518,23 @@ object Streaming {
         val meta = graft.io.SnapshotTable.snapshot(spark, indexDir, None).meta
         val applied = meta.get(cdcBatchIdKey).map(_.toLong)
           .filter(_ => meta.get(cdcRunIdKey).contains(runId))
-        if (applied.exists(_ >= batchId)) ()
-        else {
-          val deduped = batch.dropDuplicates("doc_id").localCheckpoint()
-          if (!deduped.isEmpty) {
+        val deduped = batch.dropDuplicates("doc_id").localCheckpoint()
+        if (!deduped.isEmpty) {
+          // MERGE is exactly-once (batch-id skip); the sink is
+          // at-least-once: a crash AFTER the merge committed but before
+          // the sink ran must re-deliver this batch's pairs on replay, so
+          // the probe+sink runs even on the skip path — re-probing an
+          // already-merged batch is idempotent and returns the same pairs
+          if (!applied.exists(_ >= batchId)) {
             graft.io.SnapshotTable.merge(spark, indexDir,
               graft.dedup.Dedup.lshIndexRows(deduped), "doc_id",
               meta = Map(cdcBatchIdKey -> batchId.toString,
                 cdcRunIdKey -> runId))
-            sink(
-              graft.dedup.Dedup.lshIndexProbe(deduped, indexDir, t)
-                .withColumn("batch_id", lit(batchId)),
-              batchId)
           }
+          sink(
+            graft.dedup.Dedup.lshIndexProbe(deduped, indexDir, t)
+              .withColumn("batch_id", lit(batchId)),
+            batchId)
         }
       }
       .start()
