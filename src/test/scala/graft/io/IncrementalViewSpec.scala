@@ -85,6 +85,37 @@ class IncrementalViewSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(view) === vPre, "no-op refresh must not commit")
   }
 
+  test("random commit sequences: refresh-at-random-points equals recompute") {
+    // deterministic pseudo-random op stream (no RNG state, replayable):
+    // each commit upserts ~8 docs (key space 40 so updates, inserts, and
+    // re-inserts all occur) and tombstones ~3; the view refreshes only at
+    // irregular points so every refresh absorbs a multi-commit gap
+    val src = tmp("graft-mv-prop")
+    val view = tmp("graft-mv-prop-view")
+    def h(a: Long, b: Long): Long = math.abs(a * 6364136223846793005L + b * 9007199254740993L)
+    SnapshotTable.create(
+      rows((0L until 15L).map(i => (i, s"s${h(1, i) % 5}", h(2, i) % 1000)): _*), src)
+    IncrementalView.create(spark, src, view, Seq("source"), Seq("n_chars"))
+    for (commit <- 1 to 12) {
+      val ups = (0 until 8).map { j =>
+        val k = h(commit, j) % 40
+        (k, s"s${h(commit * 31 + 7, j) % 5}", h(commit * 17 + 3, j) % 1000)
+      }.distinctBy(_._1)
+      SnapshotTable.merge(spark, src, rows(ups: _*), "doc_id")
+      val dels = (0 until 3).map(j => h(commit * 13 + 11, j) % 40).distinct
+      import spark.implicits._
+      SnapshotTable.merge(spark, src,
+        SnapshotTable.read(spark, src)
+          .filter(col("doc_id").isin(dels: _*))
+          .withColumn("gone", lit(true)),
+        "doc_id", deleteCol = Some("gone"))
+      if (commit % 3 == 0 || commit == 12) {
+        IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+        assert(viewRows(view) === recompute(src), s"diverged at commit $commit")
+      }
+    }
+  }
+
   test("refresh reads the delta, not the table") {
     val src = tmp("graft-mv-delta")
     val view = tmp("graft-mv-delta-view")
