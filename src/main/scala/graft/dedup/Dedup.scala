@@ -1092,12 +1092,22 @@ object Dedup {
     // materialized once, ContextCleaner-owned, no CacheManager leak (see
     // setSimilarityJoin).
     val sets = hashedShingleSets(docs).localCheckpoint()
+    val bucket = Window.partitionBy("band", "band_hash")
     val banded = bandedHashes(withSignature(sets), numBands, rowsPerBand)
+      .withColumn("n", count(lit(1)).over(bucket))
+      .withColumn("rep", min("doc_id").over(bucket))
       .localCheckpoint()
+    // hub cap (see [[bandBucketCap]]): a bucket over the cap — a
+    // near-identical family whose minima agree in this band — keeps only
+    // its rep's star instead of the full i<j cross product; the window
+    // stats ride the exchange+sort the self-join needs anyway
+    val dense = col("a.n") > bandBucketCap
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && (!dense || col("a.doc_id") === col("a.rep")
+            || col("b.doc_id") === col("b.rep")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     rescore(cands, sets, t)
@@ -1151,11 +1161,25 @@ object Dedup {
     def explodeBands(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
         posexplode(col("band_hashes")).as(Seq("band", "band_hash")))
-    val probeBands = explodeBands(lshIndexRows(newDocs))
+    val probeBands = explodeBands(lshIndexRows(newDocs)).localCheckpoint()
+    // prune the index's postings to the probed buckets FIRST, then size
+    // what survives: the window stats cost one pass over only the hit
+    // postings, and a hub family in the INDEX (bucket > bandBucketCap)
+    // answers each probe with its rep's star instead of every member —
+    // the ingest dup gate only needs SOME detected pair, which the rep
+    // star preserves
+    val bucket = Window.partitionBy("band", "band_hash")
+    val idxHit = explodeBands(idx)
+      .join(probeBands.select("band", "band_hash").distinct(),
+        Seq("band", "band_hash"))
+      .withColumn("cn", count(lit(1)).over(bucket))
+      .withColumn("c_rep", min("doc_id").over(bucket))
     val cands = probeBands.as("a")
-      .join(explodeBands(idx).as("b"),
+      .join(idxHit.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") =!= col("b.doc_id"))
+          && col("a.doc_id") =!= col("b.doc_id")
+          && (col("b.cn") <= bandBucketCap
+            || col("b.doc_id") === col("b.c_rep")))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
       .distinct()
@@ -1207,8 +1231,51 @@ object Dedup {
     */
   def containmentSketchJoin(docs: DataFrame, t: Double): DataFrame = {
     val sets = hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
+    containmentRescore(containmentSketchCandidates(sets), sets, t)
+  }
+
+  /** Hub-bucket cap shared by every banded candidate join (symmetric
+    * Jaccard LSH, asymmetric containment sketch, persisted-index probes):
+    * in a (band, band_hash) bucket holding more than this many docs, only
+    * representative-STAR pairs survive (every member paired with the
+    * bucket's min-doc_id rep, O(|bucket|) rows) instead of the full cross
+    * product (O(|bucket|²)). Dense buckets are near-identical-document
+    * families — e.g. boilerplate replicated across a crawl — whose minima
+    * agree in nearly every band; uncapped they dominate candidate volume
+    * quadratically (the sf10 probe: 100-doc replica families × 32 bands
+    * drove the containment sketch 6.6 s → 280 s, 42× for 10× rows). Under
+    * the cap a true pair inside a dense bucket surfaces via its rep's star
+    * or via any band where the pair's bucket is sparse; member–member
+    * pairs of a family dense in EVERY band are reported only through the
+    * rep — exactly the connectivity the downstream consumers (duplicate
+    * clustering, canonical keep, leakage-safe split, ingest dup gate)
+    * need, and the documented recall trade for unclogging the quadratic
+    * hub term.
+    */
+  val bandBucketCap = 16L
+
+  /** Banded candidate generation for [[containmentSketchJoin]], split out
+    * so DedupSpec can pin the hub cap's candidate-volume bound directly.
+    *
+    * The cap costs no extra shuffle: per-side bucket size and rep come from
+    * unordered-frame window aggregates partitioned by (band, band_hash) —
+    * the exact exchange+sort the sort-merge candidate join needs anyway —
+    * and the star restriction rides IN the join condition, so a dense
+    * bucket's cross product is iterated (cheap compares inside SMJ) but
+    * never materialized into the distinct.
+    */
+  private[graft] def containmentSketchCandidates(sets: DataFrame): DataFrame = {
+    val bucket = Window.partitionBy("band", "band_hash")
+    // ONE signature pass over the real sets, shared by both sides: the
+    // query side bands it directly; the container side combines it with
+    // the (smaller) pad-only signature below instead of re-hashing the
+    // real elements a second time — minhash of a union is the elementwise
+    // least of the parts' minhashes
+    val sig = withSignature(sets).localCheckpoint()
     // query side: signature of A as-is
-    val qBanded = bandedHashes(withSignature(sets), cSketchBands, cSketchRows)
+    val qBanded = bandedHashes(sig, cSketchBands, cSketchRows)
+      .withColumn("qn", count(lit(1)).over(bucket))
+      .withColumn("q_rep", min("doc_id").over(bucket))
     // container side: pad B to M = 2^ceil(log2 |B|) with synthetic hashes
     // unique per (doc, position) — xxhash64 over a salt no shingle hash
     // path produces; the 2^-64 collision with a real shingle hash is the
@@ -1218,20 +1285,33 @@ object Dedup {
     // would double M and silently halve those docs' padded collision
     // probability (recall-only, but avoidable)
     val m = pow(lit(2.0), ceil(log(2.0, col("sz")) - lit(1e-9))).cast("long")
-    val padded = sets.select(col("doc_id"),
-      concat(col("shh"),
-        when(m > col("sz"),
-          transform(sequence(lit(1L), m - col("sz")),
-            p => xxhash64(lit("containment-pad"), col("doc_id"), p)))
-          .otherwise(array().cast(ArrayType(LongType)))).as("shh"))
-    val cBanded = bandedHashes(withSignature(padded), cSketchBands, cSketchRows)
-    val cands = qBanded.as("a")
+    val padOnly = sets.select(col("doc_id"),
+      when(m > col("sz"),
+        transform(sequence(lit(1L), m - col("sz")),
+          p => xxhash64(lit("containment-pad"), col("doc_id"), p)))
+        .otherwise(array().cast(ArrayType(LongType))).as("shh"))
+    val padSig = withSignature(padOnly).select(
+      col("doc_id") +: (0 until numHashes).map(i => col(s"m$i").as(s"p$i")): _*)
+    // left join: a doc already at a power-of-two size has no pad rows and
+    // keeps its real minima (least skips the null pad side)
+    val cSig = sig.join(padSig, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => least(col(s"m$i"), col(s"p$i")).as(s"m$i")): _*)
+    val cBanded = bandedHashes(cSig, cSketchBands, cSketchRows)
+      .withColumn("cn", count(lit(1)).over(bucket))
+      .withColumn("c_rep", min("doc_id").over(bucket))
+    val dense = col("a.qn") > bandBucketCap || col("b.cn") > bandBucketCap
+    // star around each side's OWN rep (guaranteed present in its bucket):
+    // pairs kept in a dense bucket are (q_rep × every container) ∪
+    // (every query × c_rep)
+    qBanded.as("a")
       .join(cBanded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") =!= col("b.doc_id"))
+          && col("a.doc_id") =!= col("b.doc_id")
+          && (!dense || col("a.doc_id") === col("a.q_rep")
+            || col("b.doc_id") === col("b.c_rep")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    containmentRescore(cands, sets, t)
   }
 
   /** Rows-only: the asymmetric banding isn't SQL-expressible; precision 1 /

@@ -121,6 +121,76 @@ class DedupSpec extends SparkSpec {
     assert(sketch.forall { case (i, j) => i != j })
   }
 
+  test("containment sketch: hub buckets star-capped, connectivity kept") {
+    // a 150-doc near-identical family (the boilerplate / replica-crawl
+    // shape): shared 60-token base + a 2-token unique tag, so every
+    // directed pair is a TRUE containment (~58/62 > 0.8) and the family
+    // shares 2-row band hashes in nearly every band. Uncapped, the band
+    // join would emit ~n^2 candidates (the sf10 42x blow-up); the hub cap
+    // must keep candidates star-bounded while the rescored OUTPUT still
+    // links every member into the family.
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val n = 150
+    val famIds = (1 to n).map(k => 200000L + k)
+    val spark2 = spark
+    import spark2.implicits._
+    val fam = famIds.map(id => (id, s"$base tagA$id tagB$id"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("synthetic")).withColumn("n_chars", lit(0))
+    val sets = Dedup.hashedShingleSets(fam)
+      .filter(col("sz") > 0).localCheckpoint()
+    val nCands = Dedup.containmentSketchCandidates(sets).count()
+    assert(nCands < 20L * n,
+      s"hub candidates not star-bounded: $nCands vs quadratic ~${n * (n - 1)}")
+    val pairs = pairSet(Dedup.containmentSketchJoin(fam, 0.8))
+    assert(pairs.nonEmpty && pairs.forall { case (i, j) => i != j })
+    val linked = pairs.flatMap { case (i, j) => Seq(i, j) }
+    assert(famIds.toSet.subsetOf(linked),
+      s"star must keep every family member reachable; missing ${famIds.toSet -- linked}")
+  }
+
+  test("minhash-LSH hub family: star-capped output, every member linked") {
+    // 150 near-identical docs (Jaccard ~0.88 > 0.5): uncapped banding
+    // would emit all ~n^2/2 true pairs; the hub cap must keep the output
+    // star-bounded while still linking every member into the family
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val n = 150
+    val famIds = (1 to n).map(k => 300000L + k)
+    val spark2 = spark
+    import spark2.implicits._
+    val fam = famIds.map(id => (id, s"$base tagA$id tagB$id"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("synthetic")).withColumn("n_chars", lit(0))
+    val pairs = pairSet(Dedup.minHashLshJoin(fam, 0.5))
+    assert(pairs.nonEmpty && pairs.size < 20 * n,
+      s"hub output not star-bounded: ${pairs.size} vs quadratic ~${n * (n - 1) / 2}")
+    val linked = pairs.flatMap { case (i, j) => Seq(i, j) }
+    assert(famIds.toSet.subsetOf(linked),
+      s"star must keep every member linked; missing ${famIds.toSet -- linked}")
+  }
+
+  test("LSH index probe: hub bucket in the index answers via its rep") {
+    val base = (1 to 60).map(i => s"v$i").mkString(" ")
+    val n = 120
+    val famIds = (1 to n).map(k => 400000L + k)
+    val spark2 = spark
+    import spark2.implicits._
+    def mk(ids: Seq[Long]) = ids.map(id => (id, s"$base tagA$id tagB$id"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("synthetic")).withColumn("n_chars", lit(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-hub").toString + "/idx"
+    Dedup.lshIndexBuild(mk(famIds), dir)
+    // ingest order: the new member is merged into the index, then probed
+    val newId = 400000L + n + 1
+    graft.io.SnapshotTable.merge(spark,
+      dir, Dedup.lshIndexRows(mk(Seq(newId))), "doc_id")
+    val pairs = pairSet(Dedup.lshIndexProbe(mk(Seq(newId)), dir, 0.5))
+    assert(pairs.exists { case (i, j) => i == newId || j == newId },
+      s"probe must link the new member into the hub family: $pairs")
+    assert(pairs.size < 60,
+      s"hub probe not star-bounded: ${pairs.size} pairs for one probe doc")
+  }
+
   test("bottom-k containment: precision 1, recall >= 0.9, finds extreme ratios") {
     val exact = pairSet(Dedup.containmentJoin(docs, 0.8))
     val bk = pairSet(Dedup.containmentBottomKJoin(docs, 0.8))
