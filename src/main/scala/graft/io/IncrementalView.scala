@@ -31,6 +31,9 @@ object IncrementalView {
   private val keyCol = "mv_key"
   private val dropCol = "mv_drop"
 
+  def minName(c: String): String = s"mv_min_$c"
+  def maxName(c: String): String = s"mv_max_$c"
+
   // unit-separator join, NUL marker for SQL null: distinct key tuples
   // cannot collide unless a key VALUE itself contains the separators
   private def mvKey(keys: Seq[String]) =
@@ -41,11 +44,15 @@ object IncrementalView {
     * version.
     */
   def create(spark: SparkSession, sourceDir: String, viewDir: String,
-      keys: Seq[String], sumCols: Seq[String]): Int = {
+      keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Int = {
     val v = SnapshotTable.latestVersion(sourceDir)
     val agg = SnapshotTable.read(spark, sourceDir, Some(v))
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(countCol), sumCols.map(c => sum(col(c)).as(c)): _*)
+      .agg(count(lit(1)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)) ++
+          minCols.map(c => min(col(c)).as(minName(c))) ++
+          maxCols.map(c => max(col(c)).as(maxName(c))): _*)
       .withColumn(keyCol, mvKey(keys))
     SnapshotTable.create(agg, viewDir, meta = Map(sourceVersionKey -> v.toString))
     v
@@ -54,9 +61,21 @@ object IncrementalView {
   /** Refresh the view to the source's latest version from the change feed
     * alone; returns the source version the view now reflects (equal input
     * and output version = the refresh was a no-op).
+    *
+    * min/max are NOT additive, so they ride the classic view-maintenance
+    * split: inserts tighten an extremum for free (`least`/`greatest` with
+    * the delta's insert-side extremum), and only keys where a DELETED value
+    * ties the stored extremum — the one case where the true new extremum is
+    * unknowable from the delta — fall back to an exact per-key recompute
+    * (semi-join of the source at `latest` against just those keys; with the
+    * source clustered on the view key the [[SnapshotTable]] zone maps prune
+    * that scan to the keys' own files). An update that rewrites the
+    * group-minimum row re-emits it as delete+insert in the feed, so it
+    * lands in the recompute set exactly when it must.
     */
   def refresh(spark: SparkSession, sourceDir: String, viewDir: String,
-      keys: Seq[String], sumCols: Seq[String]): Int = {
+      keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Int = {
     val have = SnapshotTable.snapshot(spark, viewDir, None).meta
       .getOrElse(sourceVersionKey,
         throw new IllegalStateException(
@@ -64,22 +83,68 @@ object IncrementalView {
       .toInt
     val latest = SnapshotTable.latestVersion(sourceDir)
     if (latest <= have) return have
-    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val isIns = col("_change_type") === "insert"
+    val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
     val delta = SnapshotTable.changesBetween(spark, sourceDir, have, latest)
       .groupBy(keys.map(col): _*)
-      .agg(sum(sign).as(countCol), sumCols.map(c => sum(sign * col(c)).as(c)): _*)
-    val valCols = countCol +: sumCols
-    val old = valCols.foldLeft(SnapshotTable.read(spark, viewDir, None))(
-      (df, c) => df.withColumnRenamed(c, s"__old_$c"))
+      .agg(sum(sign).as(countCol),
+        sumCols.map(c => sum(sign * col(c)).as(c)) ++
+          minCols.flatMap(c => Seq(
+            min(when(isIns, col(c))).as(s"__ins_min_$c"),
+            min(when(!isIns, col(c))).as(s"__del_min_$c"))) ++
+          maxCols.flatMap(c => Seq(
+            max(when(isIns, col(c))).as(s"__ins_max_$c"),
+            max(when(!isIns, col(c))).as(s"__del_max_$c"))): _*)
+    val addCols = countCol +: sumCols
+    val extCols = minCols.map(minName) ++ maxCols.map(maxName)
+    val old = (addCols ++ extCols)
+      .foldLeft(SnapshotTable.read(spark, viewDir, None))(
+        (df, c) => df.withColumnRenamed(c, s"__old_$c"))
       .drop(keyCol)
-    val changes = delta.join(old, keys, "left")
+    val joined = delta.join(old, keys, "left")
+    val newCount = coalesce(col(s"__old_$countCol"), lit(0L)) + col(countCol)
+    // the stored extremum is the true one, so a deleted value can only TIE
+    // it — equality is the recompute trigger (<=/>= keeps it robust should
+    // the feed ever over-deliver)
+    val tiesExtremum = (minCols.map(c =>
+      col(s"__del_min_$c") <= col(s"__old_${minName(c)}")) ++
+      maxCols.map(c => col(s"__del_max_$c") >= col(s"__old_${maxName(c)}")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val needsRecompute = newCount > 0 && coalesce(tiesExtremum, lit(false))
+    val fast = joined.filter(!needsRecompute)
       .select(
         keys.map(col) ++
-          valCols.map(c =>
+          addCols.map(c =>
             (coalesce(col(s"__old_$c"), lit(0L)) + col(c)).as(c)) ++
-          Seq(mvKey(keys).as(keyCol)): _*)
+          // least/greatest skip nulls: a brand-new key (old null) takes the
+          // insert-side extremum, a refresh with no inserts keeps the old
+          minCols.map(c =>
+            least(col(s"__old_${minName(c)}"), col(s"__ins_min_$c"))
+              .as(minName(c))) ++
+          maxCols.map(c =>
+            greatest(col(s"__old_${maxName(c)}"), col(s"__ins_max_$c"))
+              .as(maxName(c))): _*)
+    val changes =
+      if (minCols.isEmpty && maxCols.isEmpty) fast
+      else {
+        val rkeys = joined.filter(needsRecompute).select(keys.map(col): _*)
+        // null-safe semi-join: a null-valued group key is a real group in
+        // the view and must still reach the recompute scan
+        val rec = SnapshotTable.read(spark, sourceDir, Some(latest)).as("src")
+          .join(rkeys.as("rk"),
+            keys.map(k => col(s"src.$k") <=> col(s"rk.$k")).reduce(_ && _),
+            "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(countCol),
+            sumCols.map(c => sum(col(c)).as(c)) ++
+              minCols.map(c => min(col(c)).as(minName(c))) ++
+              maxCols.map(c => max(col(c)).as(maxName(c))): _*)
+        fast.unionByName(rec)
+      }
+    val upserts = changes
+      .withColumn(keyCol, mvKey(keys))
       .withColumn(dropCol, col(countCol) === 0)
-    SnapshotTable.merge(spark, viewDir, changes, keyCol,
+    SnapshotTable.merge(spark, viewDir, upserts, keyCol,
       deleteCol = Some(dropCol),
       meta = Map(sourceVersionKey -> latest.toString))
     latest

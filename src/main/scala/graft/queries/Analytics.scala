@@ -936,6 +936,10 @@ object Analytics {
       graft.io.SnapshotTable.create(base, s"$dir/src")
       graft.io.IncrementalView.create(s, s"$dir/src", s"$dir/view",
         Seq("source"), Seq("n_chars"))
+      // extrema twin over the same source: min/max ride the non-additive
+      // maintenance path (insert tightening + tie-triggered recompute)
+      graft.io.IncrementalView.create(s, s"$dir/src", s"$dir/view_ext",
+        Seq("source"), Nil, minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
       graft.io.SnapshotTable.merge(s, s"$dir/src",
         base.filter(pmod(col("doc_id"), lit(7)) === 2)
           .withColumn("n_chars", col("n_chars") + 1000),
@@ -946,6 +950,8 @@ object Analytics {
         "doc_id", deleteCol = Some("gone"))
       graft.io.IncrementalView.refresh(s, s"$dir/src", s"$dir/view",
         Seq("source"), Seq("n_chars"))
+      graft.io.IncrementalView.refresh(s, s"$dir/src", s"$dir/view_ext",
+        Seq("source"), Nil, minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
       dir
     })
 
@@ -974,10 +980,38 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** Non-additive incremental maintenance, oracle-checked end state: the
+    * min/max view refreshed from the change feed (the update commit
+    * re-emits group-extremum rows as delete+insert, forcing the
+    * tie-triggered per-key recompute; the delete commit removes rows
+    * outright) must equal DuckDB's direct recompute of the post-commit
+    * table. A wrong tie test, a missed recompute key, or an insert-side
+    * `least`/`greatest` slip hash-mismatches.
+    */
+  val q_mv_extrema: Q = Q(
+    "q_mv_extrema",
+    Some("""
+      WITH eff AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 2 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 11 <> 3
+      )
+      SELECT source, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM eff GROUP BY source ORDER BY source
+    """),
+  ) { (s, d) =>
+    graft.io.SnapshotTable.read(s, s"${mvFixture(s, d)}/view_ext")
+      .select(col("source"),
+        col(graft.io.IncrementalView.minName("n_chars")).as("min_chars"),
+        col(graft.io.IncrementalView.maxName("n_chars")).as("max_chars"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
     q_sample_split, q_outlier_mad, q_histogram_equidepth, q_drift_psi,
-    q_mv_ledger)
+    q_mv_ledger, q_mv_extrema)
 }

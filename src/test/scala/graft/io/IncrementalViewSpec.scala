@@ -116,6 +116,50 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("extrema view: random commit sequences equal recompute (min/max)") {
+    // same deterministic op stream as the additive property test, but the
+    // view maintains min/max — every refresh exercises the non-additive
+    // split: insert-side tightening, and the tie-triggered per-key
+    // recompute when a deleted (or update-rewritten) row held a group
+    // extremum. Values cycle over a small range so ties and extremum
+    // removals both occur.
+    def recomputeExt(src: String): Set[(String, Long, Long)] =
+      SnapshotTable.read(spark, src)
+        .groupBy("source")
+        .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def viewExt(view: String): Set[(String, Long, Long)] =
+      SnapshotTable.read(spark, view)
+        .select(col("source"), col(IncrementalView.minName("n_chars")),
+          col(IncrementalView.maxName("n_chars")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val src = tmp("graft-mv-ext")
+    val view = tmp("graft-mv-ext-view")
+    def h(a: Long, b: Long): Long = math.abs(a * 6364136223846793005L + b * 9007199254740993L)
+    SnapshotTable.create(
+      rows((0L until 15L).map(i => (i, s"s${h(1, i) % 5}", h(2, i) % 50)): _*), src)
+    IncrementalView.create(spark, src, view, Seq("source"), Nil,
+      minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+    for (commit <- 1 to 12) {
+      val ups = (0 until 8).map { j =>
+        val k = h(commit, j) % 40
+        (k, s"s${h(commit * 31 + 7, j) % 5}", h(commit * 17 + 3, j) % 50)
+      }.distinctBy(_._1)
+      SnapshotTable.merge(spark, src, rows(ups: _*), "doc_id")
+      val dels = (0 until 3).map(j => h(commit * 13 + 11, j) % 40).distinct
+      SnapshotTable.merge(spark, src,
+        SnapshotTable.read(spark, src)
+          .filter(col("doc_id").isin(dels: _*))
+          .withColumn("gone", lit(true)),
+        "doc_id", deleteCol = Some("gone"))
+      if (commit % 3 == 0 || commit == 12) {
+        IncrementalView.refresh(spark, src, view, Seq("source"), Nil,
+          minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+        assert(viewExt(view) === recomputeExt(src), s"diverged at commit $commit")
+      }
+    }
+  }
+
   test("refresh reads the delta, not the table") {
     val src = tmp("graft-mv-delta")
     val view = tmp("graft-mv-delta-view")
