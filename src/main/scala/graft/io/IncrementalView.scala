@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized aggregate over a [[SnapshotTable]] — the
@@ -45,9 +45,11 @@ object IncrementalView {
     */
   def create(spark: SparkSession, sourceDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Int = {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      rowFilter: Column = lit(true)): Int = {
     val v = SnapshotTable.latestVersion(sourceDir)
     val agg = SnapshotTable.read(spark, sourceDir, Some(v))
+      .filter(rowFilter)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
         sumCols.map(c => sum(col(c)).as(c)) ++
@@ -75,7 +77,8 @@ object IncrementalView {
     */
   def refresh(spark: SparkSession, sourceDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Int = {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      rowFilter: Column = lit(true)): Int = {
     val have = SnapshotTable.snapshot(spark, viewDir, None).meta
       .getOrElse(sourceVersionKey,
         throw new IllegalStateException(
@@ -85,7 +88,11 @@ object IncrementalView {
     if (latest <= have) return have
     val isIns = col("_change_type") === "insert"
     val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
+    // rowFilter commutes with the feed: a row outside the view's predicate
+    // contributes on neither side, whether inserted, deleted, or re-emitted
+    // by a rewrite — the standard partial-view maintenance identity
     val delta = SnapshotTable.changesBetween(spark, sourceDir, have, latest)
+      .filter(rowFilter)
       .groupBy(keys.map(col): _*)
       .agg(sum(sign).as(countCol),
         sumCols.map(c => sum(sign * col(c)).as(c)) ++
@@ -130,7 +137,8 @@ object IncrementalView {
         val rkeys = joined.filter(needsRecompute).select(keys.map(col): _*)
         // null-safe semi-join: a null-valued group key is a real group in
         // the view and must still reach the recompute scan
-        val rec = SnapshotTable.read(spark, sourceDir, Some(latest)).as("src")
+        val rec = SnapshotTable.read(spark, sourceDir, Some(latest))
+          .filter(rowFilter).as("src")
           .join(rkeys.as("rk"),
             keys.map(k => col(s"src.$k") <=> col(s"rk.$k")).reduce(_ && _),
             "left_semi")
@@ -149,4 +157,49 @@ object IncrementalView {
       meta = Map(sourceVersionKey -> latest.toString))
     latest
   }
+
+  /** Exact incremental COUNT(DISTINCT valueCol) per key, as a composition
+    * of two ADDITIVE views — no new maintenance logic:
+    *
+    *   level 1 (`viewDir/values`): multiplicity of every live
+    *     (keys, value) tuple, maintained from the SOURCE's change feed;
+    *     a tuple whose multiplicity reaches zero is tombstoned out.
+    *   level 2 (`viewDir/counts`): row count of level 1 per key,
+    *     maintained from LEVEL 1's OWN change feed — a distinct value
+    *     appearing is an insert there, the last copy vanishing is a
+    *     delete, and a multiplicity-only change is a rewrite whose
+    *     (delete, insert) pair cancels. `mv_count` in level 2 IS the
+    *     distinct count.
+    *
+    * Null values are excluded at level 1 (SQL COUNT(DISTINCT) semantics)
+    * via the partial-view `rowFilter`. At 100 TB the level-1 table is one
+    * row per distinct (key, value) — the honest floor for EXACT distinct;
+    * when an estimate suffices, an HLL-sketch column maintained
+    * insert-only is the swap, but it cannot absorb deletes, which is
+    * exactly what this composition buys.
+    */
+  def createDistinct(spark: SparkSession, sourceDir: String, viewDir: String,
+      keys: Seq[String], valueCol: String): Int = {
+    val v = create(spark, sourceDir, s"$viewDir/values", keys :+ valueCol,
+      Nil, rowFilter = col(valueCol).isNotNull)
+    create(spark, s"$viewDir/values", s"$viewDir/counts", keys, Nil)
+    v
+  }
+
+  /** Refresh both levels of a [[createDistinct]] view; returns the source
+    * version the composition now reflects.
+    */
+  def refreshDistinct(spark: SparkSession, sourceDir: String, viewDir: String,
+      keys: Seq[String], valueCol: String): Int = {
+    val v = refresh(spark, sourceDir, s"$viewDir/values", keys :+ valueCol,
+      Nil, rowFilter = col(valueCol).isNotNull)
+    refresh(spark, s"$viewDir/values", s"$viewDir/counts", keys, Nil)
+    v
+  }
+
+  /** The level-2 table of a [[createDistinct]] composition: one row per
+    * key, `mv_count` = exact COUNT(DISTINCT valueCol).
+    */
+  def readDistinct(spark: SparkSession, viewDir: String): DataFrame =
+    SnapshotTable.read(spark, s"$viewDir/counts")
 }

@@ -940,6 +940,9 @@ object Analytics {
       // maintenance path (insert tightening + tie-triggered recompute)
       graft.io.IncrementalView.create(s, s"$dir/src", s"$dir/view_ext",
         Seq("source"), Nil, minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+      // exact COUNT(DISTINCT) twin: the two-level additive composition
+      graft.io.IncrementalView.createDistinct(s, s"$dir/src", s"$dir/view_dc",
+        Seq("source"), "n_chars")
       graft.io.SnapshotTable.merge(s, s"$dir/src",
         base.filter(pmod(col("doc_id"), lit(7)) === 2)
           .withColumn("n_chars", col("n_chars") + 1000),
@@ -952,6 +955,8 @@ object Analytics {
         Seq("source"), Seq("n_chars"))
       graft.io.IncrementalView.refresh(s, s"$dir/src", s"$dir/view_ext",
         Seq("source"), Nil, minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+      graft.io.IncrementalView.refreshDistinct(s, s"$dir/src", s"$dir/view_dc",
+        Seq("source"), "n_chars")
       dir
     })
 
@@ -1008,10 +1013,37 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** Incremental exact COUNT(DISTINCT), oracle-checked end state: the
+    * two-level additive composition ([[graft.io.IncrementalView
+    * .createDistinct]]) refreshed through the same update+delete commits
+    * must equal DuckDB's COUNT(DISTINCT) recompute. A multiplicity that
+    * fails to tombstone at zero, a level-2 feed that double-counts a
+    * rewrite, or a null value leaking into the distinct set all
+    * hash-mismatch.
+    */
+  val q_mv_distinct: Q = Q(
+    "q_mv_distinct",
+    Some("""
+      WITH eff AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 2 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id % 11 <> 3
+      )
+      SELECT source, count(DISTINCT n_chars) AS distinct_chars
+      FROM eff GROUP BY source ORDER BY source
+    """),
+  ) { (s, d) =>
+    graft.io.IncrementalView.readDistinct(s, s"${mvFixture(s, d)}/view_dc")
+      .select(col("source"),
+        col(graft.io.IncrementalView.countCol).as("distinct_chars"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
     q_sample_split, q_outlier_mad, q_histogram_equidepth, q_drift_psi,
-    q_mv_ledger, q_mv_extrema)
+    q_mv_ledger, q_mv_extrema, q_mv_distinct)
 }

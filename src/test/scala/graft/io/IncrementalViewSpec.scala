@@ -160,6 +160,52 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("distinct view: random commit sequences equal count-distinct recompute") {
+    // the two-level composition under the same op stream: values cycle a
+    // small range so multiplicities rise above 1 and fall back to 0 (the
+    // tombstone edge), and some rows carry NULL values (must not count)
+    def recomputeDc(src: String): Set[(String, Long)] =
+      SnapshotTable.read(spark, src)
+        .groupBy("source").agg(countDistinct("n_chars").as("dc"))
+        // a group whose values are ALL null has dc=0 and no row in the
+        // composition (level 1 filters it empty) — same information
+        .filter(col("dc") > 0)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def viewDc(view: String): Set[(String, Long)] =
+      IncrementalView.readDistinct(spark, view)
+        .select(col("source"), col(IncrementalView.countCol))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val src = tmp("graft-mv-dc")
+    val view = tmp("graft-mv-dc-view")
+    def h(a: Long, b: Long): Long = math.abs(a * 6364136223846793005L + b * 9007199254740993L)
+    def rowsNullable(ts: Seq[(Long, String, Long)]) = {
+      val base = rows(ts: _*)
+      // every 5th doc_id carries a NULL value
+      base.withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(null)).otherwise(col("n_chars")))
+    }
+    SnapshotTable.create(
+      rowsNullable((0L until 15L).map(i => (i, s"s${h(1, i) % 4}", h(2, i) % 8))), src)
+    IncrementalView.createDistinct(spark, src, view, Seq("source"), "n_chars")
+    for (commit <- 1 to 12) {
+      val ups = (0 until 8).map { j =>
+        val k = h(commit, j) % 40
+        (k, s"s${h(commit * 31 + 7, j) % 4}", h(commit * 17 + 3, j) % 8)
+      }.distinctBy(_._1)
+      SnapshotTable.merge(spark, src, rowsNullable(ups), "doc_id")
+      val dels = (0 until 3).map(j => h(commit * 13 + 11, j) % 40).distinct
+      SnapshotTable.merge(spark, src,
+        SnapshotTable.read(spark, src)
+          .filter(col("doc_id").isin(dels: _*))
+          .withColumn("gone", lit(true)),
+        "doc_id", deleteCol = Some("gone"))
+      if (commit % 3 == 0 || commit == 12) {
+        IncrementalView.refreshDistinct(spark, src, view, Seq("source"), "n_chars")
+        assert(viewDc(view) === recomputeDc(src), s"diverged at commit $commit")
+      }
+    }
+  }
+
   test("refresh reads the delta, not the table") {
     val src = tmp("graft-mv-delta")
     val view = tmp("graft-mv-delta-view")
