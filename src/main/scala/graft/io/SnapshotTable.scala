@@ -468,12 +468,25 @@ object SnapshotTable {
     * full-span range — the lakehouse "cluster on write" maintenance step
     * that makes manifest-level skipping actually selective on a key the
     * ingest order scattered.
+    *
+    * With `zOrderBy` set (exclusive with `clusterBy`), the rewrite orders
+    * by an interleaved-bit z-curve key over those columns instead: linear
+    * clustering makes ONE key's zone maps disjoint and leaves every other
+    * predicate scanning all files, while the z-curve maps each output file
+    * to a hyper-rectangle-ish tile of the k-dimensional space, so a
+    * selective predicate on ANY of the z columns (or a box over several —
+    * [[readBox]]) prunes to ~N^((k-1)/k) of the files. This is the Delta
+    * OPTIMIZE ZORDER trade: per-dimension pruning weakens from ~1 file to
+    * a root, in exchange for every queried dimension getting it at once.
     */
   def compact(
       spark: SparkSession, dir: String,
       minFileBytes: Long = 8L * 1024 * 1024,
       targetPartitions: Int = 1,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      zOrderBy: Seq[String] = Nil): Int = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are exclusive layouts")
     val prev = snapshot(spark, dir, None)
     val (big, small) = prev.files.partition(f =>
       Files.size(Paths.get(dir, f)) >= minFileBytes)
@@ -485,7 +498,15 @@ object SnapshotTable {
     // ones
     val rows = readFiles(spark, dir, small, prev.schemaDdl)
     val arranged =
-      if (clusterBy.nonEmpty)
+      if (zOrderBy.nonEmpty) {
+        // z-curve layout: range-partition on the interleaved-bit key, so
+        // each output file covers one contiguous z-range ≈ one hyper-tile
+        // — every zOrderBy column's zone maps become selective AT ONCE
+        rows.withColumn("__z", zValue(rows, zOrderBy))
+          .repartitionByRange(targetPartitions, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      } else if (clusterBy.nonEmpty)
         // range-partition + intra-partition sort: global order across files
         rows.repartitionByRange(targetPartitions, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
@@ -500,6 +521,52 @@ object SnapshotTable {
         computeStats(spark, dir, newFiles, prev.statsCols),
       prev.schemaDdl, prev.meta), commitDir)
     next
+  }
+
+  /** Interleaved-bit z-curve key over `cols` for the rewrite batch: each
+    * column is QUANTILE-RANK normalized to an 8-bit bucket (one
+    * approxQuantile pass over the batch computes all columns' 255
+    * boundaries together; the GK sketch is mergeable, so the pass is a
+    * normal distributed agg), then the bucket bits are interleaved
+    * column-major so close z-values are close in every dimension.
+    * Quantile rank, not min-max: z-tiles are cut by ROW MASS (range
+    * partition on z), so a skewed dimension under min-max binning would
+    * crowd most rows into a few low buckets and its selective predicates
+    * would stop pruning — rank normalization makes every dimension
+    * uniform by construction, the same reason Delta's OPTIMIZE ZORDER
+    * range-partitions per column first. Bucket lookup is a 255-element
+    * boundary count per row, costed only by this maintenance rewrite.
+    * Nulls rank 0 (first tile), constant columns contribute nothing.
+    */
+  private def zValue(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.nonEmpty && cols.size <= 7,
+      s"zOrderBy supports 1..7 columns, got ${cols.size}")
+    val k = cols.size
+    val bits = 8 // k*bits <= 56: z fits a signed Long
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val casted = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__zq_$c", col(c).cast(DoubleType)))
+    val bounds = casted.stat.approxQuantile(
+      cols.map(c => s"__zq_$c").toArray, probs, 0.01)
+    val buckets = cols.zip(bounds).map { case (c, bs) =>
+      val uniq = bs.distinct.sorted.toSeq
+      if (uniq.isEmpty) lit(0L) // all-null column
+      else {
+        // rank = #boundaries <= x; null compares null -> kept out -> 0.
+        // A low-cardinality column yields few distinct boundaries, so the
+        // rank is RESCALED onto the full bit range — otherwise its high
+        // bits would sit constant at zero and the dimension would drop
+        // out of the interleave's leading (tile-cutting) bits.
+        val rank = size(filter(typedLit(uniq),
+          b => b <= col(c).cast(DoubleType))).cast(LongType)
+        floor(rank * lit(((1 << bits) - 1).toDouble) / lit(uniq.size.toDouble))
+          .cast(LongType)
+      }
+    }
+    (0 until bits).flatMap(j => buckets.zipWithIndex.map { case (b, i) =>
+      shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * k + i)
+    }).reduce(_ bitwiseOR _)
   }
 
   /** Zone-map-pruned range scan: read only the files whose [min, max] for
@@ -560,6 +627,40 @@ object SnapshotTable {
         readFiles(spark, dir, snap.files, snap.schemaDdl).limit(0)
       else readFiles(spark, dir, keep, snap.schemaDdl)
     df.filter(col(column).cast(DoubleType).between(lower, upper))
+  }
+
+  /** Multi-dimensional zone-map-pruned scan: keep only files whose
+    * [min, max] intersects EVERY bound — the serving read for a
+    * z-ordered table ([[compact]] with `zOrderBy`), where each file is a
+    * z-tile and a k-dimensional box predicate rules out every tile that
+    * misses it on any axis. Same conservatism as [[readRange]]: a file
+    * with no recorded range (or a NaN bound) is read, and the exact
+    * filter is re-applied on top.
+    */
+  def readBox(spark: SparkSession, dir: String,
+      bounds: Seq[(String, Double, Double)],
+      version: Option[Int] = None): DataFrame = {
+    require(bounds.nonEmpty, "readBox needs at least one (column, lo, hi)")
+    val snap = snapshot(spark, dir, version)
+    bounds.foreach { case (c, _, _) =>
+      require(snap.statsCols.contains(c),
+        s"no zone maps for column '$c' (statsCols=${snap.statsCols.mkString(",")})")
+    }
+    val keep = snap.files.filter { f =>
+      bounds.forall { case (c, lo, hi) =>
+        snap.stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) if mn.isNaN || mx.isNaN => true
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    val df =
+      if (keep.isEmpty) readFiles(spark, dir, snap.files, snap.schemaDdl).limit(0)
+      else readFiles(spark, dir, keep, snap.schemaDdl)
+    bounds.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.filter(col(c).cast(DoubleType).between(lo, hi))
+    }
   }
 
   /** Snapshot expiry (vacuum): keep the newest `keepLast` manifests, drop

@@ -1040,10 +1040,56 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** One z-ordered events snapshot per (session, sfDir): hash-scattered
+    * ingest into 8 files (zone maps present, useless), then one z-order
+    * compaction over (user_id, value) into 16 z-tiles. Memoized so bench
+    * re-runs time the pruned box read, not table construction.
+    */
+  private val zCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def zFixture(s: org.apache.spark.sql.SparkSession, d: String): String =
+    zCache.computeIfAbsent((s, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/events_z"
+      val base = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(8, col("event_id"))
+      graft.io.SnapshotTable.create(base, dir, statsCols = Seq("user_id", "value"))
+      graft.io.SnapshotTable.compact(s, dir, minFileBytes = 1L << 30,
+        targetPartitions = 16, zOrderBy = Seq("user_id", "value"))
+      dir
+    })
+
+  /** Z-ordered layout serving read, oracle-checked: a 2-D box predicate
+    * answered through [[graft.io.SnapshotTable.readBox]] over the z-tiled
+    * snapshot must equal DuckDB's plain filter over the raw table — the
+    * manifest-level pruning is an optimization the hash must not see.
+    * IoSpec pins the pruning itself (≤ 4 of 16 files for the box).
+    */
+  val q_io_zorder: Q = Q(
+    "q_io_zorder",
+    Some("""
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id BETWEEN 0 AND 9 AND value BETWEEN 0 AND 80
+      GROUP BY event_type ORDER BY event_type
+    """),
+  ) { (s, d) =>
+    graft.io.SnapshotTable.readBox(s, zFixture(s, d),
+      Seq(("user_id", 0.0, 9.0), ("value", 0.0, 80.0)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[Q] = Seq(
     q_quantiles, q_sample_hash, q_grouping_sets, q_histogram, q_ts_gapfill,
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
     q_sample_split, q_outlier_mad, q_histogram_equidepth, q_drift_psi,
-    q_mv_ledger, q_mv_extrema, q_mv_distinct)
+    q_mv_ledger, q_mv_extrema, q_mv_distinct, q_io_zorder)
 }

@@ -306,6 +306,51 @@ class IoSpec extends SparkSpec {
       === base.orderBy("o_orderkey").collect().toSeq)
   }
 
+  test("snapshot table: z-order compaction prunes on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-z").toString + "/events_z"
+    // two independent dimensions; hash-scattered ingest so every file
+    // spans both full ranges and zone maps prune nothing
+    val base = graft.util.Tables.events(spark, sf())
+      .select("event_id", "user_id", "value")
+      .repartition(8, col("event_id"))
+    SnapshotTable.create(base, dir, statsCols = Seq("user_id", "value"))
+    // slices chosen selective in ROW MASS (~13% of users; value is
+    // right-skewed so [0, 8] is ~5% of rows) — what quantile-rank z
+    // normalization keys tiles to
+    val uHi = 1.0
+    val vHi = 8.0
+    assert(SnapshotTable.readBox(spark, dir,
+      Seq(("user_id", 0.0, uHi), ("value", 0.0, vHi)))
+      .inputFiles.length === 8,
+      "scattered layout must match every file — the problem z-order solves")
+
+    val v = SnapshotTable.compact(spark, dir, minFileBytes = 1L << 30,
+      targetPartitions = 16, zOrderBy = Seq("user_id", "value"))
+    assert(v === 2)
+    val snap = SnapshotTable.snapshot(spark, dir, None)
+    assert(snap.files.size === 16)
+    // a selective slice on EITHER single dimension prunes (≈ sqrt(N)
+    // tiles survive), which linear clusterBy can deliver for one key only
+    val uOnly = SnapshotTable.readRange(spark, dir, "user_id", 0.0, uHi)
+    val vOnly = SnapshotTable.readRange(spark, dir, "value", 0.0, vHi)
+    assert(uOnly.inputFiles.length <= 8,
+      s"user_id slice read ${uOnly.inputFiles.length} of 16")
+    assert(vOnly.inputFiles.length <= 8,
+      s"value slice read ${vOnly.inputFiles.length} of 16")
+    // the 2-D box prunes multiplicatively and rows stay exact
+    val box = SnapshotTable.readBox(spark, dir,
+      Seq(("user_id", 0.0, uHi), ("value", 0.0, vHi)))
+    assert(box.inputFiles.length <= 5,
+      s"2-D box read ${box.inputFiles.length} of 16")
+    assert(box.orderBy("event_id").collect().toSeq ===
+      base.filter(col("user_id").between(0.0, uHi)
+          && col("value").between(0.0, vHi))
+        .orderBy("event_id").collect().toSeq)
+    assert(SnapshotTable.read(spark, dir).orderBy("event_id").collect().toSeq
+      === base.orderBy("event_id").collect().toSeq)
+  }
+
   test("snapshot table: partitioned layout prunes and survives merges") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-part").toString + "/orders_p"
