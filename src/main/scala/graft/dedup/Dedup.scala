@@ -1057,18 +1057,25 @@ object Dedup {
     sets.select(col("doc_id"), explode_outer(col("shh")).as("h"))
       .filter(col("h").isNotNull)
 
-  /** MinHash signature via explode → 64 min-aggregates in ONE groupBy pass.
-    * The previous form (64 nested array-transform expressions per row) blew
-    * past the codegen method limit and fell back to interpreted eval — 64
-    * flat agg expressions stay codegen'd, partial-aggregate map-side, and
-    * shuffle only 64 longs per doc.
+  /** MinHash signature via the [[graft.functions.MinHashSignature]] kernel:
+    * all 64 minima in one compiled pass over the row's own shingle array —
+    * no posting explode, no per-doc shuffle, and the inner
+    * `xxhash64(h, 42)` hoisted out of the 64-way loop. Bit-identical to
+    * the previous explode → 64 min-aggregates formulation (the kernel
+    * replicates the builtin's seed fold), which itself replaced a 64×
+    * array-transform expression tree that blew the codegen method limit.
+    * A shingle-less doc keeps its historical contract of vanishing from
+    * the signature frame (kernel returns null; filtered here).
     */
-  def withSignature(sets: DataFrame): DataFrame =
-    hashedPosting(sets)
-      .groupBy("doc_id")
-      .agg(
-        min(xxhash64(col("h"), lit(0))).as("m0"),
-        (1 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+  def withSignature(sets: DataFrame): DataFrame = {
+    graft.functions.ShingleHashFunctions.ensureRegistered(sets.sparkSession)
+    sets
+      .withColumn("__sig",
+        graft.functions.ShingleHashFunctions.minHashSignature(col("shh"), numHashes))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => col("__sig").getItem(i).as(s"m$i")): _*)
+  }
 
   /** LSH banding: 16 bands × 4 rows. Docs sharing any band hash become
     * candidates (pair probability ~1-(1-j⁴)¹⁶: >0.99 at j=0.7); candidates

@@ -189,11 +189,88 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
   override def prettyName: String = "graft_sorted_intersect_count"
 }
 
+/** All `k` MinHash minima of a hashed-shingle set in ONE compiled pass
+  * over the row's array — no posting explode, no per-doc shuffle, no
+  * aggregate machinery. Bit-identical to the aggregate formulation
+  * `min(xxhash64(h, i))` over the exploded postings: the builtin
+  * `xxhash64(h, i)` left-folds XXH64 over its children from seed 42, i.e.
+  * `hashInt(i, hashLong(h, 42))` for an Int salt literal, and the inner
+  * `hashLong(h, 42)` is hoisted out of the k-loop here (the aggregate
+  * form recomputes it k times per posting row). An earlier expression-level one-pass attempt
+  * (64 nested array transforms) blew the codegen method limit and fell
+  * back to interpreted eval — a kernel has no such cliff.
+  *
+  * Returns NULL for an empty set: in the explode formulation a shingle-less
+  * doc produces no posting rows and silently vanishes from the signature
+  * frame, and callers keep that contract by filtering the null out.
+  */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1 && k <= 1024, s"signature width out of range: $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_signature expects array<bigint>, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true // empty set -> null
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashSignature.compute(a.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSignature.compute($c, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_signature"
+}
+
+object MinHashSignature {
+
+  /** Null (not an empty array) for an empty input set — see class doc. */
+  def compute(in: ArrayData, k: Int): ArrayData = {
+    val n = in.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var idx = 0
+    while (idx < n) {
+      val base = XXH64.hashLong(in.getLong(idx), WordShingleHashes.xxhashSeed)
+      var i = 0
+      while (i < k) {
+        // hashInt, not hashLong: the aggregate formulation wrote the salt
+        // as an Int literal, and the builtin dispatches the fold step on
+        // the child's type — parity demands the same step here
+        val v = XXH64.hashInt(i, base)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      idx += 1
+    }
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) { out(i) = mins(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Session registration, same contract as [[VectorFunctions]]. */
 object ShingleHashFunctions {
 
   val shingleHashesName = "graft_word_shingle_hashes"
   val intersectName = "graft_sorted_intersect_count"
+  val minHashSigName = "graft_minhash_signature"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -204,6 +281,10 @@ object ShingleHashFunctions {
       intersectName,
       exprs => SortedIntersectCount(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minHashSigName,
+      exprs => MinHashSignature(exprs.head, Args.intLiteral(minHashSigName, exprs, 1)),
+      "built-in")
   }
 
   def wordShingleHashes(text: Column, n: Int): Column =
@@ -211,4 +292,7 @@ object ShingleHashFunctions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function(intersectName, a, b)
+
+  def minHashSignature(shh: Column, k: Int): Column =
+    call_function(minHashSigName, shh, org.apache.spark.sql.functions.lit(k))
 }

@@ -121,6 +121,30 @@ class DedupSpec extends SparkSpec {
     assert(sketch.forall { case (i, j) => i != j })
   }
 
+  test("minhash signature kernel equals the aggregate formulation bit-for-bit") {
+    // the one-pass kernel must reproduce min(xxhash64(h, i)) over the
+    // exploded postings EXACTLY — persisted LSH indexes built before the
+    // kernel swap must keep answering probes built after it
+    val sets = Dedup.hashedShingleSets(docs).localCheckpoint()
+    val viaKernel = Dedup.withSignature(sets)
+    val viaAgg = sets
+      .select(col("doc_id"), explode(col("shh")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until Dedup.numHashes).map(i =>
+          min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    assert(viaKernel.count() === viaAgg.count())
+    assert(viaKernel.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaKernel).isEmpty)
+    // a shingle-less doc vanishes from the frame, as the explode form did
+    val spark2 = spark
+    import spark2.implicits._
+    val withEmpty = Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("synthetic")).withColumn("n_chars", lit(0))
+    val sigs = Dedup.withSignature(Dedup.hashedShingleSets(withEmpty))
+    assert(sigs.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("containment sketch: hub buckets star-capped, connectivity kept") {
     // a 150-doc near-identical family (the boilerplate / replica-crawl
     // shape): shared 60-token base + a 2-token unique tag, so every
