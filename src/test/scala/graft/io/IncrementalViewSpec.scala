@@ -206,6 +206,48 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("refresh across a compaction commit: rewrite pairs cancel, extrema survive") {
+    // a compaction is a data-preserving commit, but the file-granular feed
+    // re-emits every compacted row as a (delete, insert) pair: additive
+    // columns must cancel exactly, and the extrema path must shrug off the
+    // delete side tying EVERY stored extremum (a recompute trigger that
+    // must land on the identical answer)
+    val src = tmp("graft-mv-cp")
+    val view = tmp("graft-mv-cp-view")
+    val viewX = tmp("graft-mv-cp-viewx")
+    SnapshotTable.create(
+      rows((0L until 20L).map(i => (i, s"s${i % 3}", i * 7 % 50)): _*), src)
+    IncrementalView.create(spark, src, view, Seq("source"), Seq("n_chars"))
+    IncrementalView.create(spark, src, viewX, Seq("source"), Nil,
+      minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+    // commit 2: a real change; commit 3: pure compaction (no logical change)
+    SnapshotTable.merge(spark, src,
+      rows((20L until 26L).map(i => (i, s"s${i % 3}", i * 11 % 50)): _*), "doc_id")
+    SnapshotTable.compact(spark, src, minFileBytes = 1L << 30, targetPartitions = 2)
+    assert(SnapshotTable.latestVersion(src) === 3)
+    IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    IncrementalView.refresh(spark, src, viewX, Seq("source"), Nil,
+      minCols = Seq("n_chars"), maxCols = Seq("n_chars"))
+    val expect = SnapshotTable.read(spark, src)
+      .groupBy("source")
+      .agg(count(lit(1)).as("c"), sum("n_chars").as("s"),
+        min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val gotAdd = SnapshotTable.read(spark, view)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long](IncrementalView.countCol), r.getAs[Long]("n_chars"))).toSet
+    val gotExt = SnapshotTable.read(spark, viewX)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long](IncrementalView.minName("n_chars")),
+        r.getAs[Long](IncrementalView.maxName("n_chars")))).toSet
+    assert(gotAdd === expect.map(t => (t._1, t._2, t._3)))
+    assert(gotExt === expect.map(t => (t._1, t._4, t._5)))
+    // a second refresh with nothing new is a no-op at the same version
+    assert(IncrementalView.refresh(spark, src, view,
+      Seq("source"), Seq("n_chars")) === 3)
+  }
+
   test("refresh reads the delta, not the table") {
     val src = tmp("graft-mv-delta")
     val view = tmp("graft-mv-delta-view")
