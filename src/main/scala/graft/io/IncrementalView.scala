@@ -104,11 +104,18 @@ object IncrementalView {
             max(when(!isIns, col(c))).as(s"__del_max_$c"))): _*)
     val addCols = countCol +: sumCols
     val extCols = minCols.map(minName) ++ maxCols.map(maxName)
+    // join delta to the stored view on the synthesized mv_key, NOT the raw
+    // key columns: a plain equi-join never matches NULL group keys, which
+    // would make an existing null-keyed group look brand-new and let the
+    // MERGE replace its stored aggregates with delta-only values. mv_key
+    // maps null to a marker, so it IS the null-safe join key.
     val old = (addCols ++ extCols)
       .foldLeft(SnapshotTable.read(spark, viewDir, None))(
         (df, c) => df.withColumnRenamed(c, s"__old_$c"))
+      .drop(keys: _*)
+    val joined = delta.withColumn(keyCol, mvKey(keys))
+      .join(old, Seq(keyCol), "left")
       .drop(keyCol)
-    val joined = delta.join(old, keys, "left")
     val newCount = coalesce(col(s"__old_$countCol"), lit(0L)) + col(countCol)
     // the stored extremum is the true one, so a deleted value can only TIE
     // it — equality is the recompute trigger (<=/>= keeps it robust should
@@ -121,8 +128,17 @@ object IncrementalView {
     val fast = joined.filter(!needsRecompute)
       .select(
         keys.map(col) ++
-          addCols.map(c =>
-            (coalesce(col(s"__old_$c"), lit(0L)) + col(c)).as(c)) ++
+          // count: every delta row contributes ±1, so the delta count is
+          // never null. sums: SQL SUM ignores NULLs, so an all-NULL delta
+          // (delta sum NULL) leaves the stored sum unchanged — and only a
+          // brand-new key whose delta is also all-NULL stays NULL.
+          Seq((coalesce(col(s"__old_$countCol"), lit(0L)) + col(countCol))
+            .as(countCol)) ++
+          sumCols.map(c =>
+            when(col(s"__old_$c").isNull && col(c).isNull, lit(null))
+              .otherwise(coalesce(col(s"__old_$c"), lit(0L)) +
+                coalesce(col(c), lit(0L)))
+              .as(c)) ++
           // least/greatest skip nulls: a brand-new key (old null) takes the
           // insert-side extremum, a refresh with no inserts keeps the old
           minCols.map(c =>

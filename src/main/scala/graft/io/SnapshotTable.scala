@@ -541,6 +541,18 @@ object SnapshotTable {
   private def zValue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 7,
       s"zOrderBy supports 1..7 columns, got ${cols.size}")
+    // fail loudly on a non-numeric z column: its cast to double would be
+    // all-NULL, approxQuantile would return no boundaries, and the
+    // dimension would silently contribute nothing to the layout — the
+    // caller asked for pruning it would never get
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == TimestampType ||
+        dt == BooleanType,
+        s"zOrderBy column '$c' has non-orderable-numeric type " +
+          s"${dt.simpleString}; z-ordering needs a numeric/timestamp/" +
+          "boolean column (hash a string key to a numeric surrogate first)")
+    }
     val k = cols.size
     val bits = 8 // k*bits <= 56: z fits a signed Long
     val nb = (1 << bits) - 1
@@ -602,7 +614,10 @@ object SnapshotTable {
       tagged(from.files.diff(to.files), from.schemaDdl, "delete").toSeq
     if (parts.isEmpty)
       read(spark, dir, Some(toVersion)).limit(0).withColumn("_change_type", lit("insert"))
-    else parts.reduce(_ unionByName _)
+    // allowMissingColumns: a feed spanning a schema-evolving merge reads
+    // the delete side with the PRE-evolution schema — the evolved column
+    // must union in as null (parquet missing-column semantics), not throw
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   def readRange(spark: SparkSession, dir: String, column: String,

@@ -266,4 +266,81 @@ class IncrementalViewSpec extends SparkSpec {
     IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
     assert(viewRows(view) === recompute(src))
   }
+
+  test("null group keys refresh in place, never as brand-new groups") {
+    // REGRESSION (ADVICE r11): the delta-to-view join was a plain
+    // equi-join on the raw key columns, which never matches NULL keys —
+    // an existing null-keyed group looked brand-new and the MERGE
+    // replaced its stored aggregates with delta-only values
+    import spark.implicits._
+    val src = tmp("graft-mv-nullkey")
+    val view = tmp("graft-mv-nullkey-view")
+    def df(xs: (Long, Option[String], Long)*) =
+      xs.toDF("doc_id", "source", "n_chars")
+    SnapshotTable.create(
+      df((1, None, 10), (2, None, 20), (3, Some("a"), 5)), src)
+    IncrementalView.create(spark, src, view, Seq("source"), Seq("n_chars"))
+    SnapshotTable.merge(spark, src,
+      df((4, None, 7), (5, Some("a"), 1)), "doc_id")
+    IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    val got = SnapshotTable.read(spark, view)
+      .collect().map(r => (Option(r.getAs[String]("source")),
+        r.getAs[Long](IncrementalView.countCol), r.getAs[Long]("n_chars"))).toSet
+    assert(got === Set((None, 3L, 37L), (Some("a"), 2L, 6L)),
+      s"null-keyed group must accumulate 10+20+7, got $got")
+  }
+
+  test("all-NULL delta sum column leaves the stored running sum unchanged") {
+    // REGRESSION (ADVICE r11): SQL SUM ignores NULLs, so a delta whose
+    // every row is NULL in a sum column has delta-sum NULL — the fast
+    // path computed old + NULL = NULL and destroyed the stored sum
+    import spark.implicits._
+    val src = tmp("graft-mv-nullsum")
+    val view = tmp("graft-mv-nullsum-view")
+    def df(xs: (Long, String, Option[Long])*) =
+      xs.toDF("doc_id", "source", "n_chars")
+    SnapshotTable.create(
+      df((1, "a", Some(10)), (2, "a", Some(20)), (3, "b", None)), src)
+    IncrementalView.create(spark, src, view, Seq("source"), Seq("n_chars"))
+    // delta: key a gains a NULL-valued row; key b stays all-NULL;
+    // brand-new key c arrives all-NULL (its sum must BE null, not 0)
+    SnapshotTable.merge(spark, src,
+      df((4, "a", None), (5, "b", None), (6, "c", None)), "doc_id")
+    IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    val got = SnapshotTable.read(spark, view)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long](IncrementalView.countCol),
+        Option(r.getAs[Any]("n_chars")).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(("a", 3L, Some(30L)), ("b", 2L, None), ("c", 1L, None)),
+      s"NULL delta sums must not clobber stored sums, got $got")
+    // and a later real value on the all-NULL key resumes from NULL -> value
+    SnapshotTable.merge(spark, src, df((7, "c", Some(9))), "doc_id")
+    IncrementalView.refresh(spark, src, view, Seq("source"), Seq("n_chars"))
+    val got2 = SnapshotTable.read(spark, view)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long](IncrementalView.countCol),
+        Option(r.getAs[Any]("n_chars")).map(_.asInstanceOf[Long]))).toSet
+    assert(got2 === Set(("a", 3L, Some(30L)), ("b", 2L, None), ("c", 2L, Some(9L))))
+  }
+
+  test("change feed spans a schema-evolving merge") {
+    // REGRESSION (ADVICE r11): the feed reads the insert side with the
+    // evolved schema and the delete side with the pre-evolution schema;
+    // the union must treat the missing column as null, not throw
+    import spark.implicits._
+    val src = tmp("graft-cdf-evolve")
+    SnapshotTable.create(rows((1, "a", 10), (2, "b", 20)), src)
+    val evolved = Seq((2L, "b", 25L, Some("news")), (3L, "c", 7L, Some("web")))
+      .toDF("doc_id", "source", "n_chars", "origin")
+    SnapshotTable.merge(spark, src, evolved, "doc_id")
+    val ch = SnapshotTable.changesBetween(spark, src, 1, 2)
+    assert(ch.columns.contains("origin"))
+    // delete-side rows (pre-evolution files) read origin as null
+    val delOrigins = ch.filter(col("_change_type") === "delete")
+      .select("origin").collect().map(_.get(0)).toSet
+    assert(delOrigins === Set(null))
+    // and the additive identity still holds across the evolution
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    assert(ch.agg(sum(sign * col("n_chars"))).head().getLong(0) === 12L)
+  }
 }

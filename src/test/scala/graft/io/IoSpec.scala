@@ -351,6 +351,24 @@ class IoSpec extends SparkSpec {
       === base.orderBy("event_id").collect().toSeq)
   }
 
+  test("snapshot table: z-order on a non-numeric column fails loudly") {
+    // REGRESSION (ADVICE r11): a string zOrderBy column casts to all-NULL
+    // doubles, approxQuantile returns no boundaries, and the dimension
+    // silently contributed nothing — compact succeeded but the promised
+    // pruning never materialized. Must throw instead.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-zbad").toString + "/t"
+    SnapshotTable.create(
+      (1L to 100L).map(i => (i, s"k$i", i * 3 % 17)).toDF("id", "name", "v")
+        .repartition(4), dir, statsCols = Seq("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, dir, minFileBytes = 1L << 30,
+        targetPartitions = 4, zOrderBy = Seq("id", "name"))
+    }
+    assert(e.getMessage.contains("name"))
+  }
+
   test("snapshot table: partitioned layout prunes and survives merges") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-part").toString + "/orders_p"
