@@ -121,39 +121,28 @@ object Curation {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
-    verdictFrom(corpus, bench, exactDup(corpus))
-  }
-
-  /** Exact dedup gate: only the canonical copy of each normalized
-    * fingerprint survives, selected by the SAME keep-longest policy
-    * q_dedup_canonical ships (n_chars DESC, doc_id as the deterministic
-    * tiebreak) so the two curation answers cannot drift. argmax via
-    * max(struct): fingerprint groups stay a single partial-aggregated
-    * groupBy — no window, no second shuffle beyond the join back.
-    */
-  private def exactDup(corpus: DataFrame): DataFrame = {
-    val fp = corpus.select(col("doc_id"), col("n_chars"),
-      md5(TextAnalysis.normalize(col("text")).cast(BinaryType)).as("f"))
-    val canon = fp.groupBy("f")
-      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("m"))
-      .select(col("f"), (-col("m.nid")).as("canonical_id"))
-    fp.join(canon, "f")
-      .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+    verdictFrom(corpus, bench)
   }
 
   /** Verdict body shared by the oracle-exact gate and the LSH production
     * twin: everything but the duplicate gate is identical, so the two
-    * verdicts differ only where their dedup evidence differs.
+    * verdicts differ only where their dedup evidence differs. `nearDup`
+    * (a (doc_id, near_dup) frame) widens the duplicate gate with the LSH
+    * twin's near-duplicate evidence; the exact-fingerprint gate is always
+    * on and computed in the fused scan below.
     */
-  private def verdictFrom(corpus: DataFrame, bench: DataFrame, dup: DataFrame): DataFrame = {
+  private def verdictFrom(corpus: DataFrame, bench: DataFrame,
+      nearDup: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // benchmark decontamination: broadcast shingle semi-join (Dedup)
     val cont = Dedup.contaminatedIds(corpus, bench)
       .withColumn("is_contaminated", lit(true))
     // The three ROW-LOCAL gates — language id, structural quality,
-    // repetition — fuse into ONE text scan: each is a compiled per-row
-    // kernel/expression, and the sf10 probe put a single full-text pass at
-    // 13–19 s, so the former three-frame formulation paid two avoidable
-    // corpus reads (plus two joins). Formulas are byte-identical to
+    // repetition — AND the exact-dedup fingerprint fuse into ONE text
+    // scan: each gate is a compiled per-row kernel/expression, and the
+    // sf10 probe put a single full-text pass at 13–19 s, so the former
+    // formulation (three gate frames + a separate fingerprint pass) paid
+    // up to three avoidable corpus reads. Formulas are byte-identical to
     // LangId.langId / TextAnalysis.qualityGate / repetitionGates — the
     // repetition bound inlines repetitionGates' exact thresholds, with
     // kernel-null (zero tokens) folding to false exactly as the dropped
@@ -167,18 +156,35 @@ object Curation {
       coalesce(st.getField("top_big") * lit(1.0) / st.getField("n_bigrams"),
         lit(0.0)) <= 0.18 &&
       st.getField("n_hapax") * lit(1.0) / st.getField("n_tokens") >= 0.1
-    val rowGates = corpus.select(
-      col("doc_id"),
+    val scanned = corpus.select(
+      col("doc_id"), col("n_chars"),
+      md5(TextAnalysis.normalize(col("text")).cast(BinaryType)).as("f"),
       (LangId.langId(col("text")) =!= "undetected").as("lang_ok"),
       TextAnalysis.qualityGate(col("text")).as("quality_ok"),
       repOk.as("repetition_ok"))
-    corpus.select("doc_id")
-      .join(dup, Seq("doc_id"), "left")
+    // Exact dedup gate: only the canonical copy of each normalized
+    // fingerprint survives, selected by the SAME keep-longest policy
+    // q_dedup_canonical ships (n_chars DESC, doc_id as the deterministic
+    // tiebreak) so the two curation answers cannot drift. argmax via an
+    // unordered max(struct) window over f: ONE shuffle of the small
+    // (doc_id, f, flags) frame, no join-back — and, the point of the
+    // fusion, no second pass over the text the scan above already read.
+    val m = max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+      .over(Window.partitionBy("f"))
+    val withDup = scanned
+      .withColumn("exact_dup", col("doc_id") =!= -m.getField("nid"))
+      .drop("f", "n_chars")
+    val dup = nearDup match {
+      case None => withDup.withColumn("is_duplicate", col("exact_dup"))
+      case Some(nd) => withDup.join(nd, Seq("doc_id"), "left")
+        .withColumn("is_duplicate",
+          col("exact_dup") || coalesce(col("near_dup"), lit(false)))
+    }
+    dup
       .join(cont, Seq("doc_id"), "left")
-      .join(rowGates, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        coalesce(col("is_duplicate"), lit(false)).as("is_duplicate"),
+        col("is_duplicate"),
         coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
         coalesce(col("lang_ok"), lit(false)).as("lang_ok"),
         coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
@@ -210,12 +216,7 @@ object Curation {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
-    val nearDup = Dedup.lshNonCanonicalIds(corpus)
-    val dup = exactDup(corpus)
-      .join(nearDup, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (col("is_duplicate") || coalesce(col("near_dup"), lit(false))).as("is_duplicate"))
-    verdictFrom(corpus, bench, dup)
+    verdictFrom(corpus, bench, Some(Dedup.lshNonCanonicalIds(corpus)))
   }
 
   /** The WHOLE pipeline as one oracle-checked query — what "a user could
@@ -352,7 +353,7 @@ object Curation {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
-    val kept = verdictFrom(corpus, bench, exactDup(corpus))
+    val kept = verdictFrom(corpus, bench)
       .filter(col("keep")).select("doc_id")
     val keptDocs = docs.join(kept, "doc_id")
     val assign = Dedup.leakageSafeAssignments(keptDocs).select("doc_id", "split")
@@ -384,12 +385,8 @@ object Curation {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
-    val nearDup = Dedup.lshNonCanonicalIds(corpus)
-    val dup = exactDup(corpus)
-      .join(nearDup, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (col("is_duplicate") || coalesce(col("near_dup"), lit(false))).as("is_duplicate"))
-    val kept = verdictFrom(corpus, bench, dup)
+    val kept = verdictFrom(corpus, bench,
+        Some(Dedup.lshNonCanonicalIds(corpus)))
       .filter(col("keep")).select("doc_id")
     val keptDocs = docs.join(kept, "doc_id")
     val assign = Dedup.leakageSafeAssignmentsFrom(keptDocs,

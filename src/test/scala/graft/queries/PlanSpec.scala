@@ -87,11 +87,19 @@ class PlanSpec extends SparkSpec {
       "fuzzy matching must go through the SymSpell candidate keys, not all-pairs")
   }
 
-  test("curation verdict: every gate frame joins back as a broadcast") {
+  test("curation verdict: one fused text scan; dup via window; cont broadcast") {
     val p = plan("q_curate_verdict")
-    // five gates left-join onto the corpus spine; each flag frame is tiny
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5)
+    // r12 fusion: the three row-local gates AND the exact-dup fingerprint
+    // come out of ONE projection over the corpus text; the canonical pick
+    // is a window over f (no join-back), so the only join left is the
+    // broadcast contamination semi-join family. The corpus text is read
+    // exactly once: documents scans = fused scan + shingle side + bench.
+    assert(p.contains("Window"), "exact-dup canonical pick must be a window over f")
+    assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 3,
+      s"verdict grew extra corpus scans ($scans):\n${p.take(1500)}")
   }
 
   test("NOT IN with nullable subquery plans as a null-aware anti join") {
