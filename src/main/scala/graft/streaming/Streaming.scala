@@ -539,6 +539,60 @@ object Streaming {
       }
       .start()
 
+  /** Exactly-once twin of [[dedupIngest]] for PULL consumers: instead of
+    * pushing each batch's near-dup pairs to a sink (at-least-once on a
+    * crash replay), the pairs MERGE into their own SnapshotTable keyed on
+    * the (i, j) pair itself. A replayed batch re-probes the index — which
+    * the batch-id skip left exactly as the first attempt committed it —
+    * and upserts the IDENTICAL rows, so the pairs table converges to the
+    * same content no matter where a crash fell between the index merge
+    * and the pairs merge: idempotent delivery end-to-end. Downstream
+    * consumers read the table (or follow its change feed incrementally);
+    * push consumers that can dedup on their side keep [[dedupIngest]].
+    */
+  def dedupIngestPairs(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      t: Double,
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery =
+    spark.readStream.options(options).schema(docSchema).json(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val runId = cdcRunId(checkpointDir)
+        val meta = graft.io.SnapshotTable.snapshot(spark, indexDir, None).meta
+        val applied = meta.get(cdcBatchIdKey).map(_.toLong)
+          .filter(_ => meta.get(cdcRunIdKey).contains(runId))
+        val deduped = batch.dropDuplicates("doc_id").localCheckpoint()
+        if (!deduped.isEmpty) {
+          if (!applied.exists(_ >= batchId)) {
+            graft.io.SnapshotTable.merge(spark, indexDir,
+              graft.dedup.Dedup.lshIndexRows(deduped), "doc_id",
+              meta = Map(cdcBatchIdKey -> batchId.toString,
+                cdcRunIdKey -> runId))
+          }
+          // keyed on the PAIR, not the batch: replay upserts equal rows
+          val pairs = graft.dedup.Dedup.lshIndexProbe(deduped, indexDir, t)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("pair_key",
+              concat_ws("\u001F", col("i"), col("j")))
+            .localCheckpoint()
+          if (!pairs.isEmpty) {
+            if (!graft.io.SnapshotTable.exists(pairsDir))
+              graft.io.SnapshotTable.create(pairs, pairsDir)
+            else
+              graft.io.SnapshotTable.merge(spark, pairsDir, pairs, "pair_key")
+            ()
+          }
+        }
+      }
+      .start()
+
   /** Streaming ingestion that keeps a fact table AND its incremental
     * ledger current — the full warehouse loop (ingest → change feed →
     * materialized aggregate) in one foreachBatch: each micro-batch MERGEs

@@ -533,6 +533,51 @@ class StreamingSpec extends SparkSpec {
       "replayed probes must stay within the union corpus pair set")
   }
 
+  test("streaming LSH dedup ingest (pairs table): replay converges, no duplicates") {
+    import graft.dedup.Dedup
+    import graft.io.SnapshotTable
+    import graft.util.Tables
+    val landing = tmpDir("graft-stream-dedup-eo")
+    val idx = tmpDir("graft-stream-lshidx-eo") + "/index"
+    val pairsDir = tmpDir("graft-stream-pairs-eo") + "/pairs"
+    val docs = Tables.documents(spark, sf()).localCheckpoint()
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    Dedup.lshIndexBuild(a, idx)
+    def land(name: String, m: Int): Unit = {
+      val lines = docs.filter(col("doc_id") % 3 === m)
+        .select(to_json(struct(col("doc_id"), col("text"), col("source"),
+          col("n_chars")))).collect().map(_.getString(0))
+      Files.writeString(Paths.get(landing, name), lines.mkString("", "\n", "\n"))
+    }
+    land("b1.json", 1)
+    land("b2.json", 2)
+    Streaming.dedupIngestPairs(spark, landing, idx, pairsDir,
+      tmpDir("graft-dedup-eo-cp"), 0.5,
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    def lshPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.minHashLshJoin(df, 0.5).select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def tablePairs(): Seq[(Long, Long)] =
+      SnapshotTable.read(spark, pairsDir).select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // one ROW per detected pair — the table is keyed on the pair itself
+    val expected = lshPairs(docs) -- lshPairs(a)
+    assert(expected.nonEmpty, "fixture must contain cross-slice near-dups")
+    val first = tablePairs()
+    assert(first.toSet === expected)
+    assert(first.size === first.toSet.size, "pair key must dedup rows")
+    // replay every batch through a FRESH checkpoint — the crash-replay
+    // delivery path (dedupIngest documents this as at-least-once for its
+    // push sink): here the pair-keyed MERGE upserts identical rows, so
+    // the table is IDENTICAL after the replay — exactly-once end-to-end
+    Streaming.dedupIngestPairs(spark, landing, idx, pairsDir,
+      tmpDir("graft-dedup-eo-cp2"), 0.5,
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    val replayed = tablePairs()
+    assert(replayed.toSet === expected)
+    assert(replayed.size === first.size, "replay must not append duplicates")
+  }
+
   test("streaming ledger ingest: view tracks the table through every batch") {
     import graft.io.{IncrementalView, SnapshotTable}
     import graft.util.Tables
