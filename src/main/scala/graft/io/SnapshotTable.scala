@@ -497,12 +497,23 @@ object SnapshotTable {
     // on columns, and an unschema'd multi-file read silently drops the new
     // ones
     val rows = readFiles(spark, dir, small, prev.schemaDdl)
+    var zMeta = Map.empty[String, String]
     val arranged =
       if (zOrderBy.nonEmpty) {
         // z-curve layout: range-partition on the interleaved-bit key, so
         // each output file covers one contiguous z-range ≈ one hyper-tile
-        // — every zOrderBy column's zone maps become selective AT ONCE
-        rows.withColumn("__z", zValue(rows, zOrderBy))
+        // — every zOrderBy column's zone maps become selective AT ONCE.
+        // Bucket boundaries PERSIST in manifest meta on the first
+        // z-compaction and are REUSED by later ones (same column set), so
+        // files from successive incremental compactions tile the SAME
+        // z-grid — comparable curves, stable selectivity — and every
+        // compaction after the first skips the approxQuantile pass.
+        requireZOrderable(rows, zOrderBy)
+        val bounds = persistedZBounds(prev, zOrderBy)
+          .getOrElse(computeZBounds(rows, zOrderBy))
+        zMeta = Map(zColsKey -> zOrderBy.mkString(",")) ++
+          zOrderBy.map(c => zBoundsKey(c) -> bounds(c).mkString(","))
+        rows.withColumn("__z", zValueFromBounds(rows, zOrderBy, bounds))
           .repartitionByRange(targetPartitions, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
@@ -519,9 +530,28 @@ object SnapshotTable {
     publish(dir, Snapshot(next, (big ++ newFiles).sorted, prev.statsCols,
       prev.stats.view.filterKeys(big.contains).toMap ++
         computeStats(spark, dir, newFiles, prev.statsCols),
-      prev.schemaDdl, prev.meta), commitDir)
+      prev.schemaDdl, prev.meta ++ zMeta), commitDir)
     next
   }
+
+  private val zColsKey = "zorder_cols"
+  private def zBoundsKey(c: String): String = s"zorder_bounds_$c"
+
+  /** Boundaries persisted by a previous z-compaction over the SAME column
+    * set, or None (first z-compaction, or the layout request changed —
+    * a new column set gets fresh boundaries and overwrites the meta).
+    */
+  private def persistedZBounds(prev: Snapshot,
+      cols: Seq[String]): Option[Map[String, Seq[Double]]] =
+    if (!prev.meta.get(zColsKey).contains(cols.mkString(","))) None
+    else {
+      val per = cols.map(c => c -> prev.meta.get(zBoundsKey(c)))
+      if (per.exists(_._2.isEmpty)) None
+      else Some(per.map { case (c, s) =>
+        c -> s.get.split(',').iterator.filter(_.nonEmpty)
+          .map(_.toDouble).toSeq
+      }.toMap)
+    }
 
   /** Interleaved-bit z-curve key over `cols` for the rewrite batch: each
     * column is QUANTILE-RANK normalized to an 8-bit bucket (one
@@ -538,13 +568,47 @@ object SnapshotTable {
     * boundary count per row, costed only by this maintenance rewrite.
     * Nulls rank 0 (first tile), constant columns contribute nothing.
     */
-  private def zValue(df: DataFrame, cols: Seq[String]): Column = {
+  private val zBits = 8 // k*bits <= 56: z fits a signed Long
+
+  /** Per-column distinct quantile boundaries for the z-curve bucketing:
+    * one approxQuantile pass over the batch computes all columns' 255
+    * boundaries together (the GK sketch is mergeable, so the pass is a
+    * normal distributed agg). Run once per table layout — later
+    * compactions reuse the persisted result ([[persistedZBounds]]).
+    */
+  private def computeZBounds(df: DataFrame,
+      cols: Seq[String]): Map[String, Seq[Double]] = {
+    val nb = (1 << zBits) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val casted = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__zq_$c", col(c).cast(DoubleType)))
+    val bounds = casted.stat.approxQuantile(
+      cols.map(c => s"__zq_$c").toArray, probs, 0.01)
+    cols.zip(bounds.map(_.distinct.sorted.toSeq)).toMap
+  }
+
+  /** Interleaved-bit z-curve key over `cols`: each column is
+    * QUANTILE-RANK normalized to an 8-bit bucket against `bounds`, then
+    * the bucket bits are interleaved column-major so close z-values are
+    * close in every dimension. Quantile rank, not min-max: z-tiles are
+    * cut by ROW MASS (range partition on z), so a skewed dimension under
+    * min-max binning would crowd most rows into a few low buckets and its
+    * selective predicates would stop pruning — rank normalization makes
+    * every dimension uniform by construction, the same reason Delta's
+    * OPTIMIZE ZORDER range-partitions per column first. Bucket lookup is
+    * a 255-element boundary count per row, costed only by this
+    * maintenance rewrite. Nulls rank 0 (first tile), constant columns
+    * contribute nothing.
+    */
+  /** Fail loudly on a non-numeric z column BEFORE any pass runs: its cast
+    * to double would be all-NULL (or, under ANSI, a mid-job cast error),
+    * approxQuantile would return no boundaries, and the dimension would
+    * silently contribute nothing to the layout — the caller asked for
+    * pruning it would never get.
+    */
+  private def requireZOrderable(df: DataFrame, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.size <= 7,
       s"zOrderBy supports 1..7 columns, got ${cols.size}")
-    // fail loudly on a non-numeric z column: its cast to double would be
-    // all-NULL, approxQuantile would return no boundaries, and the
-    // dimension would silently contribute nothing to the layout — the
-    // caller asked for pruning it would never get
     cols.foreach { c =>
       val dt = df.schema(c).dataType
       require(dt.isInstanceOf[NumericType] || dt == TimestampType ||
@@ -553,16 +617,13 @@ object SnapshotTable {
           s"${dt.simpleString}; z-ordering needs a numeric/timestamp/" +
           "boolean column (hash a string key to a numeric surrogate first)")
     }
+  }
+
+  private def zValueFromBounds(df: DataFrame, cols: Seq[String],
+      bounds: Map[String, Seq[Double]]): Column = {
     val k = cols.size
-    val bits = 8 // k*bits <= 56: z fits a signed Long
-    val nb = (1 << bits) - 1
-    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    val casted = cols.foldLeft(df)((d, c) =>
-      d.withColumn(s"__zq_$c", col(c).cast(DoubleType)))
-    val bounds = casted.stat.approxQuantile(
-      cols.map(c => s"__zq_$c").toArray, probs, 0.01)
-    val buckets = cols.zip(bounds).map { case (c, bs) =>
-      val uniq = bs.distinct.sorted.toSeq
+    val buckets = cols.map { c =>
+      val uniq = bounds(c)
       if (uniq.isEmpty) lit(0L) // all-null column
       else {
         // rank = #boundaries <= x; null compares null -> kept out -> 0.
@@ -572,11 +633,11 @@ object SnapshotTable {
         // out of the interleave's leading (tile-cutting) bits.
         val rank = size(filter(typedLit(uniq),
           b => b <= col(c).cast(DoubleType))).cast(LongType)
-        floor(rank * lit(((1 << bits) - 1).toDouble) / lit(uniq.size.toDouble))
+        floor(rank * lit(((1 << zBits) - 1).toDouble) / lit(uniq.size.toDouble))
           .cast(LongType)
       }
     }
-    (0 until bits).flatMap(j => buckets.zipWithIndex.map { case (b, i) =>
+    (0 until zBits).flatMap(j => buckets.zipWithIndex.map { case (b, i) =>
       shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * k + i)
     }).reduce(_ bitwiseOR _)
   }

@@ -351,6 +351,77 @@ class IoSpec extends SparkSpec {
       === base.orderBy("event_id").collect().toSeq)
   }
 
+  test("snapshot table: z-order boundaries persist — incremental compactions tile one grid") {
+    // VERDICT r11 #4: zValue used to recompute quantile boundaries from
+    // each compaction batch, so files from different compactions lived on
+    // incomparable z-curves. Boundaries now persist in manifest meta on
+    // the first z-compaction and later ones REUSE them — two successive
+    // z-compactions over disjoint ingests must (a) carry identical
+    // boundary meta, (b) leave the first generation's tiles untouched,
+    // and (c) prune a box read to ~the file fraction one full z-compaction
+    // of the union achieves.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mk(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i * 31 % 80, i * 7 % 100))
+        .toDF("id", "user_id", "value")
+    val ingest1 = mk(0, 60000)
+    val ingest2 = mk(60000, 80000)
+    val dirInc = Files.createTempDirectory("graft-snap-zstab").toString + "/inc"
+    val dirFull = Files.createTempDirectory("graft-snap-zstab").toString + "/full"
+    val stats = Seq("user_id", "value")
+
+    SnapshotTable.create(ingest1.repartition(8, col("id")), dirInc, statsCols = stats)
+    SnapshotTable.compact(spark, dirInc, minFileBytes = 1L << 30,
+      targetPartitions = 8, zOrderBy = Seq("user_id", "value"))
+    val snap2 = SnapshotTable.snapshot(spark, dirInc, None)
+    val gen1Files = snap2.files.toSet
+    val boundsMeta1 = snap2.meta.filter(_._1.startsWith("zorder"))
+    assert(boundsMeta1.keySet === Set("zorder_cols",
+      "zorder_bounds_user_id", "zorder_bounds_value"),
+      s"first z-compaction must persist boundary meta, got ${snap2.meta.keySet}")
+
+    SnapshotTable.merge(spark, dirInc, ingest2.repartition(4, col("id")), "id")
+    // dynamic size threshold: rewrite only the merge's (smaller) files
+    val gen1Min = gen1Files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(dirInc, f))).min
+    val gen2Max = (SnapshotTable.snapshot(spark, dirInc, None).files.toSet -- gen1Files)
+      .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(dirInc, f))).max
+    assert(gen2Max < gen1Min, "fixture: ingest2 files must undercut gen1 tiles")
+    SnapshotTable.compact(spark, dirInc, minFileBytes = gen1Min,
+      targetPartitions = 4, zOrderBy = Seq("user_id", "value"))
+    val snap4 = SnapshotTable.snapshot(spark, dirInc, None)
+    assert(gen1Files.subsetOf(snap4.files.toSet),
+      "incremental z-compaction must not rewrite the first generation")
+    assert(snap4.files.size === 12)
+    assert(snap4.meta.filter(_._1.startsWith("zorder")) === boundsMeta1,
+      "second z-compaction must REUSE the persisted boundaries")
+
+    // comparator: the union compacted once, same total tile count
+    SnapshotTable.create(
+      ingest1.unionAll(ingest2).repartition(8, col("id")), dirFull, statsCols = stats)
+    SnapshotTable.compact(spark, dirFull, minFileBytes = 1L << 30,
+      targetPartitions = 12, zOrderBy = Seq("user_id", "value"))
+
+    val box = Seq(("user_id", 0.0, 9.0), ("value", 0.0, 12.0))
+    val keptInc = SnapshotTable.readBox(spark, dirInc, box).inputFiles.length
+    val keptFull = SnapshotTable.readBox(spark, dirFull, box).inputFiles.length
+    assert(keptFull <= 4, s"full z-compaction must prune: $keptFull of 12")
+    // each generation tiles the SAME grid but at its own granularity (an
+    // 8-tile and a 4-tile z-range partition vs the comparator's single
+    // 12-tile one), so the box may straddle one boundary tile per
+    // generation — fraction parity, not file-count equality, is the pin
+    assert(keptInc <= keptFull + 2 && keptInc <= 5,
+      s"incremental compactions on one grid must prune like a full one: " +
+        s"$keptInc vs $keptFull of 12")
+    // rows stay exact through the incremental layout
+    assert(SnapshotTable.readBox(spark, dirInc, box)
+      .orderBy("id").collect().toSeq ===
+      ingest1.unionAll(ingest2)
+        .filter(col("user_id").between(0, 9) && col("value").between(0, 12))
+        .orderBy("id").collect().toSeq)
+  }
+
   test("snapshot table: z-order on a non-numeric column fails loudly") {
     // REGRESSION (ADVICE r11): a string zOrderBy column casts to all-NULL
     // doubles, approxQuantile returns no boundaries, and the dimension
