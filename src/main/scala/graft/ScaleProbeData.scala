@@ -100,11 +100,18 @@ object ScaleProbeData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // key bases first (max+1 per shifted key column, on its OWNER table)
+    // key bases first (max+1 per shifted key column, on its OWNER table) —
+    // restricted to the bases the SELECTED tables actually shift by, so a
+    // probe-of-a-probe (whose source dir holds only the subset's tables,
+    // e.g. sf100 = sf10_probe x10) doesn't read absent parquet
+    val neededBases: Set[String] =
+      shiftCols.filter(kv => only(kv._1)).values.flatten.map(baseOf).toSet
     val bases: Map[String, Long] = shiftCols.toSeq.flatMap { case (t, cols) =>
-      val df = spark.read.parquet(s"$src/$t.parquet")
-      cols.filter(c => baseOf(c) == c).map { c =>
-        c -> (df.agg(max(col(c))).head.getLong(0) + 1L)
+      val own = cols.filter(c => baseOf(c) == c && neededBases(c))
+      if (own.isEmpty) Nil
+      else {
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        own.map(c => c -> (df.agg(max(col(c))).head.getLong(0) + 1L))
       }
     }.toMap
     shiftCols.filter(kv => only(kv._1)).foreach { case (t, cols) =>

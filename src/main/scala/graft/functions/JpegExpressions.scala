@@ -293,6 +293,239 @@ object JpegDecode {
     new GenericInternalRow(out)
   }
 
+  val colorOutType: StructType = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("n_mcus", LongType),
+    StructField("sum_y", LongType), StructField("sum_cb", LongType),
+    StructField("sum_cr", LongType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType), StructField("wsum_r", LongType),
+    StructField("n_ac_coeffs", LongType)))
+
+  /** COLOR baseline JPEG decode — the multi-component tier: YCbCr with
+    * three full-resolution components (4:4:4, every sampling factor 1×1;
+    * subsampled scans are outside this envelope and null out). Runs the
+    * full T.81 machinery of [[jpeg]] per component — per-table DQT/DHT
+    * bookkeeping (luma/chroma quantizers and Huffman pairs), SOS
+    * component→table binding, interleaved Y-Cb-Cr MCUs with independent
+    * DC predictors, AC run-length decode, dequant, reconstruction — then
+    * converts to RGB with libjpeg's exact 16-bit fixed-point arithmetic
+    * (jdcolor.c: FIX(1.40200) = 91881, FIX(0.34414) = 22554,
+    * FIX(0.71414) = 46802, FIX(1.77200) = 116130, +32768 rounding,
+    * arithmetic >> 16), i.e. the SAME integers ImageIO's native reader
+    * produces — which is what lets MultimodalSpec pin byte parity on the
+    * color output too. Null/integrity semantics follow [[jpeg]]: junk
+    * returns all-null, a malformed entropy stream (in ANY component —
+    * chroma corruption triggers exactly like luma) nulls the sums.
+    */
+  def jpegColor(p: Array[Byte]): InternalRow = {
+    val out = new Array[Any](11)
+    if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8)
+      return new GenericInternalRow(out)
+    var pos = 2
+    var w = -1
+    var h = -1
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JHuff](4)
+    val acTabs = new Array[JHuff](4)
+    var compId: Array[Int] = null
+    var compQ: Array[Int] = null
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var sosAt = -1
+    while (sosAt < 0 && pos + 4 <= p.length) {
+      if (u8(p, pos) != 0xFF) return new GenericInternalRow(out)
+      val marker = u8(p, pos + 1)
+      val len = beU16(p, pos + 2)
+      if (len < 2 || pos + 2 + len > p.length) return new GenericInternalRow(out)
+      val body = pos + 4
+      val end = pos + 2 + len
+      marker match {
+        case 0xDB => // DQT: possibly several 8-bit tables per segment
+          var q = body
+          while (q + 65 <= end) {
+            val pq = u8(p, q) >> 4
+            val tq = u8(p, q) & 0x0F
+            if (pq == 0 && tq < 4)
+              quant(tq) = Array.tabulate(64)(i => u8(p, q + 1 + i))
+            q += 65
+          }
+        case 0xC0 => // SOF0 baseline: 8-bit, exactly three 1x1 components
+          if (len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
+            (0 until 3).forall(c => u8(p, body + 7 + 3 * c) == 0x11)) {
+            h = beU16(p, body + 1)
+            w = beU16(p, body + 3)
+            compId = Array.tabulate(3)(c => u8(p, body + 6 + 3 * c))
+            compQ = Array.tabulate(3)(c => u8(p, body + 8 + 3 * c))
+          } else return new GenericInternalRow(out) // outside the envelope
+        case 0xC4 => // DHT: possibly several tables in one segment
+          var q = body
+          while (q + 17 <= end) {
+            val tc = u8(p, q) >> 4
+            val th = u8(p, q) & 0x0F
+            val bits = new Array[Int](17)
+            var n = 0
+            var l = 1
+            while (l <= 16) { bits(l) = u8(p, q + l); n += bits(l); l += 1 }
+            if (q + 17 + n > end || n > 256) return new GenericInternalRow(out)
+            val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
+            if (th < 4) {
+              if (tc == 0) dcTabs(th) = new JHuff(bits, vals)
+              else if (tc == 1) acTabs(th) = new JHuff(bits, vals)
+            }
+            q += 17 + n
+          }
+        case 0xDA => // SOS: bind each scan component to its tables
+          if (len != 12 || u8(p, body) != 3 || compId == null)
+            return new GenericInternalRow(out)
+          var c = 0
+          while (c < 3) {
+            val cid = u8(p, body + 1 + 2 * c)
+            val tt = u8(p, body + 2 + 2 * c)
+            val idx = compId.indexOf(cid)
+            if (idx < 0) return new GenericInternalRow(out)
+            compDc(idx) = tt >> 4
+            compAc(idx) = tt & 0x0F
+            c += 1
+          }
+          sosAt = pos
+        case 0xD9 => return new GenericInternalRow(out) // EOI before SOS
+        case _ => () // APPn / COM / others: skip
+      }
+      if (sosAt < 0) pos += 2 + len
+    }
+    if (sosAt < 0 || w <= 0 || h <= 0 || compQ == null ||
+      w > (1 << 14) || h > (1 << 14) ||
+      (0 until 3).exists(c => quant(compQ(c)) == null ||
+        dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null))
+      return new GenericInternalRow(out)
+    out(0) = Integer.valueOf(w)
+    out(1) = Integer.valueOf(h)
+    val scanStart = sosAt + 2 + beU16(p, sosAt + 2)
+    if (scanStart >= p.length) return new GenericInternalRow(out)
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val r = new BitReader(p, scanStart, p.length)
+    val sums = new Array[Long](3) // y, cb, cr
+    var sumR = 0L
+    var sumG = 0L
+    var sumB = 0L
+    var wsumR = 0L
+    var nAc = 0L
+    val pred = new Array[Int](3)
+    val coef = Array.ofDim[Int](3, 64)
+    val hasAc = new Array[Boolean](3)
+    def clamp255(v: Int): Int = math.min(255, math.max(0, v))
+    var by = 0
+    var ok = true
+    while (ok && by < bh) {
+      var bx = 0
+      while (ok && bx < bw) {
+        // interleaved MCU: one block per component, own predictor each
+        var comp = 0
+        while (ok && comp < 3) {
+          val cz = coef(comp)
+          java.util.Arrays.fill(cz, 0)
+          val qt = quant(compQ(comp))
+          val t = dcTabs(compDc(comp)).decode(r)
+          if (t < 0 || t > 11) ok = false
+          else {
+            val diffBits = if (t == 0) 0 else r.bits(t)
+            if (diffBits < 0) ok = false
+            else {
+              pred(comp) += extend(diffBits, t)
+              cz(0) = pred(comp) * qt(0)
+              var k = 1
+              var eob = false
+              val acT = acTabs(compAc(comp))
+              while (ok && !eob && k < 64) {
+                val rs = acT.decode(r)
+                if (rs < 0) ok = false
+                else if (rs == 0x00) eob = true
+                else if (rs == 0xF0) k += 16 // ZRL
+                else {
+                  val run = rs >> 4
+                  val size = rs & 0x0F
+                  k += run
+                  if (k > 63) ok = false
+                  else {
+                    val m = r.bits(size)
+                    if (m < 0) ok = false
+                    else {
+                      cz(k) = extend(m, size) * qt(k)
+                      nAc += 1
+                      k += 1
+                    }
+                  }
+                }
+              }
+              if (ok) {
+                var has = false
+                var i = 1
+                while (i < 64 && !has) { has = cz(i) != 0; i += 1 }
+                hasAc(comp) = has
+              }
+            }
+          }
+          comp += 1
+        }
+        if (ok) {
+          // fold the in-geometry pixels: plane sums + fixed-point RGB
+          def planeVal(comp: Int, xx: Int, yy: Int): Int =
+            if (!hasAc(comp)) {
+              val f = coef(comp)(0)
+              val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
+              clamp255(q8 + 128)
+            } else idctPixel(coef(comp), xx, yy)
+          var yy = 0
+          while (yy < 8) {
+            val py = by * 8 + yy
+            if (py < h) {
+              var xx = 0
+              while (xx < 8) {
+                val px = bx * 8 + xx
+                if (px < w) {
+                  val yv = planeVal(0, xx, yy)
+                  val cbv = planeVal(1, xx, yy)
+                  val crv = planeVal(2, xx, yy)
+                  sums(0) += yv
+                  sums(1) += cbv
+                  sums(2) += crv
+                  val cbx = cbv - 128
+                  val crx = crv - 128
+                  val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
+                  val gv = clamp255(
+                    yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
+                  val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
+                  sumR += rv
+                  sumG += gv
+                  sumB += bv
+                  wsumR += (py.toLong * w + px + 1L) * rv
+                }
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    out(2) = java.lang.Long.valueOf(bw.toLong * bh)
+    if (ok) {
+      out(3) = java.lang.Long.valueOf(sums(0))
+      out(4) = java.lang.Long.valueOf(sums(1))
+      out(5) = java.lang.Long.valueOf(sums(2))
+      out(6) = java.lang.Long.valueOf(sumR)
+      out(7) = java.lang.Long.valueOf(sumG)
+      out(8) = java.lang.Long.valueOf(sumB)
+      out(9) = java.lang.Long.valueOf(wsumR)
+      out(10) = java.lang.Long.valueOf(nAc)
+    }
+    new GenericInternalRow(out)
+  }
+
   // zig-zag order: index in scan order -> (row, col)
   private val zzRow = Array(
     0, 0, 1, 2, 1, 0, 0, 1, 2, 3, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 5, 4,
@@ -345,10 +578,32 @@ case class JpegStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_jpeg_stats"
 }
 
+case class JpegColorStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_jpeg_color_stats expects a binary payload, got $other")
+  }
+  override def dataType: DataType = JpegDecode.colorOutType
+  override def nullSafeEval(p: Any): Any =
+    JpegDecode.jpegColor(p.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.JpegDecode.jpegColor($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegColorStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_color_stats"
+}
+
 object JpegFunctions {
   val statsName = "graft_jpeg_stats"
-  def ensureRegistered(spark: SparkSession): Unit =
+  val colorStatsName = "graft_jpeg_color_stats"
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       statsName, exprs => JpegStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      colorStatsName, exprs => JpegColorStats(exprs.head), "built-in")
+  }
   def jpegStats(payload: Column): Column = call_function(statsName, payload)
+  def jpegColorStats(payload: Column): Column = call_function(colorStatsName, payload)
 }

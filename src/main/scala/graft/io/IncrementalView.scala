@@ -91,6 +91,11 @@ object IncrementalView {
     // rowFilter commutes with the feed: a row outside the view's predicate
     // contributes on neither side, whether inserted, deleted, or re-emitted
     // by a rewrite — the standard partial-view maintenance identity
+    // localCheckpoint: the refresh DAG consumes this aggregate up to four
+    // times (fast path, recompute-key set, point-read key values, the
+    // final upserts) — without materialization each consumer re-reads the
+    // whole change feed. The aggregate is one row per touched key, i.e.
+    // delta-sized by design; the blocks free with the frame.
     val delta = SnapshotTable.changesBetween(spark, sourceDir, have, latest)
       .filter(rowFilter)
       .groupBy(keys.map(col): _*)
@@ -102,6 +107,7 @@ object IncrementalView {
           maxCols.flatMap(c => Seq(
             max(when(isIns, col(c))).as(s"__ins_max_$c"),
             max(when(!isIns, col(c))).as(s"__del_max_$c"))): _*)
+      .localCheckpoint()
     val addCols = countCol +: sumCols
     val extCols = minCols.map(minName) ++ maxCols.map(maxName)
     // join delta to the stored view on the synthesized mv_key, NOT the raw
@@ -153,7 +159,7 @@ object IncrementalView {
         val rkeys = joined.filter(needsRecompute).select(keys.map(col): _*)
         // null-safe semi-join: a null-valued group key is a real group in
         // the view and must still reach the recompute scan
-        val rec = SnapshotTable.read(spark, sourceDir, Some(latest))
+        val rec = recomputeSource(spark, sourceDir, latest, keys, rkeys)
           .filter(rowFilter).as("src")
           .join(rkeys.as("rk"),
             keys.map(k => col(s"src.$k") <=> col(s"rk.$k")).reduce(_ && _),
@@ -172,6 +178,32 @@ object IncrementalView {
       deleteCol = Some(dropCol),
       meta = Map(sourceVersionKey -> latest.toString))
     latest
+  }
+
+  /** Source frame for the extremum tie-recompute: when the view has a
+    * single NUMERIC key that carries zone maps, the tied keys' rows are
+    * fetched through [[SnapshotTable.readPoints]] — with the source
+    * clustered on the view key that scan opens only the keys' own files,
+    * which is what keeps a handful of ties from costing a corpus rescan
+    * at 100 TB. Falls back to a full read when the key isn't zone-mapped,
+    * the tie set is large (> 4096 keys — at that point the scan is wide
+    * anyway and a driver-side key list stops being "metadata-sized"), or
+    * any tied key is NULL (zone maps say nothing about nulls). The
+    * null-safe semi-join stays on top either way, so pruning is an
+    * optimization, never a semantics change.
+    */
+  private def recomputeSource(spark: SparkSession, sourceDir: String,
+      version: Int, keys: Seq[String], rkeys: DataFrame): DataFrame = {
+    val full = () => SnapshotTable.read(spark, sourceDir, Some(version))
+    val snap = SnapshotTable.snapshot(spark, sourceDir, Some(version))
+    if (keys.size != 1 || !snap.statsCols.contains(keys.head)) return full()
+    val cap = 4096
+    val vals = rkeys
+      .select(col(keys.head).cast("double").as("v")).distinct()
+      .limit(cap + 1).collect()
+    if (vals.length > cap || vals.exists(_.isNullAt(0))) full()
+    else SnapshotTable.readPoints(spark, sourceDir, keys.head,
+      vals.map(_.getDouble(0)).toSeq, Some(version))
   }
 
   /** Exact incremental COUNT(DISTINCT valueCol) per key, as a composition

@@ -705,6 +705,41 @@ object SnapshotTable {
     df.filter(col(column).cast(DoubleType).between(lower, upper))
   }
 
+  /** Zone-map-pruned POINT-SET scan: rows whose `column` equals one of
+    * `values`, reading only files whose [min, max] brackets at least one
+    * value — the serving read for "recompute just these keys" maintenance
+    * ([[IncrementalView]] extremum ties) on a table clustered by that
+    * key, where the tied keys' rows live in a handful of files. Same
+    * conservatism as [[readRange]]: files without a recorded range (or a
+    * NaN bound) are read, and the exact membership filter is re-applied.
+    * NOTE: NULL never matches (SQL IN semantics) — and a file's zone map
+    * says nothing about the nulls it holds — so null-group lookups must
+    * take a full read instead.
+    */
+  def readPoints(spark: SparkSession, dir: String, column: String,
+      values: Seq[Double], version: Option[Int] = None): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    require(snap.statsCols.contains(column),
+      s"no zone maps for column '$column' (statsCols=${snap.statsCols.mkString(",")})")
+    val sorted = values.distinct.sorted.toArray
+    def anyIn(mn: Double, mx: Double): Boolean = {
+      val i = java.util.Arrays.binarySearch(sorted, mn)
+      val idx = if (i >= 0) i else -i - 1
+      idx < sorted.length && sorted(idx) <= mx
+    }
+    val keep = snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) if mn.isNaN || mx.isNaN => true
+        case Some((mn, mx)) => anyIn(mn, mx)
+        case None => true
+      }
+    }
+    val df =
+      if (keep.isEmpty) readFiles(spark, dir, snap.files, snap.schemaDdl).limit(0)
+      else readFiles(spark, dir, keep, snap.schemaDdl)
+    df.filter(col(column).cast(DoubleType).isin(values: _*))
+  }
+
   /** Multi-dimensional zone-map-pruned scan: keep only files whose
     * [min, max] intersects EVERY bound — the serving read for a
     * z-ordered table ([[compact]] with `zOrderBy`), where each file is a

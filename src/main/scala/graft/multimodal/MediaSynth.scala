@@ -494,6 +494,102 @@ object MediaSynth {
     out.toArray
   }
 
+  /** DC-exact COLOR baseline JPEG — YCbCr 4:4:4, three full-resolution
+    * components, DC-only blocks: the same every-conforming-decoder-agrees
+    * corner as [[jpeg]], promoted to color. REAL multi-component T.81
+    * framing: two 8-bit DQTs (luma table 0, chroma table 1, Q ≡ 8), SOF0
+    * with three 1×1-sampled components, FOUR DHTs (DC/AC × table 0/1),
+    * interleaved Y-Cb-Cr MCUs with per-component DC predictors, byte
+    * stuffing. Flat blocks make each plane's reconstruction the integer
+    * DC + 128 in every conforming decoder, and the YCbCr→RGB hop uses
+    * libjpeg's exact 16-bit fixed-point tables (jdcolor.c) — the same
+    * integers ImageIO's native reader computes — so the color output is
+    * formula-exact end to end. Planted: dims as [[jpeg]];
+    * yDc = ((id + 5bx + 11by) % 160) − 80, cbDc = ((3id + 7bx + 13by)
+    * % 100) − 50, crDc = ((5id + 3bx + 17by) % 100) − 50.
+    */
+  def jpegColor(id: Long): Array[Byte] = {
+    val bw = (1 + id % 3).toInt
+    val bh = (1 + id % 2).toInt
+    val w = bw * 8
+    val h = bh * 8
+    def yDc(bx: Int, by: Int): Int = ((id + 5L * bx + 11L * by) % 160).toInt - 80
+    def cbDc(bx: Int, by: Int): Int = ((3L * id + 7L * bx + 13L * by) % 100).toInt - 50
+    def crDc(bx: Int, by: Int): Int = ((5L * id + 3L * bx + 17L * by) % 100).toInt - 50
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00) // DQT: 8-bit table 0 (luma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    b(0xFF, 0xDB, 0, 67, 0x01) // DQT: 8-bit table 1 (chroma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    // SOF0: 8-bit, THREE 1x1 components (4:4:4); Y uses QT 0, Cb/Cr QT 1
+    b(0xFF, 0xC0, 0, 17, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Seq(0x00, 0x01).foreach { th => // DC tables 0 and 1 (Annex K BITS)
+      b(0xFF, 0xC4, 0, 31, th)
+      (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+      (0 to 11).foreach(v => out += v.toByte)
+    }
+    Seq(0x10, 0x11).foreach { tcth => // AC tables 0 and 1: one EOB code
+      b(0xFF, 0xC4, 0, 20, tcth)
+      b(1); (2 to 16).foreach(_ => b(0))
+      b(0x00)
+    }
+    // SOS: Y -> (DC0, AC0), Cb/Cr -> (DC1, AC1)
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
+    val dcCode = jpegCodes(jpegDcBits)
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    val pred = new Array[Int](3)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var comp = 0
+        while (comp < 3) { // interleaved MCU: Y, Cb, Cr
+          val dc = comp match {
+            case 0 => yDc(bx, by)
+            case 1 => cbDc(bx, by)
+            case _ => crDc(bx, by)
+          }
+          val diff = dc - pred(comp)
+          pred(comp) = dc
+          val mag = math.abs(diff)
+          val s = 32 - Integer.numberOfLeadingZeros(mag)
+          val (c, cl) = dcCode(s)
+          putBits(c, cl)
+          if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          putBits(0, 1) // EOB
+          comp += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (nb > 0) { // pad the final byte with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+    }
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
   /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
     * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
     * the PNG but with the BMP moduli for dimensions.
@@ -591,6 +687,16 @@ case class JpegAcSynth(child: Expression) extends MediaSynthExpression {
   override def prettyName: String = "graft_jpeg_ac_synth"
 }
 
+case class JpegColorSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.jpegColor(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegColor($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegColorSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_color_synth"
+}
+
 case class PngDynamicSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.pngDynamic(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -639,6 +745,7 @@ object MediaSynthFunctions {
   val pngDynamicName = "graft_png_dynamic_synth"
   val jpegName = "graft_jpeg_synth"
   val jpegAcName = "graft_jpeg_ac_synth"
+  val jpegColorName = "graft_jpeg_color_synth"
   val bmpName = "graft_bmp_synth"
   val wavName = "graft_wav_synth"
 
@@ -649,6 +756,7 @@ object MediaSynthFunctions {
     reg.createOrReplaceTempFunction(pngDynamicName, exprs => PngDynamicSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegName, exprs => JpegSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegAcName, exprs => JpegAcSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegColorName, exprs => JpegColorSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
   }
@@ -656,6 +764,8 @@ object MediaSynthFunctions {
   def jpegSynth(docId: Column): Column = call_function(jpegName, docId)
 
   def jpegAcSynth(docId: Column): Column = call_function(jpegAcName, docId)
+
+  def jpegColorSynth(docId: Column): Column = call_function(jpegColorName, docId)
 
   def pngSynth(docId: Column): Column = call_function(pngName, docId)
 

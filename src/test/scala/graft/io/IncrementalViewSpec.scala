@@ -323,6 +323,42 @@ class IncrementalViewSpec extends SparkSpec {
     assert(got2 === Set(("a", 3L, Some(30L)), ("b", 2L, None), ("c", 2L, Some(9L))))
   }
 
+  test("extremum tie-recompute reads only the tied keys' files on a clustered key") {
+    // the recompute path's 100 TB shape: with a numeric zone-mapped view
+    // key and the source clustered on it, readPoints opens only the tied
+    // keys' own files instead of rescanning the corpus
+    import spark.implicits._
+    val src = tmp("graft-mv-prune")
+    val view = tmp("graft-mv-prune-view")
+    val base = (0L until 4000L).map(i => (i, i % 8, (i * 13) % 100))
+      .toDF("doc_id", "grp", "value")
+    SnapshotTable.create(base.repartition(8, col("doc_id")), src,
+      statsCols = Seq("grp"))
+    SnapshotTable.compact(spark, src, minFileBytes = 1L << 30,
+      targetPartitions = 8, clusterBy = Seq("grp"))
+    // zone maps are now selective: one key's rows live in ~1 file
+    val probe = SnapshotTable.readPoints(spark, src, "grp", Seq(3.0))
+    assert(probe.inputFiles.length <= 2,
+      s"clustered point read must prune: ${probe.inputFiles.length} of 8")
+    assert(probe.count() === base.filter(col("grp") === 3).count())
+
+    IncrementalView.create(spark, src, view, Seq("grp"), Nil,
+      minCols = Seq("value"))
+    // delete THE row holding grp=3's minimum -> tie -> per-key recompute
+    val minRow = base.filter(col("grp") === 3).orderBy("value").limit(1)
+    SnapshotTable.merge(spark, src, minRow.withColumn("gone", lit(true)),
+      "doc_id", deleteCol = Some("gone"))
+    IncrementalView.refresh(spark, src, view, Seq("grp"), Nil,
+      minCols = Seq("value"))
+    val got = SnapshotTable.read(spark, view)
+      .select(col("grp"), col(IncrementalView.minName("value")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SnapshotTable.read(spark, src)
+      .groupBy("grp").agg(min("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("change feed spans a schema-evolving merge") {
     // REGRESSION (ADVICE r11): the feed reads the insert side with the
     // evolved schema and the delete side with the pre-evolution schema;

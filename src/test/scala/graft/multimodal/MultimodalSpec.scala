@@ -441,6 +441,88 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeOne(badFilter).getLong(10) > 0L, "filter violation must count")
   }
 
+  test("color JPEG: kernel equals planted formulas and ImageIO RGB byte-for-byte") {
+    def clamp(v: Long): Long = math.min(255L, math.max(0L, v))
+    for (id <- 0L until 24L) {
+      val payload = MediaSynth.jpegColor(id)
+      val st = graft.functions.JpegDecode.jpegColor(payload)
+      assert(!st.isNullAt(3), s"color fixture $id must decode")
+      val (w, h) = (st.getInt(0), st.getInt(1))
+      assert(w === 8 * (1 + id % 3) && h === 8 * (1 + id % 2), s"dims for $id")
+      // planted per-block plane formulas + libjpeg fixed-point RGB — the
+      // same integers the kernel and the DuckDB oracle compute
+      var (sy, scb, scr, sr, sg, sb2, wr) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val y = 48L + (id + 5L * bx + 11L * by) % 160
+        val cb = 78L + (3L * id + 7L * bx + 13L * by) % 100
+        val cr = 78L + (5L * id + 3L * bx + 17L * by) % 100
+        val r = clamp(y + ((91881L * (cr - 128) + 32768L) >> 16))
+        val g = clamp(y + ((-22554L * (cb - 128) - 46802L * (cr - 128) + 32768L) >> 16))
+        val b = clamp(y + ((116130L * (cb - 128) + 32768L) >> 16))
+        sy += 64 * y; scb += 64 * cb; scr += 64 * cr
+        sr += 64 * r; sg += 64 * g; sb2 += 64 * b
+        wr += r * (64L * (8L * by * w + 8L * bx + 1) + 224L * w + 224L)
+      }
+      assert(st.getLong(3) === sy, s"sum_y for $id")
+      assert(st.getLong(4) === scb, s"sum_cb for $id")
+      assert(st.getLong(5) === scr, s"sum_cr for $id")
+      assert(st.getLong(6) === sr, s"sum_r for $id")
+      assert(st.getLong(7) === sg, s"sum_g for $id")
+      assert(st.getLong(8) === sb2, s"sum_b for $id")
+      assert(st.getLong(9) === wr, s"wsum_r for $id")
+      assert(st.getLong(10) === 0L, s"fixtures are DC-only for $id")
+      // the JDK's real reader: full multi-component entropy decode, its
+      // own IDCT (exact on flat blocks) and libjpeg color conversion —
+      // byte parity on every channel, not ±1
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected color JPEG $id")
+      assert(img.getWidth === w && img.getHeight === h)
+      var (ir, ig, ib) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = img.getRGB(x, y)
+        ir += (v >> 16) & 0xFF; ig += (v >> 8) & 0xFF; ib += v & 0xFF
+      }
+      assert(ir === sr, s"ImageIO sum_r parity for $id")
+      assert(ig === sg, s"ImageIO sum_g parity for $id")
+      assert(ib === sb2, s"ImageIO sum_b parity for $id")
+    }
+  }
+
+  test("color JPEG: corrupting a CHROMA component fires without touching luma") {
+    val sample = MediaSynth.jpegColor(5L)
+    val good = graft.functions.JpegDecode.jpegColor(sample)
+    // locate the SECOND DQT segment (chroma table 1) and bump its DC
+    // quantizer: the luma plane must decode identically while both chroma
+    // sums shift — the corruption is component-scoped
+    def dqtAt(p: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + 1 < p.length &&
+        !((p(i) & 0xFF) == 0xFF && (p(i + 1) & 0xFF) == 0xDB)) i += 1
+      i
+    }
+    val dqt2 = dqtAt(sample, dqtAt(sample, 2) + 2)
+    assert((sample(dqt2 + 4) & 0xFF) === 0x01, "second DQT is chroma table 1")
+    val bad = sample.clone()
+    bad(dqt2 + 5) = 16.toByte // chroma Q[0]: 8 -> 16
+    val st = graft.functions.JpegDecode.jpegColor(bad)
+    assert(st.getLong(3) === good.getLong(3), "luma sum unchanged")
+    assert(st.getLong(4) != good.getLong(4), "cb sum must shift")
+    assert(st.getLong(5) != good.getLong(5), "cr sum must shift")
+    // a flipped bit in the interleaved entropy stream derails or drifts
+    val bad2 = sample.clone()
+    bad2(bad2.length - 4) = (bad2(bad2.length - 4) ^ 0x40).toByte
+    val st2 = graft.functions.JpegDecode.jpegColor(bad2)
+    assert(st2.getInt(0) > 0, "geometry still parses")
+    assert(st2.isNullAt(3) || st2.getLong(3) != good.getLong(3) ||
+      st2.getLong(4) != good.getLong(4) || st2.getLong(5) != good.getLong(5),
+      "an entropy flip cannot decode to identical planes")
+    // hostile inputs never throw
+    for (junk <- Seq(Array.empty[Byte], Array[Byte](0xFF.toByte, 0xD8.toByte),
+      Array.fill(64)(0xFF.toByte), sample.take(30))) {
+      assert(graft.functions.JpegDecode.jpegColor(junk) != null)
+    }
+  }
+
   test("stub features have the declared batch shape and range") {
     val feats = Multimodal.frameFeatures(
       Multimodal.frames(Multimodal.rawMediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
