@@ -302,21 +302,33 @@ object JpegDecode {
     StructField("sum_b", LongType), StructField("wsum_r", LongType),
     StructField("n_ac_coeffs", LongType)))
 
-  /** COLOR baseline JPEG decode — the multi-component tier: YCbCr with
-    * three full-resolution components (4:4:4, every sampling factor 1×1;
-    * subsampled scans are outside this envelope and null out). Runs the
-    * full T.81 machinery of [[jpeg]] per component — per-table DQT/DHT
-    * bookkeeping (luma/chroma quantizers and Huffman pairs), SOS
-    * component→table binding, interleaved Y-Cb-Cr MCUs with independent
-    * DC predictors, AC run-length decode, dequant, reconstruction — then
-    * converts to RGB with libjpeg's exact 16-bit fixed-point arithmetic
-    * (jdcolor.c: FIX(1.40200) = 91881, FIX(0.34414) = 22554,
-    * FIX(0.71414) = 46802, FIX(1.77200) = 116130, +32768 rounding,
-    * arithmetic >> 16), i.e. the SAME integers ImageIO's native reader
-    * produces — which is what lets MultimodalSpec pin byte parity on the
-    * color output too. Null/integrity semantics follow [[jpeg]]: junk
-    * returns all-null, a malformed entropy stream (in ANY component —
-    * chroma corruption triggers exactly like luma) nulls the sums.
+  /** COLOR baseline JPEG decode — the multi-component tier: YCbCr, either
+    * three full-resolution components (4:4:4, every sampling factor 1×1)
+    * or the dominant real-corpus layout 4:2:0 (Y sampled 2×2, chroma 1×1;
+    * any other sampling nulls out). Runs the full T.81 machinery of
+    * [[jpeg]] per component — per-table DQT/DHT bookkeeping (luma/chroma
+    * quantizers and Huffman pairs), SOS component→table binding,
+    * interleaved MCUs (four Y data units per MCU in the 4:2:0 case, T.81
+    * A.2.3 ordering) with per-COMPONENT DC predictors, AC run-length
+    * decode, dequant, reconstruction — then converts to RGB with
+    * libjpeg's exact 16-bit fixed-point arithmetic (jdcolor.c:
+    * FIX(1.40200) = 91881, FIX(0.34414) = 22554, FIX(0.71414) = 46802,
+    * FIX(1.77200) = 116130, +32768 rounding, arithmetic >> 16), i.e. the
+    * SAME integers ImageIO's native reader produces — which is what lets
+    * MultimodalSpec pin byte parity on the color output too.
+    *
+    * Chroma upsampling in the 4:2:0 case is SAMPLE REPLICATION (each
+    * chroma sample covers its 2×2 luma quad). T.81 does not mandate an
+    * upsampling filter, so decoders legitimately differ on it (libjpeg's
+    * default is triangular "fancy" interpolation) — which is why the
+    * HASH-checked 4:2:0 fixtures carry a FLAT chroma plane per image:
+    * every interpolation of a constant field is that constant, so
+    * replication, fancy, and anything conforming agree bit-for-bit there,
+    * while real-world subsampled scans still decode (with upsampling-
+    * dependent chroma near edges, exactly as any single decoder choice
+    * has). Null/integrity semantics follow [[jpeg]]: junk returns
+    * all-null, a malformed entropy stream (in ANY component — chroma
+    * corruption triggers exactly like luma) nulls the sums.
     */
   def jpegColor(p: Array[Byte]): InternalRow = {
     val out = new Array[Any](11)
@@ -325,6 +337,7 @@ object JpegDecode {
     var pos = 2
     var w = -1
     var h = -1
+    var lumaSamp = 1 // 1 = 4:4:4, 2 = 4:2:0 (Y 2×2, chroma 1×1)
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[JHuff](4)
     val acTabs = new Array[JHuff](4)
@@ -350,9 +363,14 @@ object JpegDecode {
               quant(tq) = Array.tabulate(64)(i => u8(p, q + 1 + i))
             q += 65
           }
-        case 0xC0 => // SOF0 baseline: 8-bit, exactly three 1x1 components
-          if (len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
-            (0 until 3).forall(c => u8(p, body + 7 + 3 * c) == 0x11)) {
+        case 0xC0 => // SOF0 baseline: 8-bit, three components, 4:4:4 or 4:2:0
+          val samp444 = len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
+            (0 until 3).forall(c => u8(p, body + 7 + 3 * c) == 0x11)
+          val samp420 = len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
+            u8(p, body + 7) == 0x22 && u8(p, body + 10) == 0x11 &&
+            u8(p, body + 13) == 0x11
+          if (samp444 || samp420) {
+            if (samp420) lumaSamp = 2
             h = beU16(p, body + 1)
             w = beU16(p, body + 3)
             compId = Array.tabulate(3)(c => u8(p, body + 6 + 3 * c))
@@ -403,8 +421,10 @@ object JpegDecode {
     out(1) = Integer.valueOf(h)
     val scanStart = sosAt + 2 + beU16(p, sosAt + 2)
     if (scanStart >= p.length) return new GenericInternalRow(out)
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
+    val mcuPx = 8 * lumaSamp // MCU pixel span: 8 (4:4:4) or 16 (4:2:0)
+    val bw = (w + mcuPx - 1) / mcuPx
+    val bh = (h + mcuPx - 1) / mcuPx
+    val nLuma = lumaSamp * lumaSamp // Y data units per MCU (1 or 4)
     val r = new BitReader(p, scanStart, p.length)
     val sums = new Array[Long](3) // y, cb, cr
     var sumR = 0L
@@ -413,18 +433,22 @@ object JpegDecode {
     var wsumR = 0L
     var nAc = 0L
     val pred = new Array[Int](3)
-    val coef = Array.ofDim[Int](3, 64)
-    val hasAc = new Array[Boolean](3)
+    // data units 0..nLuma-1 = Y (T.81 A.2.3: left-to-right, top-to-bottom),
+    // then Cb, then Cr
+    val coef = Array.ofDim[Int](nLuma + 2, 64)
+    val hasAc = new Array[Boolean](nLuma + 2)
     def clamp255(v: Int): Int = math.min(255, math.max(0, v))
     var by = 0
     var ok = true
     while (ok && by < bh) {
       var bx = 0
       while (ok && bx < bw) {
-        // interleaved MCU: one block per component, own predictor each
-        var comp = 0
-        while (ok && comp < 3) {
-          val cz = coef(comp)
+        // interleaved MCU: nLuma Y units then Cb, Cr — the DC predictor is
+        // per COMPONENT, so all Y units in an MCU chain through pred(0)
+        var unit = 0
+        while (ok && unit < nLuma + 2) {
+          val comp = if (unit < nLuma) 0 else unit - nLuma + 1
+          val cz = coef(unit)
           java.util.Arrays.fill(cz, 0)
           val qt = quant(compQ(comp))
           val t = dcTabs(compDc(comp)).decode(r)
@@ -463,31 +487,34 @@ object JpegDecode {
                 var has = false
                 var i = 1
                 while (i < 64 && !has) { has = cz(i) != 0; i += 1 }
-                hasAc(comp) = has
+                hasAc(unit) = has
               }
             }
           }
-          comp += 1
+          unit += 1
         }
         if (ok) {
           // fold the in-geometry pixels: plane sums + fixed-point RGB
-          def planeVal(comp: Int, xx: Int, yy: Int): Int =
-            if (!hasAc(comp)) {
-              val f = coef(comp)(0)
+          def unitVal(unit: Int, xx: Int, yy: Int): Int =
+            if (!hasAc(unit)) {
+              val f = coef(unit)(0)
               val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
               clamp255(q8 + 128)
-            } else idctPixel(coef(comp), xx, yy)
+            } else idctPixel(coef(unit), xx, yy)
           var yy = 0
-          while (yy < 8) {
-            val py = by * 8 + yy
+          while (yy < mcuPx) {
+            val py = by * mcuPx + yy
             if (py < h) {
               var xx = 0
-              while (xx < 8) {
-                val px = bx * 8 + xx
+              while (xx < mcuPx) {
+                val px = bx * mcuPx + xx
                 if (px < w) {
-                  val yv = planeVal(0, xx, yy)
-                  val cbv = planeVal(1, xx, yy)
-                  val crv = planeVal(2, xx, yy)
+                  // luma: its own 8×8 unit inside the MCU; chroma: the one
+                  // chroma unit, sample-replicated across the 2×2 quad
+                  val lUnit = (yy >> 3) * lumaSamp + (xx >> 3)
+                  val yv = unitVal(lUnit, xx & 7, yy & 7)
+                  val cbv = unitVal(nLuma, xx / lumaSamp, yy / lumaSamp)
+                  val crv = unitVal(nLuma + 1, xx / lumaSamp, yy / lumaSamp)
                   sums(0) += yv
                   sums(1) += cbv
                   sums(2) += crv

@@ -42,13 +42,26 @@ object IncrementalView {
 
   /** Full-compute the view at the source's latest version; returns that
     * version.
+    *
+    * `enrich` turns this into an incremental JOIN view: it runs over the
+    * source read (and, in [[refresh]], over the change feed) BEFORE the
+    * filter/groupBy, so view keys and sum columns may be derived through
+    * joins — the classic fact⋈dims star aggregate, maintained from the
+    * fact table's feed alone. Contract: enrich must be deterministic,
+    * row-preserving (an equi-join on a unique dim key; a dropped or
+    * fanned-out fact row would make delta and full states disagree), must
+    * not touch `_change_type`, and the joined dims must be STATIC between
+    * create and refresh — a dim change is a view rebuild, exactly as in
+    * warehouse practice (dims are broadcast-scale and slowly changing;
+    * the fact feed is what's petabyte-scale and hot).
     */
   def create(spark: SparkSession, sourceDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      rowFilter: Column = lit(true)): Int = {
+      rowFilter: Column = lit(true),
+      enrich: DataFrame => DataFrame = identity): Int = {
     val v = SnapshotTable.latestVersion(sourceDir)
-    val agg = SnapshotTable.read(spark, sourceDir, Some(v))
+    val agg = enrich(SnapshotTable.read(spark, sourceDir, Some(v)))
       .filter(rowFilter)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(countCol),
@@ -78,7 +91,8 @@ object IncrementalView {
   def refresh(spark: SparkSession, sourceDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      rowFilter: Column = lit(true)): Int = {
+      rowFilter: Column = lit(true),
+      enrich: DataFrame => DataFrame = identity): Int = {
     val have = SnapshotTable.snapshot(spark, viewDir, None).meta
       .getOrElse(sourceVersionKey,
         throw new IllegalStateException(
@@ -96,7 +110,7 @@ object IncrementalView {
     // final upserts) — without materialization each consumer re-reads the
     // whole change feed. The aggregate is one row per touched key, i.e.
     // delta-sized by design; the blocks free with the frame.
-    val delta = SnapshotTable.changesBetween(spark, sourceDir, have, latest)
+    val delta = enrich(SnapshotTable.changesBetween(spark, sourceDir, have, latest))
       .filter(rowFilter)
       .groupBy(keys.map(col): _*)
       .agg(sum(sign).as(countCol),
@@ -158,8 +172,12 @@ object IncrementalView {
       else {
         val rkeys = joined.filter(needsRecompute).select(keys.map(col): _*)
         // null-safe semi-join: a null-valued group key is a real group in
-        // the view and must still reach the recompute scan
-        val rec = recomputeSource(spark, sourceDir, latest, keys, rkeys)
+        // the view and must still reach the recompute scan. enrich runs
+        // before the semi-join because the view keys may only exist
+        // post-enrich (the readPoints prune inside recomputeSource already
+        // guards on the key being a SOURCE stats column, so a derived key
+        // simply takes the full-read path)
+        val rec = enrich(recomputeSource(spark, sourceDir, latest, keys, rkeys))
           .filter(rowFilter).as("src")
           .join(rkeys.as("rk"),
             keys.map(k => col(s"src.$k") <=> col(s"rk.$k")).reduce(_ && _),

@@ -590,6 +590,109 @@ object MediaSynth {
     out.toArray
   }
 
+  /** DC-exact COLOR baseline JPEG with 4:2:0 CHROMA SUBSAMPLING — the
+    * layout virtually every real photographic JPEG uses: SOF0 declares Y
+    * sampled 2×2 and Cb/Cr 1×1, each 16×16 MCU interleaves FOUR Y data
+    * units (T.81 A.2.3 order) then one Cb and one Cr, and all four Y
+    * units chain the single per-component DC predictor. The fixture's
+    * exactness trick is one step beyond flat blocks: T.81 mandates no
+    * chroma UPSAMPLING filter (libjpeg's fancy triangular vs box
+    * replication legitimately differ near sample boundaries), so the
+    * planted chroma plane is CONSTANT PER IMAGE — every conforming
+    * upsampler maps a constant field to itself, which keeps the decode
+    * formula-exact and ImageIO byte parity intact while the bitstream
+    * exercises the genuine subsampled-MCU machinery. Planted:
+    * w = 16·(1+id%2), h = 16·(1+id%3); per LUMA BLOCK (lbx, lby):
+    * yDc = ((id + 5·lbx + 11·lby) % 160) − 80; per image:
+    * cbDc = (3·id % 100) − 50, crDc = (5·id % 100) − 50.
+    */
+  def jpegColor420(id: Long): Array[Byte] = {
+    val mw = (1 + id % 2).toInt // MCUs across
+    val mh = (1 + id % 3).toInt // MCUs down
+    val w = mw * 16
+    val h = mh * 16
+    def yDc(lbx: Int, lby: Int): Int = ((id + 5L * lbx + 11L * lby) % 160).toInt - 80
+    val cbDc = ((3L * id) % 100).toInt - 50
+    val crDc = ((5L * id) % 100).toInt - 50
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00) // DQT: 8-bit table 0 (luma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    b(0xFF, 0xDB, 0, 67, 0x01) // DQT: 8-bit table 1 (chroma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    // SOF0: 8-bit, Y sampled 2x2 (QT 0), Cb/Cr 1x1 (QT 1) — 4:2:0
+    b(0xFF, 0xC0, 0, 17, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Seq(0x00, 0x01).foreach { th => // DC tables 0 and 1 (Annex K BITS)
+      b(0xFF, 0xC4, 0, 31, th)
+      (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+      (0 to 11).foreach(v => out += v.toByte)
+    }
+    Seq(0x10, 0x11).foreach { tcth => // AC tables 0 and 1: one EOB code
+      b(0xFF, 0xC4, 0, 20, tcth)
+      b(1); (2 to 16).foreach(_ => b(0))
+      b(0x00)
+    }
+    // SOS: Y -> (DC0, AC0), Cb/Cr -> (DC1, AC1)
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
+    val dcCode = jpegCodes(jpegDcBits)
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    val pred = new Array[Int](3)
+    def putDc(comp: Int, dc: Int): Unit = {
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag)
+      val (c, cl) = dcCode(s)
+      putBits(c, cl)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // EOB
+    }
+    var my = 0
+    while (my < mh) {
+      var mx = 0
+      while (mx < mw) {
+        // four Y units: left-to-right then top-to-bottom inside the MCU
+        var sy = 0
+        while (sy < 2) {
+          var sx = 0
+          while (sx < 2) {
+            putDc(0, yDc(2 * mx + sx, 2 * my + sy))
+            sx += 1
+          }
+          sy += 1
+        }
+        putDc(1, cbDc)
+        putDc(2, crDc)
+        mx += 1
+      }
+      my += 1
+    }
+    if (nb > 0) { // pad the final byte with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+    }
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
   /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
     * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
     * the PNG but with the BMP moduli for dimensions.
@@ -697,6 +800,16 @@ case class JpegColorSynth(child: Expression) extends MediaSynthExpression {
   override def prettyName: String = "graft_jpeg_color_synth"
 }
 
+case class JpegColor420Synth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.jpegColor420(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegColor420($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegColor420Synth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_color420_synth"
+}
+
 case class PngDynamicSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.pngDynamic(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -746,6 +859,7 @@ object MediaSynthFunctions {
   val jpegName = "graft_jpeg_synth"
   val jpegAcName = "graft_jpeg_ac_synth"
   val jpegColorName = "graft_jpeg_color_synth"
+  val jpegColor420Name = "graft_jpeg_color420_synth"
   val bmpName = "graft_bmp_synth"
   val wavName = "graft_wav_synth"
 
@@ -757,6 +871,7 @@ object MediaSynthFunctions {
     reg.createOrReplaceTempFunction(jpegName, exprs => JpegSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegAcName, exprs => JpegAcSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegColorName, exprs => JpegColorSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegColor420Name, exprs => JpegColor420Synth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
   }
@@ -766,6 +881,8 @@ object MediaSynthFunctions {
   def jpegAcSynth(docId: Column): Column = call_function(jpegAcName, docId)
 
   def jpegColorSynth(docId: Column): Column = call_function(jpegColorName, docId)
+
+  def jpegColor420Synth(docId: Column): Column = call_function(jpegColor420Name, docId)
 
   def pngSynth(docId: Column): Column = call_function(pngName, docId)
 

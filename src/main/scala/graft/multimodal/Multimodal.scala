@@ -240,6 +240,19 @@ object Multimodal {
         MediaSynthFunctions.jpegColorSynth(col("doc_id")).as("payload"))
   }
 
+  /** The 4:2:0-subsampled COLOR JPEG table ([[MediaSynth.jpegColor420]]):
+    * Y sampled 2×2, chroma 1×1, four-Y-unit MCUs, flat chroma plane per
+    * image (the upsampling-invariant corner) — the payloads behind
+    * [[q_mm_jpeg_color420]].
+    */
+  def jpegColor420Table(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.jpegColor420Synth(col("doc_id")).as("payload"))
+  }
+
   /** The dynamic-Huffman PNG table: each IDAT is REAL `java.util.zip`
     * zlib output (level 9) over the planted scanlines — BTYPE=10 blocks
     * from a production encoder, not hand-rolled bits. Planted dims
@@ -1037,6 +1050,83 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** 4:2:0 CHROMA-SUBSAMPLED color decode — the real-corpus JPEG layout:
+    * the kernel walks four-Y-unit MCUs (T.81 A.2.3 interleave, shared
+    * per-component DC predictor) and sample-replicates each chroma value
+    * over its 2×2 luma quad. The fixture's chroma plane is CONSTANT per
+    * image, so the un-mandated upsampling-filter choice (fancy vs box)
+    * cannot matter and the decode stays formula-exact: the oracle
+    * recomputes every sum from the planted per-luma-block values and the
+    * flat chroma, and the row hash-checks — subsampling machinery included.
+    */
+  val q_mm_jpeg_color420: Q = Q(
+    "q_mm_jpeg_color420",
+    Some("""
+      WITH dim AS (
+        SELECT doc_id,
+               16 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h,
+               78 + (3 * doc_id) % 100 AS cbv,
+               78 + (5 * doc_id) % 100 AS crv
+        FROM documents
+      ), blk AS (
+        SELECT doc_id, w, h, cbv, crv,
+               CAST(unnest(range((w // 8) * (h // 8))) AS BIGINT) AS b
+        FROM dim
+      ), c AS (
+        SELECT doc_id, w, h, cbv, crv,
+               b % (w // 8) AS bx, b // (w // 8) AS by,
+               48 + (doc_id + 5 * (b % (w // 8)) + 11 * (b // (w // 8))) % 160 AS yv
+        FROM blk
+      ), rgb AS (
+        SELECT doc_id, w, h, yv, cbv, crv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (91881 * (crv - 128) + 32768) / 65536.0) AS BIGINT))) AS rv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (-22554 * (cbv - 128) - 46802 * (crv - 128) + 32768) / 65536.0)
+                 AS BIGINT))) AS gv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (116130 * (cbv - 128) + 32768) / 65536.0) AS BIGINT))) AS bv,
+               64 * (8 * by * w + 8 * bx + 1) + 224 * w + 224 AS sidx
+        FROM c
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             CAST(min((w // 16) * (h // 16)) AS BIGINT) AS n_mcus,
+             CAST(min(w * h) AS BIGINT) AS n_pixels,
+             CAST(sum(64 * yv) AS BIGINT) AS sum_y,
+             CAST(min(w * h * cbv) AS BIGINT) AS sum_cb,
+             CAST(min(w * h * crv) AS BIGINT) AS sum_cr,
+             CAST(sum(64 * rv) AS BIGINT) AS sum_r,
+             CAST(sum(64 * gv) AS BIGINT) AS sum_g,
+             CAST(sum(64 * bv) AS BIGINT) AS sum_b,
+             CAST(sum(rv * sidx) AS BIGINT) AS wsum_r,
+             CAST(0 AS BIGINT) AS n_ac_coeffs,
+             sum(64 * yv) * 1.0 / min(w * h) AS mean_luma
+      FROM rgb GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    graft.functions.JpegFunctions.ensureRegistered(s)
+    jpegColor420Table(Tables.documents(s, d))
+      .select(col("media_id"),
+        graft.functions.JpegFunctions.jpegColorStats(col("payload")).as("st"))
+      .select(
+        col("media_id"),
+        col("st.w").as("width"), col("st.h").as("height"),
+        col("st.n_mcus").as("n_mcus"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_y").as("sum_y"),
+        col("st.sum_cb").as("sum_cb"),
+        col("st.sum_cr").as("sum_cr"),
+        col("st.sum_r").as("sum_r"),
+        col("st.sum_g").as("sum_g"),
+        col("st.sum_b").as("sum_b"),
+        col("st.wsum_r").as("wsum_r"),
+        col("st.n_ac_coeffs").as("n_ac_coeffs"))
+      .withColumn("mean_luma", col("sum_y") * lit(1.0) / col("n_pixels"))
+      .orderBy("media_id")
+  }
+
   /** The stored-deflate PNG decoder over any (media_id, payload) frame —
     * factored out of [[q_mm_png_pixels]] so MultimodalSpec can drive it
     * over deliberately corrupted payloads and watch the integrity columns
@@ -1073,5 +1163,6 @@ object Multimodal {
   def all: Seq[Q] =
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio,
       q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn,
-      q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac, q_mm_jpeg_color)
+      q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac, q_mm_jpeg_color,
+      q_mm_jpeg_color420)
 }

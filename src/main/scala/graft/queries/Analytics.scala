@@ -1040,6 +1040,107 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** One incremental JOIN-view fixture per (session, sfDir): a lineitem
+    * fact SnapshotTable keyed on lk = l_orderkey·10 + l_linenumber (a
+    * single MERGE key; l_linenumber < 10), a revenue-by-nation view whose
+    * keys and measures only exist THROUGH the enrich joins
+    * (fact ⋈ supplier ⋈ nation, revenue = price·(1−discount) in exact
+    * DECIMAL), then the same update/delete commit pair as [[mvFixture]]
+    * absorbed by one enriched refresh. The dims are broadcast inside
+    * enrich, so a refresh costs one delta scan + two broadcast joins —
+    * never a fact rescan: the star-schema maintenance loop at 100 TB.
+    */
+  private val mvJoinCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def mvJoinFixture(s: org.apache.spark.sql.SparkSession, d: String): String =
+    mvJoinCache.computeIfAbsent((s, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mvj").toString
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, and
+      // MERGE requires a unique source key — collapse each lk to its
+      // lexicographic-max row (max over a struct; full-duplicate ties are
+      // value-identical, so the pick is deterministic and SQL-mirrorable)
+      val base = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("lk"),
+        col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .groupBy("lk")
+        .agg(max(struct(col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))).as("m"))
+        .select(col("lk"), col("m.l_suppkey").as("l_suppkey"),
+          col("m.l_extendedprice").as("l_extendedprice"),
+          col("m.l_discount").as("l_discount"))
+      graft.io.SnapshotTable.create(
+        base.repartition(8, col("lk")), s"$dir/src")
+      val enrich: DataFrame => DataFrame = { df =>
+        val dim = broadcast(
+          Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+            .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name")))
+        df.join(dim, col("l_suppkey") === col("s_suppkey"))
+          .withColumn("revenue",
+            col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+      }
+      graft.io.IncrementalView.create(s, s"$dir/src", s"$dir/view",
+        Seq("n_name"), Seq("revenue"), enrich = enrich)
+      graft.io.SnapshotTable.merge(s, s"$dir/src",
+        base.filter(pmod(col("lk"), lit(7)) === 2)
+          .withColumn("l_extendedprice", col("l_extendedprice") + 100),
+        "lk")
+      graft.io.SnapshotTable.merge(s, s"$dir/src",
+        base.filter(pmod(col("lk"), lit(11)) === 3)
+          .withColumn("gone", lit(true)),
+        "lk", deleteCol = Some("gone"))
+      graft.io.IncrementalView.refresh(s, s"$dir/src", s"$dir/view",
+        Seq("n_name"), Seq("revenue"), enrich = enrich)
+      dir
+    })
+
+  /** Incremental JOIN view (star aggregate maintained from the fact feed),
+    * oracle-checked end state: the enriched view after update + delete
+    * commits and one refresh must equal DuckDB's full fact⋈dims recompute.
+    * A feed row that misses its dim match, a sign applied before the
+    * derive, or an enrich skipped on any of the three read paths
+    * hash-mismatches.
+    */
+  val q_mv_join: Q = Q(
+    "q_mv_join",
+    Some("""
+      WITH lk0 AS (
+        SELECT l_orderkey * 10 + l_linenumber AS lk,
+               l_suppkey, l_extendedprice, l_discount
+        FROM lineitem
+      ), lk AS (
+        SELECT lk, l_suppkey, l_extendedprice, l_discount
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lk
+                ORDER BY l_suppkey DESC, l_extendedprice DESC,
+                         l_discount DESC) AS rn
+              FROM lk0)
+        WHERE rn = 1
+      ), eff AS (
+        SELECT l_suppkey,
+               CAST(CASE WHEN lk % 7 = 2 THEN l_extendedprice + 100
+                         ELSE l_extendedprice END AS DECIMAL(18,2)) AS price,
+               CAST(l_discount AS DECIMAL(18,2)) AS disc
+        FROM lk WHERE lk % 11 <> 3
+      )
+      SELECT n_name, count(*) AS mv_count,
+             CAST(SUM(price * (1 - disc)) AS DOUBLE) AS revenue
+      FROM eff
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      GROUP BY n_name ORDER BY n_name
+    """),
+  ) { (s, d) =>
+    graft.io.SnapshotTable.read(s, s"${mvJoinFixture(s, d)}/view")
+      .select(col("n_name"),
+        col(graft.io.IncrementalView.countCol).as("mv_count"),
+        col("revenue").cast(DoubleType).as("revenue"))
+      .orderBy("n_name")
+  }
+
   /** One z-ordered events snapshot per (session, sfDir): hash-scattered
     * ingest into 8 files (zone maps present, useless), then one z-order
     * compaction over (user_id, value) into 16 z-tiles. Memoized so bench
@@ -1091,5 +1192,5 @@ object Analytics {
     q_funnel, q_approx_quantiles, q_sample_capped, q_sample_weighted,
     q_retention_cohorts, q_profile_columns, q_stats_moments, q_ts_interpolate,
     q_sample_split, q_outlier_mad, q_histogram_equidepth, q_drift_psi,
-    q_mv_ledger, q_mv_extrema, q_mv_distinct, q_io_zorder)
+    q_mv_ledger, q_mv_extrema, q_mv_distinct, q_mv_join, q_io_zorder)
 }

@@ -432,6 +432,104 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv 2303.09540):
+    * partition the corpus by nearest centroid, then search for near-
+    * duplicate pairs ONLY within a cluster — the paper's observation is
+    * that semantic near-dups land in the same cluster, so the all-pairs
+    * O(n²) collapses to O(Σ|cluster|²) ≈ n²/k, and each cluster's pair
+    * scan is an independent partition of work.
+    *
+    * Centroids here are the k lowest-vec_id embeddings — a deterministic
+    * stand-in for a trained codebook that keeps the query oracle-checkable
+    * (k-means itself is seeded/iterative, not SQL-mirrorable). The
+    * ASSIGNMENT is the production shape either way: with the codebook as a
+    * plan literal it is a zero-shuffle row-local argmax (k codegen'd
+    * [[VecDot]] cosines per row; ties to the lowest centroid id via
+    * array_position's first-occurrence), and at real scale — millions of
+    * centroids — the same argmax rides the persisted-IVF probe join
+    * ([[graft.similarity.Pq]]) instead of a literal. The intra-cluster
+    * pair join shuffles both sides once by cluster id, so per-cluster work
+    * is co-located; k grows with the corpus, holding |cluster| ~ constant.
+    *
+    * Returns (vec_id, cluster, kept): a row is dropped iff an EARLIER
+    * (lower vec_id) member of its own cluster has cosine ≥ t to it —
+    * keep-first, the same canonical-pick rule the text dedup family uses.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, t: Double): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    // codebook-scale driver collect (precedent: Pq centroids) — k rows
+    val seeds: Array[Seq[Double]] = emb.filter(col("vec_id") < k)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    val cosToSeeds = array(seeds.toIndexedSeq.map { sv =>
+      val sLit = typedLit(sv)
+      // sqrt(dot(s,s)) over a foldable literal constant-folds at plan time;
+      // the per-row cost is one VecDot + one division per centroid
+      dot(col("embedding"), sLit) /
+        (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(sLit, sLit)))
+    }: _*)
+    val asg = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        (array_position(cosToSeeds, array_max(cosToSeeds)) - 1).cast("int")
+          .as("cluster"))
+    val a = asg.select(col("cluster").as("ca"), col("vec_id").as("i"),
+      col("embedding").as("e_i"), col("nrm").as("n_i"))
+    val b = asg.select(col("cluster").as("cb"), col("vec_id").as("j"),
+      col("embedding").as("e_j"), col("nrm").as("n_j"))
+    val dupIds = a.join(b, col("ca") === col("cb") && col("i") < col("j"))
+      .filter(dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")) >= t)
+      .select(col("j").as("dup_id")).distinct()
+    asg.join(dupIds, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
+  }
+  // (cluster = positional index into the sorted seed list; the oracle labels
+  // clusters by seed vec_id — the two agree because testdata vec_ids are
+  // contiguous from 0, the same fact q_sim_topk_cosine's `vec_id < 20`
+  // query-set selection already leans on)
+
+  /** Oracle-checked end to end: DuckDB recomputes the centroid argmax
+    * (row_number over cos DESC, cid ASC ≡ first-occurrence-of-max) and the
+    * intra-cluster pair scan. Cosines are bit-identical across engines
+    * (the [[VecDot]] fold ≡ list_cosine_similarity), so cluster ids and
+    * kept flags — the only hashed columns — cannot drift.
+    */
+  val q_dedup_semantic: Q = Q(
+    "q_dedup_semantic",
+    Some("""
+      WITH s AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+      ), scored AS (
+        SELECT e.vec_id, s.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], s.ce::DOUBLE[]) AS cos
+        FROM embeddings e CROSS JOIN s
+      ), asg AS (
+        SELECT vec_id, CAST(cid AS INT) AS cluster
+        FROM (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM scored)
+        WHERE rn = 1
+      ), dup AS (
+        SELECT DISTINCT y.vec_id AS dup_id
+        FROM asg x
+        JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        JOIN embeddings ey ON ey.vec_id = y.vec_id
+        WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                                     ey.embedding::DOUBLE[]) >= 0.4
+      )
+      SELECT a.vec_id, a.cluster, d.dup_id IS NULL AS kept
+      FROM asg a LEFT JOIN dup d ON a.vec_id = d.dup_id
+      ORDER BY a.vec_id
+    """),
+  ) { (s, d) =>
+    semanticDedup(Tables.embeddings(s, d), 16, 0.4)
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------ embedding maintenance
 
   /** Int8 scalar quantization audit — the compression step an embedding
@@ -661,6 +759,7 @@ object Similarity {
 
   def all: Seq[Q] =
     Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding,
+      q_dedup_semantic,
       q_embed_quantize, q_embed_centroids, q_embed_knn_audit,
       q_embed_hard_negatives, Pca.q_embed_pca, Pq.q_embed_pq, Pq.q_sim_ann_pq,
       Pq.q_sim_ann_ivfpq, Pq.q_sim_ann_ivfpq_res, Pq.q_sim_ann_ivfpq_idx)

@@ -116,6 +116,85 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("join view: enriched refresh equals fact-join-dims recompute") {
+    // star shape: the view's key (name) and measure (weighted) exist only
+    // THROUGH the enrich join — a refresh that skipped enrichment on the
+    // feed, the fast path, or the recompute path diverges immediately
+    val src = tmp("graft-mvj-src")
+    val view = tmp("graft-mvj-view")
+    import spark.implicits._
+    val dim = Seq((0L, "x", 2L), (1L, "y", 3L), (2L, "z", 5L))
+      .toDF("fk", "name", "w")
+    val enrich: DataFrame => DataFrame = df =>
+      df.join(broadcast(dim), Seq("fk"))
+        .withColumn("weighted", col("n_chars") * col("w"))
+    def factRows(xs: (Long, Long, Long)*): DataFrame =
+      xs.toDF("doc_id", "fk", "n_chars")
+    def recomputeJoin(): Set[(String, Long, Long)] =
+      enrich(SnapshotTable.read(spark, src))
+        .groupBy("name")
+        .agg(count(lit(1)).as("c"), sum("weighted").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def viewJoin(): Set[(String, Long, Long)] =
+      SnapshotTable.read(spark, view)
+        .select("name", IncrementalView.countCol, "weighted")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    def h(a: Long, b: Long): Long = math.abs(a * 6364136223846793005L + b * 9007199254740993L)
+    SnapshotTable.create(
+      factRows((0L until 12L).map(i => (i, h(1, i) % 3, h(2, i) % 500)): _*), src)
+    IncrementalView.create(spark, src, view, Seq("name"), Seq("weighted"),
+      enrich = enrich)
+    assert(viewJoin() === recomputeJoin())
+    for (commit <- 1 to 8) {
+      val ups = (0 until 6).map { j =>
+        val k = h(commit, j) % 30
+        (k, h(commit * 31 + 7, j) % 3, h(commit * 17 + 3, j) % 500)
+      }.distinctBy(_._1)
+      SnapshotTable.merge(spark, src, factRows(ups: _*), "doc_id")
+      val dels = (0 until 2).map(j => h(commit * 13 + 11, j) % 30).distinct
+      SnapshotTable.merge(spark, src,
+        SnapshotTable.read(spark, src)
+          .filter(col("doc_id").isin(dels: _*))
+          .withColumn("gone", lit(true)),
+        "doc_id", deleteCol = Some("gone"))
+      if (commit % 3 == 0 || commit == 8) {
+        IncrementalView.refresh(spark, src, view, Seq("name"), Seq("weighted"),
+          enrich = enrich)
+        assert(viewJoin() === recomputeJoin(), s"diverged at commit $commit")
+      }
+    }
+  }
+
+  test("join view with extrema: derived-key recompute path stays enriched") {
+    // min/max over an enrich-derived measure: a deleted extremum forces the
+    // tie-recompute, whose source read must ALSO pass through enrich (the
+    // derived key name is not a source stats column, so it takes the
+    // full-read path — correctness, not pruning, is what this pins)
+    val src = tmp("graft-mvjx-src")
+    val view = tmp("graft-mvjx-view")
+    import spark.implicits._
+    val dim = Seq((0L, "x"), (1L, "y")).toDF("fk", "name")
+    val enrich: DataFrame => DataFrame = df => df.join(broadcast(dim), Seq("fk"))
+    def factRows(xs: (Long, Long, Long)*): DataFrame =
+      xs.toDF("doc_id", "fk", "n_chars")
+    SnapshotTable.create(
+      factRows((1, 0, 100), (2, 0, 5), (3, 1, 50), (4, 1, 60)), src)
+    IncrementalView.create(spark, src, view, Seq("name"), Nil,
+      minCols = Seq("n_chars"), maxCols = Seq("n_chars"), enrich = enrich)
+    // delete the group-max of x (doc 1, 100) → tie-triggered recompute
+    SnapshotTable.merge(spark, src,
+      factRows((1, 0, 100)).withColumn("gone", lit(true)),
+      "doc_id", deleteCol = Some("gone"))
+    IncrementalView.refresh(spark, src, view, Seq("name"), Nil,
+      minCols = Seq("n_chars"), maxCols = Seq("n_chars"), enrich = enrich)
+    val got = SnapshotTable.read(spark, view)
+      .select("name", IncrementalView.minName("n_chars"),
+        IncrementalView.maxName("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("x", 5L, 5L), ("y", 50L, 60L)))
+  }
+
   test("extrema view: random commit sequences equal recompute (min/max)") {
     // same deterministic op stream as the additive property test, but the
     // view maintains min/max — every refresh exercises the non-additive

@@ -488,6 +488,74 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("4:2:0 JPEG: kernel equals planted formulas and ImageIO RGB byte-for-byte") {
+    def clamp(v: Long): Long = math.min(255L, math.max(0L, v))
+    for (id <- 0L until 24L) {
+      val payload = MediaSynth.jpegColor420(id)
+      val st = graft.functions.JpegDecode.jpegColor(payload)
+      assert(!st.isNullAt(3), s"4:2:0 fixture $id must decode")
+      val (w, h) = (st.getInt(0), st.getInt(1))
+      assert(w === 16 * (1 + id % 2) && h === 16 * (1 + id % 3), s"dims for $id")
+      assert(st.getLong(2) === (w / 16).toLong * (h / 16), s"MCU count for $id")
+      // flat chroma per image — the upsampling-invariant corner; luma
+      // varies per 8×8 block exactly as in the 4:4:4 fixture
+      val cb = 78L + (3L * id) % 100
+      val cr = 78L + (5L * id) % 100
+      var (sy, sr, sg, sb2, wr) = (0L, 0L, 0L, 0L, 0L)
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val y = 48L + (id + 5L * bx + 11L * by) % 160
+        val r = clamp(y + ((91881L * (cr - 128) + 32768L) >> 16))
+        val g = clamp(y + ((-22554L * (cb - 128) - 46802L * (cr - 128) + 32768L) >> 16))
+        val b = clamp(y + ((116130L * (cb - 128) + 32768L) >> 16))
+        sy += 64 * y
+        sr += 64 * r; sg += 64 * g; sb2 += 64 * b
+        wr += r * (64L * (8L * by * w + 8L * bx + 1) + 224L * w + 224L)
+      }
+      assert(st.getLong(3) === sy, s"sum_y for $id")
+      assert(st.getLong(4) === w.toLong * h * cb, s"sum_cb for $id")
+      assert(st.getLong(5) === w.toLong * h * cr, s"sum_cr for $id")
+      assert(st.getLong(6) === sr, s"sum_r for $id")
+      assert(st.getLong(7) === sg, s"sum_g for $id")
+      assert(st.getLong(8) === sb2, s"sum_b for $id")
+      assert(st.getLong(9) === wr, s"wsum_r for $id")
+      assert(st.getLong(10) === 0L, s"fixtures are DC-only for $id")
+      // the JDK's real reader runs its own (fancy or box) upsampler — on a
+      // constant chroma plane every conforming choice lands on the same
+      // bytes, which is exactly what makes this corner hash-checkable
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected 4:2:0 JPEG $id")
+      assert(img.getWidth === w && img.getHeight === h)
+      var (ir, ig, ib) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = img.getRGB(x, y)
+        ir += (v >> 16) & 0xFF; ig += (v >> 8) & 0xFF; ib += v & 0xFF
+      }
+      assert(ir === sr, s"ImageIO sum_r parity for $id")
+      assert(ig === sg, s"ImageIO sum_g parity for $id")
+      assert(ib === sb2, s"ImageIO sum_b parity for $id")
+    }
+  }
+
+  test("4:2:0 JPEG: an entropy flip in any of the six MCU units derails the decode") {
+    val sample = MediaSynth.jpegColor420(7L)
+    val good = graft.functions.JpegDecode.jpegColor(sample)
+    assert(!good.isNullAt(3))
+    // flip one bit near the end of the entropy stream: four Y units and
+    // two chroma units all ride one BitReader, so any derail nulls or
+    // shifts the planes — and junk never throws
+    val bad = sample.clone()
+    bad(bad.length - 4) = (bad(bad.length - 4) ^ 0x40).toByte
+    val st = graft.functions.JpegDecode.jpegColor(bad)
+    assert(st.isNullAt(3) || st.getLong(3) != good.getLong(3) ||
+      st.getLong(4) != good.getLong(4) || st.getLong(5) != good.getLong(5),
+      "an entropy flip cannot decode to identical planes")
+    // a 2x1 (4:2:2) declaration is outside the decode envelope: null, not junk
+    val sof = sample.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
+    val samp422 = sample.clone()
+    samp422(sof + 11) = 0x21.toByte // Y sampling 2x2 -> 2x1
+    assert(graft.functions.JpegDecode.jpegColor(samp422).isNullAt(3))
+  }
+
   test("color JPEG: corrupting a CHROMA component fires without touching luma") {
     val sample = MediaSynth.jpegColor(5L)
     val good = graft.functions.JpegDecode.jpegColor(sample)

@@ -331,6 +331,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
   }
 
+  test("semantic dedup: a partition of the corpus, keep-first verified vs brute force") {
+    val corpus = Tables.embeddings(spark, sf("sf0.01"))
+    val out = Similarity.semanticDedup(corpus, 16, 0.4).collect()
+    val n = corpus.count()
+    // every vector appears exactly once, in a real cluster
+    assert(out.length.toLong === n)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length.toLong === n)
+    assert(out.forall { r =>
+      val c = r.getAs[Int]("cluster"); c >= 0 && c < 16
+    })
+    // ground truth: dropped iff an EARLIER vector of the SAME cluster is a
+    // global cosine near-dup — semantic dedup is exactly the cluster-
+    // restricted subset of the brute-force pair relation
+    val cluster = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val exactPairs = Similarity.embeddingNearDupExact(corpus, 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val shouldDrop = exactPairs.collect {
+      case (i, j) if cluster(i) == cluster(j) => j
+    }.toSet
+    val dropped = out.collect {
+      case r if !r.getAs[Boolean]("kept") => r.getAs[Long]("vec_id")
+    }.toSet
+    assert(dropped === shouldDrop)
+    assert(dropped.nonEmpty, "planted near-dups must collide inside clusters")
+    info(s"semantic dedup dropped ${dropped.size} of $n (16 clusters)")
+  }
+
   test("kNN label audit: one verdict per probe, bounded rates, signal present") {
     val out = Similarity.q_embed_knn_audit.run(spark, sf()).collect()
     assert(out.nonEmpty)
