@@ -1069,12 +1069,87 @@ object Dedup {
     */
   def withSignature(sets: DataFrame): DataFrame = {
     graft.functions.ShingleHashFunctions.ensureRegistered(sets.sparkSession)
+    // sz (when the caller's frame has it) rides along for the signature
+    // prefilter's size-ratio bound — free here, one less join later
+    val keep =
+      if (sets.columns.contains("sz")) Seq(col("doc_id"), col("sz"))
+      else Seq(col("doc_id"))
     sets
       .withColumn("__sig",
         graft.functions.ShingleHashFunctions.minHashSignature(col("shh"), numHashes))
       .filter(col("__sig").isNotNull)
-      .select(col("doc_id") +:
+      .select(keep ++
         (0 until numHashes).map(i => col("__sig").getItem(i).as(s"m$i")): _*)
+  }
+
+  /** Flat 4σ recall margin for the signature prefilter:
+    * σ(ĵ) = sqrt(j(1−j)/[[numHashes]]) ≤ 1/16, so a true pair's lane
+    * estimate sits within 0.25 of its Jaccard except with probability
+    * ~3·10⁻⁵ — negligible against the LSH banding's own miss rate.
+    */
+  val prefilterSlack = 4.0 / 16
+
+  /** Packed byte lanes of the MinHash signature: lane i = low byte of
+    * minimum mᵢ, eight lanes per long. Lane agreement between two docs
+    * ([[graft.functions.ByteLaneAgree]]) estimates their Jaccard at 1/8th
+    * the byte width of the raw minima — thin enough to join against every
+    * candidate pair.
+    */
+  private def packedSigBytes: Column =
+    array((0 until numHashes / 8).map { k =>
+      (0 until 8).map { b =>
+        shiftleft(col(s"m${8 * k + b}").bitwiseAND(lit(255L)), 8 * b)
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+
+  private[dedup] def withSigBytes(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sz"), packedSigBytes.as("sigb"))
+
+  /** Signature prefilter between banded candidate generation and the exact
+    * array rescore — the third-decade fix: at 5M docs the banded joins
+    * emit tens-to-hundreds of candidate pairs per true pair (weak-overlap
+    * docs whose minima agree on one short band), and shipping both full
+    * shingle arrays (~800 B a side) to rescore-and-reject them is what
+    * actually bends the LSH family (sf100 probe: 25M/275M candidates,
+    * 98.7–99.8% rescore-rejected). Joining the 72-byte packed signature
+    * instead and keeping only pairs whose lane estimate clears
+    * jMin − [[prefilterSlack]] kills that background for a tenth of the
+    * bytes; the exact rescore is unchanged, so precision stays 1 and the
+    * only recall cost is the 4σ tail.
+    *
+    * `jMin(szI, szJ)` is the caller's ALGEBRAIC lower bound on the raw
+    * Jaccard of any pair its rescore would keep — `lit(t)` for the
+    * symmetric join; t/(1 + |B|/|A| − t) for directed containment (from
+    * |A∩B| ≥ t|A|) — so the margin argument composes: prefilter-dropped
+    * pairs are rescore-rejected except for the 4σ tail. Null sigb (a
+    * schema-evolved index row from before the column existed) passes
+    * through to the rescore rather than silently dropping.
+    */
+  private[dedup] def prefilterCands(cands: DataFrame, sb: DataFrame,
+      jMin: (Column, Column) => Column, selBias: Double = 0.0): DataFrame = {
+    val agree = graft.functions.ShingleHashFunctions
+      .byteLaneAgree(col("sigb_i"), col("sigb_j"))
+    // selBias corrects for CANDIDATE SELECTION inflating the estimate: a
+    // Jaccard-banded candidate shares a fired band, so rowsPerBand of its
+    // lanes agree by construction and E[agree | candidate, j] =
+    // rowsPerBand + j(numHashes − rowsPerBand) — measured at sf100, the
+    // uncorrected threshold kept 2.4× the pairs the distribution predicts.
+    // The conditional mean 64j + rowsPerBand(1−j) is minimized over the
+    // kept region at j = t, so raising the threshold by rowsPerBand(1−t)
+    // preserves the full 4σ margin below every true pair's mean while
+    // pricing the background's free fired-band lanes back out.
+    // Containment candidates fire on PADDED minima, which does not force
+    // raw-lane agreement, so that path passes 0.
+    val minLanes = ceil(
+      (jMin(col("psz_i"), col("psz_j")) - lit(prefilterSlack)) * numHashes
+        + lit(selBias) - lit(1e-9))
+    cands
+      .join(sb.select(col("doc_id").as("i"), col("sz").as("psz_i"),
+        col("sigb").as("sigb_i")), "i")
+      .join(sb.select(col("doc_id").as("j"), col("sz").as("psz_j"),
+        col("sigb").as("sigb_j")), "j")
+      .filter(col("sigb_i").isNull || col("sigb_j").isNull || agree >= minLanes)
+      .select("i", "j")
   }
 
   /** LSH banding: 16 bands × 4 rows. Docs sharing any band hash become
@@ -1086,12 +1161,29 @@ object Dedup {
     * consumed in order. Shared by the symmetric Jaccard LSH and the
     * asymmetric containment sketch (different band geometry, same hashes).
     */
-  private def bandedHashes(sig: DataFrame, bands: Int, rowsPer: Int): DataFrame =
+  /** The band-hash array off a 64-column signature frame — shared between
+    * the exploded banding, the persisted index layout, and the compact
+    * checkpoint below.
+    */
+  private def bandHashArray(bands: Int, rowsPer: Int): Column =
+    array((0 until bands).map { j =>
+      xxhash64(lit(j) +: (0 until rowsPer)
+        .map(r => col(s"m${j * rowsPer + r}")): _*)
+    }: _*)
+
+  private[dedup] def bandedHashes(sig: DataFrame, bands: Int, rowsPer: Int): DataFrame =
     sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map { j =>
-        xxhash64(lit(j) +: (0 until rowsPer)
-          .map(r => col(s"m${j * rowsPer + r}")): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+      posexplode(bandHashArray(bands, rowsPer)).as(Seq("band", "band_hash")))
+
+  /** Everything the symmetric LSH join needs downstream of the signature,
+    * at 1/2.7 the width of the raw 64 minima: the 16 Jaccard band hashes
+    * plus the packed prefilter bytes. Checkpointing THIS instead of the
+    * signature frame is what keeps the join inside an 8 GB heap at the
+    * 5M-doc probe scale (the full-width sig checkpoint OOMed there).
+    */
+  private def sigCompact(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sz"), packedSigBytes.as("sigb"),
+      bandHashArray(numBands, rowsPerBand).as("band_hashes"))
 
   def minHashLshJoin(docs: DataFrame, t: Double): DataFrame = {
     // sets feeds the signature AND both rescore sides; banded feeds both
@@ -1099,8 +1191,15 @@ object Dedup {
     // materialized once, ContextCleaner-owned, no CacheManager leak (see
     // setSimilarityJoin).
     val sets = hashedShingleSets(docs).localCheckpoint()
+    // ONE signature kernel pass (the family's measured cost floor at
+    // scale), materialized in its COMPACT projection — band hashes +
+    // packed prefilter bytes, 24 longs/doc instead of the raw 64 minima —
+    // which both banding and the prefilter read
+    val compact = sigCompact(withSignature(sets)).localCheckpoint()
     val bucket = Window.partitionBy("band", "band_hash")
-    val banded = bandedHashes(withSignature(sets), numBands, rowsPerBand)
+    val banded = compact
+      .select(col("doc_id"),
+        posexplode(col("band_hashes")).as(Seq("band", "band_hash")))
       .withColumn("n", count(lit(1)).over(bucket))
       .withColumn("rep", min("doc_id").over(bucket))
       .localCheckpoint()
@@ -1117,7 +1216,11 @@ object Dedup {
             || col("b.doc_id") === col("b.rep")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    rescore(cands, sets, t)
+    // any pair the rescore keeps has Jaccard ≥ t, so lit(t) is the exact
+    // algebraic floor the prefilter margin subtracts from; the selection
+    // correction prices out the fired band's rowsPerBand free lanes
+    rescore(prefilterCands(cands, compact.select("doc_id", "sz", "sigb"),
+      (_, _) => lit(t), selBias = rowsPerBand * (1 - t)), sets, t)
   }
 
   /** Rows-only: banding hashes aren't SQL-expressible; recall pinned against
@@ -1142,8 +1245,13 @@ object Dedup {
       xxhash64(lit(j) +: (0 until rowsPerBand)
         .map(r => col(s"m${j * rowsPerBand + r}")): _*)
     }: _*)
-    withSignature(sets)
-      .select(col("doc_id"), bandsArr.as("band_hashes"))
+    val sig = withSignature(sets)
+    // sigb persisted alongside the band hashes: probes prefilter their
+    // candidates on the 72-byte packed signature before touching the
+    // stored shh arrays (recomputing it at probe time would read those
+    // arrays, which is exactly what the prefilter exists to avoid)
+    sig.select(col("doc_id"), bandsArr.as("band_hashes"))
+      .join(withSigBytes(sig).select("doc_id", "sigb"), "doc_id")
       .join(sets.select("doc_id", "shh", "sz"), "doc_id")
   }
 
@@ -1190,7 +1298,25 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
       .distinct()
-    rescore(cands, idx.select("doc_id", "shh", "sz"), t)
+    // prefilter on the index's persisted packed signatures (the ingest
+    // merged the probe docs' rows before probing, so one source covers
+    // both sides); an index built before sigb existed skips the filter —
+    // correctness never depends on it
+    val kept = if (!idx.columns.contains("sigb")) cands else {
+      val agree = graft.functions.ShingleHashFunctions
+        .byteLaneAgree(col("sigb_i"), col("sigb_j"))
+      // same selection-bias pricing as minHashLshJoin: index candidates
+      // fired a raw Jaccard band, so rowsPerBand lanes agree for free
+      val minLanes = lit(math.ceil(
+        (t - prefilterSlack) * numHashes + rowsPerBand * (1 - t) - 1e-9))
+      val sb = idx.select(col("doc_id"), col("sigb"))
+      cands
+        .join(sb.select(col("doc_id").as("i"), col("sigb").as("sigb_i")), "i")
+        .join(sb.select(col("doc_id").as("j"), col("sigb").as("sigb_j")), "j")
+        .filter(col("sigb_i").isNull || col("sigb_j").isNull || agree >= minLanes)
+        .select("i", "j")
+    }
+    rescore(kept, idx.select("doc_id", "shh", "sz"), t)
   }
 
   // ----------------------------------- asymmetric containment sketch
@@ -1238,7 +1364,17 @@ object Dedup {
     */
   def containmentSketchJoin(docs: DataFrame, t: Double): DataFrame = {
     val sets = hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
-    containmentRescore(containmentSketchCandidates(sets), sets, t)
+    val sig = withSignature(sets).localCheckpoint()
+    // directed containment |A∩B| ≥ t|A| bounds the raw Jaccard from below:
+    // J = I/(|A|+|B|−I) ≥ t|A|/(|A|+|B|−t|A|) = t/(1 + |B|/|A| − t) — a
+    // pair-adaptive floor, so extreme-ratio pairs (the asymmetric sketch's
+    // whole reason to exist, where J is legitimately tiny) keep a floor
+    // near zero and pass untouched, while the near-equal-size background
+    // (the dominant candidate mass) must clear ~t/(2−t) − slack
+    containmentRescore(
+      prefilterCands(containmentSketchCandidates(sets, sig), withSigBytes(sig),
+        (szI, szJ) => lit(t) / (lit(1.0) + szJ / szI - lit(t))),
+      sets, t)
   }
 
   /** Hub-bucket cap shared by every banded candidate join (symmetric
@@ -1271,14 +1407,17 @@ object Dedup {
     * bucket's cross product is iterated (cheap compares inside SMJ) but
     * never materialized into the distinct.
     */
-  private[graft] def containmentSketchCandidates(sets: DataFrame): DataFrame = {
+  private[graft] def containmentSketchCandidates(sets: DataFrame,
+      sigIn: DataFrame = null): DataFrame = {
     val bucket = Window.partitionBy("band", "band_hash")
-    // ONE signature pass over the real sets, shared by both sides: the
-    // query side bands it directly; the container side combines it with
-    // the (smaller) pad-only signature below instead of re-hashing the
-    // real elements a second time — minhash of a union is the elementwise
-    // least of the parts' minhashes
-    val sig = withSignature(sets).localCheckpoint()
+    // ONE signature pass over the real sets, shared by both sides (and by
+    // the caller's prefilter when passed in): the query side bands it
+    // directly; the container side combines it with the (smaller) pad-only
+    // signature below instead of re-hashing the real elements a second
+    // time — minhash of a union is the elementwise least of the parts'
+    // minhashes
+    val sig =
+      if (sigIn != null) sigIn else withSignature(sets).localCheckpoint()
     // query side: signature of A as-is
     val qBanded = bandedHashes(sig, cSketchBands, cSketchRows)
       .withColumn("qn", count(lit(1)).over(bucket))

@@ -189,6 +189,72 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
   override def prettyName: String = "graft_sorted_intersect_count"
 }
 
+/** Count of agreeing BYTE LANES between two packed-byte signature arrays
+  * (each long holds eight lanes; lane = low byte of one MinHash minimum,
+  * see Dedup.withSigBytes). Two docs agree on a lane iff their minima
+  * agree (probability = Jaccard) or the low bytes collide anyway
+  * (probability (1−j)/256 — inflation only, so a keep-if-at-least
+  * prefilter can only keep MORE, never lose a true pair to the collision
+  * term). agree/lanes is therefore a Jaccard estimator with
+  * σ = sqrt(j(1−j)/lanes) ≤ 1/16 at 64 lanes — the cheap per-pair test
+  * that guards the array rescore at scale.
+  *
+  * Per long the zero bytes of xor(a,b) are counted with the exact SWAR
+  * zero-byte detector (Hacker's Delight 6-1: no inter-byte carries, no
+  * false positives): y = (x & 0x7F..7F) + 0x7F..7F; bit 7 of each byte of
+  * ~(y | x | 0x7F..7F) is set iff that byte of x is zero; popcount gives
+  * the lane count. Compares min(|a|,|b|) longs, so schema-evolved rows
+  * with absent arrays undercount rather than erroring (callers null-guard).
+  */
+case class ByteLaneAgree(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_byte_lane_agree expects array<bigint> inputs, " +
+          s"got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ByteLaneAgree.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ByteLaneAgree.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteLaneAgree =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_byte_lane_agree"
+}
+
+object ByteLaneAgree {
+  private val Low7 = 0x7F7F7F7F7F7F7F7FL
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val x = a.getLong(i) ^ b.getLong(i)
+      val y = ~(((x & Low7) + Low7) | x | Low7)
+      c += java.lang.Long.bitCount(y)
+      i += 1
+    }
+    c
+  }
+}
+
 /** All `k` MinHash minima of a hashed-shingle set in ONE compiled pass
   * over the row's array — no posting explode, no per-doc shuffle, no
   * aggregate machinery. Bit-identical to the aggregate formulation
@@ -271,6 +337,7 @@ object ShingleHashFunctions {
   val shingleHashesName = "graft_word_shingle_hashes"
   val intersectName = "graft_sorted_intersect_count"
   val minHashSigName = "graft_minhash_signature"
+  val byteLaneAgreeName = "graft_byte_lane_agree"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -285,6 +352,10 @@ object ShingleHashFunctions {
       minHashSigName,
       exprs => MinHashSignature(exprs.head, Args.intLiteral(minHashSigName, exprs, 1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      byteLaneAgreeName,
+      exprs => ByteLaneAgree(exprs(0), exprs(1)),
+      "built-in")
   }
 
   def wordShingleHashes(text: Column, n: Int): Column =
@@ -295,4 +366,7 @@ object ShingleHashFunctions {
 
   def minHashSignature(shh: Column, k: Int): Column =
     call_function(minHashSigName, shh, org.apache.spark.sql.functions.lit(k))
+
+  def byteLaneAgree(a: Column, b: Column): Column =
+    call_function(byteLaneAgreeName, a, b)
 }

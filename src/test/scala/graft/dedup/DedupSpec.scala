@@ -126,7 +126,7 @@ class DedupSpec extends SparkSpec {
     // exploded postings EXACTLY — persisted LSH indexes built before the
     // kernel swap must keep answering probes built after it
     val sets = Dedup.hashedShingleSets(docs).localCheckpoint()
-    val viaKernel = Dedup.withSignature(sets)
+    val viaKernel = Dedup.withSignature(sets).drop("sz")
     val viaAgg = sets
       .select(col("doc_id"), explode(col("shh")).as("h"))
       .groupBy("doc_id")
@@ -243,6 +243,42 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "rescoring guarantees no false positives")
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.9, s"LSH recall $recall below floor (16 bands x 4 rows at j>=0.8)")
+  }
+
+  test("signature prefilter: threshold-exact pairs survive both banded joins") {
+    // a pair at jaccard EXACTLY t is the prefilter's worst legitimate
+    // customer: its lane estimate must clear t − 0.25 (the 4σ margin), so
+    // losing it would mean the margin math is off. Plant overlap/union
+    // ratios that land exactly on the thresholds: 30 shared + 30 unique
+    // grams each side → j = 30/90 ≈ 0.33... use 45 shared, 15+15 unique:
+    // j = 45/75 = 0.6 ≥ 0.5 (symmetric), and a directed pair with
+    // |A∩B| = 0.8|A| exactly: A = 40 grams, 32 shared, B = 64 grams.
+    import spark.implicits._
+    def words(tag: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$tag$i")
+    def text(ws: Seq[String]): String = ws.mkString(" ")
+    // shingles are word 3-grams; isolate memberships with distinct blocks
+    // joined by unique separators so gram sets are block-local
+    val shared = words("s", 47) // 45 3-grams
+    val ua = words("a", 17) // 15
+    val ub = words("b", 17)
+    val jdocs = Seq(
+      (1L, text(shared ++ Seq("qqa1", "qqa2") ++ ua)),
+      (2L, text(shared ++ Seq("qqb1", "qqb2") ++ ub)),
+      // directed containment plant at EXACTLY 0.8: A = c-block (32 grams
+      // shared with B) + f-tail (8 own grams incl. the 2 boundary grams)
+      // → |A| = 40 grams, |A∩B| = 32 = 0.8|A|
+      (3L, text(words("c", 34) ++ words("f", 8))),
+      (4L, text(words("c", 34) ++ Seq("zz1", "zz2") ++ words("d", 30))))
+      .toDF("doc_id", "text")
+    val lsh = Dedup.minHashLshJoin(jdocs, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 2L)),
+      "threshold-exact jaccard pair lost (prefilter margin too tight?)")
+    val cont = Dedup.containmentSketchJoin(jdocs, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.contains((3L, 4L)),
+      "threshold-exact containment pair lost (directed bound or margin off?)")
   }
 
   test("simhash: hamming bound respected and pairs are true near-dups") {

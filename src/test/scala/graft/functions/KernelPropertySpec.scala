@@ -286,6 +286,45 @@ class KernelPropertySpec extends SparkSpec {
     assert(MediaDecode.inflate(Array[Byte](0x05), 0, 1, scratch) === -1)
   }
 
+  test("ByteLaneAgree equals the per-byte reference, incl. adversarial lanes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def naive(a: Array[Long], b: Array[Long]): Int =
+      (0 until math.min(a.length, b.length)).map { k =>
+        (0 until 8).count(l => ((a(k) >>> (8 * l)) & 0xFF) == ((b(k) >>> (8 * l)) & 0xFF))
+      }.sum
+    def arr(xs: Array[Long]) = new GenericArrayData(xs.map(x => x: Any))
+    // adversarial fixed cases: the SWAR zero-byte detector's edge bytes
+    // (0x00, 0x01, 0x7F, 0x80, 0xFF) adjacent to agreeing lanes, where a
+    // carry-sloppy formula shows false positives
+    val edges = Seq(
+      (Array(0L), Array(0L)),                                  // all 8 agree
+      (Array(0x0100L), Array(0L)),                             // 0x01 above a zero byte
+      (Array(0x8000L), Array(0L)),                             // 0x80 above a zero byte
+      (Array(-1L), Array(0L)),                                 // no lanes agree
+      (Array(0x7F80017F00FF0100L), Array(0x8080000000FF0000L)),
+      (Array(1L, 2L), Array(1L)))                              // length mismatch
+    edges.foreach { case (a, b) =>
+      assert(ByteLaneAgree.compute(arr(a), arr(b)) === naive(a, b), s"${a.toSeq}/${b.toSeq}")
+    }
+    val genLongs: Gen[Array[Long]] =
+      Gen.chooseNum(0, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(
+          Gen.chooseNum(Long.MinValue, Long.MaxValue),
+          Gen.oneOf(0L, -1L, 0x0101010101010101L, 0x8080808080808080L,
+            0x00FF00FF00FF00FFL))).map(_.toArray))
+    samples(Gen.zip(genLongs, genLongs), 300).foreach { case (a, b) =>
+      assert(ByteLaneAgree.compute(arr(a), arr(b)) === naive(a, b))
+      // mutate one random byte of a shared array: agreement drops by
+      // exactly 0 or 1 lanes
+      if (a.nonEmpty) {
+        val full = ByteLaneAgree.compute(arr(a), arr(a))
+        assert(full === a.length * 8)
+        val m = a.clone(); m(0) = m(0) ^ 0x10L
+        assert(ByteLaneAgree.compute(arr(a), arr(m)) === full - 1)
+      }
+    }
+  }
+
   test("ByteStride equals the per-element reference on random payloads") {
     val genBytes: Gen[Array[Byte]] =
       Gen.chooseNum(0, 64).flatMap(n =>
