@@ -372,13 +372,22 @@ object Multimodal {
     * DuckDB oracle reproduces the exact vector (integer byte / 255.0 is the
     * same IEEE division on both engines).
     */
+  /** The stub's contract, stamped on every feature row so a CONSUMER of
+    * the query output (not just a reader of this source) sees these are
+    * fingerprint-derived stand-in vectors, not model embeddings — swap
+    * the tag with the model id when a real encoder replaces the stub.
+    */
+  val featureEncoderTag = "stub-md5-v0"
+
   def frameFeatures(framed: DataFrame, dim: Int = 8): DataFrame = {
     require(dim <= 16, "stub packs at most the md5 digest's 16 bytes")
     val fp = fingerprint(col("frame"))
-    framed.withColumn("feature",
-      array((0 until dim).map { i =>
-        conv(substring(fp, 2 * i + 1, 2), 16, 10).cast(DoubleType) / 255.0
-      }: _*))
+    framed
+      .withColumn("feature",
+        array((0 until dim).map { i =>
+          conv(substring(fp, 2 * i + 1, 2), 16, 10).cast(DoubleType) / 255.0
+        }: _*))
+      .withColumn("encoder", lit(featureEncoderTag))
   }
 
   // ---------------------------------------------------------------- queries
@@ -549,14 +558,15 @@ object Multimodal {
       )
       SELECT media_id, frame_idx, CAST(dg.d AS INT) AS dim,
              ((strpos('0123456789abcdef', substring(fp, CAST(dg.d AS INT) * 2 + 1, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substring(fp, CAST(dg.d AS INT) * 2 + 2, 1)) - 1)) / 255.0 AS value
+              + (strpos('0123456789abcdef', substring(fp, CAST(dg.d AS INT) * 2 + 2, 1)) - 1)) / 255.0 AS value,
+             'stub-md5-v0' AS encoder
       FROM f, generate_series(0, 7) AS dg(d)
       ORDER BY media_id, frame_idx, dim
     """),
   ) { (s, d) =>
     frameFeatures(frames(rawMediaTable(Tables.documents(s, d)), frameSize = 64))
       .select(col("media_id"), col("frame_idx"),
-        posexplode(col("feature")).as(Seq("dim", "value")))
+        posexplode(col("feature")).as(Seq("dim", "value")), col("encoder"))
       .orderBy("media_id", "frame_idx", "dim")
   }
 

@@ -598,6 +598,9 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.length === 8))
     assert(rows.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
+    // the stub contract is stamped on every output row, not just in docs
+    assert(feats.select("encoder").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq(Multimodal.featureEncoderTag))
     // deterministic: same input → same vectors
     val again = Multimodal.frameFeatures(
       Multimodal.frames(Multimodal.rawMediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
