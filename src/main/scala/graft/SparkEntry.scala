@@ -60,6 +60,7 @@ object SparkEntry {
       graft.dedup.Dedup.all ++
       graft.similarity.Similarity.all ++
       graft.multimodal.Multimodal.all ++
+      graft.ml.QualityModel.all ++
       etlQueries
 
   /** Flagship: the full reference pipeline (scan → flatten → derive →

@@ -14,7 +14,7 @@ class ContractSpec extends SparkSpec {
       graft.queries.Analytics.all, graft.text.TextAnalysis.all,
       graft.queries.Curation.all, graft.queries.Fuzzy.all,
       graft.dedup.Dedup.all, graft.similarity.Similarity.all,
-      graft.multimodal.Multimodal.all,
+      graft.multimodal.Multimodal.all, graft.ml.QualityModel.all,
     ).flatten.map(_.name)
     assert(names.distinct.size === names.size,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
