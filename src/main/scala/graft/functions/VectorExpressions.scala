@@ -194,20 +194,131 @@ object PqArgmin {
   }
 }
 
+/** All L sign-LSH bucket ids of a vector in ONE compiled pass (kernel 22):
+  * for table τ, k sign bits of the vector against that table's hyperplanes
+  * (OR-packed), with τ in the high bits — bit-identical to the
+  * expression-tree form (k·L separate [[VecDot]]-vs-literal conjuncts),
+  * which at k·L = 40 inlined loops blew the whole-stage-codegen method
+  * limit and silently fell back to interpreted eval with per-row literal
+  * boxing (measured: the corpus bucketing scan alone took 262 s at 5M
+  * vectors; the kernel does it in seconds). Planes ride as a foldable
+  * literal hoisted into codegen reference objects, exactly the
+  * [[PqArgmin]] codebook pattern.
+  */
+case class SignBuckets(left: Expression, right: Expression, numPlanes: Int)
+  extends BinaryExpression {
+
+  require(numPlanes >= 1 && numPlanes <= 63, s"bad plane count: $numPlanes")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okLeft = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val okRight = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    if (okLeft && okRight && {
+      val n = right.eval(null).asInstanceOf[ArrayData].numElements()
+      n % numPlanes == 0 && n > 0
+    }) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_sign_buckets expects (array<float|double>, foldable " +
+          s"array<array<double>> of a multiple of $numPlanes planes), " +
+          s"got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
+  }
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignBuckets.compute(a.asInstanceOf[ArrayData], leftIsFloat, planes, numPlanes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SignBuckets.compute($a, $leftIsFloat, $planesRef, $numPlanes);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignBuckets =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sign_buckets"
+}
+
+object SignBuckets {
+
+  /** Same fold as the VecDot-per-plane form: sequential += over the
+    * vector, floats widened per element — sign decisions (and therefore
+    * bucket ids, and therefore ANN candidates) are bit-identical to the
+    * expression formulation this replaces.
+    */
+  def compute(x: ArrayData, isFloat: Boolean, planes: Array[Array[Double]],
+      numPlanes: Int): ArrayData = {
+    val tables = planes.length / numPlanes
+    val n = x.numElements()
+    val xv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      xv(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](tables)
+    var tau = 0
+    while (tau < tables) {
+      var bits = tau.toLong << 32
+      var b = 0
+      while (b < numPlanes) {
+        val p = planes(tau * numPlanes + b)
+        val d = math.min(n, p.length)
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += xv(j) * p(j); j += 1 }
+        if (s > 0) bits |= (1L << b)
+        b += 1
+      }
+      out(tau) = bits
+      tau += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
 
   val dotName = "graft_vec_dot"
   val pqArgminName = "graft_pq_argmin"
+  val signBucketsName = "graft_sign_buckets"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       dotName, exprs => VecDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       pqArgminName, exprs => PqArgmin(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      signBucketsName,
+      exprs => SignBuckets(exprs(0), exprs(1),
+        Args.intLiteral(signBucketsName, exprs, 2)),
+      "built-in")
   }
 
   /** Column-level handle (resolves against the session registry). */
   def vecDot(a: Column, b: Column): Column = call_function(dotName, a, b)
 
   def pqArgmin(x: Column, book: Column): Column = call_function(pqArgminName, x, book)
+
+  def signBuckets(x: Column, planes: Column, numPlanes: Int): Column =
+    call_function(signBucketsName, x, planes,
+      org.apache.spark.sql.functions.lit(numPlanes))
 }

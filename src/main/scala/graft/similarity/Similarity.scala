@@ -172,15 +172,15 @@ object Similarity {
 
   /** One bucket id per table: k sign bits from that table's planes, with the
     * table index packed into the high bits so a single equi-join key covers
-    * all tables.
+    * all tables. One [[graft.functions.SignBuckets]] kernel call — the
+    * expression-tree form (k·L VecDot-vs-literal conjuncts) exceeded the
+    * codegen method limit at k·L = 40 and fell back to interpreted eval
+    * (the sf100 probe measured the corpus bucketing scan at 262 s; the
+    * kernel's one compiled pass is bit-identical and ~50× faster).
     */
   def bucketIds(emb: Column, numPlanes: Int, numTables: Int): Column =
-    array((0 until numTables).map { tau =>
-      (0 until numPlanes).map { b =>
-        when(dot(emb, typedlit(planes(tau * numPlanes + b))) > 0, lit(1L << b))
-          .otherwise(0L)
-      }.reduce(_.bitwiseOR(_)).bitwiseOR(lit(tau.toLong << 32))
-    }: _*)
+    graft.functions.VectorFunctions.signBuckets(
+      emb, typedlit(planes.take(numPlanes * numTables)), numPlanes)
 
   /** ANN: candidates from an equi-join on (table, bucket); only candidates
     * get exact-scored, and a pair colliding in several tables is scored per

@@ -331,6 +331,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
   }
 
+  test("SignBuckets kernel equals the VecDot-per-plane expression bit-for-bit") {
+    // bucket ids decide ANN candidates, so indexes bucketed before the
+    // kernel swap must keep answering probes bucketed after it
+    import org.apache.spark.sql.functions.{typedlit, when}
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val viaExpr = org.apache.spark.sql.functions.array(
+      (0 until Similarity.defaultTables).map { tau =>
+        (0 until Similarity.defaultPlanes).map { b =>
+          when(Similarity.dot(col("embedding"),
+            typedlit(Similarity.planes(tau * Similarity.defaultPlanes + b))) > 0,
+            lit(1L << b)).otherwise(0L)
+        }.reduce(_.bitwiseOR(_)).bitwiseOR(lit(tau.toLong << 32))
+      }: _*)
+    val both = emb.select(col("vec_id"),
+      Similarity.bucketIds(col("embedding"),
+        Similarity.defaultPlanes, Similarity.defaultTables).as("k"),
+      viaExpr.as("e"))
+    assert(both.filter(col("k") =!= col("e")).count() === 0)
+    assert(both.count() > 0)
+  }
+
   test("semantic dedup: a partition of the corpus, keep-first verified vs brute force") {
     val corpus = Tables.embeddings(spark, sf("sf0.01"))
     val out = Similarity.semanticDedup(corpus, 16, 0.4).collect()
