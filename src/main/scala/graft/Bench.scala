@@ -1,4 +1,5 @@
 package graft
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,10 +21,20 @@ object Bench {
     // a missing file is a property of the probe directory, not the plan.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val skipped = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Skip only when the typed error says a path is missing AND that path
+    // is under the probe's sf dir: a genuinely broken query whose message
+    // merely mentions "Path does not exist" (bad hardcoded path, fixture
+    // bug) must FAIL the bench, not vanish into the skip column.
+    val sfPrefix = new java.io.File(sfDir).getAbsolutePath
     def missingInput(e: Throwable): Boolean =
-      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { c =>
-        val m = Option(c.getMessage).getOrElse("")
-        m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+        case a: org.apache.spark.sql.AnalysisException
+            if Option(a.getCondition).contains("PATH_NOT_FOUND") =>
+          a.getMessageParameters.values.iterator.asScala.exists { p =>
+            val raw = p.stripPrefix("file:")
+            new java.io.File(raw).getAbsolutePath.startsWith(sfPrefix)
+          }
+        case _ => false
       }
     def exec(name: String): Option[Double] = {
       val t0 = System.nanoTime()

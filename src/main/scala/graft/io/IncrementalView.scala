@@ -31,6 +31,13 @@ object IncrementalView {
   private val keyCol = "mv_key"
   private val dropCol = "mv_drop"
 
+  // Shared sentinel so refresh can tell "no enrich" apart by reference:
+  // a non-identity enrich may overwrite a same-named source column, and
+  // then the zone-map point-read prune would filter on PRE-enrich key
+  // values — the prune is only sound when the key values seen by the
+  // aggregate are the values in the source files.
+  private val noEnrich: DataFrame => DataFrame = identity
+
   def minName(c: String): String = s"mv_min_$c"
   def maxName(c: String): String = s"mv_max_$c"
 
@@ -59,7 +66,7 @@ object IncrementalView {
       keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
       rowFilter: Column = lit(true),
-      enrich: DataFrame => DataFrame = identity): Int = {
+      enrich: DataFrame => DataFrame = noEnrich): Int = {
     val v = SnapshotTable.latestVersion(sourceDir)
     val agg = enrich(SnapshotTable.read(spark, sourceDir, Some(v)))
       .filter(rowFilter)
@@ -92,7 +99,7 @@ object IncrementalView {
       keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
       rowFilter: Column = lit(true),
-      enrich: DataFrame => DataFrame = identity): Int = {
+      enrich: DataFrame => DataFrame = noEnrich): Int = {
     val have = SnapshotTable.snapshot(spark, viewDir, None).meta
       .getOrElse(sourceVersionKey,
         throw new IllegalStateException(
@@ -152,6 +159,15 @@ object IncrementalView {
           // never null. sums: SQL SUM ignores NULLs, so an all-NULL delta
           // (delta sum NULL) leaves the stored sum unchanged — and only a
           // brand-new key whose delta is also all-NULL stays NULL.
+          // Residual edge (deliberate): a group holding both null and
+          // non-null values whose EVERY non-null row is deleted ends with
+          // stored sum 0 (old + delta = s − s), where a full recompute over
+          // the remaining all-null rows yields NULL. The delta cannot
+          // distinguish "all non-null values gone" from "some remain"
+          // without a per-sum-column non-null count in the stored view;
+          // 0-vs-NULL for an empty value set is the one divergence the
+          // fast path accepts. Consumers needing recompute-exact NULL
+          // semantics here should coalesce on read or rebuild the view.
           Seq((coalesce(col(s"__old_$countCol"), lit(0L)) + col(countCol))
             .as(countCol)) ++
           sumCols.map(c =>
@@ -176,8 +192,12 @@ object IncrementalView {
         // before the semi-join because the view keys may only exist
         // post-enrich (the readPoints prune inside recomputeSource already
         // guards on the key being a SOURCE stats column, so a derived key
-        // simply takes the full-read path)
-        val rec = enrich(recomputeSource(spark, sourceDir, latest, keys, rkeys))
+        // simply takes the full-read path). prunable = no enrich at all:
+        // an enrich may legally OVERWRITE a same-named source column, and
+        // the name guard alone can't see that — so any enrich disables the
+        // point-read prune (join views recompute from a full read).
+        val rec = enrich(recomputeSource(spark, sourceDir, latest, keys, rkeys,
+            prunable = enrich eq noEnrich))
           .filter(rowFilter).as("src")
           .join(rkeys.as("rk"),
             keys.map(k => col(s"src.$k") <=> col(s"rk.$k")).reduce(_ && _),
@@ -211,8 +231,10 @@ object IncrementalView {
     * optimization, never a semantics change.
     */
   private def recomputeSource(spark: SparkSession, sourceDir: String,
-      version: Int, keys: Seq[String], rkeys: DataFrame): DataFrame = {
+      version: Int, keys: Seq[String], rkeys: DataFrame,
+      prunable: Boolean): DataFrame = {
     val full = () => SnapshotTable.read(spark, sourceDir, Some(version))
+    if (!prunable) return full()
     val snap = SnapshotTable.snapshot(spark, sourceDir, Some(version))
     if (keys.size != 1 || !snap.statsCols.contains(keys.head)) return full()
     val cap = 4096

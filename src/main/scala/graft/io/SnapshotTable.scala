@@ -509,9 +509,24 @@ object SnapshotTable {
         // z-grid — comparable curves, stable selectivity — and every
         // compaction after the first skips the approxQuantile pass.
         requireZOrderable(rows, zOrderBy)
-        val bounds = persistedZBounds(prev, zOrderBy)
-          .getOrElse(computeZBounds(rows, zOrderBy))
-        zMeta = Map(zColsKey -> zOrderBy.mkString(",")) ++
+        // Staleness guard on the persisted grid: bounds computed from one
+        // batch degrade if the distribution drifts, so the meta records
+        // the row mass the bounds were fit on plus the mass rewritten
+        // since; once the since-mass exceeds (zBoundsGrowth-1)× the fit
+        // mass, the NEXT compaction refits from its own batch. Old files
+        // keep their tiles (zone maps store real column ranges, so mixed
+        // grids still prune); the refit just restores rank-normalization
+        // selectivity for new data. Performance-only either way.
+        val batchRows = rows.count()
+        val fitRows = prev.meta.get(zRowsKey).map(_.toLong).getOrElse(0L)
+        val sinceRows = prev.meta.get(zSinceKey).map(_.toLong).getOrElse(0L)
+        val stale = sinceRows + batchRows > (zBoundsGrowth - 1) * fitRows
+        val persisted = if (stale) None else persistedZBounds(prev, zOrderBy)
+        val bounds = persisted.getOrElse(computeZBounds(rows, zOrderBy))
+        zMeta = Map(zColsKey -> zOrderBy.mkString(","),
+          zRowsKey -> (if (persisted.isEmpty) batchRows else fitRows).toString,
+          zSinceKey -> (if (persisted.isEmpty) 0L
+                        else sinceRows + batchRows).toString) ++
           zOrderBy.map(c => zBoundsKey(c) -> bounds(c).mkString(","))
         rows.withColumn("__z", zValueFromBounds(rows, zOrderBy, bounds))
           .repartitionByRange(targetPartitions, col("__z"))
@@ -535,6 +550,10 @@ object SnapshotTable {
   }
 
   private val zColsKey = "zorder_cols"
+  private val zRowsKey = "zorder_bounds_rows" // row mass the bounds were fit on
+  private val zSinceKey = "zorder_rows_since" // mass rewritten since the fit
+  // refit the grid once total mass passes this multiple of the fit mass
+  private val zBoundsGrowth = 4L
   private def zBoundsKey(c: String): String = s"zorder_bounds_$c"
 
   /** Boundaries persisted by a previous z-compaction over the SAME column

@@ -376,10 +376,16 @@ class IoSpec extends SparkSpec {
       targetPartitions = 8, zOrderBy = Seq("user_id", "value"))
     val snap2 = SnapshotTable.snapshot(spark, dirInc, None)
     val gen1Files = snap2.files.toSet
-    val boundsMeta1 = snap2.meta.filter(_._1.startsWith("zorder"))
-    assert(boundsMeta1.keySet === Set("zorder_cols",
-      "zorder_bounds_user_id", "zorder_bounds_value"),
+    val boundsMeta1 = snap2.meta.filter(_._1.startsWith("zorder_bounds_u")) ++
+      snap2.meta.filter(_._1.startsWith("zorder_bounds_v")) ++
+      snap2.meta.filter(_._1 == "zorder_cols")
+    assert(snap2.meta.filter(_._1.startsWith("zorder")).keySet ===
+      Set("zorder_cols", "zorder_bounds_user_id", "zorder_bounds_value",
+        "zorder_bounds_rows", "zorder_rows_since"),
       s"first z-compaction must persist boundary meta, got ${snap2.meta.keySet}")
+    assert(snap2.meta("zorder_bounds_rows") === "60000" &&
+      snap2.meta("zorder_rows_since") === "0",
+      "staleness accounting starts at (fit mass, 0)")
 
     SnapshotTable.merge(spark, dirInc, ingest2.repartition(4, col("id")), "id")
     // dynamic size threshold: rewrite only the merge's (smaller) files
@@ -394,8 +400,13 @@ class IoSpec extends SparkSpec {
     assert(gen1Files.subsetOf(snap4.files.toSet),
       "incremental z-compaction must not rewrite the first generation")
     assert(snap4.files.size === 12)
-    assert(snap4.meta.filter(_._1.startsWith("zorder")) === boundsMeta1,
+    assert(snap4.meta.filter(k => k._1.startsWith("zorder_bounds_u") ||
+        k._1.startsWith("zorder_bounds_v") || k._1 == "zorder_cols")
+      === boundsMeta1,
       "second z-compaction must REUSE the persisted boundaries")
+    assert(snap4.meta("zorder_bounds_rows") === "60000" &&
+      snap4.meta("zorder_rows_since") === "20000",
+      "reuse must accumulate the rewritten mass into zorder_rows_since")
 
     // comparator: the union compacted once, same total tile count
     SnapshotTable.create(
@@ -420,6 +431,49 @@ class IoSpec extends SparkSpec {
       ingest1.unionAll(ingest2)
         .filter(col("user_id").between(0, 9) && col("value").between(0, 12))
         .orderBy("id").collect().toSeq)
+  }
+
+  test("snapshot table: stale z-order boundaries refit once growth passes 4x") {
+    // ADVICE r12: bounds fit on the first batch were reused FOREVER; a
+    // drifted distribution then degrades rank normalization with no
+    // recompute trigger. The manifest now tracks the fit mass and the
+    // mass rewritten since; a compaction whose cumulative mass pushes the
+    // table past zBoundsGrowth (4x) the fit mass refits from its own
+    // batch and resets the accounting. Drift here: ingest1 covers
+    // value in [0,100), the big follow-up covers [1000,1100) — reused
+    // bounds would rank every new row into the top bucket.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-zstale").toString + "/t"
+    def mk(lo: Long, hi: Long, base: Long) =
+      (lo until hi).map(i => (i, i * 31 % 80, base + i * 7 % 100))
+        .toDF("id", "user_id", "value")
+    SnapshotTable.create(mk(0, 10000, 0).repartition(4, col("id")), dir,
+      statsCols = Seq("user_id", "value"))
+    SnapshotTable.compact(spark, dir, minFileBytes = 1L << 30,
+      targetPartitions = 4, zOrderBy = Seq("user_id", "value"))
+    val fit1 = SnapshotTable.snapshot(spark, dir, None)
+    assert(fit1.meta("zorder_bounds_rows") === "10000")
+    val bounds1 = fit1.meta("zorder_bounds_value")
+    // 40000 drifted rows: 10000 (since) + 40000 > 3 * 10000 -> refit
+    SnapshotTable.merge(spark, dir,
+      mk(10000, 50000, 1000).repartition(32, col("id")), "id")
+    val gen1Min = fit1.files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(dir, f))).min
+    val gen2Max = (SnapshotTable.snapshot(spark, dir, None).files.toSet --
+      fit1.files.toSet).map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(dir, f))).max
+    assert(gen2Max < gen1Min, "fixture: drifted files must undercut gen1 tiles")
+    SnapshotTable.compact(spark, dir, minFileBytes = gen1Min,
+      targetPartitions = 8, zOrderBy = Seq("user_id", "value"))
+    val fit2 = SnapshotTable.snapshot(spark, dir, None)
+    assert(fit2.meta("zorder_bounds_rows") === "40000" &&
+      fit2.meta("zorder_rows_since") === "0",
+      s"drifted growth past 4x must refit: ${fit2.meta.filter(_._1.startsWith("zorder"))}")
+    assert(fit2.meta("zorder_bounds_value") !== bounds1,
+      "refit bounds must reflect the drifted batch, not the stale grid")
+    // rows stay exact through the refit layout
+    assert(SnapshotTable.read(spark, dir).count() === 50000)
   }
 
   test("snapshot table: z-order on a non-numeric column fails loudly") {
