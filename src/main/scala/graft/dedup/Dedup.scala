@@ -236,11 +236,11 @@ object Dedup {
     * share rare-ish shingles, so the exact path rescans millions of
     * candidate pairs one order up (~34M candidates at the 10× probe scale,
     * nearly all pruned at the rescore). That is the inherent cost of EXACT
-    * directed containment; the sub-linear 100 TB path is an
-    * asymmetric-minhash sketch (plain MinHash does not preserve
-    * containment — Shrivastava & Li 2015's asymmetric transforms do), with
-    * this join as its oracle-exact rescorer, exactly as [[minHashLshJoin]]
-    * pairs with [[setSimilarityJoin]].
+    * directed containment; the sub-linear 100 TB path is
+    * [[containmentDedup]] — the df-capped bottom-k estimator join —
+    * with this join as the oracle-exact relation both approximate paths
+    * are pinned against, exactly as [[minHashLshJoin]] pairs with
+    * [[setSimilarityJoin]].
     */
   def containmentJoin(docs: DataFrame, t: Double): DataFrame = {
     val sets = hashedShingleSets(docs).localCheckpoint()
@@ -1319,7 +1319,38 @@ object Dedup {
     rescore(kept, idx.select("doc_id", "shh", "sz"), t)
   }
 
-  // ----------------------------------- asymmetric containment sketch
+  // ----------------------------------- approximate containment (default)
+
+  /** THE default at-scale containment path: the df-capped bottom-k
+    * estimator join ([[containmentBottomKJoin]]). The engine carries two
+    * approximate containment operators and three decades of probe data on
+    * each; the numbers pick the default unambiguously:
+    *
+    *   - bottom-k: 4.7×/decade across sf10→sf100, probe cost k posting
+    *     lookups per doc, and — the structural property — candidate mass
+    *     is IMMUNE to the weak-similarity background (a pair only
+    *     surfaces when a uniformly-sampled element of A actually occurs
+    *     in B, so candidates track true intersection mass, not band-hash
+    *     coincidence). Covers extreme size ratios (|B| ≫ |A|) exactly,
+    *     which is the asymmetric relation's whole point.
+    *   - asymmetric-minhash sketch: 13.2×/decade at sf100 even after the
+    *     89%-kill packed-signature prefilter, because its 2-row bands
+    *     (forced by padding's collision dilution) admit a background that
+    *     grows ~quadratically with corpus size; pre-prefilter it died on
+    *     disk at 5M docs (>78 GB spill). It remains in-engine as the
+    *     RECALL-STUDY variant (see [[containmentSketchJoin]]).
+    *
+    * Both share [[containmentRescore]], so precision is 1 either way and
+    * rows for identical pairs are identical; only candidate generation —
+    * and therefore the scale law — differs. DedupSpec pins this delegation
+    * (default ≡ bottom-k pair-for-pair) plus the bottom-k recall ≥ 0.9 /
+    * planted extreme-ratio pins that justify it.
+    */
+  def containmentDedup(docs: DataFrame, t: Double, k: Int = 16,
+      dfCap: Int = 64): DataFrame =
+    containmentBottomKJoin(docs, t, k, dfCap)
+
+  // ---------------- asymmetric containment sketch (recall-study variant)
 
   /** Containment-sketch band geometry: shorter bands (2 rows × 32 bands over
     * the same 64 hashes) than the Jaccard LSH's 4 × 16, because the padded
@@ -1330,7 +1361,14 @@ object Dedup {
   val cSketchBands = 32
   val cSketchRows: Int = numHashes / cSketchBands
 
-  /** Asymmetric-MinHash candidate path for directed containment
+  /** RECALL-STUDY VARIANT — not the default containment path (that is
+    * [[containmentDedup]] → the df-capped bottom-k join); see the scale
+    * comparison there. Kept because its banded geometry is the textbook
+    * asymmetric-minwise construction and its recall curve on
+    * moderate-ratio pairs is the benchmark the bottom-k pins are read
+    * against.
+    *
+    * Asymmetric-MinHash candidate path for directed containment
     * (Shrivastava & Li 2015, "Asymmetric Minwise Hashing"): plain MinHash
     * collision probability is Jaccard, which does NOT preserve containment
     * — a small doc fully inside a large one can have tiny Jaccard. The
@@ -1346,7 +1384,7 @@ object Dedup {
     * curve, same sketch-plus-exact-rescore pairing as
     * [[minHashLshJoin]] → [[setSimilarityJoin]].
     *
-    * Why this is the 100 TB path: the exact [[containmentJoin]]'s candidate
+    * What the banding buys over the exact join: the [[containmentJoin]]'s candidate
     * volume is corpus-overlap-driven (~34M pairs at the 10× probe scale);
     * here a pair only surfaces when 2 of 64 minima collide, so candidate
     * volume tracks the true-pair count plus a hub term bounded by band-hash
@@ -1467,8 +1505,9 @@ object Dedup {
     containmentSketchJoin(Tables.documents(s, d), 0.8).orderBy("i", "j")
   }
 
-  /** Bottom-k containment candidates — the estimator that covers the
-    * asymmetric-minhash sketch's documented blind spot (|B| ≫ |A|):
+  /** Bottom-k containment candidates — the DEFAULT approximate containment
+    * path ([[containmentDedup]] delegates here), and the estimator that
+    * covers the asymmetric-minhash sketch's documented blind spot (|B| ≫ |A|):
     * because [[hashedShingleSets]] keeps hashes SORTED, a doc's bottom-k
     * sketch is literally `slice(shh, 1, k)` — a uniform sample of its
     * shingle set under the hash order. Each sampled hash probes the full

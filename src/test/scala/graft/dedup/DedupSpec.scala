@@ -237,6 +237,16 @@ class DedupSpec extends SparkSpec {
       s"extreme-ratio containment missed: $found")
   }
 
+  test("containmentDedup default routes to the bottom-k join (r12 verdict #1)") {
+    // the DEFAULT containment path must be the pair-mass-immune estimator,
+    // pair-for-pair — so the recall/precision pins above transfer to it
+    val dflt = pairSet(Dedup.containmentDedup(docs, 0.8))
+    val bk = pairSet(Dedup.containmentBottomKJoin(docs, 0.8))
+    assert(dflt == bk, "containmentDedup must delegate to the bottom-k join")
+    assert(dflt.subsetOf(pairSet(Dedup.containmentJoin(docs, 0.8))),
+      "default containment path lost exact-rescore precision")
+  }
+
   test("minhash-LSH: precision 1 (rescored) and high recall vs exact join") {
     val exact = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
     val lsh   = pairSet(Dedup.minHashLshJoin(docs, 0.5))

@@ -380,6 +380,60 @@ class SimilaritySpec extends SparkSpec {
     info(s"semantic dedup dropped ${dropped.size} of $n (16 clusters)")
   }
 
+  test("trained semantic dedup: same kept/dropped as the oracle path on planted clusters") {
+    // r12 verdict #2: the production twin assigns against IVF Lloyd
+    // centroids instead of lowest-vec_id seeds. Plant 4 orthogonal regions
+    // each holding near-identical FAMILIES (intra-family cos ≈ 0.999,
+    // cross-family cos ≤ 0.5 < t) — then for ANY sane centroid set a
+    // family co-clusters (its members are ε-identical), no cross-family
+    // pair can ever count as a dup, and both paths must land on the same
+    // keep-first decisions: lowest vec_id per family kept, rest dropped.
+    import spark.implicits._
+    val d = 64
+    def vec(region: Int, family: Int, member: Int): Array[Float] = {
+      val v = Array.fill(d)(0.0f)
+      v(16 * region) = 1.0f
+      v(16 * region + 1 + family) = 1.0f
+      v(16 * region + 8 + member) = 0.05f
+      v
+    }
+    // 4 regions × (2 families × 3 members + 2 singletons) = 32 vectors;
+    // the oracle's lowest-4 seeds land one per region while the trained
+    // path's hash seeds are arbitrary members — the pin holds because
+    // kept/dropped only depends on family CO-clustering, not on which
+    // cluster a family lands in
+    val rows = for {
+      r <- 0 until 4; f <- 0 until 2; m <- 0 until 3
+    } yield ((r + 4L * (f * 3 + m)), vec(r, f, m))
+    val singles = for (r <- 0 until 4; s <- 0 until 2)
+      yield (100L + r * 2 + s, {
+        // distinct secondary dims: the two singletons of a region must not
+        // be near-dups of each other (cos = 1/2 < t)
+        val v = Array.fill(d)(0.0f); v(16 * r) = 1.0f; v(16 * r + 6 + s) = 1.0f; v
+      })
+    val corpus = (rows ++ singles).toDF("vec_id", "embedding")
+    val t = 0.9
+    def decisions(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    val oracle = decisions(Similarity.semanticDedup(corpus, 4, t))
+    val trained = decisions(Similarity.semanticDedupTrained(corpus, 4, t))
+    assert(trained === oracle,
+      "trained-centroid twin must make the oracle path's kept/dropped decisions")
+    // and both equal the brute-force family expectation: min vec_id per
+    // family kept, other members dropped, singletons kept
+    // family id = (region, f); vec_id = r + 4*(f*3 + m) → member index
+    // m = (vec_id/4) % 3, and m == 0 is the family's lowest vec_id
+    val expect = (rows ++ singles).map(_._1)
+      .map(id => id -> (id >= 100 || (id / 4) % 3 == 0)).toMap
+    assert(trained === expect, "kept set must be keep-first per planted family")
+    // corpus-level invariants on the driver table: a partition, no crash
+    val big = Similarity.semanticDedupTrained(Tables.embeddings(spark, sf("sf0.01")), 16, 0.4)
+    val n = Tables.embeddings(spark, sf("sf0.01")).count()
+    assert(big.count() === n)
+    assert(big.filter(!col("kept")).count() > 0,
+      "planted near-dups must still collapse under trained centroids")
+  }
+
   test("kNN label audit: one verdict per probe, bounded rates, signal present") {
     val out = Similarity.q_embed_knn_audit.run(spark, sf()).collect()
     assert(out.nonEmpty)
