@@ -27,9 +27,30 @@ import org.apache.spark.sql.functions._
 object IncrementalView {
 
   val sourceVersionKey = "mv_source_version"
+  val dimFingerprintKey = "mv_dim_fingerprint"
   val countCol = "mv_count"
   private val keyCol = "mv_key"
   private val dropCol = "mv_drop"
+
+  /** Order-independent content fingerprint of the dim frames an `enrich`
+    * joins against: per dim, (row count, sum of per-row xxhash64 over every
+    * column cast to string, schema). The static-dims contract (see
+    * [[create]]) is otherwise unenforceable — a dim edited between create
+    * and refresh silently yields stale-enriched deltas — so [[create]]
+    * stamps this into the view manifest and [[refresh]] fails loudly on
+    * drift. Sum-of-hashes is insensitive to row order and partitioning
+    * (dims are broadcast-scale, so the extra scan is metadata-cost).
+    */
+  private def dimFingerprint(dims: Seq[DataFrame]): String =
+    dims.map { d =>
+      val schemaTag = d.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+      val r = d.select(count(lit(1)).as("n"),
+        sum(xxhash64(d.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)).as("h"))
+        .head()
+      val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+      s"${r.getLong(0)}:${java.lang.Long.toHexString(h)}:" +
+        java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(schemaTag))
+    }.mkString(",")
 
   // Shared sentinel so refresh can tell "no enrich" apart by reference:
   // a non-identity enrich may overwrite a same-named source column, and
@@ -61,12 +82,19 @@ object IncrementalView {
     * create and refresh — a dim change is a view rebuild, exactly as in
     * warehouse practice (dims are broadcast-scale and slowly changing;
     * the fact feed is what's petabyte-scale and hot).
+    *
+    * Pass the dim frames enrich joins against in `dims` to make that
+    * contract ENFORCED rather than assumed: create stamps their
+    * [[dimFingerprint]] into the view manifest, and [[refresh]] (given the
+    * same `dims`) recomputes and fails loudly on mismatch — a drifted dim
+    * means the view must be rebuilt, never silently stale-enriched.
     */
   def create(spark: SparkSession, sourceDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
       rowFilter: Column = lit(true),
-      enrich: DataFrame => DataFrame = noEnrich): Int = {
+      enrich: DataFrame => DataFrame = noEnrich,
+      dims: Seq[DataFrame] = Nil): Int = {
     val v = SnapshotTable.latestVersion(sourceDir)
     val agg = enrich(SnapshotTable.read(spark, sourceDir, Some(v)))
       .filter(rowFilter)
@@ -76,7 +104,11 @@ object IncrementalView {
           minCols.map(c => min(col(c)).as(minName(c))) ++
           maxCols.map(c => max(col(c)).as(maxName(c))): _*)
       .withColumn(keyCol, mvKey(keys))
-    SnapshotTable.create(agg, viewDir, meta = Map(sourceVersionKey -> v.toString))
+    val dimMeta =
+      if (dims.isEmpty) Map.empty[String, String]
+      else Map(dimFingerprintKey -> dimFingerprint(dims))
+    SnapshotTable.create(agg, viewDir,
+      meta = Map(sourceVersionKey -> v.toString) ++ dimMeta)
     v
   }
 
@@ -99,12 +131,26 @@ object IncrementalView {
       keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
       rowFilter: Column = lit(true),
-      enrich: DataFrame => DataFrame = noEnrich): Int = {
-    val have = SnapshotTable.snapshot(spark, viewDir, None).meta
+      enrich: DataFrame => DataFrame = noEnrich,
+      dims: Seq[DataFrame] = Nil): Int = {
+    val viewMeta = SnapshotTable.snapshot(spark, viewDir, None).meta
+    val have = viewMeta
       .getOrElse(sourceVersionKey,
         throw new IllegalStateException(
           s"$viewDir carries no $sourceVersionKey — not an IncrementalView table"))
       .toInt
+    if (dims.nonEmpty) {
+      val stamped = viewMeta.getOrElse(dimFingerprintKey,
+        throw new IllegalStateException(
+          s"$viewDir carries no $dimFingerprintKey — the view was created " +
+            "without dim stamps; recreate it passing the same dims"))
+      val now = dimFingerprint(dims)
+      if (now != stamped)
+        throw new IllegalStateException(
+          s"dim drift detected for $viewDir (stamped $stamped, current $now): " +
+            "enrich dims changed since create — the delta would be " +
+            "stale-enriched. Rebuild the view (create) against the new dims.")
+    }
     val latest = SnapshotTable.latestVersion(sourceDir)
     if (latest <= have) return have
     val isIns = col("_change_type") === "insert"
@@ -218,17 +264,19 @@ object IncrementalView {
     latest
   }
 
-  /** Source frame for the extremum tie-recompute: when the view has a
-    * single NUMERIC key that carries zone maps, the tied keys' rows are
-    * fetched through [[SnapshotTable.readPoints]] — with the source
-    * clustered on the view key that scan opens only the keys' own files,
-    * which is what keeps a handful of ties from costing a corpus rescan
-    * at 100 TB. Falls back to a full read when the key isn't zone-mapped,
-    * the tie set is large (> 4096 keys — at that point the scan is wide
-    * anyway and a driver-side key list stops being "metadata-sized"), or
-    * any tied key is NULL (zone maps say nothing about nulls). The
-    * null-safe semi-join stays on top either way, so pruning is an
-    * optimization, never a semantics change.
+  /** Source frame for the extremum tie-recompute: when EVERY view key
+    * carries zone maps (numeric — or string, via the manifest's raw-string
+    * `strStats`), the tied keys' rows are fetched through
+    * [[SnapshotTable.readTuples]] — with the source clustered on the view
+    * key that scan opens only the keys' own files, which is what keeps a
+    * handful of ties from costing a corpus rescan at 100 TB. Composite
+    * keys prune per column (a file survives only if some tied TUPLE fits
+    * its ranges on every column). Falls back to a full read when any key
+    * isn't zone-mapped, the tie set is large (> 4096 tuples — at that
+    * point the scan is wide anyway and a driver-side key list stops being
+    * "metadata-sized"), or any tied key value is NULL (zone maps say
+    * nothing about nulls). The null-safe semi-join stays on top either
+    * way, so pruning is an optimization, never a semantics change.
     */
   private def recomputeSource(spark: SparkSession, sourceDir: String,
       version: Int, keys: Seq[String], rkeys: DataFrame,
@@ -236,14 +284,14 @@ object IncrementalView {
     val full = () => SnapshotTable.read(spark, sourceDir, Some(version))
     if (!prunable) return full()
     val snap = SnapshotTable.snapshot(spark, sourceDir, Some(version))
-    if (keys.size != 1 || !snap.statsCols.contains(keys.head)) return full()
+    if (!keys.forall(snap.statsCols.contains)) return full()
     val cap = 4096
-    val vals = rkeys
-      .select(col(keys.head).cast("double").as("v")).distinct()
+    val rows = rkeys.select(keys.map(col): _*).distinct()
       .limit(cap + 1).collect()
-    if (vals.length > cap || vals.exists(_.isNullAt(0))) full()
-    else SnapshotTable.readPoints(spark, sourceDir, keys.head,
-      vals.map(_.getDouble(0)).toSeq, Some(version))
+    if (rows.length > cap || rows.exists(r => keys.indices.exists(r.isNullAt)))
+      full()
+    else SnapshotTable.readTuples(spark, sourceDir, keys,
+      rows.map(r => keys.indices.map(r.get)).toSeq, Some(version))
   }
 
   /** Exact incremental COUNT(DISTINCT valueCol) per key, as a composition

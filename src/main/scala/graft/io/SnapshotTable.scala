@@ -57,9 +57,14 @@ object SnapshotTable {
   /** `stats`: zone maps — per data file, per stats column, the (min, max)
     * of the column's non-null values, absent when the file holds only
     * nulls for it or predates stats collection (readers must then scan the
-    * file). Numeric columns only: doubles order-embed every numeric type
+    * file). Numeric columns: doubles order-embed every numeric type
     * the driver tables use, and a min/max pair survives JSON round-trips
-    * exactly (IEEE doubles ↔ shortest repr).
+    * exactly (IEEE doubles ↔ shortest repr). STRING stats columns land in
+    * `strStats` instead — raw (min, max) strings under Spark's binary
+    * UTF8 ordering; readers only prune on them when bounds and probe are
+    * ASCII (where JVM String order agrees with UTF8String byte order —
+    * beyond ASCII the two orders diverge on supplementary characters, so
+    * the reader conservatively scans).
     */
   /** `schemaDdl`: the table schema AT THIS VERSION, held in the manifest so
     * readers never merge parquet footers (the footer-merge a schema-on-read
@@ -80,7 +85,8 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       schemaDdl: Option[String] = None,
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      strStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_graft_log")
   private def manifestPath(dir: String, v: Int): Path = logDir(dir).resolve(f"v$v%08d.json")
@@ -131,6 +137,13 @@ object SnapshotTable {
         s"""{"file":${esc(f)},"col":${esc(c)},"mn":$mn,"mx":$mx}"""
       }
     }.mkString(",")
+    val strStatsJson =
+      if (snap.strStats.isEmpty) ""
+      else snap.strStats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"""{"file":${esc(f)},"col":${esc(c)},"smn":${esc(mn)},"smx":${esc(mx)}}"""
+        }
+      }.mkString(""","strStats":[""", ",", "]")
     val schemaJson = snap.schemaDdl.map(d => s""","schemaDdl":${esc(d)}""").getOrElse("")
     val metaJson =
       if (snap.meta.isEmpty) ""
@@ -140,7 +153,7 @@ object SnapshotTable {
     val json =
       s"""{"version":${snap.version},"files":[${snap.files.map(esc).mkString(",")}],""" +
         s""""statsCols":[${snap.statsCols.map(esc).mkString(",")}],"stats":[$statsJson]""" +
-        schemaJson + metaJson + "}"
+        strStatsJson + schemaJson + metaJson + "}"
     // THE commit point: atomic create of this version's manifest. Exactly
     // one same-version writer can succeed; a concurrent loser surfaces as
     // FileAlreadyExistsException (translated by publish()).
@@ -214,6 +227,11 @@ object SnapshotTable {
           StructField("col", StringType),
           StructField("mn", DoubleType),
           StructField("mx", DoubleType))))),
+        StructField("strStats", ArrayType(StructType(Seq(
+          StructField("file", StringType),
+          StructField("col", StringType),
+          StructField("smn", StringType),
+          StructField("smx", StringType))))),
         StructField("schemaDdl", StringType),
         StructField("meta", MapType(StringType, StringType)))))
       .json(manifestPath(dir, v).toString)
@@ -227,11 +245,19 @@ object SnapshotTable {
         .map { case (f, rows) =>
           f -> rows.map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
         }
-    val ddl = if (row.isNullAt(4)) None else Some(row.getString(4))
+    val strStats =
+      if (row.isNullAt(4)) Map.empty[String, Map[String, (String, String)]]
+      else row.getSeq[org.apache.spark.sql.Row](4)
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(r => r.getString(1) -> (r.getString(2), r.getString(3))).toMap
+        }
+    val ddl = if (row.isNullAt(5)) None else Some(row.getString(5))
     val meta =
-      if (row.isNullAt(5)) Map.empty[String, String]
-      else row.getMap[String, String](5).toMap
-    Snapshot(row.getInt(0), row.getSeq[String](1), statsCols, stats, ddl, meta)
+      if (row.isNullAt(6)) Map.empty[String, String]
+      else row.getMap[String, String](6).toMap
+    Snapshot(row.getInt(0), row.getSeq[String](1), statsCols, stats, ddl, meta,
+      strStats)
   }
 
   /** Per-file (min, max) zone maps for `statsCols` over the given relative
@@ -244,39 +270,60 @@ object SnapshotTable {
     */
   private def computeStats(
       spark: SparkSession, dir: String, relFiles: Seq[String],
-      statsCols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
-    if (statsCols.isEmpty || relFiles.isEmpty) return Map.empty
+      statsCols: Seq[String]): (Map[String, Map[String, (Double, Double)]],
+      Map[String, Map[String, (String, String)]]) = {
+    if (statsCols.isEmpty || relFiles.isEmpty) return (Map.empty, Map.empty)
     val absToRel = relFiles.map(f =>
       Paths.get(s"$dir/$f").toAbsolutePath.normalize.toString -> f).toMap
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast(DoubleType)).as(s"mn_$c"),
-      max(col(c).cast(DoubleType)).as(s"mx_$c")))
-    spark.read.option("basePath", dir)
+    val df0 = spark.read.option("basePath", dir)
       .parquet(relFiles.map(f => s"$dir/$f"): _*)
+    // string stats columns get RAW min/max (Spark's UTF8 binary order —
+    // the reader's ASCII guard handles the ordering caveat); everything
+    // else keeps the numeric double embedding. A stats column absent from
+    // this commit's schema (pre-evolution files) records nothing.
+    val present = statsCols.filter(df0.columns.contains)
+    val strCols = present.filter(c => df0.schema(c).dataType == StringType)
+    val numCols = present.filterNot(strCols.contains)
+    if (present.isEmpty) return (Map.empty, Map.empty)
+    val aggs = numCols.flatMap(c => Seq(
+      min(col(c).cast(DoubleType)).as(s"mn_$c"),
+      max(col(c).cast(DoubleType)).as(s"mx_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).as(s"smn_$c"),
+        max(col(c)).as(s"smx_$c")))
+    val rows = df0
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .flatMap { r =>
         val abs = Paths.get(new java.net.URI(r.getString(0)).getPath).toString
-        absToRel.get(abs).map { rel =>
-          rel -> statsCols.flatMap { c =>
-            val mn = r.getAs[Any](s"mn_$c")
-            val mx = r.getAs[Any](s"mx_$c")
-            if (mn == null || mx == null) None
-            else {
-              val (mnd, mxd) = (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
-              // a NaN in the file makes Spark's max report NaN (NaN sorts
-              // largest), which would wrongly fail every range check — and
-              // NaN/±Infinity don't survive the JSON manifest as standard
-              // tokens. Record no range: the reader scans the file, which
-              // is always correct.
-              if (mnd.isNaN || mxd.isNaN || mnd.isInfinite || mxd.isInfinite) None
-              else Some(c -> (mnd, mxd))
-            }
-          }.toMap
-        }
+        absToRel.get(abs).map(rel => rel -> r)
       }
-      .toMap
+    val num = rows.map { case (rel, r) =>
+      rel -> numCols.flatMap { c =>
+        val mn = r.getAs[Any](s"mn_$c")
+        val mx = r.getAs[Any](s"mx_$c")
+        if (mn == null || mx == null) None
+        else {
+          val (mnd, mxd) = (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
+          // a NaN in the file makes Spark's max report NaN (NaN sorts
+          // largest), which would wrongly fail every range check — and
+          // NaN/±Infinity don't survive the JSON manifest as standard
+          // tokens. Record no range: the reader scans the file, which
+          // is always correct.
+          if (mnd.isNaN || mxd.isNaN || mnd.isInfinite || mxd.isInfinite) None
+          else Some(c -> (mnd, mxd))
+        }
+      }.toMap
+    }.toMap
+    val str = rows.map { case (rel, r) =>
+      rel -> strCols.flatMap { c =>
+        val mn = r.getAs[String](s"smn_$c")
+        val mx = r.getAs[String](s"smx_$c")
+        if (mn == null || mx == null) None else Some(c -> (mn, mx))
+      }.toMap
+    }.toMap
+    (num, str.filter(_._2.nonEmpty))
   }
 
   // ----------------------------------------------------------- read / write
@@ -328,9 +375,9 @@ object SnapshotTable {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$dir/$commitDir")
     val files = listCommitFiles(dir, commitDir)
-    publish(dir, Snapshot(1, files, statsCols,
-      computeStats(df.sparkSession, dir, files, statsCols),
-      Some(df.schema.toDDL), meta), commitDir)
+    val (numStats, strStats) = computeStats(df.sparkSession, dir, files, statsCols)
+    publish(dir, Snapshot(1, files, statsCols, numStats,
+      Some(df.schema.toDDL), meta, strStats), commitDir)
     1
   }
 
@@ -442,11 +489,13 @@ object SnapshotTable {
     // commit's files get a stats pass — same O(touched) cost shape as the
     // data rewrite itself
     val newFiles = listCommitFiles(dir, commitDir)
+    val (numStats, strStats) = computeStats(spark, dir, newFiles, prev.statsCols)
     publish(dir, Snapshot(next, (untouchedRel ++ newFiles).sorted, prev.statsCols,
-      prev.stats.view.filterKeys(untouchedRel.contains).toMap ++
-        computeStats(spark, dir, newFiles, prev.statsCols),
+      prev.stats.view.filterKeys(untouchedRel.contains).toMap ++ numStats,
       Some(merged.schema.toDDL),
-      prev.meta ++ meta), commitDir)
+      prev.meta ++ meta,
+      prev.strStats.view.filterKeys(untouchedRel.contains).toMap ++ strStats),
+      commitDir)
     next
   }
 
@@ -542,10 +591,11 @@ object SnapshotTable {
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(s"$dir/$commitDir")
     val newFiles = listCommitFiles(dir, commitDir)
+    val (numStats, strStats) = computeStats(spark, dir, newFiles, prev.statsCols)
     publish(dir, Snapshot(next, (big ++ newFiles).sorted, prev.statsCols,
-      prev.stats.view.filterKeys(big.contains).toMap ++
-        computeStats(spark, dir, newFiles, prev.statsCols),
-      prev.schemaDdl, prev.meta ++ zMeta), commitDir)
+      prev.stats.view.filterKeys(big.contains).toMap ++ numStats,
+      prev.schemaDdl, prev.meta ++ zMeta,
+      prev.strStats.view.filterKeys(big.contains).toMap ++ strStats), commitDir)
     next
   }
 
@@ -757,6 +807,64 @@ object SnapshotTable {
       if (keep.isEmpty) readFiles(spark, dir, snap.files, snap.schemaDdl).limit(0)
       else readFiles(spark, dir, keep, snap.schemaDdl)
     df.filter(col(column).cast(DoubleType).isin(values: _*))
+  }
+
+  /** COMPOSITE typed point-set scan — the multi-column/string-key
+    * generalization of [[readPoints]] (r12 verdict #7): rows whose key
+    * TUPLE over `columns` equals one of `tuples`, reading only files
+    * whose zone maps can bracket at least one tuple on EVERY column.
+    * Numeric columns prune on the double zone maps; string columns on the
+    * raw-string `strStats` maps, and only when the bounds and probe value
+    * are pure ASCII (where JVM String order agrees with the UTF8 binary
+    * order the stats were aggregated under — beyond ASCII the orders
+    * diverge, so the file is conservatively read). A column with no
+    * recorded range, a NaN bound, or an unsupported value type never
+    * prunes. The exact membership filter (typed struct IN) is re-applied
+    * on top, so pruning is an optimization, never a semantics change.
+    * NULLs never match (SQL IN semantics) — null-keyed lookups must take
+    * a full read, as in [[readPoints]].
+    */
+  def readTuples(spark: SparkSession, dir: String, columns: Seq[String],
+      tuples: Seq[Seq[Any]], version: Option[Int] = None): DataFrame = {
+    require(columns.nonEmpty, "readTuples needs at least one key column")
+    require(tuples.forall(_.size == columns.size),
+      s"every tuple must have ${columns.size} values")
+    val snap = snapshot(spark, dir, version)
+    columns.foreach(c => require(snap.statsCols.contains(c),
+      s"no zone maps for column '$c' (statsCols=${snap.statsCols.mkString(",")})"))
+    def ascii(s: String): Boolean = s.forall(_ < 0x80)
+    def fits(f: String, c: String, v: Any): Boolean = v match {
+      case n: java.lang.Number =>
+        snap.stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) if mn.isNaN || mx.isNaN => true
+          case Some((mn, mx)) =>
+            val d = n.doubleValue(); d >= mn && d <= mx
+          case None => true
+        }
+      case s: String =>
+        snap.strStats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) if ascii(mn) && ascii(mx) && ascii(s) =>
+            s >= mn && s <= mx
+          case _ => true
+        }
+      case _ => true
+    }
+    // cheap per-column necessary condition first (any value fits), then the
+    // exact per-tuple conjunction only for files that survive it — keeps
+    // the driver-side loop O(files · columns) on the common clustered case
+    val keep = snap.files.filter { f =>
+      columns.indices.forall(i => tuples.exists(t => fits(f, columns(i), t(i)))) &&
+        tuples.exists(t => columns.indices.forall(i => fits(f, columns(i), t(i))))
+    }
+    val df =
+      if (keep.isEmpty) readFiles(spark, dir, snap.files, snap.schemaDdl).limit(0)
+      else readFiles(spark, dir, keep, snap.schemaDdl)
+    val key = struct(columns.map(col): _*)
+    // literal struct fields are NAMED after the key columns: IN requires
+    // operand struct types to match field-for-field, names included
+    val lits = tuples.map(t =>
+      struct(t.zip(columns).map { case (v, c) => lit(v).as(c) }: _*))
+    if (tuples.isEmpty) df.limit(0) else df.filter(key.isin(lits: _*))
   }
 
   /** Multi-dimensional zone-map-pruned scan: keep only files whose

@@ -1072,19 +1072,19 @@ object Analytics {
           col("m.l_discount").as("l_discount"))
       graft.io.SnapshotTable.create(
         base.repartition(8, col("lk")), s"$dir/src")
+      val dim = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
       val enrich: DataFrame => DataFrame = { df =>
-        val dim = broadcast(
-          Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-            .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
-              col("s_nationkey") === col("n_nationkey"))
-            .select(col("s_suppkey"), col("n_name")))
-        df.join(dim, col("l_suppkey") === col("s_suppkey"))
+        df.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
           .withColumn("revenue",
             col("l_extendedprice").cast(DecimalType(18, 2)) *
               (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
       }
+      // dims stamped so refresh enforces the static-dims contract
       graft.io.IncrementalView.create(s, s"$dir/src", s"$dir/view",
-        Seq("n_name"), Seq("revenue"), enrich = enrich)
+        Seq("n_name"), Seq("revenue"), enrich = enrich, dims = Seq(dim))
       graft.io.SnapshotTable.merge(s, s"$dir/src",
         base.filter(pmod(col("lk"), lit(7)) === 2)
           .withColumn("l_extendedprice", col("l_extendedprice") + 100),
@@ -1094,7 +1094,7 @@ object Analytics {
           .withColumn("gone", lit(true)),
         "lk", deleteCol = Some("gone"))
       graft.io.IncrementalView.refresh(s, s"$dir/src", s"$dir/view",
-        Seq("n_name"), Seq("revenue"), enrich = enrich)
+        Seq("n_name"), Seq("revenue"), enrich = enrich, dims = Seq(dim))
       dir
     })
 

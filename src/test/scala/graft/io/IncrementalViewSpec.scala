@@ -166,6 +166,45 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("join view: dim drift between create and refresh fails loudly") {
+    // the static-dims contract is ENFORCED when dims are stamped: a dim
+    // row edited after create makes refresh throw instead of silently
+    // producing a stale-enriched delta (r12 verdict #8)
+    val src = tmp("graft-mvd-src")
+    val view = tmp("graft-mvd-view")
+    import spark.implicits._
+    def dimOf(w: Long) = Seq((0L, "x", 2L), (1L, "y", w)).toDF("fk", "name", "w")
+    def enrichOf(dim: DataFrame): DataFrame => DataFrame = df =>
+      df.join(broadcast(dim), Seq("fk")).withColumn("weighted", col("n_chars") * col("w"))
+    val dim0 = dimOf(3L)
+    SnapshotTable.create(
+      Seq((1L, 0L, 10L), (2L, 1L, 20L)).toDF("doc_id", "fk", "n_chars"), src)
+    IncrementalView.create(spark, src, view, Seq("name"), Seq("weighted"),
+      enrich = enrichOf(dim0), dims = Seq(dim0))
+    SnapshotTable.merge(spark, src,
+      Seq((3L, 1L, 30L)).toDF("doc_id", "fk", "n_chars"), "doc_id")
+    // same dims → refresh succeeds (row order must not matter)
+    IncrementalView.refresh(spark, src, view, Seq("name"), Seq("weighted"),
+      enrich = enrichOf(dim0), dims = Seq(dim0.orderBy(col("fk").desc)))
+    SnapshotTable.merge(spark, src,
+      Seq((4L, 0L, 40L)).toDF("doc_id", "fk", "n_chars"), "doc_id")
+    val drifted = dimOf(7L) // a dim VALUE changed → fingerprint mismatch
+    val ex = intercept[IllegalStateException] {
+      IncrementalView.refresh(spark, src, view, Seq("name"), Seq("weighted"),
+        enrich = enrichOf(drifted), dims = Seq(drifted))
+    }
+    assert(ex.getMessage.contains("dim drift"), ex.getMessage)
+    // an unstamped view asked to verify dims also fails loudly
+    val view2 = tmp("graft-mvd-view2")
+    IncrementalView.create(spark, src, view2, Seq("name"), Seq("weighted"),
+      enrich = enrichOf(dim0))
+    val ex2 = intercept[IllegalStateException] {
+      IncrementalView.refresh(spark, src, view2, Seq("name"), Seq("weighted"),
+        enrich = enrichOf(dim0), dims = Seq(dim0))
+    }
+    assert(ex2.getMessage.contains("without dim stamps"), ex2.getMessage)
+  }
+
   test("join view with extrema: derived-key recompute path stays enriched") {
     // min/max over an enrich-derived measure: a deleted extremum forces the
     // tie-recompute, whose source read must ALSO pass through enrich (the
@@ -435,6 +474,46 @@ class IncrementalViewSpec extends SparkSpec {
     val want = SnapshotTable.read(spark, src)
       .groupBy("grp").agg(min("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("tie-recompute on a composite string+numeric key prunes like the numeric case") {
+    // r12 verdict #7: the zone-map-pruned point read must also cover
+    // multi-column and string view keys — same ≤2-of-8 file fraction the
+    // single-numeric test pins
+    import spark.implicits._
+    val src = tmp("graft-mv-prune2")
+    val view = tmp("graft-mv-prune2-view")
+    val base = (0L until 4000L).map(i => (i, s"s${i % 4}", i % 2, (i * 13) % 100))
+      .toDF("doc_id", "cat", "grp", "value")
+    SnapshotTable.create(base.repartition(8, col("doc_id")), src,
+      statsCols = Seq("cat", "grp"))
+    SnapshotTable.compact(spark, src, minFileBytes = 1L << 30,
+      targetPartitions = 8, clusterBy = Seq("cat", "grp"))
+    // direct pin on the composite point read: one (cat, grp) cell ≈ 1 file
+    val probe = SnapshotTable.readTuples(spark, src,
+      Seq("cat", "grp"), Seq(Seq("s2", 1L)))
+    assert(probe.inputFiles.length <= 2,
+      s"clustered composite point read must prune: ${probe.inputFiles.length} of 8")
+    assert(probe.count() ===
+      base.filter(col("cat") === "s2" && col("grp") === 1).count())
+
+    IncrementalView.create(spark, src, view, Seq("cat", "grp"), Nil,
+      minCols = Seq("value"))
+    // delete THE row holding (s2, 1)'s minimum -> tie -> per-key recompute,
+    // which must route through the pruned tuple read and stay correct
+    val minRow = base.filter(col("cat") === "s2" && col("grp") === 1)
+      .orderBy("value").limit(1)
+    SnapshotTable.merge(spark, src, minRow.withColumn("gone", lit(true)),
+      "doc_id", deleteCol = Some("gone"))
+    IncrementalView.refresh(spark, src, view, Seq("cat", "grp"), Nil,
+      minCols = Seq("value"))
+    val got = SnapshotTable.read(spark, view)
+      .select(col("cat"), col("grp"), col(IncrementalView.minName("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SnapshotTable.read(spark, src)
+      .groupBy("cat", "grp").agg(min("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want)
   }
 

@@ -574,6 +574,50 @@ class IoSpec extends SparkSpec {
     assert(err.getMessage.contains("zone maps"))
   }
 
+  test("snapshot table: string zone maps round-trip and prune tuple reads; non-ASCII never prunes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-str").toString + "/t"
+    // 8 files clustered by a string category: each file covers ~1 category
+    val base = (0L until 800L).map(i => (i, f"cat${i % 8}%02d", i % 5))
+      .toDF("id", "cat", "grp")
+    SnapshotTable.create(base.repartition(4, col("id")), dir,
+      statsCols = Seq("cat", "grp"))
+    SnapshotTable.compact(spark, dir, minFileBytes = 1L << 30,
+      targetPartitions = 8, clusterBy = Seq("cat"))
+    val snap = SnapshotTable.snapshot(spark, dir, None)
+    assert(snap.files.forall(f => snap.strStats.get(f).exists(_.contains("cat"))),
+      "every clustered file needs a string zone map for cat")
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.contains("grp"))),
+      "numeric zone maps must coexist with string ones")
+    val probe = SnapshotTable.readTuples(spark, dir,
+      Seq("cat", "grp"), Seq(Seq("cat03", 2L)))
+    assert(probe.inputFiles.length <= 2,
+      s"string-keyed tuple read must prune: ${probe.inputFiles.length} of 8")
+    assert(probe.count() ===
+      base.filter(col("cat") === "cat03" && col("grp") === 2).count())
+    // two tuples in different files: both files read, both row sets exact
+    val probe2 = SnapshotTable.readTuples(spark, dir,
+      Seq("cat"), Seq(Seq("cat00"), Seq("cat07")))
+    assert(probe2.count() === 200L)
+    // a merge carries string stats forward by reference and refreshes the
+    // rewritten file's map
+    SnapshotTable.merge(spark, dir,
+      Seq((3L, "cat03", 9L)).toDF("id", "cat", "grp"), "id")
+    val snap2 = SnapshotTable.snapshot(spark, dir, None)
+    assert(snap2.files.forall(f => snap2.strStats.get(f).exists(_.contains("cat"))),
+      "string zone maps must survive merges")
+
+    // non-ASCII bounds or probes disable pruning, never correctness: plant
+    // a category above ASCII whose UTF8-vs-UTF16 order could diverge
+    val dir2 = Files.createTempDirectory("graft-snap-nonascii").toString + "/t"
+    val odd = (0L until 100L).map(i => (i, if (i % 2 == 0) "aaa" else "😀zz"))
+      .toDF("id", "cat")
+    SnapshotTable.create(odd.repartition(2, col("id")), dir2, statsCols = Seq("cat"))
+    val all = SnapshotTable.readTuples(spark, dir2, Seq("cat"), Seq(Seq("😀zz")))
+    assert(all.count() === 50L, "non-ASCII probe must still return exact rows")
+  }
+
   test("snapshot table: merge evolves the schema; old files read the new column as null") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-snap-evo").toString + "/orders_e"
