@@ -412,8 +412,13 @@ object JpegDecode {
       }
       if (sosAt < 0) pos += 2 + len
     }
+    // the 4:2:0 path buffers full sample planes (fancy upsampling needs
+    // cross-MCU chroma neighbors), so its dimension cap is tighter: 1.5
+    // bytes/pixel ≤ 100 MB at 8192² — the same order as the BufferedImage
+    // any real decoder materializes for such an image
     if (sosAt < 0 || w <= 0 || h <= 0 || compQ == null ||
       w > (1 << 14) || h > (1 << 14) ||
+      (lumaSamp == 2 && (w > (1 << 13) || h > (1 << 13))) ||
       (0 until 3).exists(c => quant(compQ(c)) == null ||
         dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null))
       return new GenericInternalRow(out)
@@ -438,6 +443,15 @@ object JpegDecode {
     val coef = Array.ofDim[Int](nLuma + 2, 64)
     val hasAc = new Array[Boolean](nLuma + 2)
     def clamp255(v: Int): Int = math.min(255, math.max(0, v))
+    // 4:2:0 plane buffers: the chroma plane varies across MCUs and the
+    // upsampling filter reads NEIGHBOR samples across MCU boundaries, so
+    // the pixel fold cannot run per-MCU — decode every sample into padded
+    // planes first, fold after the scan
+    val yW = if (lumaSamp == 2) 16 * bw else 0
+    val cwPad = if (lumaSamp == 2) 8 * bw else 0
+    val yPlane: Array[Byte] = if (lumaSamp == 2) new Array(yW * 16 * bh) else null
+    val cbPlane: Array[Byte] = if (lumaSamp == 2) new Array(cwPad * 8 * bh) else null
+    val crPlane: Array[Byte] = if (lumaSamp == 2) new Array(cwPad * 8 * bh) else null
     var by = 0
     var ok = true
     while (ok && by < bh) {
@@ -494,50 +508,131 @@ object JpegDecode {
           unit += 1
         }
         if (ok) {
-          // fold the in-geometry pixels: plane sums + fixed-point RGB
           def unitVal(unit: Int, xx: Int, yy: Int): Int =
             if (!hasAc(unit)) {
               val f = coef(unit)(0)
               val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
               clamp255(q8 + 128)
             } else idctPixel(coef(unit), xx, yy)
-          var yy = 0
-          while (yy < mcuPx) {
-            val py = by * mcuPx + yy
-            if (py < h) {
-              var xx = 0
-              while (xx < mcuPx) {
-                val px = bx * mcuPx + xx
-                if (px < w) {
-                  // luma: its own 8×8 unit inside the MCU; chroma: the one
-                  // chroma unit, sample-replicated across the 2×2 quad
-                  val lUnit = (yy >> 3) * lumaSamp + (xx >> 3)
-                  val yv = unitVal(lUnit, xx & 7, yy & 7)
-                  val cbv = unitVal(nLuma, xx / lumaSamp, yy / lumaSamp)
-                  val crv = unitVal(nLuma + 1, xx / lumaSamp, yy / lumaSamp)
-                  sums(0) += yv
-                  sums(1) += cbv
-                  sums(2) += crv
-                  val cbx = cbv - 128
-                  val crx = crv - 128
-                  val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
-                  val gv = clamp255(
-                    yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
-                  val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
-                  sumR += rv
-                  sumG += gv
-                  sumB += bv
-                  wsumR += (py.toLong * w + px + 1L) * rv
+          if (lumaSamp == 2) {
+            // 4:2:0: write decoded (range-limited) samples into the plane
+            // buffers; the pixel fold runs after the scan because fancy
+            // upsampling needs chroma neighbors from adjacent MCUs
+            var u = 0
+            while (u < nLuma) {
+              val baseX = bx * 16 + (u & 1) * 8
+              val baseY = by * 16 + (u >> 1) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  yPlane((baseY + yy) * yW + baseX + xx) =
+                    unitVal(u, xx, yy).toByte
+                  xx += 1
                 }
+                yy += 1
+              }
+              u += 1
+            }
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val at = (by * 8 + yy) * cwPad + bx * 8 + xx
+                cbPlane(at) = unitVal(nLuma, xx, yy).toByte
+                crPlane(at) = unitVal(nLuma + 1, xx, yy).toByte
                 xx += 1
               }
+              yy += 1
             }
-            yy += 1
+          } else {
+            // 4:4:4: fold the in-geometry pixels streaming — every
+            // component is full-resolution, no upsampling anywhere
+            var yy = 0
+            while (yy < mcuPx) {
+              val py = by * mcuPx + yy
+              if (py < h) {
+                var xx = 0
+                while (xx < mcuPx) {
+                  val px = bx * mcuPx + xx
+                  if (px < w) {
+                    val yv = unitVal(0, xx, yy)
+                    val cbv = unitVal(nLuma, xx, yy)
+                    val crv = unitVal(nLuma + 1, xx, yy)
+                    sums(0) += yv
+                    sums(1) += cbv
+                    sums(2) += crv
+                    val cbx = cbv - 128
+                    val crx = crv - 128
+                    val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
+                    val gv = clamp255(
+                      yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
+                    val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
+                    sumR += rv
+                    sumG += gv
+                    sumB += bv
+                    wsumR += (py.toLong * w + px + 1L) * rv
+                  }
+                  xx += 1
+                }
+              }
+              yy += 1
+            }
           }
         }
         bx += 1
       }
       by += 1
+    }
+    if (ok && lumaSamp == 2) {
+      // Chroma upsampling = libjpeg's h2v2 "fancy" triangular filter
+      // (jdsample.c h2v2_fancy_upsample — the filter ImageIO's native
+      // reader runs by default, pinned byte-exact per pixel in
+      // MultimodalSpec): vertically the NEARER chroma row gets weight 3
+      // and the farther 1 (t = 3·s[j] + s[j±1]), horizontally the two
+      // column sums combine 3:1 with rounding 8 (even px) / 7 (odd px)
+      // and a >> 4. Image edges replicate (the clamped neighbor makes
+      // t = 4·s, reproducing libjpeg's first/last special cases).
+      val cdw = (w + 1) / 2
+      val cdh = (h + 1) / 2
+      var py = 0
+      while (py < h) {
+        val j = py >> 1
+        val jn =
+          if ((py & 1) == 0) { if (j > 0) j - 1 else 0 }
+          else math.min(j + 1, cdh - 1)
+        var px = 0
+        while (px < w) {
+          val i = px >> 1
+          val in2 =
+            if ((px & 1) == 0) { if (i > 0) i - 1 else 0 }
+            else math.min(i + 1, cdw - 1)
+          val rnd = if ((px & 1) == 0) 8 else 7
+          val cbv = (3 * (3 * (cbPlane(j * cwPad + i) & 0xFF) +
+            (cbPlane(jn * cwPad + i) & 0xFF)) +
+            (3 * (cbPlane(j * cwPad + in2) & 0xFF) +
+              (cbPlane(jn * cwPad + in2) & 0xFF)) + rnd) >> 4
+          val crv = (3 * (3 * (crPlane(j * cwPad + i) & 0xFF) +
+            (crPlane(jn * cwPad + i) & 0xFF)) +
+            (3 * (crPlane(j * cwPad + in2) & 0xFF) +
+              (crPlane(jn * cwPad + in2) & 0xFF)) + rnd) >> 4
+          val yv = yPlane(py * yW + px) & 0xFF
+          sums(0) += yv
+          sums(1) += cbv
+          sums(2) += crv
+          val cbx = cbv - 128
+          val crx = crv - 128
+          val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
+          val gv = clamp255(yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
+          val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
+          sumR += rv
+          sumG += gv
+          sumB += bv
+          wsumR += (py.toLong * w + px + 1L) * rv
+          px += 1
+        }
+        py += 1
+      }
     }
     out(2) = java.lang.Long.valueOf(bw.toLong * bh)
     if (ok) {

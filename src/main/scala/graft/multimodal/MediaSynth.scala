@@ -594,17 +594,19 @@ object MediaSynth {
     * layout virtually every real photographic JPEG uses: SOF0 declares Y
     * sampled 2×2 and Cb/Cr 1×1, each 16×16 MCU interleaves FOUR Y data
     * units (T.81 A.2.3 order) then one Cb and one Cr, and all four Y
-    * units chain the single per-component DC predictor. The fixture's
-    * exactness trick is one step beyond flat blocks: T.81 mandates no
-    * chroma UPSAMPLING filter (libjpeg's fancy triangular vs box
-    * replication legitimately differ near sample boundaries), so the
-    * planted chroma plane is CONSTANT PER IMAGE — every conforming
-    * upsampler maps a constant field to itself, which keeps the decode
-    * formula-exact and ImageIO byte parity intact while the bitstream
-    * exercises the genuine subsampled-MCU machinery. Planted:
-    * w = 16·(1+id%2), h = 16·(1+id%3); per LUMA BLOCK (lbx, lby):
-    * yDc = ((id + 5·lbx + 11·lby) % 160) − 80; per image:
-    * cbDc = (3·id % 100) − 50, crDc = (5·id % 100) − 50.
+    * units chain the single per-component DC predictor. The chroma plane
+    * VARIES PER MCU (r12 verdict #3 — the flat-chroma corner is gone):
+    * each chroma data unit is DC-only (flat within its 8×8 sample block)
+    * but neighboring MCUs carry different chroma, so the decoder's
+    * UPSAMPLING filter is load-bearing at every MCU boundary — box
+    * replication and libjpeg's fancy triangular filter produce different
+    * bytes there, and the kernel implements the triangular filter
+    * (jdsample.c h2v2_fancy_upsample) byte-exactly, pinned against
+    * ImageIO per pixel in MultimodalSpec. Planted: w = 16·(1+id%2),
+    * h = 16·(1+id%3); per LUMA BLOCK (lbx, lby):
+    * yDc = ((id + 5·lbx + 11·lby) % 160) − 80; per MCU (mx, my):
+    * cbDc = ((3·id + 7·mx + 13·my) % 100) − 50,
+    * crDc = ((5·id + 3·mx + 17·my) % 100) − 50.
     */
   def jpegColor420(id: Long): Array[Byte] = {
     val mw = (1 + id % 2).toInt // MCUs across
@@ -612,8 +614,8 @@ object MediaSynth {
     val w = mw * 16
     val h = mh * 16
     def yDc(lbx: Int, lby: Int): Int = ((id + 5L * lbx + 11L * lby) % 160).toInt - 80
-    val cbDc = ((3L * id) % 100).toInt - 50
-    val crDc = ((5L * id) % 100).toInt - 50
+    def cbDc(mx: Int, my: Int): Int = ((3L * id + 7L * mx + 13L * my) % 100).toInt - 50
+    def crDc(mx: Int, my: Int): Int = ((5L * id + 3L * mx + 17L * my) % 100).toInt - 50
     val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
     def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
     b(0xFF, 0xD8) // SOI
@@ -678,8 +680,8 @@ object MediaSynth {
           }
           sy += 1
         }
-        putDc(1, cbDc)
-        putDc(2, crDc)
+        putDc(1, cbDc(mx, my))
+        putDc(2, crDc(mx, my))
         mx += 1
       }
       my += 1

@@ -1062,31 +1062,52 @@ object Multimodal {
 
   /** 4:2:0 CHROMA-SUBSAMPLED color decode — the real-corpus JPEG layout:
     * the kernel walks four-Y-unit MCUs (T.81 A.2.3 interleave, shared
-    * per-component DC predictor) and sample-replicates each chroma value
-    * over its 2×2 luma quad. The fixture's chroma plane is CONSTANT per
-    * image, so the un-mandated upsampling-filter choice (fancy vs box)
-    * cannot matter and the decode stays formula-exact: the oracle
-    * recomputes every sum from the planted per-luma-block values and the
-    * flat chroma, and the row hash-checks — subsampling machinery included.
+    * per-component DC predictor), and — since r13's fixtures plant chroma
+    * that VARIES per MCU — upsamples each chroma plane with libjpeg's
+    * h2v2 "fancy" triangular filter (jdsample.c; what ImageIO's native
+    * reader runs), byte-exact: vertically 3:1 toward the nearer sample
+    * row, horizontally 3:1 with rounding 8/7 and a >> 4, edges
+    * replicated. The oracle replays the identical integer arithmetic per
+    * PIXEL from the planted formulas (clamped-neighbor indexing makes
+    * libjpeg's edge special cases fall out of one expression), so the
+    * row hash-checks — upsampling filter included. MultimodalSpec pins
+    * the same pixels against ImageIO's decoder directly.
     */
   val q_mm_jpeg_color420: Q = Q(
     "q_mm_jpeg_color420",
     Some("""
       WITH dim AS (
         SELECT doc_id,
-               16 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h,
-               78 + (3 * doc_id) % 100 AS cbv,
-               78 + (5 * doc_id) % 100 AS crv
+               16 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h
         FROM documents
-      ), blk AS (
-        SELECT doc_id, w, h, cbv, crv,
-               CAST(unnest(range((w // 8) * (h // 8))) AS BIGINT) AS b
+      ), px AS (
+        SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS pidx
         FROM dim
-      ), c AS (
-        SELECT doc_id, w, h, cbv, crv,
-               b % (w // 8) AS bx, b // (w // 8) AS by,
-               48 + (doc_id + 5 * (b % (w // 8)) + 11 * (b // (w // 8))) % 160 AS yv
-        FROM blk
+      ), a AS (
+        SELECT doc_id, w, h, pidx % w AS x, pidx // w AS y FROM px
+      ), nb AS (
+        SELECT doc_id, w, h, x, y,
+               x // 2 AS i, y // 2 AS j,
+               CASE WHEN x % 2 = 0 THEN GREATEST(x // 2 - 1, 0)
+                    ELSE LEAST(x // 2 + 1, w // 2 - 1) END AS i2,
+               CASE WHEN y % 2 = 0 THEN GREATEST(y // 2 - 1, 0)
+                    ELSE LEAST(y // 2 + 1, h // 2 - 1) END AS j2,
+               CASE WHEN x % 2 = 0 THEN 8 ELSE 7 END AS rnd
+        FROM a
+      ), up AS (
+        SELECT doc_id, w, h, x, y,
+               48 + (doc_id + 5 * (x // 8) + 11 * (y // 8)) % 160 AS yv,
+               (3 * (3 * (78 + (3 * doc_id + 7 * (i  // 8) + 13 * (j  // 8)) % 100)
+                       + (78 + (3 * doc_id + 7 * (i  // 8) + 13 * (j2 // 8)) % 100))
+                  + (3 * (78 + (3 * doc_id + 7 * (i2 // 8) + 13 * (j  // 8)) % 100)
+                       + (78 + (3 * doc_id + 7 * (i2 // 8) + 13 * (j2 // 8)) % 100))
+                  + rnd) // 16 AS cbv,
+               (3 * (3 * (78 + (5 * doc_id + 3 * (i  // 8) + 17 * (j  // 8)) % 100)
+                       + (78 + (5 * doc_id + 3 * (i  // 8) + 17 * (j2 // 8)) % 100))
+                  + (3 * (78 + (5 * doc_id + 3 * (i2 // 8) + 17 * (j  // 8)) % 100)
+                       + (78 + (5 * doc_id + 3 * (i2 // 8) + 17 * (j2 // 8)) % 100))
+                  + rnd) // 16 AS crv
+        FROM nb
       ), rgb AS (
         SELECT doc_id, w, h, yv, cbv, crv,
                LEAST(255, GREATEST(0, yv + CAST(floor(
@@ -1096,23 +1117,23 @@ object Multimodal {
                  AS BIGINT))) AS gv,
                LEAST(255, GREATEST(0, yv + CAST(floor(
                  (116130 * (cbv - 128) + 32768) / 65536.0) AS BIGINT))) AS bv,
-               64 * (8 * by * w + 8 * bx + 1) + 224 * w + 224 AS sidx
-        FROM c
+               y * w + x + 1 AS sidx
+        FROM up
       )
       SELECT doc_id AS media_id,
              CAST(min(w) AS INT) AS width,
              CAST(min(h) AS INT) AS height,
              CAST(min((w // 16) * (h // 16)) AS BIGINT) AS n_mcus,
              CAST(min(w * h) AS BIGINT) AS n_pixels,
-             CAST(sum(64 * yv) AS BIGINT) AS sum_y,
-             CAST(min(w * h * cbv) AS BIGINT) AS sum_cb,
-             CAST(min(w * h * crv) AS BIGINT) AS sum_cr,
-             CAST(sum(64 * rv) AS BIGINT) AS sum_r,
-             CAST(sum(64 * gv) AS BIGINT) AS sum_g,
-             CAST(sum(64 * bv) AS BIGINT) AS sum_b,
+             CAST(sum(yv) AS BIGINT) AS sum_y,
+             CAST(sum(cbv) AS BIGINT) AS sum_cb,
+             CAST(sum(crv) AS BIGINT) AS sum_cr,
+             CAST(sum(rv) AS BIGINT) AS sum_r,
+             CAST(sum(gv) AS BIGINT) AS sum_g,
+             CAST(sum(bv) AS BIGINT) AS sum_b,
              CAST(sum(rv * sidx) AS BIGINT) AS wsum_r,
              CAST(0 AS BIGINT) AS n_ac_coeffs,
-             sum(64 * yv) * 1.0 / min(w * h) AS mean_luma
+             sum(yv) * 1.0 / min(w * h) AS mean_luma
       FROM rgb GROUP BY doc_id ORDER BY media_id
     """),
   ) { (s, d) =>
