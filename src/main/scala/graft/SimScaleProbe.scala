@@ -12,7 +12,7 @@ import graft.util.Tables
   * prints the executed plan. Performance diagnostics over a probe
   * directory — never a correctness input.
   *
-  * Usage: runMain graft.SimScaleProbe <sfDir>
+  * Usage: runMain graft.SimScaleProbe <sfDir> [ann|semdedup [k]]
   */
 object SimScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -30,6 +30,17 @@ object SimScaleProbe {
       println(f"[simprobe] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
     timed("corpus count")(emb.count())
+    if (args.length > 1 && args(1) == "semdedup") {
+      // trained-centroid semantic dedup per-decade row: k scales with the
+      // corpus (k ∝ n holds |cluster| ~constant, SemDeDup's regime)
+      val k = if (args.length > 2) args(2).toInt
+        else math.max(16, (emb.count() / 125).toInt)
+      val out = Similarity.semanticDedupTrained(emb, k, 0.4)
+      timed(s"semanticDedupTrained k=$k") {
+        out.write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
     // Stage 1 in isolation: the corpus-side bucketing scan.
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       explode_outer(Similarity.bucketIds(col("embedding"), 4, 10)).as("bucket"))

@@ -1523,7 +1523,17 @@ object Dedup {
     */
   def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16,
       dfCap: Int = 64): DataFrame = {
-    val sets = hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
+    // DISK_ONLY, not the default MEMORY_AND_DISK: this frame (the full
+    // sorted shingle arrays, ~4 GB at the 5M-doc probe) is read four
+    // times (probes, posting, both rescore sides) but each read is a
+    // sequential partition scan — exactly what local disk serves well —
+    // while holding it deserialized on-heap evicts the execution memory
+    // the rescore joins need under the default 8 GB heap. (Storage level
+    // alone is NOT the 8 GB fix — swapping it moved 224.8 → 241.3 s at
+    // the 5M-doc probe; the plan-shape changes below are: no posting
+    // sort, pruned rescore. See SCALEPROBE round-13.)
+    val sets = hashedShingleSets(docs).filter(col("sz") > 0)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def kEffOf(sz: Column): Column = least(sz, lit(k))
     // minimum sampled hits the estimator demands (slack 0.3 absorbs
     // binomial spread at k = 16; epsilon-backoff as in alphaOf above)
@@ -1543,25 +1553,54 @@ object Dedup {
     // than dfCap docs leaves the posting side — each such hub costs
     // Ω(df) candidate rows PER PROBE while carrying almost no containment
     // evidence, the same df-pruning role PPJoin's prefix bound plays on
-    // the exact path. The count-over-h window rides the h-partitioned
-    // exchange the join pays anyway. The only trade is recall through
-    // hub-only overlaps, and the estimator gate + exact rescore below are
-    // untouched (precision stays 1); DedupSpec pins recall ≥ 0.9 and the
-    // planted extreme-ratio pair against the capped path.
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val postingCapped = posting
-      .withColumn("df", count(lit(1)).over(byH))
-      .filter(col("df") <= dfCap).drop("df")
-    val cands = probes.join(postingCapped, Seq("h"))
+    // the exact path. The only trade is recall through hub-only overlaps,
+    // and the estimator gate + exact rescore below are untouched
+    // (precision stays 1); DedupSpec pins recall ≥ 0.9 and the planted
+    // extreme-ratio pair against the capped path.
+    //
+    // SHAPE (r13, the 8 GB-heap fix): the old count-over-h WINDOW forced a
+    // full sort of the posting stream (499M rows at the 5M-doc probe) —
+    // the single most memory-hungry operation in the join, 62 s alone
+    // under an 8 GB heap. The df computation is an AGGREGATE, not a
+    // window: partial aggregation collapses duplicate grams map-side, the
+    // exchange carries (h, df) not postings, and only the HUB set (df >
+    // cap — vocabulary-scale, since a hub is a distinct gram shared by >64
+    // docs: 422k hashes = ~3 MB at the 5M-doc probe, growing as the
+    // heavy-df vocabulary tail, not as rows) comes back, broadcast into an
+    // anti-join that never sorts or reshuffles the posting stream. The
+    // probe join then hashes instead of sort-merging: the probes side is
+    // the small one (k-ish rows/doc vs ~100 postings/doc), so per-task
+    // hash builds are ~20 MB at 32 partitions and the posting side
+    // STREAMS — no 499M-row sort anywhere in the plan.
+    val hubs = posting.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    val postingCapped = posting.join(broadcast(hubs), Seq("h"), "left_anti")
+    // checkpointed because THREE consumers read it below (the id prune ×2
+    // and the rescore join) — distinct (i, j) pairs, output-scale small
+    val cands = probes.hint("shuffle_hash").join(postingCapped, Seq("h"))
       .filter(col("i") =!= col("j")).select("i", "j").distinct()
+      .localCheckpoint()
+    // Rescore-side prune (r13): the rescore joins only ever need the shh
+    // arrays of docs that APPEAR in a candidate pair (~15% of the corpus
+    // at the 5M-doc probe), yet joining cands against the full sets frame
+    // ships every doc's array through two exchanges — the decomposed 8 GB
+    // probe billed 67 of 105 s to exactly that. A broadcast semi-join on
+    // the distinct candidate ids filters sets MAP-SIDE, so the array
+    // exchanges carry only candidate docs. The id set is candidate-mass-
+    // scale (fits a broadcast comfortably; if a corpus ever outgrows it,
+    // a bloom_filter_agg prune in its place keeps the same map-side shape
+    // with no precision cost — the join below stays exact either way).
+    val candIds = cands.select(col("i").as("doc_id"))
+      .union(cands.select(col("j").as("doc_id"))).distinct()
+    val candSets = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
       slice(col("shh_i"), lit(1), kEffOf(col("sz_i")).cast("int")), col("shh_j"))
     val inter = graft.functions.ShingleHashFunctions
       .sortedIntersectCount(col("shh_i"), col("shh_j"))
     cands
-      .join(sets.select(col("doc_id").as("i"), col("shh").as("shh_i"),
+      .join(candSets.select(col("doc_id").as("i"), col("shh").as("shh_i"),
         col("sz").as("sz_i")), "i")
-      .join(sets.select(col("doc_id").as("j"), col("shh").as("shh_j")), "j")
+      .join(candSets.select(col("doc_id").as("j"), col("shh").as("shh_j")), "j")
       // estimator gate first (16-vs-set merge), full intersect only after
       .filter(bkHits >= bkAlpha(col("sz_i")))
       .withColumn("containment", inter * lit(1.0) / col("sz_i"))

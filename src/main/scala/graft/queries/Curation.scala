@@ -385,12 +385,22 @@ object Curation {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
-    val kept = verdictFrom(corpus, bench,
-        Some(Dedup.lshNonCanonicalIds(corpus)))
-      .filter(col("keep")).select("doc_id")
+    // Stage boundaries run through Stages.released: each stage's multi-GB
+    // internals (LSH signature checkpoints, cluster label frames) are
+    // unpersisted as soon as its SMALL boundary frame (a doc_id keep set,
+    // a (doc_id, split) assignment) is materialized, so peak memory is
+    // the largest single stage, not the sum — what fits the 5M-doc probe
+    // into the default 8 GB heap (SCALEPROBE round-13).
+    val kept = graft.util.Stages.released(s) {
+      verdictFrom(corpus, bench,
+          Some(Dedup.lshNonCanonicalIds(corpus)))
+        .filter(col("keep")).select("doc_id")
+    }
     val keptDocs = docs.join(kept, "doc_id")
-    val assign = Dedup.leakageSafeAssignmentsFrom(keptDocs,
-      Dedup.minHashLshJoin(keptDocs, 0.5)).select("doc_id", "split")
+    val assign = graft.util.Stages.released(s) {
+      Dedup.leakageSafeAssignmentsFrom(keptDocs,
+        Dedup.minHashLshJoin(keptDocs, 0.5)).select("doc_id", "split")
+    }
     val toks = keptDocs
       .select(col("doc_id"), col("source"), Bpe.totalCount(col("text")).as("nt"))
       .join(assign, "doc_id")
