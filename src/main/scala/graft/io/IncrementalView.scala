@@ -38,14 +38,20 @@ object IncrementalView {
     * [[create]]) is otherwise unenforceable — a dim edited between create
     * and refresh silently yields stale-enriched deltas — so [[create]]
     * stamps this into the view manifest and [[refresh]] fails loudly on
-    * drift. Sum-of-hashes is insensitive to row order and partitioning
-    * (dims are broadcast-scale, so the extra scan is metadata-cost).
+    * drift. Xor-of-hashes is insensitive to row order and partitioning
+    * and cannot overflow — a SUM of 64-bit hashes throws under ANSI
+    * arithmetic once ~a few rows of random longs accumulate (found by the
+    * r13 gate: nation's 25 rows overflowed q_mv_join's stamp); xor's one
+    * blind spot, even multiplicities cancelling, is covered by the row
+    * count beside it (dims are broadcast-scale, so the extra scan is
+    * metadata-cost).
     */
   private def dimFingerprint(dims: Seq[DataFrame]): String =
     dims.map { d =>
       val schemaTag = d.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
-      val r = d.select(count(lit(1)).as("n"),
-        sum(xxhash64(d.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)).as("h"))
+      val r = d
+        .select(xxhash64(d.columns.map(c => col(c).cast("string")).toIndexedSeq: _*).as("rh"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("h"))
         .head()
       val h = if (r.isNullAt(1)) 0L else r.getLong(1)
       s"${r.getLong(0)}:${java.lang.Long.toHexString(h)}:" +

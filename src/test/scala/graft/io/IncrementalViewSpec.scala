@@ -205,6 +205,45 @@ class IncrementalViewSpec extends SparkSpec {
     assert(ex2.getMessage.contains("without dim stamps"), ex2.getMessage)
   }
 
+  test("join view: realistic-size dim stamps without ANSI overflow, still detects drift") {
+    // regression (r13 gate): the dim fingerprint summed per-row xxhash64
+    // values — under ANSI arithmetic a few dozen random longs overflow
+    // (q_mv_join's 25-row nation dim threw ARITHMETIC_OVERFLOW at the
+    // driver gate). The xor fold must stamp a nation-scale dim cleanly
+    // and still catch a single-value drift.
+    val src = tmp("graft-mvbig-src")
+    val view = tmp("graft-mvbig-view")
+    import spark.implicits._
+    def dimOf(w: Long) =
+      (0L until 50L).map(i => (i, s"name_$i", if (i == 49L) w else i + 2))
+        .toDF("fk", "name", "w")
+    def enrichOf(dim: DataFrame): DataFrame => DataFrame = df =>
+      df.join(broadcast(dim), Seq("fk")).withColumn("weighted", col("n_chars") * col("w"))
+    val dim0 = dimOf(100L)
+    SnapshotTable.create(
+      (1L to 200L).map(i => (i, i % 50, i * 10)).toDF("doc_id", "fk", "n_chars"), src)
+    IncrementalView.create(spark, src, view, Seq("name"), Seq("weighted"),
+      enrich = enrichOf(dim0), dims = Seq(dim0))
+    SnapshotTable.merge(spark, src,
+      Seq((201L, 3L, 30L)).toDF("doc_id", "fk", "n_chars"), "doc_id")
+    IncrementalView.refresh(spark, src, view, Seq("name"), Seq("weighted"),
+      enrich = enrichOf(dim0), dims = Seq(dim0))
+    val got = SnapshotTable.read(spark, view)
+      .filter(col("name") === "name_3").select("weighted").head().getLong(0)
+    val want = SnapshotTable.read(spark, src).join(broadcast(dim0), Seq("fk"))
+      .filter(col("name") === "name_3")
+      .agg(sum(col("n_chars") * col("w"))).head().getLong(0)
+    assert(got === want)
+    SnapshotTable.merge(spark, src,
+      Seq((202L, 5L, 50L)).toDF("doc_id", "fk", "n_chars"), "doc_id")
+    val drifted = dimOf(101L)
+    val ex = intercept[IllegalStateException] {
+      IncrementalView.refresh(spark, src, view, Seq("name"), Seq("weighted"),
+        enrich = enrichOf(drifted), dims = Seq(drifted))
+    }
+    assert(ex.getMessage.contains("dim drift"), ex.getMessage)
+  }
+
   test("join view with extrema: derived-key recompute path stays enriched") {
     // min/max over an enrich-derived measure: a deleted extremum forces the
     // tie-recompute, whose source read must ALSO pass through enrich (the
