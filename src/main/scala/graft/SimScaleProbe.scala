@@ -30,13 +30,16 @@ object SimScaleProbe {
       println(f"[simprobe] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
     timed("corpus count")(emb.count())
-    if (args.length > 1 && args(1) == "semdedup") {
-      // trained-centroid semantic dedup per-decade row: k scales with the
-      // corpus (k ∝ n holds |cluster| ~constant, SemDeDup's regime)
+    if (args.length > 1 && (args(1) == "semdedup" || args(1) == "semdedup_idx")) {
+      // semantic dedup per-decade rows: k scales with the corpus (k ∝ n
+      // holds |cluster| ~constant, SemDeDup's regime). `semdedup` times the
+      // flat n·k argmax twin; `semdedup_idx` the two-level n·√k·nprobe one.
       val k = if (args.length > 2) args(2).toInt
         else math.max(16, (emb.count() / 125).toInt)
-      val out = Similarity.semanticDedupTrained(emb, k, 0.4)
-      timed(s"semanticDedupTrained k=$k") {
+      val out =
+        if (args(1) == "semdedup_idx") Similarity.semanticDedupIndexed(emb, k, 0.4)
+        else Similarity.semanticDedupTrained(emb, k, 0.4)
+      timed(s"${args(1)} k=$k") {
         out.write.format("noop").mode("overwrite").save()
       }
       spark.stop(); return

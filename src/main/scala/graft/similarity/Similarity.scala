@@ -524,6 +524,101 @@ object Similarity {
         col("cell").cast("int").as("cluster"))
     clusterKeepFirst(asg, t)
   }
+
+  /** SCALE twin of [[semanticDedupTrained]] — the sf10 probe's honest
+    * decomposition named the n·k broadcast argmax as semantic dedup's
+    * quadratic term once k ∝ corpus (SemDeDup's constant-cluster-size
+    * regime): 10× vectors means 10× centroids means 100× assignment work.
+    * This variant replaces the flat argmax with the TWO-LEVEL scheme an
+    * inverted multi-index runs (Babenko & Lempitsky 2012; FAISS's
+    * coarse-within-coarse IVF): a √k-cell COARSE quantizer partitions both
+    * the corpus and the k fine centroids, fine training runs per coarse
+    * cell against only that cell's ~√k centroids, and final assignment
+    * probes the `nprobe` closest coarse cells — every n·k term becomes
+    * n·√k·nprobe, so per-decade growth returns to the linear floor.
+    *
+    * Approximate exactly where IVF probing is: a vector whose true nearest
+    * fine centroid lives outside its `nprobe` coarse cells lands in its
+    * best PROBED cluster instead. SimilaritySpec pins (a) planted-family
+    * kept/dropped parity with the oracle path and (b) an assignment-
+    * agreement floor vs the flat argmax over the SAME fine centroids.
+    */
+  def semanticDedupIndexed(emb: DataFrame, k: Int, t: Double,
+      lloydIters: Int = 1, nprobe: Int = 2): DataFrame = {
+    val (_, asg) = indexedAssignment(emb, k, lloydIters, nprobe)
+    clusterKeepFirst(asg, t)
+  }
+
+  /** The two-level assignment behind [[semanticDedupIndexed]], returning
+    * (fine centroids (ccell, fid, fvec), assignment (vec_id, embedding,
+    * nrm, cluster)) — split out so SimilaritySpec can pin the probe
+    * assignment's agreement with a flat argmax over the SAME centroids.
+    */
+  private[similarity] def indexedAssignment(emb: DataFrame, k: Int,
+      lloydIters: Int, nprobe: Int): (DataFrame, DataFrame) = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
+    // coarse quantizer + coarse assignment: the only full-corpus scoring
+    // passes, each n·√k
+    val coarse = ivfCentroids(emb, kc, lloydIters).localCheckpoint()
+    val members = assignCells(emb, coarse)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("cell").as("ccell"), col("embedding"))
+      .localCheckpoint()
+    // per-cell fine seeds: the kf hash-first members of each coarse cell,
+    // with fid = ccell·kf + rank so the fine id ENCODES its coarse cell
+    val seeds = members
+      .withColumn("hr", row_number().over(
+        Window.partitionBy("ccell").orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+      .filter(col("hr") <= kf)
+      .select(col("ccell"),
+        (col("ccell").cast("long") * kf + col("hr") - 1).as("fid"),
+        col("embedding").cast("array<double>").as("fvec"))
+    // Lloyd within each coarse cell: members only ever score their OWN
+    // cell's fine centroids (a broadcast fan-out join on ccell — n·√k rows,
+    // never n·k), re-center = the same posexplode partial-agg mean as
+    // ivfCentroids
+    def assignOwnCell(cents: DataFrame): DataFrame =
+      members.join(broadcast(cents), Seq("ccell"))
+        .select(col("vec_id"),
+          col("fid"), cosine(col("embedding"), col("fvec")).as("cos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("fid"), struct(col("cos"), -col("fid"))).as("cluster"))
+    var fine = seeds
+    for (_ <- 0 until lloydIters) {
+      fine = assignOwnCell(fine).join(members, "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster").as("fid"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).getField("m")
+          .as("fvec"))
+        .select((col("fid") / kf).cast("long").as("ccell"), col("fid"), col("fvec"))
+    }
+    val fineC = fine.localCheckpoint()
+    // final assignment probes the nprobe closest coarse cells — the window
+    // ranks a SLIM (vec_id, ccell, ccos) frame; embeddings rejoin after
+    val probes = members
+      .join(broadcast(coarse))
+      .select(col("vec_id"), col("cent_id").as("ccell"),
+        cosine(col("embedding"), col("cvec")).as("ccos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("ccell"))))
+      .filter(col("pr") <= nprobe)
+      .select("vec_id", "ccell")
+    val asg = probes
+      .join(members.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(fineC), Seq("ccell"))
+      .select(col("vec_id"),
+        col("fid"), cosine(col("embedding"), col("fvec")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("fid"), struct(col("cos"), -col("fid"))).as("fbest"))
+      .join(members.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        col("fbest").cast("int").as("cluster"))
+    (fineC, asg)
+  }
   // (cluster = positional index into the sorted seed list; the oracle labels
   // clusters by seed vec_id — the two agree because testdata vec_ids are
   // contiguous from 0, the same fact q_sim_topk_cosine's `vec_id < 20`

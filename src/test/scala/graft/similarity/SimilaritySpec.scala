@@ -432,6 +432,41 @@ class SimilaritySpec extends SparkSpec {
     assert(big.count() === n)
     assert(big.filter(!col("kept")).count() > 0,
       "planted near-dups must still collapse under trained centroids")
+
+    // r13 scale twin: the two-level (coarse-probe) assignment must land on
+    // the SAME kept/dropped decisions on the planted families — family
+    // members are ε-identical, so any centroid set co-clusters them and
+    // keep-first decisions are centroid-invariant
+    val indexed = decisions(Similarity.semanticDedupIndexed(corpus, 4, t))
+    assert(indexed === expect,
+      "two-level twin must make the planted families' keep-first decisions")
+    val bigIdx = Similarity.semanticDedupIndexed(
+      Tables.embeddings(spark, sf("sf0.01")), 16, 0.4)
+    assert(bigIdx.count() === n)
+    assert(bigIdx.filter(!col("kept")).count() > 0,
+      "planted near-dups must still collapse under two-level assignment")
+  }
+
+  test("two-level semantic assignment agrees with the flat argmax over the same centroids") {
+    // the scale twin's only approximation is probing nprobe coarse cells
+    // instead of scoring all k fine centroids; pin the miss rate on the
+    // driver corpus so a probe-routing regression cannot hide
+    val emb2 = Tables.embeddings(spark, sf("sf0.01"))
+    val (fine, asg) = Similarity.indexedAssignment(emb2, 16, 1, 2)
+    val flat = emb2.select(col("vec_id"), col("embedding"))
+      .join(org.apache.spark.sql.functions.broadcast(fine))
+      .select(col("vec_id"), col("fid"),
+        Similarity.cosine(col("embedding"), col("fvec")).as("cos"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.max_by(col("fid"),
+        org.apache.spark.sql.functions.struct(col("cos"), -col("fid"))).as("flat"))
+    val n = emb2.count()
+    val agree = asg.select(col("vec_id"), col("cluster"))
+      .join(flat, "vec_id")
+      .filter(col("cluster") === col("flat").cast("int")).count()
+    info(s"two-level assignment agreement = $agree / $n")
+    assert(agree >= (n * 0.9).toLong,
+      s"nprobe=2 probing should recover >=90% of flat assignments, got $agree/$n")
   }
 
   test("kNN label audit: one verdict per probe, bounded rates, signal present") {
