@@ -29,6 +29,72 @@ object DedupScaleProbe {
     lazy val sets = Dedup.hashedShingleSets(docs).filter(col("sz") > 0).localCheckpoint()
     lazy val sig = Dedup.withSignature(sets).localCheckpoint()
 
+    if (mode == "bottomk2") {
+      // stage decomposition of the r13 one-exchange-at-a-time shape
+      // (Dedup.bottomKCandidates + rescore), mirrored inline
+      def t[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime(); val r = body
+        println(f"[bottomk2] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      }
+      val k = 16; val dfCap = 64; val tThr = 0.5
+      def kEffOf(sz: org.apache.spark.sql.Column) = least(sz, lit(k))
+      def bkAlpha(sz: org.apache.spark.sql.Column) =
+        ceil((lit(tThr) - lit(0.3)) * kEffOf(sz) - lit(1e-9))
+      graft.functions.ShingleHashFunctions.ensureRegistered(spark)
+      val n = docs.count()
+      val parts = math.max(spark.sparkContext.defaultParallelism,
+        (n / 16384L + 1L).toInt)
+      println(s"[bottomk2] n=$n parts=$parts")
+      val setsU = docs.select(col("doc_id"),
+        coalesce(graft.functions.ShingleHashFunctions.wordShingleHashes(col("text"), 3),
+          array().cast("array<bigint>")).as("shh"))
+        .withColumn("sz", size(col("shh")))
+      val flagged = setsU
+        .select(col("doc_id"),
+          (kEffOf(col("sz")) - bkAlpha(col("sz")) + 1).as("p"),
+          posexplode_outer(col("shh")).as(Seq("pos", "h")))
+        .filter(col("h").isNotNull)
+        .select(col("doc_id"), (col("pos") < col("p")).as("is_probe"), col("h"))
+        .repartition(parts, col("h"))
+      val flaggedC = t("exchange write (flagged repartition by h)")(
+        flagged.localCheckpoint())
+      val useful = flaggedC.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1 && col("df") <= dfCap).select("h")
+      val capped = t("df agg + semi + capped checkpoint")(
+        flaggedC.join(useful.hint("shuffle_hash"), Seq("h"), "left_semi")
+          .localCheckpoint())
+      println(s"[bottomk2] capped rows=${capped.count()}")
+      val cands = t("pair join + distinct")(
+        capped.filter(col("is_probe"))
+          .select(col("doc_id").as("i"), col("h"))
+          .join(capped.select(col("doc_id").as("j"), col("h")), Seq("h"))
+          .filter(col("i") =!= col("j"))
+          .select(least(col("i"), col("j")).as("i"),
+            greatest(col("i"), col("j")).as("j"))
+          .distinct().localCheckpoint())
+      println(s"[bottomk2] n_cands=${cands.count()}")
+      val candIds = cands.select(col("i").as("doc_id"))
+        .union(cands.select(col("j").as("doc_id"))).distinct()
+      val candSets = t("pruned sets checkpoint")(
+        setsU.filter(col("sz") > 0)
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi").localCheckpoint())
+      val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
+        slice(col("shh_i"), lit(1), kEffOf(col("sz_i")).cast("int")), col("shh_j"))
+      val inter = graft.functions.ShingleHashFunctions
+        .sortedIntersectCount(col("shh_i"), col("shh_j"))
+      t("rescore join")(cands
+        .join(candSets.select(col("doc_id").as("i"), col("shh").as("shh_i"),
+          col("sz").as("sz_i")), "i")
+        .join(candSets.select(col("doc_id").as("j"), col("shh").as("shh_j"),
+          col("sz").as("sz_j")), "j")
+        .filter(bkHits >= bkAlpha(col("sz_i")))
+        .withColumn("jaccard",
+          inter * lit(1.0) / (col("sz_i") + col("sz_j") - inter))
+        .filter(col("jaccard") >= tThr)
+        .select("i", "j", "jaccard")
+        .write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
     if (mode == "bottomk") {
       // stage decomposition of containmentBottomKJoin (r13 agg+anti-join
       // shape) at the probe scale, with the SAME DISK_ONLY checkpoint the

@@ -115,10 +115,18 @@ object ScaleProbeData {
       }
     }.toMap
     shiftCols.filter(kv => only(kv._1)).foreach { case (t, cols) =>
-      amplify(t, spark.read.parquet(s"$src/$t.parquet"), cols, bases, factor)
-        .repartition(math.max(spark.sparkContext.defaultParallelism, factor))
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      // output partitioning must scale with OUTPUT rows, not the factor:
+      // factor=10 over a 5M-row source once wrote 10 files of 5M rows /
+      // 500k-row row groups, which starved the 8 GB heap's vectorized
+      // reader at 32 concurrent tasks. Cap files at ~250k rows each.
+      val outParts = math.max(
+        math.max(spark.sparkContext.defaultParallelism, factor),
+        (df.count() * factor / 250000L + 1L).toInt)
+      amplify(t, df, cols, bases, factor)
+        .repartition(outParts)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[probe] $t x$factor written")
+      println(s"[probe] $t x$factor written ($outParts files)")
     }
     spark.stop()
   }

@@ -1521,80 +1521,144 @@ object Dedup {
     * fraction of the exact path's candidate stream; hub hashes land in a
     * sketch only at their uniform rate.
     */
-  def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16,
-      dfCap: Int = 64): DataFrame = {
-    // DISK_ONLY, not the default MEMORY_AND_DISK: this frame (the full
-    // sorted shingle arrays, ~4 GB at the 5M-doc probe) is read four
-    // times (probes, posting, both rescore sides) but each read is a
-    // sequential partition scan — exactly what local disk serves well —
-    // while holding it deserialized on-heap evicts the execution memory
-    // the rescore joins need under the default 8 GB heap. (Storage level
-    // alone is NOT the 8 GB fix — swapping it moved 224.8 → 241.3 s at
-    // the 5M-doc probe; the plan-shape changes below are: no posting
-    // sort, pruned rescore. See SCALEPROBE round-13.)
-    val sets = hashedShingleSets(docs).filter(col("sz") > 0)
+  private def kEffOf(k: Int)(sz: Column): Column = least(sz, lit(k))
+
+  /** Minimum sampled hits the bottom-k estimator demands (slack 0.3
+    * absorbs binomial spread at k = 16; epsilon-backoff as in alphaOf).
+    */
+  private def bkAlpha(t: Double, k: Int)(sz: Column): Column =
+    ceil((lit(t) - lit(0.3)) * kEffOf(k)(sz) - lit(1e-9))
+
+  /** Un-exchanged shingle frame: scan → kernel → size, NO repartition —
+    * for consumers whose next operator re-partitions anyway (the posting
+    * exchange, the candidate-pruned rescore joins). [[hashedShingleSets]]'
+    * balancing exchange is a full corpus-width shuffle (the array column
+    * IS the corpus), which the fourth-decade probe could not afford to
+    * pay even once more than necessary.
+    */
+  private def unshuffledSets(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleHashFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+      coalesce(graft.functions.ShingleHashFunctions.wordShingleHashes(col("text"), 3),
+        array().cast(ArrayType(LongType))).as("shh"))
+      .withColumn("sz", size(col("shh")))
+  }
+
+  /** The corpus materialization every bottom-k consumer reads: sorted
+    * hashed shingle arrays, DISK_ONLY (8 bytes/gram — the COMPACT corpus
+    * representation; exploded posting rows are ~4x wider), built WITHOUT
+    * [[hashedShingleSets]]' balancing exchange — an eager checkpoint off
+    * the scan means the write is the only corpus-scale disk this frame
+    * ever costs (exchange + checkpoint concurrently was 2x that, which
+    * mattered at the fourth decade).
+    */
+  private def bkSets(docs: DataFrame): DataFrame =
+    unshuffledSets(docs).filter(col("sz") > 0)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    def kEffOf(sz: Column): Column = least(sz, lit(k))
-    // minimum sampled hits the estimator demands (slack 0.3 absorbs
-    // binomial spread at k = 16; epsilon-backoff as in alphaOf above)
-    def bkAlpha(sz: Column): Column =
-      ceil((lit(t) - lit(0.3)) * kEffOf(sz) - lit(1e-9))
-    // pigeonhole prefix: a pair clearing alpha of kEff sampled hits must
-    // share one of the FIRST kEff − alpha + 1 samples — so only those
-    // probe the posting index (9 of 16 at t = 0.8), and the hit COUNT
-    // moves to the rescore stage as a cheap k-vs-set sorted-merge instead
-    // of a per-occurrence shuffle: the heavy exchange carries distinct
-    // candidate pairs, not one row per shared-hash occurrence.
-    val probes = sets.select(col("doc_id").as("i"),
-      explode(slice(col("shh"), lit(1),
-        (kEffOf(col("sz")) - bkAlpha(col("sz")) + 1).cast("int"))).as("h"))
-    val posting = hashedPosting(sets).select(col("doc_id").as("j"), col("h"))
-    // df-capped probe index (r10 verdict task 6): a gram present in more
-    // than dfCap docs leaves the posting side — each such hub costs
-    // Ω(df) candidate rows PER PROBE while carrying almost no containment
-    // evidence, the same df-pruning role PPJoin's prefix bound plays on
-    // the exact path. The only trade is recall through hub-only overlaps,
-    // and the estimator gate + exact rescore below are untouched
-    // (precision stays 1); DedupSpec pins recall ≥ 0.9 and the planted
-    // extreme-ratio pair against the capped path.
-    //
-    // SHAPE (r13, the 8 GB-heap fix): the old count-over-h WINDOW forced a
-    // full sort of the posting stream (499M rows at the 5M-doc probe) —
-    // the single most memory-hungry operation in the join, 62 s alone
-    // under an 8 GB heap. The df computation is an AGGREGATE, not a
-    // window: partial aggregation collapses duplicate grams map-side, the
-    // exchange carries (h, df) not postings, and only the HUB set (df >
-    // cap — vocabulary-scale, since a hub is a distinct gram shared by >64
-    // docs: 422k hashes = ~3 MB at the 5M-doc probe, growing as the
-    // heavy-df vocabulary tail, not as rows) comes back, broadcast into an
-    // anti-join that never sorts or reshuffles the posting stream. The
-    // probe join then hashes instead of sort-merging: the probes side is
-    // the small one (k-ish rows/doc vs ~100 postings/doc), so per-task
-    // hash builds are ~20 MB at 32 partitions and the posting side
-    // STREAMS — no 499M-row sort anywhere in the plan.
-    val hubs = posting.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("h")
-    val postingCapped = posting.join(broadcast(hubs), Seq("h"), "left_anti")
-    // checkpointed because THREE consumers read it below (the id prune ×2
-    // and the rescore join) — distinct (i, j) pairs, output-scale small
-    val cands = probes.hint("shuffle_hash").join(postingCapped, Seq("h"))
-      .filter(col("i") =!= col("j")).select("i", "j").distinct()
+
+  /** Bottom-k candidate generation, fourth-decade shape (SCALEPROBE
+    * round-13). The sf100 decomposition dictates it: of 650M posting
+    * rows, only 331k (0.05%) carry a hash shared by 2..dfCap docs — any
+    * plan that shuffles the full posting stream to co-locate hashes (the
+    * previous shape paid corpus-width disk three times over: DISK_ONLY
+    * checkpoint + a hub-df aggregate whose map-side partials collapse
+    * nothing + the probe-join posting exchange; it died of disk
+    * exhaustion at 50M docs) moves ~2000x more bytes than the candidates
+    * need. So:
+    *
+    *  1. df per hash from an H-ONLY aggregate over the array checkpoint —
+    *     the narrowest possible exchange (one long per gram occurrence),
+    *     SHARDED by h % shards and run sequentially: every occurrence of
+    *     a hash lands in exactly one shard, so per-shard df is globally
+    *     exact, and each shard's exchange is freed (eager checkpoint of
+    *     the tiny useful set → lineage cut → ContextCleaner) before the
+    *     next begins. Peak disk = one shard's exchange, whatever the
+    *     corpus; shards = 1 below ~8M docs.
+    *  2. the USEFUL set (2 ≤ df ≤ dfCap) is vocabulary-tail scale (165k
+    *     hashes at 5M docs): df = 1 pairs a doc only with itself, and a
+    *     hub gram shared by > dfCap docs costs Ω(df) candidate rows per
+    *     probe while carrying almost no evidence (the PPJoin prefix-bound
+    *     role). It BROADCASTS, so the posting stream is restricted
+    *     MAP-SIDE — the corpus never shuffles for the pair join at all.
+    *     (If a corpus outgrows the broadcast, shard the pair phase by the
+    *     same h % S and union — same machinery, still map-side.)
+    *  3. probes (pigeonhole prefix: a pair clearing α of kEff sampled
+    *     hits must share one of the first kEff − α + 1 samples) × members
+    *     join per hash on the tiny capped frame. Per-hash volume ≤ dfCap
+    *     on BOTH sides (a doc probing h contains h, so
+    *     probe-frequency(h) ≤ df(h)) — the pair join is skew-proof.
+    *
+    * Candidate volume is ≤ n·(kEff − α + 1)·dfCap by construction — the
+    * pair-mass immunity that survives template-heavy corpora where banded
+    * LSH's candidate stream grows with n². At 100 TB this is a sharded
+    * word-count plus a broadcast semi-join — the cheapest shapes a
+    * cluster has.
+    */
+  private[graft] def bottomKCandidates(sets: DataFrame, n: Long, t: Double,
+      k: Int, dfCap: Int, symmetric: Boolean): DataFrame = {
+    val spark = sets.sparkSession
+    // h-only agg exchange ≈ 24 B per gram occurrence; ~8M docs per shard
+    // keeps a shard's exchange ~15 GB at ~130 grams/doc
+    val shards = ((n - 1) / 8000000L + 1L).toInt
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (n / 16384L / shards + 1L).toInt)
+    val postingH = sets.select(explode(col("shh")).as("h"))
+    val useful = (0 until shards).map { s =>
+      postingH
+        .filter(if (shards > 1) pmod(col("h"), lit(shards)) === s else lit(true))
+        .repartition(parts, col("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1 && col("df") <= dfCap).select("h")
+        .localCheckpoint() // eager: tiny, and frees this shard's exchange
+    }.reduce(_ unionAll _)
+    val capped = sets
+      .select(col("doc_id"),
+        (kEffOf(k)(col("sz")) - bkAlpha(t, k)(col("sz")) + 1).as("p"),
+        posexplode_outer(col("shh")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), (col("pos") < col("p")).as("is_probe"), col("h"))
+      .join(broadcast(useful), Seq("h"), "left_semi")
       .localCheckpoint()
-    // Rescore-side prune (r13): the rescore joins only ever need the shh
-    // arrays of docs that APPEAR in a candidate pair (~15% of the corpus
-    // at the 5M-doc probe), yet joining cands against the full sets frame
-    // ships every doc's array through two exchanges — the decomposed 8 GB
-    // probe billed 67 of 105 s to exactly that. A broadcast semi-join on
-    // the distinct candidate ids filters sets MAP-SIDE, so the array
-    // exchanges carry only candidate docs. The id set is candidate-mass-
-    // scale (fits a broadcast comfortably; if a corpus ever outgrows it,
-    // a bloom_filter_agg prune in its place keeps the same map-side shape
-    // with no precision cost — the join below stays exact either way).
+    val raw = capped.filter(col("is_probe"))
+      .select(col("doc_id").as("i"), col("h"))
+      .join(capped.select(col("doc_id").as("j"), col("h")), Seq("h"))
+      .filter(col("i") =!= col("j"))
+    // symmetric: unordered normalization BEFORE the distinct, so a pair
+    // found probing from both sides collapses to one candidate row
+    val pairs =
+      if (symmetric)
+        raw.select(least(col("i"), col("j")).as("i"),
+          greatest(col("i"), col("j")).as("j"))
+      else raw.select("i", "j")
+    // checkpointed: THREE consumers (id prune x2, rescore join); distinct
+    // (i, j) pairs, candidate-mass scale
+    pairs.distinct().localCheckpoint()
+  }
+
+  /** The shh arrays of docs appearing in a candidate pair, pruned
+    * MAP-SIDE: a broadcast semi-join on the distinct candidate ids sits
+    * directly above the scan+kernel projection, so the rescore joins'
+    * exchanges carry only candidate docs' arrays (~15% of the corpus at
+    * the 5M-doc probe — the unpruned form billed 67 of 105 s to shipping
+    * everyone's). If a corpus ever outgrows the id broadcast, a
+    * bloom_filter_agg prune keeps the same shape with no precision cost.
+    */
+  private def candPrunedSets(sets: DataFrame, cands: DataFrame): DataFrame = {
     val candIds = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
-    val candSets = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // checkpointed: BOTH rescore sides read this frame; materializing the
+    // candidate-mass-scale prune once halves the checkpoint re-reads
+    sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+  }
+
+  def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16,
+      dfCap: Int = 64): DataFrame = {
+    val sets = bkSets(docs)
+    val cands = bottomKCandidates(sets, docs.count(), t, k, dfCap, symmetric = false)
+    val candSets = candPrunedSets(sets, cands)
     val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
-      slice(col("shh_i"), lit(1), kEffOf(col("sz_i")).cast("int")), col("shh_j"))
+      slice(col("shh_i"), lit(1), kEffOf(k)(col("sz_i")).cast("int")), col("shh_j"))
     val inter = graft.functions.ShingleHashFunctions
       .sortedIntersectCount(col("shh_i"), col("shh_j"))
     cands
@@ -1602,7 +1666,7 @@ object Dedup {
         col("sz").as("sz_i")), "i")
       .join(candSets.select(col("doc_id").as("j"), col("shh").as("shh_j")), "j")
       // estimator gate first (16-vs-set merge), full intersect only after
-      .filter(bkHits >= bkAlpha(col("sz_i")))
+      .filter(bkHits >= bkAlpha(t, k)(col("sz_i")))
       .withColumn("containment", inter * lit(1.0) / col("sz_i"))
       .filter(col("containment") >= t)
       .select("i", "j", "containment")
@@ -1614,6 +1678,75 @@ object Dedup {
     */
   val q_dedup_containment_bottomk: Q = Q("q_dedup_containment_bottomk", None) { (s, d) =>
     containmentBottomKJoin(Tables.documents(s, d), 0.8).orderBy("i", "j")
+  }
+
+  /** Bottom-k SYMMETRIC Jaccard candidates — the extreme-scale near-dup
+    * path, and the fourth decade's answer to the banded family's bend:
+    * the sf1000 probe (50M docs) killed [[minHashLshJoin]] on disk — the
+    * banded self-join's candidate mass (737×/decade across the weak-
+    * similarity background at decade 3) exhausted 66 GB of shuffle spill
+    * before the prefilter ever saw a pair, the same failure mode that
+    * demoted the containment sketch a round earlier. Pair mass is the
+    * quadratic term, and no post-banding filter changes that asymptote;
+    * the df-capped posting probe bounds it BY CONSTRUCTION instead:
+    * candidates ≤ n · (kEff − α + 1) · dfCap, linear in the corpus no
+    * matter how much near-threshold template mass it carries.
+    *
+    * Correctness riders on the containment estimator: J(A,B) ≥ t implies
+    * |A∩B|/|A| ≥ t (|A∪B| ≥ |A|), so the directed bottom-k candidate
+    * generation at threshold t is a SUPERSET generator for Jaccard-t
+    * pairs — run from both sides (every doc probes), normalized to
+    * unordered pairs, estimator-gated with the same slack-0.3 binomial
+    * margin, then exact-rescored so precision is 1. Recall paths double
+    * vs the directed join (a pair survives if EITHER side's sampled
+    * prefix hits), recall loss concentrates where all shared grams are
+    * df-capped hubs — the documented trade the containment path already
+    * carries, pinned ≥ 0.9 vs the exact PPJoin twin in DedupSpec.
+    */
+  def jaccardBottomKJoin(docs: DataFrame, t: Double, k: Int = 16,
+      dfCap: Int = 64): DataFrame = {
+    val sets = bkSets(docs)
+    val cands = bottomKCandidates(sets, docs.count(), t, k, dfCap, symmetric = true)
+    val candSets = candPrunedSets(sets, cands)
+    // estimator gate on the normalized i side: for a true Jaccard-t pair
+    // C(i→j) ≥ t regardless of which side probed, so the slack-relaxed
+    // sampled-hits floor holds — cheap k-vs-set merge before the full
+    // intersect
+    val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
+      slice(col("shh_i"), lit(1), kEffOf(k)(col("sz_i")).cast("int")), col("shh_j"))
+    val inter = graft.functions.ShingleHashFunctions
+      .sortedIntersectCount(col("shh_i"), col("shh_j"))
+    cands
+      .join(candSets.select(col("doc_id").as("i"), col("shh").as("shh_i"),
+        col("sz").as("sz_i")), "i")
+      .join(candSets.select(col("doc_id").as("j"), col("shh").as("shh_j"),
+        col("sz").as("sz_j")), "j")
+      .filter(bkHits >= bkAlpha(t, k)(col("sz_i")))
+      .withColumn("jaccard",
+        inter * lit(1.0) / (col("sz_i") + col("sz_j") - inter))
+      .filter(col("jaccard") >= t)
+      .select("i", "j", "jaccard")
+  }
+
+  /** DEFAULT symmetric near-dup entry — delegates to the pair-mass-immune
+    * bottom-k join, the same demotion [[containmentDedup]] applied to its
+    * sketch after the third decade: [[minHashLshJoin]] remains the
+    * recall-study variant and the persisted/streaming index geometry
+    * (frozen-parameter band hashes are what an incremental index can
+    * store), but the batch default must be the plan that SURVIVES the
+    * fourth decade (sf1000: banded died on disk at 50M docs; bottom-k
+    * completed in the default heap — SCALEPROBE round-13).
+    */
+  def jaccardDedup(docs: DataFrame, t: Double, k: Int = 16,
+      dfCap: Int = 64): DataFrame =
+    jaccardBottomKJoin(docs, t, k, dfCap)
+
+  /** Rows-only (sampled-prefix probes aren't SQL-expressible); DedupSpec
+    * pins precision 1 / recall ≥ 0.9 vs the exact PPJoin twin and that
+    * the threshold-exact planted pair survives.
+    */
+  val q_dedup_jaccard_bottomk: Q = Q("q_dedup_jaccard_bottomk", None) { (s, d) =>
+    jaccardBottomKJoin(Tables.documents(s, d), 0.5).orderBy("i", "j")
   }
 
   // --------------------------------------------------------------- simhash
@@ -1665,6 +1798,7 @@ object Dedup {
   def all: Seq[Q] =
     Seq(q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
       q_dedup_containment_sketch, q_dedup_containment_bottomk,
+      q_dedup_jaccard_bottomk,
       q_dedup_minhash_lsh, q_dedup_simhash,
       q_dedup_clusters, q_dedup_clusters_lsh, q_dedup_canonical,
       q_dedup_canonical_lsh,

@@ -35,6 +35,10 @@ class ContractSpec extends SparkSpec {
       "q_dedup_simhash", "q_dedup_clusters_lsh", "q_sim_ann_lsh",
       "q_sim_ann_ivf",
       "q_dedup_containment_sketch", "q_dedup_containment_bottomk",
+      // r13: the symmetric bottom-k twin — same estimator family as the
+      // containment row above, precision-1 by exact rescore, recall pinned
+      // vs the exact PPJoin twin in DedupSpec (no new unchecked surface)
+      "q_dedup_jaccard_bottomk",
       "q_dedup_canonical_lsh",
       "q_split_leakage_safe_lsh", "q_curate_verdict_lsh",
       "q_embed_pca", "q_embed_pq", "q_sim_ann_pq", "q_sim_ann_ivfpq",

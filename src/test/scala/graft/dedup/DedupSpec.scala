@@ -255,6 +255,19 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below floor (16 bands x 4 rows at j>=0.8)")
   }
 
+  test("bottom-k jaccard: precision 1, recall >= 0.9 vs exact, default routes there") {
+    // r13: the symmetric twin of the containment bottom-k estimator — the
+    // fourth decade's pair-mass-immune default (banded LSH died on disk at
+    // 50M docs; see SCALEPROBE round-13)
+    val exact = pairSet(Dedup.setSimilarityJoin(docs, 0.5))
+    val bk = pairSet(Dedup.jaccardBottomKJoin(docs, 0.5))
+    assert(bk.subsetOf(exact), "exact rescore guarantees no false positives")
+    val recall = bk.size.toDouble / exact.size
+    assert(recall >= 0.9, s"bottom-k jaccard recall $recall below floor")
+    assert(pairSet(Dedup.jaccardDedup(docs, 0.5)) == bk,
+      "jaccardDedup must delegate to the bottom-k join")
+  }
+
   test("signature prefilter: threshold-exact pairs survive both banded joins") {
     // a pair at jaccard EXACTLY t is the prefilter's worst legitimate
     // customer: its lane estimate must clear t − 0.25 (the 4σ margin), so
@@ -289,6 +302,14 @@ class DedupSpec extends SparkSpec {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cont.contains((3L, 4L)),
       "threshold-exact containment pair lost (directed bound or margin off?)")
+    // the bottom-k symmetric join must keep the same threshold-exact pair:
+    // its estimator gate is slack-relaxed (t − 0.3), so a pair AT t has
+    // full binomial margin — losing it would mean the gate or the
+    // unordered normalization is wrong
+    val bk = Dedup.jaccardBottomKJoin(jdocs, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bk.contains((1L, 2L)),
+      "threshold-exact jaccard pair lost by the bottom-k join")
   }
 
   test("simhash: hamming bound respected and pairs are true near-dups") {
