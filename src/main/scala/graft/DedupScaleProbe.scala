@@ -49,19 +49,27 @@ object DedupScaleProbe {
         coalesce(graft.functions.ShingleHashFunctions.wordShingleHashes(col("text"), 3),
           array().cast("array<bigint>")).as("shh"))
         .withColumn("sz", size(col("shh")))
-      val flagged = setsU
-        .select(col("doc_id"),
-          (kEffOf(col("sz")) - bkAlpha(col("sz")) + 1).as("p"),
-          posexplode_outer(col("shh")).as(Seq("pos", "h")))
-        .filter(col("h").isNotNull)
-        .select(col("doc_id"), (col("pos") < col("p")).as("is_probe"), col("h"))
-        .repartition(parts, col("h"))
-      val flaggedC = t("exchange write (flagged repartition by h)")(
-        flagged.localCheckpoint())
-      val useful = flaggedC.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1 && col("df") <= dfCap).select("h")
-      val capped = t("df agg + semi + capped checkpoint")(
-        flaggedC.join(useful.hint("shuffle_hash"), Seq("h"), "left_semi")
+      val sets = t("array checkpoint (DISK_ONLY)")(
+        setsU.filter(col("sz") > 0).localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val shards = ((n - 1) / 8000000L + 1L).toInt
+      val useful = t(s"h-only df agg ($shards shard(s))")(
+        (0 until shards).map { s0 =>
+          sets.select(explode(col("shh")).as("h"))
+            .filter(if (shards > 1) pmod(col("h"), lit(shards)) === s0 else lit(true))
+            .repartition(parts, col("h"))
+            .groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") > 1 && col("df") <= dfCap).select("h")
+            .localCheckpoint()
+        }.reduce(_ unionAll _))
+      println(s"[bottomk2] n_useful=${useful.count()}")
+      val capped = t("broadcast semi (map-side) + capped checkpoint")(
+        sets.select(col("doc_id"),
+            (kEffOf(col("sz")) - bkAlpha(col("sz")) + 1).as("p"),
+            posexplode_outer(col("shh")).as(Seq("pos", "h")))
+          .filter(col("h").isNotNull)
+          .select(col("doc_id"), (col("pos") < col("p")).as("is_probe"), col("h"))
+          .join(broadcast(useful), Seq("h"), "left_semi")
           .localCheckpoint())
       println(s"[bottomk2] capped rows=${capped.count()}")
       val cands = t("pair join + distinct")(
@@ -76,8 +84,7 @@ object DedupScaleProbe {
       val candIds = cands.select(col("i").as("doc_id"))
         .union(cands.select(col("j").as("doc_id"))).distinct()
       val candSets = t("pruned sets checkpoint")(
-        setsU.filter(col("sz") > 0)
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi").localCheckpoint())
+        sets.join(broadcast(candIds), Seq("doc_id"), "left_semi").localCheckpoint())
       val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
         slice(col("shh_i"), lit(1), kEffOf(col("sz_i")).cast("int")), col("shh_j"))
       val inter = graft.functions.ShingleHashFunctions

@@ -1787,8 +1787,14 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the distinct — same result (hamming is a
+      // function of the pair), but the 16-bit chunk buckets admit a
+      // CHANCE-collision background of ~n²/2¹⁶ pairs that used to ship
+      // through the distinct's exchange (≈15 GB at 5M docs, disk death a
+      // decade later); filtered here it is iterated inside the join
+      // (one xor+popcount per visit, codegen) and never hits a shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   val q_dedup_simhash: Q = Q("q_dedup_simhash", None) { (s, d) =>
