@@ -388,10 +388,18 @@ object Similarity {
       .filter(col("cos") >= t)
   }
 
-  /** Embedding near-dup at scale: multi-table LSH buckets → candidate
-    * equi-join → exact cosine rescore. Linear in corpus size per bucket
-    * load; recall is the multi-table curve (pinned vs exact in
-    * SimilaritySpec).
+  /** Embedding near-dup via multi-table LSH buckets → candidate
+    * equi-join → exact cosine rescore; recall is the multi-table curve
+    * (pinned vs exact in SimilaritySpec). SCALE NOTE: with k =
+    * [[defaultPlanes]] = 4 sign bits a table has only 16 buckets, so this
+    * ALL-PAIRS self-join's per-bucket load grows as n/16 and its visited-
+    * pair mass as n²/16 per table — right for the corpus sizes its recall
+    * curve targets, quadratic past ~100k vectors. Raising k buys buckets
+    * but the 64-plane budget caps k·L, and sign-LSH recall at moderate
+    * cosine thresholds needs the L. The corpus-scale embedding near-dup
+    * path is [[semanticDedupIndexed]] (SemDeDup partitioning, n·√k
+    * assignment, intra-cluster pair scan) — same keep/drop semantics,
+    * measured 3.5–3.8×/decade through 2M vectors.
     */
   def embeddingNearDupLsh(emb: DataFrame, t: Double,
       numPlanes: Int = defaultPlanes, numTables: Int = defaultTables): DataFrame = {
@@ -557,6 +565,29 @@ object Similarity {
   private[similarity] def indexedAssignment(emb: DataFrame, k: Int,
       lloydIters: Int, nprobe: Int): (DataFrame, DataFrame) = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
+    // Every fan-out argmax here is a max_by(struct) — an OBJECT aggregate,
+    // whose sort-based fallback fires at 128 in-memory entries by default:
+    // the n·√k broadcast fan-out then gets SORTED (240 GB of sorter spill
+    // at 20M vectors — disk death) instead of hash-collapsed to one row
+    // per vector. Per-task group counts are corpus/parallelism (~625k at
+    // the 20M probe; ~64 B struct buffers ≈ tens of MB per task), so a
+    // 2M-entry threshold keeps the aggregation hash-based and bounded.
+    // Session-scoped set-and-restore is sound because every aggregate in
+    // this function materializes EAGERLY (the localCheckpoint stage
+    // boundaries) before the finally runs.
+    val spark = emb.sparkSession
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbOld = spark.conf.getOption(fbKey)
+    spark.conf.set(fbKey, (2 << 20).toString)
+    try indexedAssignmentBody(emb, k, lloydIters, nprobe)
+    finally fbOld match {
+      case Some(v) => spark.conf.set(fbKey, v)
+      case None    => spark.conf.unset(fbKey)
+    }
+  }
+
+  private def indexedAssignmentBody(emb: DataFrame, k: Int,
+      lloydIters: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
     // coarse quantizer + coarse assignment: the only full-corpus scoring
@@ -566,19 +597,34 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("cell").as("ccell"), col("embedding"))
       .localCheckpoint()
+    // Stage-boundary shuffle release (the Stages.released lesson, extended
+    // to SHUFFLE FILES): each eager checkpoint above/below truncates
+    // lineage, but the dead exchanges' files are deleted only after a JVM
+    // GC proves their RDDs unreachable — and the default periodic GC
+    // (30 min) is slower than this query's stages, so at 20M vectors the
+    // accumulated per-stage shuffles (every stage re-exchanges the ~6 GB
+    // embedding frame) exhausted the probe host's disk. A driver-side GC
+    // nudge after each boundary keeps peak disk at the largest single
+    // stage; on a cluster the same call is a no-op-scale driver pause.
+    def releaseShuffles(): Unit = System.gc()
+    releaseShuffles()
     // per-cell fine seeds: the kf hash-first members of each coarse cell,
-    // with fid = ccell·kf + rank so the fine id ENCODES its coarse cell
-    val seeds = members
+    // with fid = ccell·kf + rank so the fine id ENCODES its coarse cell.
+    // The rank window runs on a SLIM (vec_id, ccell) projection — windows
+    // have no partial aggregation, so ranking the embedding-carrying frame
+    // would shuffle the whole corpus's arrays; the k winners join their
+    // embeddings back at centroid scale.
+    val seeds = members.select(col("vec_id"), col("ccell"))
       .withColumn("hr", row_number().over(
         Window.partitionBy("ccell").orderBy(xxhash64(col("vec_id")), col("vec_id"))))
       .filter(col("hr") <= kf)
+      .join(members.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("ccell"),
         (col("ccell").cast("long") * kf + col("hr") - 1).as("fid"),
         col("embedding").cast("array<double>").as("fvec"))
     // Lloyd within each coarse cell: members only ever score their OWN
     // cell's fine centroids (a broadcast fan-out join on ccell — n·√k rows,
-    // never n·k), re-center = the same posexplode partial-agg mean as
-    // ivfCentroids
+    // never n·k)
     def assignOwnCell(cents: DataFrame): DataFrame =
       members.join(broadcast(cents), Seq("ccell"))
         .select(col("vec_id"),
@@ -587,25 +633,52 @@ object Similarity {
         .agg(max_by(col("fid"), struct(col("cos"), -col("fid"))).as("cluster"))
     var fine = seeds
     for (_ <- 0 until lloydIters) {
+      // re-center as 64 per-element avg aggregates over UNEXPLODED rows:
+      // the posexplode form ivfCentroids uses (fine at broadcast-scale k)
+      // pushes n·d rows through a (cluster, dim) partial agg whose
+      // per-task group count is k·d — ~25 GB of exchange at 20M vectors,
+      // vs ~7 GB for the 64-buffer form (k-scale groups per task)
       fine = assignOwnCell(fine).join(members, "vec_id")
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster").as("fid"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).getField("m")
-          .as("fvec"))
-        .select((col("fid") / kf).cast("long").as("ccell"), col("fid"), col("fvec"))
+        .groupBy("cluster")
+        .agg(avg(element_at(col("embedding"), 1)).as("m0"),
+          (2 to dim).map(i =>
+            avg(element_at(col("embedding"), i)).as(s"m${i - 1}")): _*)
+        .select(((col("cluster")) / kf).cast("long").as("ccell"),
+          col("cluster").as("fid"),
+          array((0 until dim).map(i => col(s"m$i")): _*).as("fvec"))
     }
     val fineC = fine.localCheckpoint()
-    // final assignment probes the nprobe closest coarse cells — the window
-    // ranks a SLIM (vec_id, ccell, ccos) frame; embeddings rejoin after
-    val probes = members
-      .join(broadcast(coarse))
-      .select(col("vec_id"), col("cent_id").as("ccell"),
-        cosine(col("embedding"), col("cvec")).as("ccos"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("ccell"))))
-      .filter(col("pr") <= nprobe)
-      .select("vec_id", "ccell")
+    releaseShuffles()
+    // final assignment probes the nprobe closest coarse cells. NOT a
+    // window: ranking the n·√k broadcast fan-out would SHUFFLE it (a
+    // window has no partial aggregation — ~190 GB at 20M vectors, the
+    // fourth decade's hidden bomb here). Instead, nprobe rounds of
+    // max_by, each excluding the cells already picked: the fan-out rows
+    // are map-local to the broadcast join, so each round's partial
+    // aggregation collapses them to ONE row per vector before its
+    // exchange — every shuffle in the probe phase is vector-scale.
+    val probes = {
+      var chosen: DataFrame = null
+      for (r <- 0 until math.min(nprobe, kc)) {
+        val base =
+          if (r == 0) members.select(col("vec_id"), col("embedding"))
+          else members.select(col("vec_id"), col("embedding"))
+            .join(chosen.groupBy("vec_id")
+              .agg(collect_list(col("ccell")).as("excl")), Seq("vec_id"))
+        val best = base
+          .join(broadcast(coarse))
+          .filter(if (r == 0) lit(true)
+            else !array_contains(col("excl"), col("cent_id")))
+          .select(col("vec_id"), col("cent_id"),
+            cosine(col("embedding"), col("cvec")).as("ccos"))
+          .groupBy("vec_id")
+          .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id")))
+            .as("ccell"))
+        chosen = if (r == 0) best else chosen.unionByName(best)
+      }
+      chosen.localCheckpoint() // slim (vec_id, ccell) boundary frame
+    }
+    releaseShuffles()
     val asg = probes
       .join(members.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(fineC), Seq("ccell"))
@@ -617,6 +690,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
         col("fbest").cast("int").as("cluster"))
+      .localCheckpoint()
+    releaseShuffles()
     (fineC, asg)
   }
   // (cluster = positional index into the sorted seed list; the oracle labels
