@@ -609,22 +609,27 @@ object Dedup {
   }
 
   /** The 100 TB canonical-selection path: same keep-longest policy, but fed
-    * by the banded MinHash join instead of the quadratic-prone exact SSJ —
-    * the composition a production dedup run executes. Rows-only (banding
-    * isn't SQL-expressible); DedupSpec pins one-keep-per-cluster and the
-    * keep-set agreement vs the exact canonical.
+    * by the default sketch near-dup join ([[jaccardDedup]], the pair-mass-
+    * immune bottom-k generator) instead of the quadratic-prone exact SSJ —
+    * the composition a production dedup run executes. Rewired off the
+    * banded MinHash join after the round-13 sf1000 probe killed it on disk
+    * at 50M docs while the bottom-k join finished in the default heap.
+    * Rows-only (sampled-prefix probes aren't SQL-expressible); DedupSpec
+    * pins one-keep-per-cluster and the keep-set agreement vs the exact
+    * canonical.
     */
   val q_dedup_canonical_lsh: Q = Q("q_dedup_canonical_lsh", None) { (s, d) =>
     val docs = Tables.documents(s, d)
-    canonicalFrom(docs, minHashLshJoin(docs, 0.5))
+    canonicalFrom(docs, jaccardDedup(docs, 0.5))
   }
 
-  /** Non-canonical members of LSH near-dup clusters, as (doc_id,
-    * near_dup = true) — the duplicate evidence the production curation
-    * verdict consumes (see Curation.q_curate_verdict_lsh).
+  /** Non-canonical members of sketch-detected near-dup clusters, as
+    * (doc_id, near_dup = true) — the duplicate evidence the production
+    * curation verdict consumes (see Curation.q_curate_verdict_lsh). Runs
+    * on [[jaccardDedup]], the scale-safe default pair source.
     */
   def lshNonCanonicalIds(docs: DataFrame): DataFrame =
-    canonicalFrom(docs, minHashLshJoin(docs, 0.5))
+    canonicalFrom(docs, jaccardDedup(docs, 0.5))
       .filter(!col("keep"))
       .select(col("doc_id"), lit(true).as("near_dup"))
 
@@ -721,16 +726,17 @@ object Dedup {
   }
 
   /** The 100 TB leakage-safe split: identical cluster-keyed assignment
-    * policy, but clusters come from the banded MinHash join instead of the
-    * exact SSJ. The production guarantee is honest about its sketch: no
-    * pair the LSH DETECTS ever straddles splits (DedupSpec pins this plus
-    * a bounded assignment-flip rate vs the exact split); undetected pairs
-    * are the LSH recall complement, the same residual any sketch-based
-    * dedup run carries. Rows-only (banding isn't SQL-expressible).
+    * policy, but clusters come from the default sketch join
+    * ([[jaccardDedup]]) instead of the exact SSJ. The production guarantee
+    * is honest about its sketch: no pair the sketch DETECTS ever straddles
+    * splits (DedupSpec pins this plus a bounded assignment-flip rate vs
+    * the exact split); undetected pairs are the recall complement, the
+    * same residual any sketch-based dedup run carries. Rows-only
+    * (sampled-prefix probes aren't SQL-expressible).
     */
   val q_split_leakage_safe_lsh: Q = Q("q_split_leakage_safe_lsh", None) { (s, d) =>
     val docs = Tables.documents(s, d)
-    leakageSafeAssignmentsFrom(docs, minHashLshJoin(docs, 0.5))
+    leakageSafeAssignmentsFrom(docs, jaccardDedup(docs, 0.5))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -739,16 +745,17 @@ object Dedup {
       .orderBy("split")
   }
 
-  /** The 100 TB composition of the dedup family: LSH candidate generation →
-    * exact rescore → connected components. The exact-pair clustering above
-    * is the oracle ground truth; this one swaps the quadratic-prone exact
-    * SSJ for the banded MinHash join (linear-ish candidate cost), which is
+  /** The 100 TB composition of the dedup family: sketch candidate
+    * generation → exact rescore → connected components. The exact-pair
+    * clustering above is the oracle ground truth; this one swaps the
+    * quadratic-prone exact SSJ for the default sketch join
+    * ([[jaccardDedup]] — candidate mass bounded by construction), which is
     * what a production run over a full corpus would execute. Rows-only by
-    * nature (banding hashes aren't SQL-expressible); DedupSpec pins
+    * nature (sampled-prefix probes aren't SQL-expressible); DedupSpec pins
     * co-membership precision 1 / recall ≥ 0.9 against the exact clusters.
     */
   val q_dedup_clusters_lsh: Q = Q("q_dedup_clusters_lsh", None) { (s, d) =>
-    clusterAssignments(minHashLshJoin(Tables.documents(s, d), 0.5))
+    clusterAssignments(jaccardDedup(Tables.documents(s, d), 0.5))
   }
 
   /** PageRank centrality over the duplicate graph — the link-analysis
@@ -1556,6 +1563,34 @@ object Dedup {
     unshuffledSets(docs).filter(col("sz") > 0)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
+  /** Build-side row ceiling for the bottom-k broadcast semi-joins. A long
+    * key costs ~32 B in a broadcast hash relation, so 64M rows ≈ 2 GB —
+    * near the comfortable driver/executor ceiling at the default heap.
+    */
+  private val bkBroadcastRowCap = 64000000L
+
+  /** Semi-join with an explicit broadcast guard (round-13 advice): the
+    * build sides here (useful-hash set, candidate ids) are vocabulary-tail
+    * / candidate scale at every probed decade, but past the documented
+    * scales the failure mode of an unconditional broadcast is an opaque
+    * driver OOM. `right` MUST be eagerly materialized (checkpointed) by
+    * the caller so the count reads cached blocks; above the cap we fall
+    * back to a shuffled semi-join — one extra exchange of the probe side,
+    * but a plan that completes and says why.
+    */
+  private def guardedSemiJoin(left: DataFrame, right: DataFrame,
+      key: String): DataFrame = {
+    val n = right.count()
+    if (n <= bkBroadcastRowCap)
+      left.join(broadcast(right), Seq(key), "left_semi")
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bottom-k semi-join build side has $n rows (> $bkBroadcastRowCap): " +
+          "falling back to a shuffled semi-join instead of broadcasting")
+      left.join(right.hint("shuffle_hash"), Seq(key), "left_semi")
+    }
+  }
+
   /** Bottom-k candidate generation, fourth-decade shape (SCALEPROBE
     * round-13). The sf100 decomposition dictates it: of 650M posting
     * rows, only 331k (0.05%) carry a hash shared by 2..dfCap docs — any
@@ -1617,11 +1652,10 @@ object Dedup {
         posexplode_outer(col("shh")).as(Seq("pos", "h")))
       .filter(col("h").isNotNull)
       .select(col("doc_id"), (col("pos") < col("p")).as("is_probe"), col("h"))
-      .join(broadcast(useful), Seq("h"), "left_semi")
-      .localCheckpoint()
-    val raw = capped.filter(col("is_probe"))
+    val cappedPruned = guardedSemiJoin(capped, useful, "h").localCheckpoint()
+    val raw = cappedPruned.filter(col("is_probe"))
       .select(col("doc_id").as("i"), col("h"))
-      .join(capped.select(col("doc_id").as("j"), col("h")), Seq("h"))
+      .join(cappedPruned.select(col("doc_id").as("j"), col("h")), Seq("h"))
       .filter(col("i") =!= col("j"))
     // symmetric: unordered normalization BEFORE the distinct, so a pair
     // found probing from both sides collapses to one candidate row
@@ -1646,16 +1680,19 @@ object Dedup {
   private def candPrunedSets(sets: DataFrame, cands: DataFrame): DataFrame = {
     val candIds = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
+      .localCheckpoint() // eager: the guard's count must not re-run the distinct
     // checkpointed: BOTH rescore sides read this frame; materializing the
     // candidate-mass-scale prune once halves the checkpoint re-reads
-    sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    guardedSemiJoin(sets, candIds, "doc_id").localCheckpoint()
   }
 
   def containmentBottomKJoin(docs: DataFrame, t: Double, k: Int = 16,
       dfCap: Int = 64): DataFrame = {
     val sets = bkSets(docs)
-    val cands = bottomKCandidates(sets, docs.count(), t, k, dfCap, symmetric = false)
+    // shard/partition sizing counts the already-checkpointed sets frame
+    // (cached blocks), not the raw corpus — a second scan+shingle pass at
+    // exactly the scale this shape targets (round-13 advice)
+    val cands = bottomKCandidates(sets, sets.count(), t, k, dfCap, symmetric = false)
     val candSets = candPrunedSets(sets, cands)
     val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
       slice(col("shh_i"), lit(1), kEffOf(k)(col("sz_i")).cast("int")), col("shh_j"))
@@ -1706,7 +1743,7 @@ object Dedup {
   def jaccardBottomKJoin(docs: DataFrame, t: Double, k: Int = 16,
       dfCap: Int = 64): DataFrame = {
     val sets = bkSets(docs)
-    val cands = bottomKCandidates(sets, docs.count(), t, k, dfCap, symmetric = true)
+    val cands = bottomKCandidates(sets, sets.count(), t, k, dfCap, symmetric = true)
     val candSets = candPrunedSets(sets, cands)
     // estimator gate on the normalized i side: for a true Jaccard-t pair
     // C(i→j) ≥ t regardless of which side probed, so the slack-relaxed

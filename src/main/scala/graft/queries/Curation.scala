@@ -203,14 +203,14 @@ object Curation {
   }
 
   /** The 100 TB curation verdict: the duplicate gate additionally flags
-    * NEAR-duplicates via the banded MinHash path (non-keep members of LSH
-    * clusters under the shared keep-longest policy), unioned with the
-    * exact-fingerprint gate — which still catches identical short texts
-    * whose shingle sets are empty and therefore invisible to the sketch.
-    * Every other gate is byte-identical to [[q_curate_verdict]]. Rows-only
-    * (banding isn't SQL-expressible); CurationSpec bounds the verdict-flip
-    * rate vs the exact verdict and pins that every flip is duplicate-gate
-    * induced.
+    * NEAR-duplicates via the default sketch path (non-keep members of
+    * bottom-k Jaccard clusters under the shared keep-longest policy),
+    * unioned with the exact-fingerprint gate — which still catches
+    * identical short texts whose shingle sets are empty and therefore
+    * invisible to the sketch. Every other gate is byte-identical to
+    * [[q_curate_verdict]]. Rows-only (sampled-prefix probes aren't
+    * SQL-expressible); CurationSpec bounds the verdict-flip rate vs the
+    * exact verdict and pins that every flip is duplicate-gate induced.
     */
   val q_curate_verdict_lsh: Q = Q("q_curate_verdict_lsh", None) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -373,10 +373,13 @@ object Curation {
   }
 
   /** The 100 TB incarnation of [[q_pipeline_e2e]]: every stage swaps in
-    * its LSH production twin — near-dup-aware verdict (banded-MinHash
-    * clusters ∪ exact fingerprints), leakage-safe split on LSH clusters —
-    * while the packing stage is shared (it was already linear). Rows-only
-    * (banding isn't SQL-expressible); CurationSpec reconciles its totals
+    * its sketch production twin — near-dup-aware verdict (bottom-k Jaccard
+    * clusters ∪ exact fingerprints), leakage-safe split on sketch
+    * clusters — while the packing stage is shared (it was already linear).
+    * Both near-dup stages run on [[Dedup.jaccardDedup]], the pair-mass-
+    * immune bottom-k join that survived the round-13 sf1000 probe where
+    * the banded MinHash join died on disk. Rows-only (sampled-prefix
+    * probes aren't SQL-expressible); CurationSpec reconciles its totals
     * against its own keep set and pins the split/pack invariants.
     */
   val q_pipeline_e2e_lsh: Q = Q("q_pipeline_e2e_lsh", None) { (s, d) =>
@@ -386,7 +389,7 @@ object Curation {
     val corpus = docs.filter(col("doc_id") >= 20).select("doc_id", "text", "n_chars")
     val bench = docs.filter(col("doc_id") < 20)
     // Stage boundaries run through Stages.released: each stage's multi-GB
-    // internals (LSH signature checkpoints, cluster label frames) are
+    // internals (bottom-k set checkpoints, cluster label frames) are
     // unpersisted as soon as its SMALL boundary frame (a doc_id keep set,
     // a (doc_id, split) assignment) is materialized, so peak memory is
     // the largest single stage, not the sum — what fits the 5M-doc probe
@@ -399,7 +402,7 @@ object Curation {
     val keptDocs = docs.join(kept, "doc_id")
     val assign = graft.util.Stages.released(s) {
       Dedup.leakageSafeAssignmentsFrom(keptDocs,
-        Dedup.minHashLshJoin(keptDocs, 0.5)).select("doc_id", "split")
+        Dedup.jaccardDedup(keptDocs, 0.5)).select("doc_id", "split")
     }
     val toks = keptDocs
       .select(col("doc_id"), col("source"), Bpe.totalCount(col("text")).as("nt"))
