@@ -317,16 +317,20 @@ object JpegDecode {
     * SAME integers ImageIO's native reader produces — which is what lets
     * MultimodalSpec pin byte parity on the color output too.
     *
-    * Chroma upsampling in the 4:2:0 case is SAMPLE REPLICATION (each
-    * chroma sample covers its 2×2 luma quad). T.81 does not mandate an
-    * upsampling filter, so decoders legitimately differ on it (libjpeg's
-    * default is triangular "fancy" interpolation) — which is why the
-    * HASH-checked 4:2:0 fixtures carry a FLAT chroma plane per image:
-    * every interpolation of a constant field is that constant, so
-    * replication, fancy, and anything conforming agree bit-for-bit there,
-    * while real-world subsampled scans still decode (with upsampling-
-    * dependent chroma near edges, exactly as any single decoder choice
-    * has). Null/integrity semantics follow [[jpeg]]: junk returns
+    * Chroma upsampling in the 4:2:0 case is libjpeg's FANCY (h2v2
+    * triangular) filter — jdsample.c's h2v2_fancy_upsample: per output
+    * pixel the nearer chroma ROW weighs 3:1 against the farther within
+    * each of the two nearest columns, the nearer COLUMN sum weighs 3:1
+    * against the farther, with rounding 8 (even px) / 7 (odd px) and one
+    * >> 4; image edges clamp the neighbor index (reproducing libjpeg's
+    * first/last-sample special cases). These are the SAME integers
+    * ImageIO's native reader produces — which is what lets the 4:2:0
+    * fixtures vary chroma PER MCU (MediaSynth.jpegColor420 plants a
+    * different (Cb, Cr) per 16×16 block) and still pin per-pixel ImageIO
+    * parity in MultimodalSpec. T.81 does not mandate an upsampling filter;
+    * matching libjpeg's default is the interoperable choice (sample
+    * replication — the pre-r13 implementation — only agreed on flat-chroma
+    * images). Null/integrity semantics follow [[jpeg]]: junk returns
     * all-null, a malformed entropy stream (in ANY component — chroma
     * corruption triggers exactly like luma) nulls the sums.
     */

@@ -295,11 +295,226 @@ object SignBuckets {
   }
 }
 
+/** Top-p nearest centroids by cosine over a FOLDABLE centroid matrix
+  * (kernel 23): p linear argmax passes over the book in one compiled call,
+  * returning the 0-based row INDEXES in descending-cosine order with ties
+  * to the lower index — exactly p rounds of
+  * `max_by(cent_id, struct(cos, -cent_id))` excluding already-chosen
+  * cells, the broadcast-fan-out shape this replaces. Cosines use the same
+  * fold as the [[VecDot]]-based `cosine` expression (sequential += in
+  * index order, `dot / (sqrt(x·x) * sqrt(c·c))`), so assignments are
+  * bit-identical to the max_by form for finite inputs (NaN cosines — a
+  * zero-norm vector, absent from every corpus here — would sort LAST here
+  * and first under Spark's NaN-greatest ordering). The book and its norms
+  * ride as codegen reference objects ([[PqArgmin]] pattern); the win is
+  * that the corpus-side argmax becomes ROW-LOCAL — no n·numCells fan-out,
+  * no object aggregate, no exchange.
+  */
+case class NearestCells(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression {
+
+  require(p >= 1, s"bad probe count: $p")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okLeft = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val okRight = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }) && right.eval(null).asInstanceOf[ArrayData].numElements() > 0
+    if (okLeft && okRight) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_cells expects (array<float|double>, nonempty foldable " +
+          s"array<array<double>>), got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val book: Array[Array[Double]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
+  }
+  @transient private lazy val nc: Array[Double] =
+    book.map(c => math.sqrt(c.map(v => v * v).sum))
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCells.compute(a.asInstanceOf[ArrayData], leftIsFloat, book, nc, p)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("ncBook", book, "double[][]")
+    val ncRef = ctx.addReferenceObj("ncNorm", nc, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.NearestCells.compute($a, $leftIsFloat, $bookRef, $ncRef, $p);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCells =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_nearest_cells"
+}
+
+object NearestCells {
+
+  def compute(x: ArrayData, isFloat: Boolean, book: Array[Array[Double]],
+      nc: Array[Double], p: Int): ArrayData = {
+    val nx = x.numElements()
+    val xv = new Array[Double](nx)
+    var i = 0
+    while (i < nx) {
+      xv(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var x2 = 0.0
+    i = 0
+    while (i < nx) { x2 += xv(i) * xv(i); i += 1 }
+    val nxr = math.sqrt(x2)
+    val m = book.length
+    val cos = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val c = book(j)
+      val d = math.min(nx, c.length) // VecDot's min-length contract
+      var s = 0.0
+      var t = 0
+      while (t < d) { s += xv(t) * c(t); t += 1 }
+      cos(j) = s / (nxr * nc(j))
+      j += 1
+    }
+    val take = math.min(p, m)
+    val out = new Array[Any](take)
+    val used = new Array[Boolean](m)
+    var r = 0
+    while (r < take) {
+      var bj = -1
+      var bc = Double.NegativeInfinity
+      j = 0
+      while (j < m) {
+        if (!used(j) && cos(j) > bc) { bc = cos(j); bj = j }
+        j += 1
+      }
+      if (bj < 0) // all-NaN residue: return the cells actually ranked
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.take(r))
+      used(bj) = true
+      out(r) = bj
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Nearest vector by cosine over a NON-foldable book COLUMN (kernel 24):
+  * argmax over an `array<array<double>>` attached per row (the per-cell
+  * fine-centroid books a broadcast 1:1 join delivers), returning
+  * struct(idx, cos) of the best entry — first occurrence of the maximum,
+  * i.e. ties to the lower index, matching `max_by(id, struct(cos, -id))`
+  * over the same candidates bit-for-bit (same [[VecDot]] fold, same
+  * `dot / (sqrt(x·x) * sqrt(c·c))` shape; the candidate norm is recomputed
+  * per row exactly as the `cosine` expression it replaces did). Null on an
+  * empty/missing book, so a left-joined absent cell drops out of a
+  * `greatest` reduce naturally.
+  */
+case class NearestVec(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okLeft = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val okRight = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (okLeft && okRight) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_vec expects (array<float|double>, array<array<double>>), " +
+          s"got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def dataType: DataType = NearestVec.outType
+
+  override def nullable: Boolean = true // null on an empty book
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestVec.compute(a.asInstanceOf[ArrayData], leftIsFloat, b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.NearestVec.compute($a, $leftIsFloat, $b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestVec =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_nearest_vec"
+}
+
+object NearestVec {
+
+  val outType: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+
+  def compute(x: ArrayData, isFloat: Boolean,
+      book: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = book.numElements()
+    if (m == 0) return null
+    val nx = x.numElements()
+    val xv = new Array[Double](nx)
+    var i = 0
+    while (i < nx) {
+      xv(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var x2 = 0.0
+    i = 0
+    while (i < nx) { x2 += xv(i) * xv(i); i += 1 }
+    val nxr = math.sqrt(x2)
+    var bi = -1
+    var bc = Double.NegativeInfinity
+    var j = 0
+    while (j < m) {
+      val c = book.getArray(j)
+      val dc = c.numElements()
+      var c2 = 0.0
+      var t = 0
+      while (t < dc) { val v = c.getDouble(t); c2 += v * v; t += 1 }
+      val d = math.min(nx, dc)
+      var s = 0.0
+      t = 0
+      while (t < d) { s += xv(t) * c.getDouble(t); t += 1 }
+      val cos = s / (nxr * math.sqrt(c2))
+      if (cos > bc) { bc = cos; bi = j }
+      j += 1
+    }
+    if (bi < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bi, bc))
+  }
+}
+
 object VectorFunctions {
 
   val dotName = "graft_vec_dot"
   val pqArgminName = "graft_pq_argmin"
   val signBucketsName = "graft_sign_buckets"
+  val nearestCellsName = "graft_nearest_cells"
+  val nearestVecName = "graft_nearest_vec"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -311,6 +526,13 @@ object VectorFunctions {
       exprs => SignBuckets(exprs(0), exprs(1),
         Args.intLiteral(signBucketsName, exprs, 2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      nearestCellsName,
+      exprs => NearestCells(exprs(0), exprs(1),
+        Args.intLiteral(nearestCellsName, exprs, 2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      nearestVecName, exprs => NearestVec(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-level handle (resolves against the session registry). */
@@ -321,4 +543,11 @@ object VectorFunctions {
   def signBuckets(x: Column, planes: Column, numPlanes: Int): Column =
     call_function(signBucketsName, x, planes,
       org.apache.spark.sql.functions.lit(numPlanes))
+
+  def nearestCells(x: Column, book: Column, p: Int): Column =
+    call_function(nearestCellsName, x, book,
+      org.apache.spark.sql.functions.lit(p))
+
+  def nearestVec(x: Column, book: Column): Column =
+    call_function(nearestVecName, x, book)
 }

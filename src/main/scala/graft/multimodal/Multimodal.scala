@@ -295,10 +295,17 @@ object Multimodal {
   def jpegDimensions(p: Column, maxSegments: Int = 12): Column = {
     val sof = Seq(0xFFC0, 0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
       0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF)
+    // the progressive-DCT SOF family (T.81 table B.1): C2/CA (huffman/
+    // arithmetic) and their differential forms C6/CE. Real web corpora are
+    // majority-progressive; the baseline decoders honestly null on them,
+    // and this flag is what lets a pipeline ROUTE instead of silently
+    // dropping (count them, quarantine them, or skip decode)
+    val progressive = Seq(0xFFC2, 0xFFC6, 0xFFCA, 0xFFCE)
     val walk = aggregate(
       sequence(lit(1), lit(maxSegments)),
       struct(lit(3).as("pos"),
-        lit(null).cast(IntegerType).as("h"), lit(null).cast(IntegerType).as("w")),
+        lit(null).cast(IntegerType).as("h"), lit(null).cast(IntegerType).as("w"),
+        lit(null).cast(IntegerType).as("m")),
       (st, _) => {
         val pos = st.getField("pos")
         val marker = beU16(p, pos)
@@ -307,14 +314,19 @@ object Multimodal {
         when(stop, st)
           .when(marker.isin(sof: _*), struct(
             pos.as("pos"),
-            beU16(p, pos + 5).as("h"), beU16(p, pos + 7).as("w")))
+            beU16(p, pos + 5).as("h"), beU16(p, pos + 7).as("w"),
+            marker.as("m")))
           .otherwise(struct(
             (pos + 2 + beU16(p, pos + 2)).as("pos"),
-            st.getField("h").as("h"), st.getField("w").as("w")))
+            st.getField("h").as("h"), st.getField("w").as("w"),
+            st.getField("m").as("m")))
       })
     val ok = p.substr(1, 2) === b(0xFF, 0xD8)
-    when(ok, struct(walk.getField("w").as("width"), walk.getField("h").as("height")))
-      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+    when(ok, struct(
+      walk.getField("w").as("width"), walk.getField("h").as("height"),
+      when(walk.getField("m").isNotNull,
+        walk.getField("m").isin(progressive: _*)).as("progressive")))
+      .otherwise(lit(null).cast("struct<width:int,height:int,progressive:boolean>"))
   }
 
   /** WAV (channels, sample rate) from the canonical RIFF/fmt layout:
@@ -482,7 +494,8 @@ object Multimodal {
                WHEN 1 THEN CAST(8 * (1 + doc_id % 2) AS INT)
              END AS height,
              CASE WHEN doc_id % 3 = 2 THEN CAST(1 AS INT) END AS channels,
-             CASE WHEN doc_id % 3 = 2 THEN CAST($rateSql AS BIGINT) END AS sample_rate
+             CASE WHEN doc_id % 3 = 2 THEN CAST($rateSql AS BIGINT) END AS sample_rate,
+             CASE WHEN doc_id % 3 = 1 THEN FALSE END AS progressive
       FROM documents
       ORDER BY media_id
     """),
@@ -502,6 +515,12 @@ object Multimodal {
           .when(fmt === "jpeg", jpg.getField("height")).as("height"),
         when(fmt === "wav", wav.getField("channels")).as("channels"),
         when(fmt === "wav", wav.getField("sample_rate")).as("sample_rate"),
+        // SOF-family routing flag: false = baseline/sequential (decodable
+        // by the in-engine tiers), true = progressive DCT (SOF2 family —
+        // detected honestly, decode stays null). The planted corpus is
+        // all-baseline, so the oracle pins FALSE on every jpeg row; the
+        // SOF2 positive case is MultimodalSpec's planted fixture.
+        when(fmt === "jpeg", jpg.getField("progressive")).as("progressive"),
       )
       .orderBy("media_id")
   }

@@ -229,12 +229,19 @@ object Similarity {
     *
     * Seeds are the `numCells` corpus vectors with the smallest xxhash64 of
     * their id — deterministic, size-independent, no RNG state — refined by
-    * `lloydIters` distributed Lloyd steps (assign = broadcast argmax join;
-    * re-center = per-(cell, dim) mean via posexplode, re-packed with
-    * sort_array(collect_list)). At 100 TB the same code trains on a hash
-    * sample and the centroid table stays broadcast-sized; assignment is one
-    * scan + argmax against broadcast centroids, so the corpus shuffles
-    * exactly once — by cell — to build the inverted file.
+    * `lloydIters` distributed Lloyd steps. Each step is ZERO-EXCHANGE for
+    * the corpus (round-13 verdict #2): the centroid table — broadcast-scale
+    * by contract — is driver-collected, assignment is a row-local
+    * [[graft.functions.NearestCells]] kernel argmax off the scan, and the
+    * re-center is `dim` avg aggregates whose partial maps collapse each
+    * task to numCells rows before the (tiny) exchange. The previous shape
+    * (`assignCells(..).join(corpus)` + posexplode re-center) re-exchanged
+    * and SORTED the full embedding corpus every iteration — the
+    * event-logged 56 GB disk death of the 20M-vector probe. Driver
+    * collects are per-iteration and centroid-scale; lineage is cut at each
+    * collect, so no checkpoint bookkeeping is needed inside the loop.
+    * At 100 TB the same code trains on a hash sample; the full-corpus
+    * passes are pure map work.
     */
   def ivfCentroids(corpus: DataFrame, numCells: Int, lloydIters: Int = 1): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
@@ -245,31 +252,65 @@ object Similarity {
       .select(row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id")))
         .as("cent_id"), col("embedding").as("cvec"))
     (0 until lloydIters).foreach { _ =>
-      val assigned = assignCells(corpus, cents)
-        .join(corpus, "vec_id")
-      cents = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cell").as("cent_id"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).getField("m")
-          .as("cvec"))
+      cents = recenter(withCells(corpus.select(col("vec_id"), col("embedding")), cents))
     }
     cents
   }
 
-  /** Nearest centroid per corpus vector: broadcast cross-score + argmax
-    * (`max_by` keeps the scalar aggregate shape — no window, no second
-    * pass; ties break to the lower cell id via the (cos, -cell) pair).
+  /** Per-cell means as `dim` avg aggregates over UNEXPLODED rows (the
+    * 64-buffer form — the posexplode variant pushes n·d rows through a
+    * (cell, dim) partial agg; see the fine-Lloyd note in
+    * [[indexedAssignment]]). Cells with no members drop out, matching the
+    * old groupBy behavior.
+    */
+  private def recenter(asg: DataFrame): DataFrame =
+    asg
+      .groupBy(col("cell").as("cent_id"))
+      .agg(avg(element_at(col("embedding"), 1)).as("m0"),
+        (2 to dim).map(i => avg(element_at(col("embedding"), i)).as(s"m${i - 1}")): _*)
+      .select(col("cent_id"),
+        array((0 until dim).map(i => col(s"m$i")): _*).as("cvec"))
+
+  /** Driver-collected (ids, vectors) view of a (cent_id, cvec) centroid
+    * frame, ascending cent_id — so the kernels' first-max tie rule (lower
+    * index) coincides with max_by's lower-cent_id rule. Centroid-scale
+    * collect (precedent: the Pq codebook, the semanticDedup seeds).
+    */
+  private[similarity] def collectCents(cents: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    val rows = cents.select(col("cent_id").cast("int"),
+      col("cvec").cast("array<double>")).collect().sortBy(_.getInt(0))
+    (rows.map(_.getInt(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** The top-p nearest cells of `embedding` against a collected book, as
+    * cell IDS (array<int>, descending cosine, ties to the lower id).
+    */
+  private def cellsCol(ids: Array[Int], book: Array[Array[Double]], p: Int): Column =
+    transform(
+      VectorFunctions.nearestCells(col("embedding"),
+        typedlit(book.map(_.toSeq).toSeq), p),
+      i => element_at(typedlit(ids.toSeq), i + 1))
+
+  /** `vectors` plus a `cell` column: nearest centroid as a ROW-LOCAL
+    * kernel argmax against the driver-collected book — zero shuffle, zero
+    * aggregate, bit-identical cosines and tie-breaks to the broadcast
+    * `max_by(cent_id, struct(cos, -cent_id))` form it replaces. Because
+    * the embedding stays on the row, the join-back-by-vec_id every
+    * consumer used to pay (a corpus-width sort-merge exchange — the
+    * round-13 20M-vector disk death) disappears.
+    */
+  def withCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(vectors.sparkSession)
+    val (ids, book) = collectCents(cents)
+    vectors.withColumn("cell", element_at(cellsCol(ids, book, 1), 1))
+  }
+
+  /** Nearest centroid per vector as (vec_id, cell) — kept for consumers
+    * that only need the assignment (streaming ingest, specs); see
+    * [[withCells]] for the full-row form.
     */
   def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame =
-    vectors.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents))
-      .select(col("vec_id"),
-        col("cent_id"),
-        cosine(col("embedding"), col("cvec")).as("cos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), struct(col("cos"), -col("cent_id"))).as("cell"))
+    withCells(vectors, cents).select(col("vec_id"), col("cell"))
 
   /** IVF ANN: queries probe their `nprobe` closest cells; only vectors
     * filed under a probed cell get exact-scored. The inverted file is the
@@ -285,8 +326,7 @@ object Similarity {
     // long-lived session. Checkpoint blocks are freed by the ContextCleaner
     // once this frame is unreachable — no caller-managed lifetime.
     val cents = ivfCentroids(corpus, numCells).localCheckpoint()
-    val file = assignCells(corpus, cents)
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val file = withCells(corpus, cents)
       .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("ce"))
     probeFrom(queries, cents, file, k, nprobe)
   }
@@ -330,8 +370,7 @@ object Similarity {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val cents = ivfCentroids(corpus, numCells).localCheckpoint()
     graft.io.SnapshotTable.create(cents, s"$dir/centroids")
-    val file = assignCells(corpus, cents)
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val file = withCells(corpus, cents)
       .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("ce"))
     graft.io.SnapshotTable.create(file, s"$dir/file", partitionBy = Seq("cell"))
   }
@@ -511,10 +550,10 @@ object Similarity {
     * trainer already serving the IVF family ([[ivfCentroids]]:
     * hash-seeded, `lloydIters` assign/re-center passes, centroid table
     * broadcast-scale) — instead of the lowest-vec_id seed stand-in the
-    * oracle path uses for SQL-checkability. Assignment is the one
-    * broadcast argmax join per row ([[assignCells]]); the keep-first
-    * intra-cluster scan is [[clusterKeepFirst]], identical to the oracle
-    * path's. Rows-only by nature (Lloyd's double means carry
+    * oracle path uses for SQL-checkability. Assignment is the row-local
+    * kernel argmax ([[withCells]] — read off the scan, no join-back); the
+    * keep-first intra-cluster scan is [[clusterKeepFirst]], identical to
+    * the oracle path's. Rows-only by nature (Lloyd's double means carry
     * partition-order low bits); SimilaritySpec pins that on planted
     * separable clusters the trained twin makes the SAME kept/dropped
     * decisions as the oracle path, and that output invariants (one kept
@@ -525,8 +564,7 @@ object Similarity {
       lloydIters: Int = 1): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val cents = ivfCentroids(emb, k, lloydIters).localCheckpoint()
-    val asg = assignCells(emb, cents)
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val asg = withCells(emb.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
         col("cell").cast("int").as("cluster"))
@@ -557,88 +595,101 @@ object Similarity {
     clusterKeepFirst(asg, t)
   }
 
+  /** Stage-boundary shuffle release (the Stages.released lesson, extended
+    * to SHUFFLE FILES): each eager checkpoint truncates lineage, but the
+    * dead exchanges' files are deleted only after a JVM GC proves their
+    * RDDs unreachable — and the default periodic GC (30 min) is slower
+    * than these queries' stages, so at 20M vectors the accumulated
+    * per-stage shuffles exhausted the probe host's disk. A driver-side GC
+    * nudge after each boundary keeps peak disk at the largest single
+    * stage; on a cluster the same call is a no-op-scale driver pause.
+    * Gated (round-13 advice): set `spark.graft.releaseShuffles.gc=false`
+    * to disable, and note that under `-XX:+DisableExplicitGC` the call is
+    * silently a no-op — then rely on a short
+    * `spark.cleaner.periodicGC.interval` instead.
+    */
+  private def releaseShuffles(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.conf.get("spark.graft.releaseShuffles.gc", "true").toBoolean) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info("releaseShuffles: driver GC nudge to free dead shuffle files")
+      System.gc()
+    }
+
   /** The two-level assignment behind [[semanticDedupIndexed]], returning
     * (fine centroids (ccell, fid, fvec), assignment (vec_id, embedding,
     * nrm, cluster)) — split out so SimilaritySpec can pin the probe
     * assignment's agreement with a flat argmax over the SAME centroids.
+    *
+    * Round-14 shape: ZERO object aggregates and zero corpus exchanges.
+    * The round-13 form ran every fan-out argmax as a broadcast join +
+    * `max_by` (needing a session-global raise of the objectHashAggregate
+    * sort-fallback threshold — a concurrency hazard the r13 advice
+    * flagged) and joined assignments back onto the corpus by vec_id (the
+    * sort that spilled 240 GB at 20M vectors before the threshold fix,
+    * and 56 GB inside the coarse trainer after it). Now every argmax is a
+    * row-local kernel: coarse cells via [[graft.functions.NearestCells]]
+    * against the driver-collected coarse book, fine cells via
+    * [[graft.functions.NearestVec]] against per-cell books riding a 1:1
+    * broadcast join — assignments are read off the scan, never joined
+    * back. The threshold hack is gone because nothing object-aggregates
+    * at corpus scale anymore (the per-cell book collect_list groups at
+    * √k scale).
     */
   private[similarity] def indexedAssignment(emb: DataFrame, k: Int,
       lloydIters: Int, nprobe: Int): (DataFrame, DataFrame) = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
-    // Every fan-out argmax here is a max_by(struct) — an OBJECT aggregate,
-    // whose sort-based fallback fires at 128 in-memory entries by default:
-    // the n·√k broadcast fan-out then gets SORTED (240 GB of sorter spill
-    // at 20M vectors — disk death) instead of hash-collapsed to one row
-    // per vector. Per-task group counts are corpus/parallelism (~625k at
-    // the 20M probe; ~64 B struct buffers ≈ tens of MB per task), so a
-    // 2M-entry threshold keeps the aggregation hash-based and bounded.
-    // Session-scoped set-and-restore is sound because every aggregate in
-    // this function materializes EAGERLY (the localCheckpoint stage
-    // boundaries) before the finally runs.
     val spark = emb.sparkSession
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val fbOld = spark.conf.getOption(fbKey)
-    spark.conf.set(fbKey, (2 << 20).toString)
-    try indexedAssignmentBody(emb, k, lloydIters, nprobe)
-    finally fbOld match {
-      case Some(v) => spark.conf.set(fbKey, v)
-      case None    => spark.conf.unset(fbKey)
-    }
-  }
-
-  private def indexedAssignmentBody(emb: DataFrame, k: Int,
-      lloydIters: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
-    // coarse quantizer + coarse assignment: the only full-corpus scoring
-    // passes, each n·√k
-    val coarse = ivfCentroids(emb, kc, lloydIters).localCheckpoint()
-    val members = assignCells(emb, coarse)
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .select(col("vec_id"), col("cell").as("ccell"), col("embedding"))
+    // coarse quantizer: zero-exchange Lloyd (see ivfCentroids); the book
+    // is collected ONCE here and reused by members + the probe phase
+    val coarse = ivfCentroids(emb, kc, lloydIters)
+    val (cids, cbook) = collectCents(coarse)
+    // coarse assignment off the scan — no join, no aggregate, no exchange
+    val members = emb
+      .select(col("vec_id"), element_at(cellsCol(cids, cbook, 1), 1).as("ccell"),
+        col("embedding"))
       .localCheckpoint()
-    // Stage-boundary shuffle release (the Stages.released lesson, extended
-    // to SHUFFLE FILES): each eager checkpoint above/below truncates
-    // lineage, but the dead exchanges' files are deleted only after a JVM
-    // GC proves their RDDs unreachable — and the default periodic GC
-    // (30 min) is slower than this query's stages, so at 20M vectors the
-    // accumulated per-stage shuffles (every stage re-exchanges the ~6 GB
-    // embedding frame) exhausted the probe host's disk. A driver-side GC
-    // nudge after each boundary keeps peak disk at the largest single
-    // stage; on a cluster the same call is a no-op-scale driver pause.
-    def releaseShuffles(): Unit = System.gc()
-    releaseShuffles()
+    releaseShuffles(spark)
     // per-cell fine seeds: the kf hash-first members of each coarse cell,
     // with fid = ccell·kf + rank so the fine id ENCODES its coarse cell.
     // The rank window runs on a SLIM (vec_id, ccell) projection — windows
     // have no partial aggregation, so ranking the embedding-carrying frame
-    // would shuffle the whole corpus's arrays; the k winners join their
-    // embeddings back at centroid scale.
-    val seeds = members.select(col("vec_id"), col("ccell"))
+    // would shuffle the whole corpus's arrays; the k winners pull their
+    // embeddings via an EXPLICIT broadcast onto the members scan (k rows —
+    // never an exchange of members).
+    val ranked = members.select(col("vec_id"), col("ccell"))
       .withColumn("hr", row_number().over(
         Window.partitionBy("ccell").orderBy(xxhash64(col("vec_id")), col("vec_id"))))
       .filter(col("hr") <= kf)
-      .join(members.select(col("vec_id"), col("embedding")), "vec_id")
+    val seeds = members.select(col("vec_id"), col("embedding"))
+      .join(broadcast(ranked), "vec_id")
       .select(col("ccell"),
         (col("ccell").cast("long") * kf + col("hr") - 1).as("fid"),
         col("embedding").cast("array<double>").as("fvec"))
+    // (ccell, fids, fvecs): each coarse cell's fine book as ONE row, fid
+    // ascending (sort_array on the struct), so NearestVec's first-max tie
+    // = lowest fid — the max_by(fid, struct(cos, -fid)) rule. The
+    // collect_list groups at √k scale; its sort-based fallback would sort
+    // k rows, not the corpus.
+    def booksOf(fine: DataFrame): DataFrame =
+      fine.groupBy("ccell")
+        .agg(sort_array(collect_list(struct(col("fid"), col("fvec")))).as("bk"))
+        .select(col("ccell"), col("bk.fid").as("fids"), col("bk.fvec").as("fvecs"))
     // Lloyd within each coarse cell: members only ever score their OWN
-    // cell's fine centroids (a broadcast fan-out join on ccell — n·√k rows,
-    // never n·k)
-    def assignOwnCell(cents: DataFrame): DataFrame =
-      members.join(broadcast(cents), Seq("ccell"))
-        .select(col("vec_id"),
-          col("fid"), cosine(col("embedding"), col("fvec")).as("cos"))
-        .groupBy("vec_id")
-        .agg(max_by(col("fid"), struct(col("cos"), -col("fid"))).as("cluster"))
+    // cell's fine centroids — the book rides a 1:1 broadcast join keyed by
+    // ccell and the argmax is the row-local NearestVec kernel, so the
+    // corpus neither fans out nor exchanges; the re-center is the
+    // 64-buffer avg form (k-scale groups per task, tiny exchange)
+    def fineAssign(fine: DataFrame): DataFrame =
+      members.join(broadcast(booksOf(fine)), Seq("ccell"))
+        .select(col("vec_id"), col("embedding"),
+          element_at(col("fids"),
+            VectorFunctions.nearestVec(col("embedding"), col("fvecs"))
+              .getField("idx") + 1).as("cluster"))
     var fine = seeds
     for (_ <- 0 until lloydIters) {
-      // re-center as 64 per-element avg aggregates over UNEXPLODED rows:
-      // the posexplode form ivfCentroids uses (fine at broadcast-scale k)
-      // pushes n·d rows through a (cluster, dim) partial agg whose
-      // per-task group count is k·d — ~25 GB of exchange at 20M vectors,
-      // vs ~7 GB for the 64-buffer form (k-scale groups per task)
-      fine = assignOwnCell(fine).join(members, "vec_id")
+      fine = fineAssign(fine)
         .groupBy("cluster")
         .agg(avg(element_at(col("embedding"), 1)).as("m0"),
           (2 to dim).map(i =>
@@ -648,50 +699,39 @@ object Similarity {
           array((0 until dim).map(i => col(s"m$i")): _*).as("fvec"))
     }
     val fineC = fine.localCheckpoint()
-    releaseShuffles()
-    // final assignment probes the nprobe closest coarse cells. NOT a
-    // window: ranking the n·√k broadcast fan-out would SHUFFLE it (a
-    // window has no partial aggregation — ~190 GB at 20M vectors, the
-    // fourth decade's hidden bomb here). Instead, nprobe rounds of
-    // max_by, each excluding the cells already picked: the fan-out rows
-    // are map-local to the broadcast join, so each round's partial
-    // aggregation collapses them to ONE row per vector before its
-    // exchange — every shuffle in the probe phase is vector-scale.
-    val probes = {
-      var chosen: DataFrame = null
-      for (r <- 0 until math.min(nprobe, kc)) {
-        val base =
-          if (r == 0) members.select(col("vec_id"), col("embedding"))
-          else members.select(col("vec_id"), col("embedding"))
-            .join(chosen.groupBy("vec_id")
-              .agg(collect_list(col("ccell")).as("excl")), Seq("vec_id"))
-        val best = base
-          .join(broadcast(coarse))
-          .filter(if (r == 0) lit(true)
-            else !array_contains(col("excl"), col("cent_id")))
-          .select(col("vec_id"), col("cent_id"),
-            cosine(col("embedding"), col("cvec")).as("ccos"))
-          .groupBy("vec_id")
-          .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id")))
-            .as("ccell"))
-        chosen = if (r == 0) best else chosen.unionByName(best)
-      }
-      chosen.localCheckpoint() // slim (vec_id, ccell) boundary frame
+    releaseShuffles(spark)
+    // final assignment probes the nprobe closest coarse cells — ROW-LOCAL
+    // end to end: the NearestCells kernel emits the top-nprobe cells off
+    // the scan (bit-identical to nprobe exclude-chosen max_by rounds),
+    // each probed cell's fine book arrives by a 1:1 broadcast left-join,
+    // and the best-of-cells reduce is a `greatest` over the nprobe
+    // (cos, -fid) structs in the same projection — max cos, ties to the
+    // lowest fid, exactly the max_by rule over the union of candidates.
+    // A probed cell can lack a book (it lost every fine cluster in
+    // re-center): its struct has null fields and sorts below any real
+    // candidate; the r=0 probe is the member's OWN cell (same argmax
+    // arithmetic), which always retains at least one fine cluster, so
+    // every row has a real winner.
+    val nr = math.min(nprobe, kc)
+    val books = booksOf(fineC)
+    var cur = members.withColumn("pc", cellsCol(cids, cbook, nr))
+    for (r <- 0 until nr)
+      cur = cur.join(
+        broadcast(books.select(col("ccell").as(s"cc$r"),
+          col("fids").as(s"fids$r"), col("fvecs").as(s"fvecs$r"))),
+        element_at(col("pc"), r + 1) === col(s"cc$r"), "left")
+    val cand = (0 until nr).map { r =>
+      val nv = VectorFunctions.nearestVec(col("embedding"), col(s"fvecs$r"))
+      struct(nv.getField("cos").as("c"),
+        (-element_at(col(s"fids$r"), nv.getField("idx") + 1)).as("nf"))
     }
-    releaseShuffles()
-    val asg = probes
-      .join(members.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(fineC), Seq("ccell"))
-      .select(col("vec_id"),
-        col("fid"), cosine(col("embedding"), col("fvec")).as("cos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("fid"), struct(col("cos"), -col("fid"))).as("fbest"))
-      .join(members.select(col("vec_id"), col("embedding")), "vec_id")
+    val best = if (nr == 1) cand.head else greatest(cand: _*)
+    val asg = cur
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-        col("fbest").cast("int").as("cluster"))
+        (-best.getField("nf")).cast("int").as("cluster"))
       .localCheckpoint()
-    releaseShuffles()
+    releaseShuffles(spark)
     (fineC, asg)
   }
   // (cluster = positional index into the sorted seed list; the oracle labels

@@ -91,6 +91,36 @@ class MultimodalSpec extends SparkSpec {
     assert(other.isNullAt(0) && other.isNullAt(1))
   }
 
+  test("progressive JPEG (SOF2) detected with dimensions; decode honestly null") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def seg(marker: Int, payloadLen: Int): Array[Byte] =
+      bytes(0xFF, marker, (payloadLen + 2) >> 8, (payloadLen + 2) & 0xFF) ++
+        Array.fill(payloadLen)(0x42.toByte)
+    // minimal progressive header: SOI, DQT, SOF2 (3 components, 120×240),
+    // then junk entropy bytes — real web corpora are majority-progressive,
+    // and the pipeline contract is detect + route, decode stays null
+    val sof2 = bytes(0xFF, 0xC2, 0x00, 0x11, 0x08, 0x00, 0x78, 0x00, 0xF0,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    val prog = bytes(0xFF, 0xD8) ++ seg(0xDB, 65) ++ sof2 ++ bytes(9, 9, 9)
+    // baseline sibling (SOF0) for the negative flag
+    val sof0 = sof2.updated(1, 0xC0.toByte)
+    val base = bytes(0xFF, 0xD8) ++ seg(0xDB, 65) ++ sof0 ++ bytes(9, 9, 9)
+    val df = Seq((1L, prog), (2L, base)).toDF("id", "p")
+      .select(col("id"), Multimodal.jpegDimensions(col("p")).as("d"))
+    val byId = df.collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(byId(1L).getInt(0) === 240 && byId(1L).getInt(1) === 120)
+    assert(byId(1L).getBoolean(2) === true, "SOF2 must flag progressive")
+    assert(byId(2L).getBoolean(2) === false, "SOF0 must flag baseline")
+    // the baseline decoders null the progressive stream instead of guessing
+    graft.functions.JpegFunctions.ensureRegistered(spark)
+    val dec = Seq((1L, prog)).toDF("id", "p")
+      .select(graft.functions.JpegFunctions.jpegColorStats(col("p")).as("s"))
+      .head()
+    assert(dec.isNullAt(0) || dec.getStruct(0).isNullAt(0),
+      "progressive stream must not decode through the baseline tier")
+  }
+
   test("PCM16 decode agrees with a JVM ByteBuffer decode of the same bytes") {
     val subset = docs.filter(col("doc_id") < 40)
     val byId = Multimodal.audioTable(subset)
