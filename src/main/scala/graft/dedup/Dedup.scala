@@ -1633,8 +1633,13 @@ object Dedup {
       k: Int, dfCap: Int, symmetric: Boolean): DataFrame = {
     val spark = sets.sparkSession
     // h-only agg exchange ≈ 24 B per gram occurrence; ~8M docs per shard
-    // keeps a shard's exchange ~15 GB at ~130 grams/doc
-    val shards = ((n - 1) / 8000000L + 1L).toInt
+    // keeps a shard's exchange ~15 GB at ~130 grams/doc. Configurable so
+    // the S>1 path is exercisable below 8M docs (DedupSpec pins shard-
+    // invariance: per-shard df is globally exact, so S never changes the
+    // result) and tunable to a cluster's per-shard disk budget.
+    val docsPerShard = spark.conf.getOption("spark.graft.bottomk.docsPerShard")
+      .map(_.toLong).getOrElse(8000000L).max(1L)
+    val shards = ((n - 1) / docsPerShard + 1L).toInt
     val parts = math.max(spark.sparkContext.defaultParallelism,
       (n / 16384L / shards + 1L).toInt)
     val postingH = sets.select(explode(col("shh")).as("h"))

@@ -510,6 +510,152 @@ object MediaDecode {
     out(6) = java.lang.Long.valueOf(sum)
     new GenericInternalRow(out)
   }
+
+  // ---- content embedding (the r13-verdict #5 encoder) ---------------------
+
+  /** REAL content embedding from the decoders' own pixel/sample output —
+    * replaces the md5-fingerprint stub (`stub-md5-v0`): a fingerprint is
+    * hash noise (one flipped byte teleports the vector), these are the
+    * classical pre-neural content descriptors, so NEAR-IDENTICAL media
+    * land NEAR in the vector space and the downstream ANN/dedup operators
+    * act on content, not identity.
+    *
+    *  - images (BMP via the uncompressed 24-bit walk; PNG via the full
+    *    RFC 1951 inflater — stored/fixed/dynamic blocks alike): a 4×4
+    *    spatial grid of per-cell channel means, row-major cells × (R,G,B)
+    *    → 48 dims in [0,1]. Cell of pixel x: `x*4/w` (integer floor), so
+    *    any w,h ≥ 4 partitions exactly;
+    *  - audio (PCM16 WAV): 4 equal sample segments × (mean, rms,
+    *    zero-crossing rate) → 12 dims, amplitudes normalized by 32768.
+    *
+    * Exactness: every value is (exact integer fold) → the SAME IEEE op
+    * sequence the DuckDB oracle mirrors — (sum / count) / norm, and
+    * sqrt(sumSq / count) / norm — so q_mm_features stays hash-green with
+    * a REAL encoder. Null for undecodable payloads (bad gates, filtered
+    * PNG rows, truncated streams) and for formats without an in-engine
+    * pixel tier (progressive JPEG) — the same honest-null routing as the
+    * decoders. Baseline JPEG block means via the T.81 kernel's plane
+    * output are the documented next increment.
+    */
+  private val G = 4 // image grid — 4×4 cells × 3 channels = 48 dims
+
+  def embed(p: Array[Byte]): Any = {
+    if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) return embedBmp(p)
+    if (p.length >= 8 && java.util.Arrays.equals(java.util.Arrays.copyOf(p, 8), pngSig))
+      return embedPng(p)
+    if (p.length >= 44 && ascii(p, 0, "RIFF")) return embedWav(p)
+    null
+  }
+
+  /** Grid fold shared by BMP and PNG: `px(x, y, c)` reads the decoded
+    * channel byte in TOP-DOWN image order; emits the 48-dim mean vector.
+    */
+  private def gridMeans(w: Int, h: Int)(px: (Int, Int, Int) => Int): Any = {
+    val sums = new Array[Long](G * G * 3)
+    val cnts = new Array[Long](G * G)
+    var y = 0
+    while (y < h) {
+      val cy = y * G / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * G + x * G / w
+        cnts(cell) += 1
+        var c = 0
+        while (c < 3) { sums(cell * 3 + c) += px(x, y, c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](G * G * 3)
+    var i = 0
+    while (i < out.length) {
+      val cnt = cnts(i / 3)
+      if (cnt == 0) return null // degenerate geometry (w or h < G)
+      out(i) = (sums(i).toDouble / cnt) / 255.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def embedBmp(p: Array[Byte]): Any = {
+    val ok = p.length >= 34 && leU16(p, 26) == 1 && leU16(p, 28) == 24 &&
+      leU32(p, 30) == 0
+    if (!ok) return null
+    val off = leU32(p, 10).toInt
+    val w = leU32(p, 18).toInt
+    val h = leU32(p, 22).toInt
+    val stride = (w.toLong * 3 + 3) & ~3L
+    if (off < 0 || w <= 0 || h <= 0 ||
+      off.toLong + stride * h > p.length || stride > Int.MaxValue) return null
+    val s = stride.toInt
+    // bottom-up rows, B,G,R byte order → top-down (x, y, {R,G,B})
+    gridMeans(w, h)((x, y, c) => u8(p, off + (h - 1 - y) * s + 3 * x + (2 - c)))
+  }
+
+  private def embedPng(p: Array[Byte]): Any = {
+    val ihdrOk = p.length >= 33 && beU32(p, 8) == 13 && ascii(p, 12, "IHDR") &&
+      u8(p, 24) == 8 && u8(p, 25) == 2 &&
+      u8(p, 26) == 0 && u8(p, 27) == 0 && u8(p, 28) == 0
+    if (!ihdrOk) return null
+    val w = beU32(p, 16).toInt
+    val h = beU32(p, 20).toInt
+    val rowBytes = w.toLong * 3 + 1
+    val rawLen = h.toLong * rowBytes
+    if (w <= 0 || h <= 0 || rawLen <= 0 || rawLen > (1L << 26)) return null
+    // bounded chunk walk to the first IDAT, as the stats kernel
+    var pos = 33L
+    var found = false
+    var hop = 0
+    while (hop < 8 && !found && pos >= 0 && pos + 8 <= p.length) {
+      if (ascii(p, pos.toInt + 4, "IDAT")) found = true
+      else pos += beU32(p, pos.toInt) + 12L
+      hop += 1
+    }
+    if (!found || pos < 0 || pos + 8 > p.length) return null
+    val z = pos.toInt + 8
+    val idatEnd = pos + 8L + beU32(p, pos.toInt)
+    if (z + 2 > p.length || u8(p, z) != 0x78 ||
+      (u8(p, z) * 256 + u8(p, z + 1)) % 31 != 0 ||
+      idatEnd > p.length || idatEnd - z < 7) return null
+    val raw = new Array[Byte](rawLen.toInt)
+    if (inflate(p, z + 2, (idatEnd - 4).toInt, raw) != rawLen) return null
+    val rb = rowBytes.toInt
+    var y = 0 // only filter-type-0 scanlines decode (all the synth tiers)
+    while (y < h) { if (raw(y * rb) != 0) return null; y += 1 }
+    gridMeans(w, h)((x, y2, c) => u8(raw, y2 * rb + 1 + 3 * x + c))
+  }
+
+  private def embedWav(p: Array[Byte]): Any = {
+    val ok = p.length >= 44 && ascii(p, 8, "WAVE") && ascii(p, 12, "fmt ") &&
+      leU16(p, 20) == 1 && leU16(p, 34) == 16 && ascii(p, 36, "data")
+    if (!ok) return null
+    val n = (leU32(p, 40) >>> 1).toInt
+    if (n < 4 || 44 + n.toLong * 2 > p.length) return null
+    val sum = new Array[Long](4)
+    val sumSq = new Array[Long](4)
+    val zc = new Array[Long](4)
+    val cnt = new Array[Long](4)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val v = (u8(p, 44 + 2 * i) | (p(45 + 2 * i).toInt << 8)).toLong // s16le
+      val s = i * 4 / n
+      cnt(s) += 1; sum(s) += v; sumSq(s) += v * v
+      // a crossing belongs to segment s only when BOTH samples are in it
+      if (i > 0 && (i - 1) * 4 / n == s && (v < 0) != (prev < 0)) zc(s) += 1
+      prev = v
+      i += 1
+    }
+    val out = new Array[Double](12)
+    var s = 0
+    while (s < 4) {
+      out(s * 3) = (sum(s).toDouble / cnt(s)) / 32768.0
+      out(s * 3 + 1) = math.sqrt(sumSq(s).toDouble / cnt(s)) / 32768.0
+      out(s * 3 + 2) = zc(s).toDouble / cnt(s)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 private[functions] abstract class MediaDecodeExpression extends UnaryExpression {
@@ -542,6 +688,20 @@ case class BmpStats(child: Expression) extends MediaDecodeExpression {
   override def prettyName: String = "graft_bmp_stats"
 }
 
+case class MediaEmbedding(child: Expression) extends MediaDecodeExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(p: Any): Any = MediaDecode.embed(p.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        graft.functions.MediaDecode.embed($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): MediaEmbedding =
+    copy(child = newChild)
+  override def prettyName: String = "graft_media_embed"
+}
+
 case class WavStats(child: Expression) extends MediaDecodeExpression {
   override def dataType: DataType = MediaDecode.wavType
   override def nullSafeEval(p: Any): Any = MediaDecode.wav(p.asInstanceOf[Array[Byte]])
@@ -559,15 +719,18 @@ object MediaDecodeFunctions {
   val pngName = "graft_png_stats"
   val bmpName = "graft_bmp_stats"
   val wavName = "graft_wav_stats"
+  val embedName = "graft_media_embed"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(pngName, exprs => PngStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(embedName, exprs => MediaEmbedding(exprs.head), "built-in")
   }
 
   def pngStats(payload: Column): Column = call_function(pngName, payload)
   def bmpStats(payload: Column): Column = call_function(bmpName, payload)
   def wavStats(payload: Column): Column = call_function(wavName, payload)
+  def mediaEmbedding(payload: Column): Column = call_function(embedName, payload)
 }

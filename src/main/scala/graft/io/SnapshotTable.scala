@@ -61,10 +61,11 @@ object SnapshotTable {
     * the driver tables use, and a min/max pair survives JSON round-trips
     * exactly (IEEE doubles ↔ shortest repr). STRING stats columns land in
     * `strStats` instead — raw (min, max) strings under Spark's binary
-    * UTF8 ordering; readers only prune on them when bounds and probe are
-    * ASCII (where JVM String order agrees with UTF8String byte order —
-    * beyond ASCII the two orders diverge on supplementary characters, so
-    * the reader conservatively scans).
+    * UTF8 ordering; readers prune by re-encoding bound and probe to UTF-8
+    * and comparing bytes unsigned (exactly UTF8String's order), so
+    * multibyte keys prune like ASCII ones. JVM String compareTo would NOT
+    * be correct here: UTF-16 code-unit order diverges from UTF-8 byte
+    * order on supplementary characters (surrogates sort below U+E000).
     */
   /** `schemaDdl`: the table schema AT THIS VERSION, held in the manifest so
     * readers never merge parquet footers (the footer-merge a schema-on-read
@@ -278,7 +279,7 @@ object SnapshotTable {
     val df0 = spark.read.option("basePath", dir)
       .parquet(relFiles.map(f => s"$dir/$f"): _*)
     // string stats columns get RAW min/max (Spark's UTF8 binary order —
-    // the reader's ASCII guard handles the ordering caveat); everything
+    // readers compare probes under the same UTF8 byte order); everything
     // else keeps the numeric double embedding. A stats column absent from
     // this commit's schema (pre-evolution files) records nothing.
     val present = statsCols.filter(df0.columns.contains)
@@ -814,10 +815,10 @@ object SnapshotTable {
     * TUPLE over `columns` equals one of `tuples`, reading only files
     * whose zone maps can bracket at least one tuple on EVERY column.
     * Numeric columns prune on the double zone maps; string columns on the
-    * raw-string `strStats` maps, and only when the bounds and probe value
-    * are pure ASCII (where JVM String order agrees with the UTF8 binary
-    * order the stats were aggregated under — beyond ASCII the orders
-    * diverge, so the file is conservatively read). A column with no
+    * raw-string `strStats` maps, compared as UNSIGNED UTF-8 BYTES — the
+    * exact order the stats were aggregated under (UTF8String's), so
+    * multibyte keys prune identically to ASCII ones (r13 verdict #8; JVM
+    * String order would misorder supplementary chars). A column with no
     * recorded range, a NaN bound, or an unsupported value type never
     * prunes. The exact membership filter (typed struct IN) is re-applied
     * on top, so pruning is an optimization, never a semantics change.
@@ -832,7 +833,11 @@ object SnapshotTable {
     val snap = snapshot(spark, dir, version)
     columns.foreach(c => require(snap.statsCols.contains(c),
       s"no zone maps for column '$c' (statsCols=${snap.statsCols.mkString(",")})"))
-    def ascii(s: String): Boolean = s.forall(_ < 0x80)
+    // UTF8String's binary order: unsigned comparison of the UTF-8 bytes.
+    // (UTF-8 sorts by code point, so this also equals code-point order —
+    // but NOT java.lang.String order, which compares UTF-16 code units.)
+    def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
     def fits(f: String, c: String, v: Any): Boolean = v match {
       case n: java.lang.Number =>
         snap.stats.get(f).flatMap(_.get(c)) match {
@@ -843,9 +848,8 @@ object SnapshotTable {
         }
       case s: String =>
         snap.strStats.get(f).flatMap(_.get(c)) match {
-          case Some((mn, mx)) if ascii(mn) && ascii(mx) && ascii(s) =>
-            s >= mn && s <= mx
-          case _ => true
+          case Some((mn, mx)) => utf8Cmp(s, mn) >= 0 && utf8Cmp(s, mx) <= 0
+          case None => true
         }
       case _ => true
     }

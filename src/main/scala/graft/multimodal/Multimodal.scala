@@ -39,10 +39,13 @@ import graft.util.{Q, Tables}
   *    bytes a SQL oracle can rebuild EXACTLY, no CRC32/entropy coding)
   *    feeds the byte-level frame/feature/resize plumbing, so those
   *    oracles still hash whole payload bytes.
-  *  - STUB: only `frameFeatures`' deterministic fake feature vectors
-  *    remain — the declared stand-in for the vision/audio encoder this
-  *    container does not ship; the batch shape, partitioning, and
-  *    downstream consumers are real.
+  *  - REAL feature encoder (r14): [[mediaFeatures]] derives content
+  *    descriptors from the decoders' own pixel/sample output (4×4 grid
+  *    channel means for BMP/PNG, segment mean/rms/zcr for PCM16) — the
+  *    last stub tier (`stub-md5-v0` fingerprint vectors) is gone. A
+  *    learned vision/audio encoder stays out of scope (no model runtime
+  *    in-engine); these are the classical pre-neural descriptors, and
+  *    near-identical media land near in the vector space (pinned).
   * Everything else is real and tested: binary schema, format sniffing,
   * HEADER METADATA EXTRACTION (PNG/JPEG width+height from IHDR / SOF, WAV
   * channels+sample-rate from the fmt chunk — pure expressions, the same
@@ -375,31 +378,34 @@ object Multimodal {
       .filter(col("frame_idx").isNotNull)
   }
 
-  /** STUB feature extraction: a real pipeline would decode the frame and run
-    * a vision/audio encoder here; this derives a deterministic fake
-    * `dim`-dimensional vector in [0,1] from the frame's md5 fingerprint (one
-    * byte of the digest per dimension), keeping the batch shape (one dense
-    * vector per frame) and everything downstream (ANN, dedup over
-    * embeddings) exercisable. md5-over-hex rather than xxhash64 so the
-    * DuckDB oracle reproduces the exact vector (integer byte / 255.0 is the
-    * same IEEE division on both engines).
+  /** REAL content encoder (r13 verdict #5 — the md5-fingerprint stub
+    * `stub-md5-v0` is gone): feature vectors derive from the DECODERS'
+    * OWN OUTPUT via [[graft.functions.MediaDecode.embed]] — a 4×4 spatial
+    * grid of per-cell channel means over genuinely decoded pixels for
+    * images (BMP walk / full RFC 1951 PNG inflate → 48 dims in [0,1]),
+    * and 4 sample segments × (mean, rms, zero-crossing rate) for PCM16
+    * audio (12 dims). Classical pre-neural descriptors: near-identical
+    * media land NEAR in the vector space (a fingerprint teleports on one
+    * flipped byte), so the downstream ANN/dedup operators act on content.
+    * MultimodalSpec pins the nearest-neighbor property on a planted
+    * one-pixel mutation. The per-modality tag is stamped on every row so
+    * consumers see which encoder produced a vector; swap with a model id
+    * when a learned encoder replaces the descriptors.
     */
-  /** The stub's contract, stamped on every feature row so a CONSUMER of
-    * the query output (not just a reader of this source) sees these are
-    * fingerprint-derived stand-in vectors, not model embeddings — swap
-    * the tag with the model id when a real encoder replaces the stub.
-    */
-  val featureEncoderTag = "stub-md5-v0"
+  val imageEncoderTag = "pix-grid-mean-v1"
+  val audioEncoderTag = "pcm-seg-stats-v1"
 
-  def frameFeatures(framed: DataFrame, dim: Int = 8): DataFrame = {
-    require(dim <= 16, "stub packs at most the md5 digest's 16 bytes")
-    val fp = fingerprint(col("frame"))
-    framed
-      .withColumn("feature",
-        array((0 until dim).map { i =>
-          conv(substring(fp, 2 * i + 1, 2), 16, 10).cast(DoubleType) / 255.0
-        }: _*))
-      .withColumn("encoder", lit(featureEncoderTag))
+  /** One feature vector per media row: (media_id, feature ARRAY<DOUBLE>,
+    * encoder). Row-local kernel — zero shuffles past the byte-
+    * proportional repartition the tables already carry. Undecodable
+    * payloads yield a null vector (honest routing, as the decoders).
+    */
+  def mediaFeatures(media: DataFrame): DataFrame = {
+    graft.functions.MediaDecodeFunctions.ensureRegistered(media.sparkSession)
+    media.select(col("media_id"),
+      graft.functions.MediaDecodeFunctions.mediaEmbedding(col("payload")).as("feature"),
+      when(col("declared_format").isin("bmp", "png"), imageEncoderTag)
+        .when(col("declared_format") === "wav", audioEncoderTag).as("encoder"))
   }
 
   // ---------------------------------------------------------------- queries
@@ -553,40 +559,80 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Oracle-checked feature extraction: the dump flattens the vector to one
-    * scalar row per (media_id, frame_idx, dim) — array cells would break the
-    * driver's pandas comparator — and DuckDB rebuilds the identical values
-    * from the frame fingerprint's hex pairs (strpos-based hex parse; its
-    * md5 is VARCHAR-only and it has no hex→int cast).
+  /** Oracle-checked REAL feature extraction (r13 verdict #5): the encoder
+    * decodes the payload's actual pixels/samples and derives the grid-
+    * mean / segment-stat descriptors; the oracle recomputes every value
+    * from the PLANTING FORMULAS without touching bytes — same exact
+    * integer folds, same IEEE op order ((sum / count) / norm and
+    * sqrt(sumSq / count) / norm), so the hash compare is legitimate on a
+    * REAL encoder. A wrong stride, row order, channel order, cell
+    * partition, sign fix-up, or segment boundary hash-mismatches. The
+    * dump flattens the vector to one scalar row per (media_id, dim) —
+    * array cells would break the driver's pandas comparator.
     */
   val q_mm_features: Q = Q(
     "q_mm_features",
-    Some(s"""
-      WITH $rawHexCte,
-      -- unnest(range(n)) rather than generate_series: the table function
-      -- cannot take lateral column parameters in this DuckDB build
-      u AS (
-        SELECT media_id, hx,
-               CAST(unnest(range(CAST(ceil(length(hx) / 128.0) AS BIGINT))) AS INT) AS frame_idx
-        FROM m
-      ),
-      f AS (
-        SELECT media_id, frame_idx,
-               md5(substring(hx, frame_idx * 128 + 1, 128)) AS fp
-        FROM u
+    Some("""
+      WITH img AS (
+        SELECT doc_id, 4 + doc_id % 8 AS w, 4 + doc_id % 6 AS h,
+               CAST(unnest(range((4 + doc_id % 8) * (4 + doc_id % 6))) AS BIGINT) AS i
+        FROM documents WHERE doc_id % 2 = 0
+      ), ipx AS (
+        SELECT doc_id, w, h, i % w AS x, i // w AS y FROM img
+      ), icell AS (
+        SELECT doc_id,
+               ((y * 4) // h) * 4 + ((x * 4) // w) AS cell,
+               (doc_id + 7 * x + 13 * y) % 256 AS r,
+               (3 * doc_id + 5 * x + 11 * y) % 256 AS g,
+               (5 * doc_id + 3 * x + 17 * y) % 256 AS b
+        FROM ipx
+      ), ifeat AS (
+        SELECT doc_id AS media_id,
+               CAST(cell * 3 + ch.c AS INT) AS dim,
+               (CAST(sum(CASE ch.c WHEN 0 THEN r WHEN 1 THEN g ELSE b END) AS DOUBLE)
+                 / count(*)) / 255.0 AS value,
+               'pix-grid-mean-v1' AS encoder
+        FROM icell, generate_series(0, 2) AS ch(c)
+        GROUP BY doc_id, cell, ch.c
+      ), aud AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n,
+               CAST(unnest(range(64 + doc_id % 64)) AS BIGINT) AS i
+        FROM documents WHERE doc_id % 2 = 1
+      ), samp AS (
+        SELECT doc_id, i, (i * 4) // n AS s,
+               (doc_id * 7919 + i * 104729) % 65536
+                 - CASE WHEN (doc_id * 7919 + i * 104729) % 65536 >= 32768
+                        THEN 65536 ELSE 0 END AS v
+        FROM aud
+      ), lagd AS (
+        SELECT doc_id, s, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        FROM samp
+      ), seg AS (
+        SELECT doc_id, s, count(*) AS cnt,
+               CAST(sum(v) AS BIGINT) AS sm,
+               CAST(sum(v * v) AS BIGINT) AS sq,
+               count(CASE WHEN ps = s AND (pv < 0) <> (v < 0) THEN 1 END) AS zc
+        FROM lagd GROUP BY doc_id, s
+      ), afeat AS (
+        SELECT doc_id AS media_id, CAST(s * 3 + k.k AS INT) AS dim,
+               CASE k.k
+                 WHEN 0 THEN (CAST(sm AS DOUBLE) / cnt) / 32768.0
+                 WHEN 1 THEN sqrt(CAST(sq AS DOUBLE) / cnt) / 32768.0
+                 ELSE CAST(zc AS DOUBLE) / cnt
+               END AS value,
+               'pcm-seg-stats-v1' AS encoder
+        FROM seg, generate_series(0, 2) AS k(k)
       )
-      SELECT media_id, frame_idx, CAST(dg.d AS INT) AS dim,
-             ((strpos('0123456789abcdef', substring(fp, CAST(dg.d AS INT) * 2 + 1, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substring(fp, CAST(dg.d AS INT) * 2 + 2, 1)) - 1)) / 255.0 AS value,
-             'stub-md5-v0' AS encoder
-      FROM f, generate_series(0, 7) AS dg(d)
-      ORDER BY media_id, frame_idx, dim
+      SELECT * FROM ifeat UNION ALL SELECT * FROM afeat
+      ORDER BY media_id, dim
     """),
   ) { (s, d) =>
-    frameFeatures(frames(rawMediaTable(Tables.documents(s, d)), frameSize = 64))
-      .select(col("media_id"), col("frame_idx"),
+    mediaFeatures(rawMediaTable(Tables.documents(s, d)))
+      .select(col("media_id"),
         posexplode(col("feature")).as(Seq("dim", "value")), col("encoder"))
-      .orderBy("media_id", "frame_idx", "dim")
+      .orderBy("media_id", "dim")
   }
 
   /** STUB resize: byte-stride downsampling (every 4th payload byte) via the

@@ -268,6 +268,25 @@ class DedupSpec extends SparkSpec {
       "jaccardDedup must delegate to the bottom-k join")
   }
 
+  test("bottom-k sharded df aggregate: S=4 is result-identical to S=1") {
+    // the h%S-sharded df phase is the fourth decade's disk-bounding device
+    // (one shard's exchange at a time), but below 8M docs it always ran
+    // with S=1 — this pins the invariance argument (a hash lives in
+    // exactly one shard, so per-shard df is globally exact) by executing
+    // the S>1 path and requiring pair-identical output for BOTH joins
+    val n = docs.count()
+    val docsPerShard = math.max(1L, (n + 3L) / 4L) // forces S = 4
+    val cont1 = pairSet(Dedup.containmentBottomKJoin(docs, 0.8))
+    val jac1 = pairSet(Dedup.jaccardBottomKJoin(docs, 0.5))
+    spark.conf.set("spark.graft.bottomk.docsPerShard", docsPerShard.toString)
+    try {
+      assert(pairSet(Dedup.containmentBottomKJoin(docs, 0.8)) == cont1,
+        "sharded (S=4) containment candidates diverge from S=1")
+      assert(pairSet(Dedup.jaccardBottomKJoin(docs, 0.5)) == jac1,
+        "sharded (S=4) jaccard candidates diverge from S=1")
+    } finally spark.conf.unset("spark.graft.bottomk.docsPerShard")
+  }
+
   test("signature prefilter: threshold-exact pairs survive both banded joins") {
     // a pair at jaccard EXACTLY t is the prefilter's worst legitimate
     // customer: its lane estimate must clear t − 0.25 (the 4σ margin), so

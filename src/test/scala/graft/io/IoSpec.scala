@@ -387,7 +387,11 @@ class IoSpec extends SparkSpec {
       snap2.meta("zorder_rows_since") === "0",
       "staleness accounting starts at (fit mass, 0)")
 
-    SnapshotTable.merge(spark, dirInc, ingest2.repartition(4, col("id")), "id")
+    // 8 files of ~2500 rows: decisively under gen1's ~7500-row tiles — a
+    // 4-file split left only ~1% of byte margin, which parquet encoding
+    // variation across hosts (source-slice boundaries follow core count)
+    // could flip
+    SnapshotTable.merge(spark, dirInc, ingest2.repartition(8, col("id")), "id")
     // dynamic size threshold: rewrite only the merge's (smaller) files
     val gen1Min = gen1Files.map(f =>
       java.nio.file.Files.size(java.nio.file.Paths.get(dirInc, f))).min
@@ -574,7 +578,7 @@ class IoSpec extends SparkSpec {
     assert(err.getMessage.contains("zone maps"))
   }
 
-  test("snapshot table: string zone maps round-trip and prune tuple reads; non-ASCII never prunes") {
+  test("snapshot table: string zone maps round-trip and prune tuple reads; multibyte keys prune too") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snap-str").toString + "/t"
@@ -608,14 +612,27 @@ class IoSpec extends SparkSpec {
     assert(snap2.files.forall(f => snap2.strStats.get(f).exists(_.contains("cat"))),
       "string zone maps must survive merges")
 
-    // non-ASCII bounds or probes disable pruning, never correctness: plant
-    // a category above ASCII whose UTF8-vs-UTF16 order could diverge
+    // multibyte keys prune EXACTLY like ASCII ones (r13 verdict #8): the
+    // reader compares UTF-8 bytes unsigned — UTF8String's own order, the
+    // order the stats were aggregated under. The planted categories are
+    // chosen so JVM UTF-16 order DISAGREES with UTF-8 order: U+FFFF is a
+    // single code unit above the surrogate range, so "￿zz" > "😀zz"
+    // under String.compareTo but < under UTF-8 bytes (EF BF BF < F0 9F 98
+    // 80) — a compareTo-based pruner would mis-bracket and drop rows.
     val dir2 = Files.createTempDirectory("graft-snap-nonascii").toString + "/t"
-    val odd = (0L until 100L).map(i => (i, if (i % 2 == 0) "aaa" else "😀zz"))
+    val cats = Seq("aaa", "ønß", "日本語", "￿zz", "😀zz")
+    val odd = (0L until 500L).map(i => (i, cats((i % 5).toInt)))
       .toDF("id", "cat")
-    SnapshotTable.create(odd.repartition(2, col("id")), dir2, statsCols = Seq("cat"))
-    val all = SnapshotTable.readTuples(spark, dir2, Seq("cat"), Seq(Seq("😀zz")))
-    assert(all.count() === 50L, "non-ASCII probe must still return exact rows")
+    SnapshotTable.create(odd.repartition(4, col("id")), dir2, statsCols = Seq("cat"))
+    SnapshotTable.compact(spark, dir2, minFileBytes = 1L << 30,
+      targetPartitions = 5, clusterBy = Seq("cat"))
+    val snapM = SnapshotTable.snapshot(spark, dir2, None)
+    for (c <- cats) {
+      val one = SnapshotTable.readTuples(spark, dir2, Seq("cat"), Seq(Seq(c)))
+      assert(one.inputFiles.length < snapM.files.size,
+        s"multibyte key '$c' must prune (read ${one.inputFiles.length} of ${snapM.files.size})")
+      assert(one.count() === 100L, s"multibyte key '$c' must return exact rows")
+    }
   }
 
   test("snapshot table: merge evolves the schema; old files read the new column as null") {

@@ -627,20 +627,73 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("stub features have the declared batch shape and range") {
-    val feats = Multimodal.frameFeatures(
-      Multimodal.frames(Multimodal.rawMediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
-    val rows = feats.select("feature").collect().map(_.getSeq[Double](0))
-    assert(rows.nonEmpty)
-    assert(rows.forall(_.length === 8))
-    assert(rows.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
-    // the stub contract is stamped on every output row, not just in docs
-    assert(feats.select("encoder").distinct().collect()
-      .map(_.getString(0)).toSeq === Seq(Multimodal.featureEncoderTag))
-    // deterministic: same input → same vectors
-    val again = Multimodal.frameFeatures(
-      Multimodal.frames(Multimodal.rawMediaTable(docs.filter(col("doc_id") < 5)), 64), dim = 8)
-      .select("feature").collect().map(_.getSeq[Double](0))
-    assert(rows.toSeq === again.toSeq)
+  test("real content encoder: decoded-pixel/sample descriptors with the declared shape") {
+    val feats = Multimodal.mediaFeatures(
+      Multimodal.rawMediaTable(docs.filter(col("doc_id") < 10)))
+    val rows = feats.collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      r.getString(2) match {
+        case Multimodal.imageEncoderTag =>
+          assert(v.length === 48, "4x4 grid x RGB")
+          assert(v.forall(x => x >= 0.0 && x <= 1.0))
+        case Multimodal.audioEncoderTag =>
+          assert(v.length === 12, "4 segments x (mean, rms, zcr)")
+          assert(v.zipWithIndex.forall { case (x, i) =>
+            if (i % 3 == 0) x >= -1.0 && x <= 1.0 else x >= 0.0 && x <= 1.0 })
+        case other => fail(s"unknown encoder tag $other")
+      }
+    }
+    // PNG path: the inflate-fed grid means must equal a direct reference
+    // computation from the planting formulas (w = 4+id%7, h = 4+id%5,
+    // channel c(x,y) per MediaSynth.png) — the same exactness contract
+    // the BMP/WAV paths carry via the q_mm_features oracle
+    for (id <- 0L until 12L) {
+      val got = graft.functions.MediaDecode.embed(MediaSynth.png(id))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      val (w, h) = ((4 + id % 7).toInt, (4 + id % 5).toInt)
+      val sums = Array.fill(48)(0L)
+      val cnts = Array.fill(16)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y * 4 / h) * 4 + x * 4 / w
+        cnts(cell) += 1
+        sums(cell * 3) += (id + 7 * x + 13 * y) % 256
+        sums(cell * 3 + 1) += (3 * id + 5 * x + 11 * y) % 256
+        sums(cell * 3 + 2) += (5 * id + 3 * x + 17 * y) % 256
+      }
+      val want = Array.tabulate(48)(i => (sums(i).toDouble / cnts(i / 3)) / 255.0)
+      assert(got.toSeq === want.toSeq, s"png grid means diverge for id=$id")
+    }
+    // hostile payloads never throw, they null
+    for (junk <- Seq(Array.empty[Byte], "BM".getBytes, "RIFF".getBytes,
+      MediaSynth.bmp(3L).take(20), MediaSynth.png(3L).take(40)))
+      assert(graft.functions.MediaDecode.embed(junk) == null)
+  }
+
+  test("near-identical media land nearest in the feature space (r13 verdict #5)") {
+    def vec(p: Array[Byte]): Array[Double] = graft.functions.MediaDecode.embed(p)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    // one flipped pixel byte in a real BMP: under the md5 stub the vector
+    // teleported; under the content encoder the mutant's nearest neighbor
+    // among 40 distinct images must be its own source
+    val imgs = (0L until 80L by 2).map(MediaSynth.bmp).toArray
+    val mutant = imgs(7).clone()
+    mutant(mutant.length - 2) = (mutant(mutant.length - 2) ^ 0x7F).toByte
+    val mv = vec(mutant)
+    val best = imgs.indices.maxBy(i => cos(mv, vec(imgs(i))))
+    assert(best === 7, "one-pixel mutant must stay nearest its source image")
+    // same property for audio: one flipped sample
+    val wavs = (1L until 81L by 2).map(MediaSynth.wav).toArray
+    val wMut = wavs(11).clone()
+    wMut(60) = (wMut(60) ^ 0x3F).toByte
+    val wv = vec(wMut)
+    val wBest = wavs.indices.maxBy(i => cos(wv, vec(wavs(i))))
+    assert(wBest === 11, "one-sample mutant must stay nearest its source clip")
   }
 }
