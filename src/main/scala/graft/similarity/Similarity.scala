@@ -646,10 +646,15 @@ object Similarity {
     val coarse = ivfCentroids(emb, kc, lloydIters)
     val (cids, cbook) = collectCents(coarse)
     // coarse assignment off the scan — no join, no aggregate, no exchange
+    // DISK_ONLY, not the default MEMORY_AND_DISK: a corpus-scale
+    // deserialized cache makes every later read attempt to re-inflate
+    // disk-spilled blocks into the memory store as Java objects
+    // (BlockManager.maybeCacheDiskValuesInMemory) — the 20M-vector probe's
+    // executor OOM. Disk blocks stream; the bkSets precedent.
     val members = emb
       .select(col("vec_id"), element_at(cellsCol(cids, cbook, 1), 1).as("ccell"),
         col("embedding"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     releaseShuffles(spark)
     // per-cell fine seeds: the kf hash-first members of each coarse cell,
     // with fid = ccell·kf + rank so the fine id ENCODES its coarse cell.
@@ -730,7 +735,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
         (-best.getField("nf")).cast("int").as("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY) // corpus-scale: see members
     releaseShuffles(spark)
     (fineC, asg)
   }
