@@ -30,76 +30,24 @@ object DedupScaleProbe {
     lazy val sig = Dedup.withSignature(sets).localCheckpoint()
 
     if (mode == "bottomk2") {
-      // stage decomposition of the r13 one-exchange-at-a-time shape
-      // (Dedup.bottomKCandidates + rescore), mirrored inline
+      // stage decomposition of the PRODUCTION candidate generator — calls
+      // Dedup.bkSets/bottomKCandidates directly (round-13 advice: the
+      // earlier inline mirror would silently drift from the shape it
+      // claims to measure). Per-stage attribution inside the generator
+      // comes from its own sequential structure: the sets checkpoint is
+      // timed here, the df-agg/semi-join/pair-join split shows in the
+      // Spark stage log, and the rescore delta = the end-to-end
+      // q_dedup_jaccard_bottomk bench run minus this probe's total.
       def t[T](name: String)(body: => T): T = {
         val t0 = System.nanoTime(); val r = body
         println(f"[bottomk2] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
       }
-      val k = 16; val dfCap = 64; val tThr = 0.5
-      def kEffOf(sz: org.apache.spark.sql.Column) = least(sz, lit(k))
-      def bkAlpha(sz: org.apache.spark.sql.Column) =
-        ceil((lit(tThr) - lit(0.3)) * kEffOf(sz) - lit(1e-9))
-      graft.functions.ShingleHashFunctions.ensureRegistered(spark)
-      val n = docs.count()
-      val parts = math.max(spark.sparkContext.defaultParallelism,
-        (n / 16384L + 1L).toInt)
-      println(s"[bottomk2] n=$n parts=$parts")
-      val setsU = docs.select(col("doc_id"),
-        coalesce(graft.functions.ShingleHashFunctions.wordShingleHashes(col("text"), 3),
-          array().cast("array<bigint>")).as("shh"))
-        .withColumn("sz", size(col("shh")))
-      val sets = t("array checkpoint (DISK_ONLY)")(
-        setsU.filter(col("sz") > 0).localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY))
-      val shards = ((n - 1) / 8000000L + 1L).toInt
-      val useful = t(s"h-only df agg ($shards shard(s))")(
-        (0 until shards).map { s0 =>
-          sets.select(explode(col("shh")).as("h"))
-            .filter(if (shards > 1) pmod(col("h"), lit(shards)) === s0 else lit(true))
-            .repartition(parts, col("h"))
-            .groupBy("h").agg(count(lit(1)).as("df"))
-            .filter(col("df") > 1 && col("df") <= dfCap).select("h")
-            .localCheckpoint()
-        }.reduce(_ unionAll _))
-      println(s"[bottomk2] n_useful=${useful.count()}")
-      val capped = t("broadcast semi (map-side) + capped checkpoint")(
-        sets.select(col("doc_id"),
-            (kEffOf(col("sz")) - bkAlpha(col("sz")) + 1).as("p"),
-            posexplode_outer(col("shh")).as(Seq("pos", "h")))
-          .filter(col("h").isNotNull)
-          .select(col("doc_id"), (col("pos") < col("p")).as("is_probe"), col("h"))
-          .join(broadcast(useful), Seq("h"), "left_semi")
-          .localCheckpoint())
-      println(s"[bottomk2] capped rows=${capped.count()}")
-      val cands = t("pair join + distinct")(
-        capped.filter(col("is_probe"))
-          .select(col("doc_id").as("i"), col("h"))
-          .join(capped.select(col("doc_id").as("j"), col("h")), Seq("h"))
-          .filter(col("i") =!= col("j"))
-          .select(least(col("i"), col("j")).as("i"),
-            greatest(col("i"), col("j")).as("j"))
-          .distinct().localCheckpoint())
+      val sets = t("sets checkpoint (DISK_ONLY)")(Dedup.bkSets(docs))
+      val n = t("sets count")(sets.count())
+      println(s"[bottomk2] n=$n")
+      val cands = t("bottomKCandidates (sharded df agg + semi + pair join)")(
+        Dedup.bottomKCandidates(sets, n, 0.5, 16, 64, symmetric = true))
       println(s"[bottomk2] n_cands=${cands.count()}")
-      val candIds = cands.select(col("i").as("doc_id"))
-        .union(cands.select(col("j").as("doc_id"))).distinct()
-      val candSets = t("pruned sets checkpoint")(
-        sets.join(broadcast(candIds), Seq("doc_id"), "left_semi").localCheckpoint())
-      val bkHits = graft.functions.ShingleHashFunctions.sortedIntersectCount(
-        slice(col("shh_i"), lit(1), kEffOf(col("sz_i")).cast("int")), col("shh_j"))
-      val inter = graft.functions.ShingleHashFunctions
-        .sortedIntersectCount(col("shh_i"), col("shh_j"))
-      t("rescore join")(cands
-        .join(candSets.select(col("doc_id").as("i"), col("shh").as("shh_i"),
-          col("sz").as("sz_i")), "i")
-        .join(candSets.select(col("doc_id").as("j"), col("shh").as("shh_j"),
-          col("sz").as("sz_j")), "j")
-        .filter(bkHits >= bkAlpha(col("sz_i")))
-        .withColumn("jaccard",
-          inter * lit(1.0) / (col("sz_i") + col("sz_j") - inter))
-        .filter(col("jaccard") >= tThr)
-        .select("i", "j", "jaccard")
-        .write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
     if (mode == "bottomk") {

@@ -1033,6 +1033,7 @@ object Dedup {
       ORDER BY canonical_id
     """),
   ) { (s, d) =>
+    graft.functions.TextFunctions.ensureRegistered(s)
     Tables.documents(s, d)
       .groupBy(md5(TextAnalysis.normalize(col("text")).cast(BinaryType)).as("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -1559,7 +1560,7 @@ object Dedup {
     * ever costs (exchange + checkpoint concurrently was 2x that, which
     * mattered at the fourth decade).
     */
-  private def bkSets(docs: DataFrame): DataFrame =
+  private[graft] def bkSets(docs: DataFrame): DataFrame =
     unshuffledSets(docs).filter(col("sz") > 0)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 

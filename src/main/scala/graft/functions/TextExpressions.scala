@@ -187,11 +187,84 @@ object RepetitionStats {
   }
 }
 
+/** Native canonical-normalization kernel (round-14): the expression form
+  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+  * " +", " "))` runs TWO java.util.regex passes per document — the sf1000
+  * e2e probe's thread dump put 18 of 32 workers inside `Pattern.match`
+  * during the verdict's fingerprint stage, making regex the fourth
+  * decade's dominant CPU sink (~65 GB of text through the NFA twice).
+  *
+  * Exact-parity replacement: lowercase via UTF8String.toLowerCase (the
+  * SAME call Spark's `lower` makes under the default UTF8_BINARY
+  * collation — so Kelvin K → k and every other Unicode mapping agree),
+  * then ONE byte walk. The walk is correct on UTF-8 bytes because every
+  * SURVIVING character is single-byte ASCII: `[^a-z0-9 ]` deletes any
+  * other code point, and a multibyte sequence's bytes all have the high
+  * bit set, so byte-level filtering deletes exactly the code points the
+  * regex deletes. Deleted characters between spaces merge the space run,
+  * matching strip-then-collapse order; leading/trailing spaces are never
+  * emitted, matching the final `trim`. KernelPropertySpec pins
+  * bit-identity to the expression composition on adversarial inputs; the
+  * DuckDB oracle mirror ([[graft.text.TextAnalysis.normalizeSql]]) is
+  * unchanged, so every fingerprint oracle still hash-checks the result.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_normalize_text expects a string input, got $other")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(t: Any): Any =
+    NormalizeText.compute(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeText.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_normalize_text"
+}
+
+object NormalizeText {
+
+  def compute(text: UTF8String): UTF8String = {
+    val b = text.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        out(o) = c
+        o += 1
+        pendingSpace = false
+      } else if (c == ' ') pendingSpace = true
+      // any other byte (punctuation, control, every multibyte byte) is
+      // deleted — it neither emits nor clears a pending space, exactly
+      // the strip-then-collapse composition
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}
+
 /** Session registration, same contract as [[VectorFunctions]]. */
 object TextFunctions {
 
   val shinglesName = "graft_word_shingles"
   val repetitionName = "graft_repetition_stats"
+  val normalizeName = "graft_normalize_text"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -200,6 +273,8 @@ object TextFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       repetitionName, exprs => RepetitionStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      normalizeName, exprs => NormalizeText(exprs.head), "built-in")
   }
 
   /** Column-level handle (n baked in as a literal). */
@@ -208,4 +283,7 @@ object TextFunctions {
 
   def repetitionStats(toks: Column): Column =
     call_function(repetitionName, toks)
+
+  def normalizeText(text: Column): Column =
+    call_function(normalizeName, text)
 }

@@ -220,12 +220,14 @@ object Streaming {
     * Expects (doc_id, text, ts) rows.
     */
   def dedupDocsByFingerprint(
-      docs: DataFrame, watermarkDelay: String = "24 hours"): DataFrame =
+      docs: DataFrame, watermarkDelay: String = "24 hours"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
     docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("fingerprint",
         md5(graft.text.TextAnalysis.normalize(col("text")).cast(BinaryType)))
       .dropDuplicatesWithinWatermark("fingerprint")
+  }
 
   /** Stream-stream interval join — the streaming twin of the batch
     * equi+range join (q_range_join / the as-of pairing): every purchase

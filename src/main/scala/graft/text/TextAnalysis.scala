@@ -31,10 +31,15 @@ object TextAnalysis {
   private val bpeIsh = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   /** Canonical normalization for fingerprints/exact dedup: lowercase, strip
-    * non-alphanumerics, collapse whitespace.
+    * non-alphanumerics, collapse whitespace. One compiled byte walk
+    * ([[graft.functions.NormalizeText]]) — the two-regex expression form
+    * it replaces was the sf1000 e2e probe's dominant CPU sink (18 of 32
+    * workers inside java.util.regex during the verdict's fingerprint
+    * scan). Bit-identical by construction and property-pinned; callers
+    * must have TextFunctions registered (every query builder does).
     */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    graft.functions.TextFunctions.normalizeText(text)
 
   private[graft] val normalizeSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
@@ -170,6 +175,7 @@ object TextAnalysis {
       ORDER BY doc_id
     """),
   ) { (s, d) =>
+    graft.functions.TextFunctions.ensureRegistered(s)
     Tables.documents(s, d)
       .select(col("doc_id"), md5(normalize(col("text")).cast(BinaryType)).as("fingerprint"))
       .orderBy("doc_id")
@@ -504,6 +510,7 @@ object TextAnalysis {
     Some(graft.functions.Winnow.countOracleSql(normalizeSql, 8, 16)),
   ) { (s, d) =>
     graft.functions.WinnowFunctions.ensureRegistered(s)
+    graft.functions.TextFunctions.ensureRegistered(s)
     Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.WinnowFunctions.winnow(normalize(col("text")), 8, 16).as("fp"))

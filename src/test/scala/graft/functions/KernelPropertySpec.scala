@@ -44,6 +44,32 @@ class KernelPropertySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("NormalizeText equals the two-regex expression composition") {
+    import spark.implicits._
+    // the alphabet bakes in the parity traps: uppercase, digits,
+    // punctuation runs, tabs/newlines (NOT collapsed by the ' +' regex —
+    // they are deleted by the strip), multibyte letters that vanish,
+    // Kelvin sign K (U+212A, lowercases INTO ascii 'k'), Turkish İ
+    // (U+0130, lowercases to 'i' + combining dot), and space pileups
+    val token = Gen.oneOf("Abc", "XY9", "..!?", "é嗨", "K", "İ",
+      "\t", "\n", "a.b", "", "0Z")
+    val gen = for {
+      n <- Gen.chooseNum(0, 14)
+      toks <- Gen.listOfN(n, token)
+      sep <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf("", " ", "  ", "   "))
+    } yield toks.zipAll(sep, "", "").map { case (t, s) => t + s }.mkString
+    val texts = samples(gen, 400).distinct ++
+      Seq("", " ", "  a  ", "A.B,C", "ßKİ x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    TextFunctions.ensureRegistered(spark)
+    val regex = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val diff = df.select(col("doc_id"), col("text"),
+        TextFunctions.normalizeText(col("text")).as("n"), regex.as("r"))
+      .filter(col("n") =!= col("r"))
+    assert(diff.collect().toSeq === Seq.empty)
+  }
+
   test("WordShingleHashes equals sorted-distinct xxhash64 over the string kernel") {
     import spark.implicits._
     val texts = samples(genText, 300).distinct
