@@ -293,6 +293,147 @@ object JpegDecode {
     new GenericInternalRow(out)
   }
 
+  /** Grid-mean content embedding over the baseline GRAYSCALE envelope
+    * (round-14, the [[graft.functions.MediaDecode.embed]] JPEG tier): the
+    * same segment walk + entropy decode + reconstruction as [[jpeg]], but
+    * folding per-pixel values into a 4×4 spatial grid instead of global
+    * sums, emitted as 48 dims (each cell's mean duplicated across the
+    * R,G,B slots so image embeddings share one space regardless of
+    * source format; values in [0,1]). Error contract is simpler than the
+    * stats row's: ANY failure — bad gates, malformed entropy stream,
+    * progressive/color file — returns null (the encoder's honest-null
+    * routing). w,h < 4 also null (a grid cell would be empty).
+    */
+  def embedGray(p: Array[Byte]): Array[Double] = {
+    if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8) return null
+    var pos = 2
+    var w = -1
+    var h = -1
+    var quant: Array[Int] = null
+    var dcT: JHuff = null
+    var acT: JHuff = null
+    var sosAt = -1
+    while (sosAt < 0 && pos + 4 <= p.length) {
+      if (u8(p, pos) != 0xFF) return null
+      val marker = u8(p, pos + 1)
+      val len = beU16(p, pos + 2)
+      if (len < 2 || pos + 2 + len > p.length) return null
+      val body = pos + 4
+      marker match {
+        case 0xDB =>
+          if (len >= 67 && (u8(p, body) & 0xF0) == 0)
+            quant = Array.tabulate(64)(i => u8(p, body + 1 + i))
+        case 0xC0 =>
+          if (len >= 11 && u8(p, body) == 8 && u8(p, body + 5) == 1 &&
+            u8(p, body + 7) == 0x11) {
+            h = beU16(p, body + 1)
+            w = beU16(p, body + 3)
+          } else return null
+        case 0xC4 =>
+          var q = body
+          while (q + 17 <= pos + 2 + len) {
+            val tc = u8(p, q) >> 4
+            val th = u8(p, q) & 0x0F
+            val bits = new Array[Int](17)
+            var n = 0
+            var l = 1
+            while (l <= 16) { bits(l) = u8(p, q + l); n += bits(l); l += 1 }
+            if (q + 17 + n > pos + 2 + len || n > 256) return null
+            val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
+            if (th == 0) {
+              if (tc == 0) dcT = new JHuff(bits, vals)
+              else if (tc == 1) acT = new JHuff(bits, vals)
+            }
+            q += 17 + n
+          }
+        case 0xDA => sosAt = pos
+        case 0xD9 => return null
+        case _ => ()
+      }
+      if (sosAt < 0) pos += 2 + len
+    }
+    if (sosAt < 0 || w < 4 || h < 4 || quant == null || dcT == null ||
+      acT == null || w > (1 << 14) || h > (1 << 14)) return null
+    val sosLen = beU16(p, sosAt + 2)
+    val scanStart = sosAt + 2 + sosLen
+    if (scanStart >= p.length) return null
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val r = new BitReader(p, scanStart, p.length)
+    val sums = new Array[Long](16)
+    val cnts = new Array[Long](16)
+    var pred = 0
+    val coef = new Array[Int](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0)
+        val t = dcT.decode(r)
+        if (t < 0 || t > 11) return null
+        val diffBits = if (t == 0) 0 else r.bits(t)
+        if (diffBits < 0) return null
+        pred += extend(diffBits, t)
+        coef(0) = pred * quant(0)
+        var k = 1
+        var eob = false
+        while (!eob && k < 64) {
+          val rs = acT.decode(r)
+          if (rs < 0) return null
+          else if (rs == 0x00) eob = true
+          else if (rs == 0xF0) k += 16
+          else {
+            val run = rs >> 4
+            val size = rs & 0x0F
+            k += run
+            if (k > 63) return null
+            val m = r.bits(size)
+            if (m < 0) return null
+            coef(k) = extend(m, size) * quant(k)
+            k += 1
+          }
+        }
+        var hasAc = false
+        var i = 1
+        while (i < 64 && !hasAc) { hasAc = coef(i) != 0; i += 1 }
+        var yy = 0
+        while (yy < 8) {
+          val py = by * 8 + yy
+          if (py < h) {
+            var xx = 0
+            while (xx < 8) {
+              val px = bx * 8 + xx
+              if (px < w) {
+                val v =
+                  if (!hasAc) {
+                    val f = coef(0)
+                    val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
+                    math.min(255, math.max(0, q8 + 128))
+                  } else idctPixel(coef, xx, yy)
+                val cell = (py * 4 / h) * 4 + px * 4 / w
+                sums(cell) += v
+                cnts(cell) += 1
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val out = new Array[Double](48)
+    var c = 0
+    while (c < 16) {
+      if (cnts(c) == 0) return null
+      val m = (sums(c).toDouble / cnts(c)) / 255.0
+      out(c * 3) = m; out(c * 3 + 1) = m; out(c * 3 + 2) = m
+      c += 1
+    }
+    out
+  }
+
   val colorOutType: StructType = StructType(Seq(
     StructField("w", IntegerType), StructField("h", IntegerType),
     StructField("n_mcus", LongType),

@@ -531,11 +531,13 @@ object MediaDecode {
     * Exactness: every value is (exact integer fold) → the SAME IEEE op
     * sequence the DuckDB oracle mirrors — (sum / count) / norm, and
     * sqrt(sumSq / count) / norm — so q_mm_features stays hash-green with
-    * a REAL encoder. Null for undecodable payloads (bad gates, filtered
-    * PNG rows, truncated streams) and for formats without an in-engine
-    * pixel tier (progressive JPEG) — the same honest-null routing as the
-    * decoders. Baseline JPEG block means via the T.81 kernel's plane
-    * output are the documented next increment.
+    * a REAL encoder. Baseline GRAYSCALE JPEG rides the T.81 kernel's grid
+    * fold ([[JpegDecode.embedGray]] — full entropy decode, cell means
+    * duplicated across the RGB slots so image embeddings share one
+    * space). Null for undecodable payloads (bad gates, filtered PNG rows,
+    * truncated streams) and for tiers without an in-engine pixel decode
+    * (progressive/color JPEG) — the same honest-null routing as the
+    * decoders.
     */
   private val G = 4 // image grid — 4×4 cells × 3 channels = 48 dims
 
@@ -544,6 +546,13 @@ object MediaDecode {
     if (p.length >= 8 && java.util.Arrays.equals(java.util.Arrays.copyOf(p, 8), pngSig))
       return embedPng(p)
     if (p.length >= 44 && ascii(p, 0, "RIFF")) return embedWav(p)
+    if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) {
+      // baseline grayscale JPEG via the T.81 kernel's grid fold; color /
+      // progressive return null there (honest routing, as the decoders)
+      val g = JpegDecode.embedGray(p)
+      if (g == null) return null
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(g)
+    }
     null
   }
 

@@ -404,7 +404,7 @@ object Multimodal {
     graft.functions.MediaDecodeFunctions.ensureRegistered(media.sparkSession)
     media.select(col("media_id"),
       graft.functions.MediaDecodeFunctions.mediaEmbedding(col("payload")).as("feature"),
-      when(col("declared_format").isin("bmp", "png"), imageEncoderTag)
+      when(col("declared_format").isin("bmp", "png", "jpeg"), imageEncoderTag)
         .when(col("declared_format") === "wav", audioEncoderTag).as("encoder"))
   }
 
@@ -630,6 +630,95 @@ object Multimodal {
     """),
   ) { (s, d) =>
     mediaFeatures(rawMediaTable(Tables.documents(s, d)))
+      .select(col("media_id"),
+        posexplode(col("feature")).as(Seq("dim", "value")), col("encoder"))
+      .orderBy("media_id", "dim")
+  }
+
+  /** Oracle-checked encoder over the MIXED-FORMAT real table — the
+    * [[q_mm_features]] contract extended to every decode tier: PNG rows
+    * decode through the full RFC 1951 inflater, JPEG rows through the
+    * T.81 entropy machinery ([[graft.functions.JpegDecode.embedGray]] —
+    * grayscale cell means duplicated across RGB so all image embeddings
+    * share one space), WAV rows through the PCM segment fold. The oracle
+    * rebuilds every value from the planting formulas (the JPEG fixtures
+    * are DC-exact, so even the lossy tier's means are formula-exact);
+    * same IEEE op order on both engines.
+    */
+  val q_mm_embed: Q = Q(
+    "q_mm_embed",
+    Some(s"""
+      WITH png AS (
+        SELECT doc_id, 4 + doc_id % 7 AS w, 4 + doc_id % 5 AS h,
+               CAST(unnest(range((4 + doc_id % 7) * (4 + doc_id % 5))) AS BIGINT) AS i
+        FROM documents WHERE doc_id % 3 = 0
+      ), ppx AS (
+        SELECT doc_id, w, h, i % w AS x, i // w AS y FROM png
+      ), pcell AS (
+        SELECT doc_id, ((y * 4) // h) * 4 + ((x * 4) // w) AS cell,
+               (doc_id + 7 * x + 13 * y) % 256 AS r,
+               (3 * doc_id + 5 * x + 11 * y) % 256 AS g,
+               (5 * doc_id + 3 * x + 17 * y) % 256 AS b
+        FROM ppx
+      ), pfeat AS (
+        SELECT doc_id AS media_id, CAST(cell * 3 + ch.c AS INT) AS dim,
+               (CAST(sum(CASE ch.c WHEN 0 THEN r WHEN 1 THEN g ELSE b END) AS DOUBLE)
+                 / count(*)) / 255.0 AS value,
+               'pix-grid-mean-v1' AS encoder
+        FROM pcell, generate_series(0, 2) AS ch(c)
+        GROUP BY doc_id, cell, ch.c
+      ), jp AS (
+        SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+               CAST(unnest(range(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2))) AS BIGINT) AS i
+        FROM documents WHERE doc_id % 3 = 1
+      ), jpx AS (
+        SELECT doc_id, w, h, i % w AS x, i // w AS y FROM jp
+      ), jcell AS (
+        SELECT doc_id, ((y * 4) // h) * 4 + ((x * 4) // w) AS cell,
+               48 + (doc_id + 5 * (x // 8) + 11 * (y // 8)) % 160 AS v
+        FROM jpx
+      ), jfeat AS (
+        SELECT doc_id AS media_id, CAST(cell * 3 + ch.c AS INT) AS dim,
+               (CAST(sum(v) AS DOUBLE) / count(*)) / 255.0 AS value,
+               'pix-grid-mean-v1' AS encoder
+        FROM jcell, generate_series(0, 2) AS ch(c)
+        GROUP BY doc_id, cell, ch.c
+      ), aud AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n,
+               CAST(unnest(range(64 + doc_id % 64)) AS BIGINT) AS i
+        FROM documents WHERE doc_id % 3 = 2
+      ), samp AS (
+        SELECT doc_id, i, (i * 4) // n AS s,
+               (doc_id * 7919 + i * 104729) % 65536
+                 - CASE WHEN (doc_id * 7919 + i * 104729) % 65536 >= 32768
+                        THEN 65536 ELSE 0 END AS v
+        FROM aud
+      ), lagd AS (
+        SELECT doc_id, s, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        FROM samp
+      ), seg AS (
+        SELECT doc_id, s, count(*) AS cnt,
+               CAST(sum(v) AS BIGINT) AS sm,
+               CAST(sum(v * v) AS BIGINT) AS sq,
+               count(CASE WHEN ps = s AND (pv < 0) <> (v < 0) THEN 1 END) AS zc
+        FROM lagd GROUP BY doc_id, s
+      ), afeat AS (
+        SELECT doc_id AS media_id, CAST(s * 3 + k.k AS INT) AS dim,
+               CASE k.k
+                 WHEN 0 THEN (CAST(sm AS DOUBLE) / cnt) / 32768.0
+                 WHEN 1 THEN sqrt(CAST(sq AS DOUBLE) / cnt) / 32768.0
+                 ELSE CAST(zc AS DOUBLE) / cnt
+               END AS value,
+               'pcm-seg-stats-v1' AS encoder
+        FROM seg, generate_series(0, 2) AS k(k)
+      )
+      SELECT * FROM pfeat UNION ALL SELECT * FROM jfeat UNION ALL SELECT * FROM afeat
+      ORDER BY media_id, dim
+    """),
+  ) { (s, d) =>
+    mediaFeatures(realMediaTable(Tables.documents(s, d)))
       .select(col("media_id"),
         posexplode(col("feature")).as(Seq("dim", "value")), col("encoder"))
       .orderBy("media_id", "dim")
@@ -1257,7 +1346,7 @@ object Multimodal {
   }
 
   def all: Seq[Q] =
-    Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_resize, q_mm_audio,
+    Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_embed, q_mm_resize, q_mm_audio,
       q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn,
       q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac, q_mm_jpeg_color,
       q_mm_jpeg_color420)

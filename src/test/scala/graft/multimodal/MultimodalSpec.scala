@@ -665,9 +665,28 @@ class MultimodalSpec extends SparkSpec {
       val want = Array.tabulate(48)(i => (sums(i).toDouble / cnts(i / 3)) / 255.0)
       assert(got.toSeq === want.toSeq, s"png grid means diverge for id=$id")
     }
+    // JPEG path: the T.81 grid fold must equal the DC-exact planting
+    // formula (w = 8(1+id%3), h = 8(1+id%2), flat blocks at
+    // 48 + (id + 5bx + 11by) % 160), cell means duplicated across RGB
+    for (id <- 0L until 12L) {
+      val got = graft.functions.MediaDecode.embed(MediaSynth.jpeg(id))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      val (w, h) = ((8 * (1 + id % 3)).toInt, (8 * (1 + id % 2)).toInt)
+      val sums = Array.fill(16)(0L)
+      val cnts = Array.fill(16)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y * 4 / h) * 4 + x * 4 / w
+        cnts(cell) += 1
+        sums(cell) += 48 + (id + 5 * (x / 8) + 11 * (y / 8)) % 160
+      }
+      val want = Array.tabulate(48)(i => (sums(i / 3).toDouble / cnts(i / 3)) / 255.0)
+      assert(got.toSeq === want.toSeq, s"jpeg grid means diverge for id=$id")
+    }
     // hostile payloads never throw, they null
     for (junk <- Seq(Array.empty[Byte], "BM".getBytes, "RIFF".getBytes,
-      MediaSynth.bmp(3L).take(20), MediaSynth.png(3L).take(40)))
+      MediaSynth.bmp(3L).take(20), MediaSynth.png(3L).take(40),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
+      MediaSynth.jpeg(5L).take(30)))
       assert(graft.functions.MediaDecode.embed(junk) == null)
   }
 
