@@ -629,9 +629,14 @@ object Multimodal {
       ORDER BY media_id, dim
     """),
   ) { (s, d) =>
+    // posexplode_OUTER + ordinal filter, not posexplode: the inner form's
+    // InferFiltersFromGenerate condition recomputes the whole
+    // synth+decode+embed kernel in a pre-exchange Filter (the
+    // hashedPosting lesson) — the outer generate runs the encoder once
     mediaFeatures(rawMediaTable(Tables.documents(s, d)))
       .select(col("media_id"),
-        posexplode(col("feature")).as(Seq("dim", "value")), col("encoder"))
+        posexplode_outer(col("feature")).as(Seq("dim", "value")), col("encoder"))
+      .filter(col("dim").isNotNull)
       .orderBy("media_id", "dim")
   }
 
@@ -718,9 +723,11 @@ object Multimodal {
       ORDER BY media_id, dim
     """),
   ) { (s, d) =>
+    // posexplode_outer + ordinal filter: see q_mm_features
     mediaFeatures(realMediaTable(Tables.documents(s, d)))
       .select(col("media_id"),
-        posexplode(col("feature")).as(Seq("dim", "value")), col("encoder"))
+        posexplode_outer(col("feature")).as(Seq("dim", "value")), col("encoder"))
+      .filter(col("dim").isNotNull)
       .orderBy("media_id", "dim")
   }
 
