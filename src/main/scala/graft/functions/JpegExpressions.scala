@@ -8,33 +8,51 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
-/** Baseline-JPEG (ITU T.81) grayscale pixel decode — the entropy tier of
-  * the last codec stub made real. The kernel runs the actual decoder
-  * machinery a baseline JPEG needs:
+/** JPEG (ITU T.81) decode kernels — the entropy tier of the last codec
+  * stub made real, grown across rounds into a decoder ladder:
   *
-  *  - segment walk (SOI, DQT, SOF0, DHT, SOS, EOI) with length-checked
-  *    reads, restricted to the honest envelope: 8-bit precision, ONE
-  *    component (grayscale), no subsampling, baseline Huffman;
-  *  - canonical JPEG Huffman table construction from the file's own DHT
-  *    (BITS[1..16] + HUFFVAL), MSB-first bit reads with 0xFF00 byte
-  *    de-stuffing;
-  *  - per-block DC difference decoding (category + signed-magnitude
-  *    extension, cross-block DC prediction) and full AC run-length
-  *    decoding (EOB, ZRL, run/size pairs) — coefficients are counted and
-  *    dequantized;
-  *  - reconstruction: dequantized coefficients through the 2-D inverse
-  *    DCT (double-precision reference IDCT, rounded and clamped), level
-  *    shift +128, edge blocks cropped to the declared geometry.
+  *  - BASELINE GRAYSCALE (SOF0, one component): segment walk with
+  *    length-checked reads, canonical JPEG Huffman table construction
+  *    from the file's own DHT (BITS[1..16] + HUFFVAL), MSB-first bit
+  *    reads with 0xFF00 de-stuffing, per-block DC difference decoding
+  *    (category + signed-magnitude extension, cross-block prediction),
+  *    full AC run-length decoding (EOB, ZRL, run/size pairs), dequant,
+  *    2-D inverse DCT reconstruction;
+  *  - PROGRESSIVE GRAYSCALE (SOF2, round 15): the multi-scan spectral-
+  *    selection + successive-approximation machinery real web JPEGs are
+  *    mostly encoded with (T.81 Annex G): a per-image coefficient plane
+  *    accumulated across scans — DC-first scans with the Al point
+  *    transform, DC-refinement scans (one raw bit per block), AC-first
+  *    scans with EOB-run decoding (EOBn symbols + extra bits), and
+  *    AC-refinement scans running the G.1.2.3 correction-bit algorithm
+  *    (newly-nonzero insertion at a zero-history position, inline
+  *    correction bits for already-nonzero coefficients, EOB-run carried
+  *    correction bits) — then one dequant + IDCT emission over the
+  *    finished plane. DHT redefinition between scans is honored; DNL /
+  *    restart intervals stay outside the envelope (DRI with a nonzero
+  *    interval nulls honestly, as arithmetic coding does);
+  *  - COLOR BASELINE (SOF0, three components, 4:4:4 or 4:2:0): see
+  *    [[JpegDecode.jpegColor]].
+  *
+  * The per-PIXEL consumers are factored out of the decode machinery
+  * (round-15, retiring the duplicated segment walk the round-14 advice
+  * flagged): the gray tiers share one driver ([[JpegDecode]] `decodeGray`)
+  * parameterized by a per-block sink — the stats fold behind
+  * `graft_jpeg_stats` and the 4×4 grid-mean fold behind the content
+  * embedding — and the color tiers share the same split via a per-pixel
+  * RGB sink. A future fix to the shared machinery (restart markers, DQT
+  * table selection) lands once.
   *
   * The spec's honest corner: T.81 does NOT mandate a bit-exact IDCT, so
-  * decoders may disagree by ±1 on blocks with AC energy. The fixture
-  * tables (MediaSynth.jpeg) therefore plant DC-ONLY blocks — flat 8×8
-  * patches whose reconstruction (DC·Q/8 + 128) is exact in every
-  * conforming decoder — which is what lets the DuckDB oracle recompute
-  * the sums from the planted formulas and MultimodalSpec pin ImageIO
-  * parity byte-for-byte. Blocks with AC coefficients still decode (the
-  * entropy layer is complete); they are simply not what the oracle
-  * exercises, and `n_ac_coeffs` reports their presence.
+  * decoders may disagree by ±1 on blocks with general AC energy. The
+  * oracle-checked fixture tables therefore plant DC-only blocks (flat
+  * patches exact in every conforming decoder) or single AC coefficients
+  * at zig-zag index 10, whose basis function is ±1/8-integer-exact (see
+  * [[graft.multimodal.MediaSynth.jpegAc]]) — which is what lets the
+  * DuckDB oracle recompute sums from planted formulas and
+  * MultimodalSpec pin ImageIO parity byte-for-byte, for the progressive
+  * tier too. Blocks with arbitrary AC still decode; they are simply not
+  * what the oracle exercises.
   *
   * Null/integrity semantics follow the PNG kernel: junk or truncated
   * payloads return all-null fields, a malformed entropy stream nulls the
@@ -138,300 +156,557 @@ object JpegDecode {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v >= (1 << (s - 1))) v else v - (1 << s) + 1
 
-  def jpeg(p: Array[Byte]): InternalRow = {
-    val out = new Array[Any](6)
-    if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8)
-      return new GenericInternalRow(out)
-    var pos = 2
-    var w = -1
-    var h = -1
-    var quant: Array[Int] = null
-    var dcT: JHuff = null
-    var acT: JHuff = null
-    var sosAt = -1
-    // Segment walk to SOS, bounded by position progress alone: every
-    // iteration advances pos by 2+len with len >= 2 enforced below, so the
-    // walk is O(p.length) and an APPn/COM-heavy file (EXIF/XMP) with any
-    // number of metadata segments still reaches its SOS (a fixed hop cap
-    // silently nulled such files out).
-    while (sosAt < 0 && pos + 4 <= p.length) {
-      if (u8(p, pos) != 0xFF) return new GenericInternalRow(out)
-      val marker = u8(p, pos + 1)
-      val len = beU16(p, pos + 2)
-      if (len < 2 || pos + 2 + len > p.length) return new GenericInternalRow(out)
-      val body = pos + 4
-      marker match {
-        case 0xDB => // DQT: only 8-bit table 0 in the grayscale envelope
-          if (len >= 67 && (u8(p, body) & 0xF0) == 0) {
-            quant = Array.tabulate(64)(i => u8(p, body + 1 + i))
-          }
-        case 0xC0 => // SOF0 baseline: 8-bit, exactly one 1x1 component
-          if (len >= 11 && u8(p, body) == 8 && u8(p, body + 5) == 1 &&
-            u8(p, body + 7) == 0x11) {
-            h = beU16(p, body + 1)
-            w = beU16(p, body + 3)
-          } else return new GenericInternalRow(out) // outside the envelope
-        case 0xC4 => // DHT: possibly several tables in one segment
-          var q = body
-          while (q + 17 <= pos + 2 + len) {
-            val tc = u8(p, q) >> 4
-            val th = u8(p, q) & 0x0F
-            val bits = new Array[Int](17)
-            var n = 0
-            var l = 1
-            while (l <= 16) { bits(l) = u8(p, q + l); n += bits(l); l += 1 }
-            if (q + 17 + n > pos + 2 + len || n > 256) return new GenericInternalRow(out)
-            val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
-            if (th == 0) {
-              if (tc == 0) dcT = new JHuff(bits, vals)
-              else if (tc == 1) acT = new JHuff(bits, vals)
-            }
-            q += 17 + n
-          }
-        case 0xDA => sosAt = pos // SOS: entropy data follows the header
-        case 0xD9 => return new GenericInternalRow(out) // EOI before SOS
-        case _ => () // APPn / COM / others: skip
-      }
-      if (sosAt < 0) pos += 2 + len
-    }
-    if (sosAt < 0 || w <= 0 || h <= 0 || quant == null || dcT == null ||
-      acT == null || w > (1 << 14) || h > (1 << 14))
-      return new GenericInternalRow(out)
-    out(0) = Integer.valueOf(w)
-    out(1) = Integer.valueOf(h)
-    val sosLen = beU16(p, sosAt + 2)
-    val scanStart = sosAt + 2 + sosLen
-    if (scanStart >= p.length) return new GenericInternalRow(out)
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val r = new BitReader(p, scanStart, p.length)
-    var sum = 0L
-    var wsum = 0L
-    var nAc = 0L
-    var pred = 0
-    val coef = new Array[Int](64)
-    var by = 0
-    var ok = true
-    while (ok && by < bh) {
-      var bx = 0
-      while (ok && bx < bw) {
-        java.util.Arrays.fill(coef, 0)
-        // DC: category + extended difference, predicted from the last block
-        val t = dcT.decode(r)
-        if (t < 0 || t > 11) ok = false
-        else {
-          val diffBits = if (t == 0) 0 else r.bits(t)
-          if (diffBits < 0) ok = false
-          else {
-            pred += extend(diffBits, t)
-            coef(0) = pred * quant(0)
-            // AC: run/size pairs until EOB or 63 coefficients
-            var k = 1
-            var eob = false
-            while (ok && !eob && k < 64) {
-              val rs = acT.decode(r)
-              if (rs < 0) ok = false
-              else if (rs == 0x00) eob = true
-              else if (rs == 0xF0) k += 16 // ZRL
-              else {
-                val run = rs >> 4
-                val size = rs & 0x0F
-                k += run
-                if (k > 63) ok = false
-                else {
-                  val m = r.bits(size)
-                  if (m < 0) ok = false
-                  else {
-                    coef(k) = extend(m, size) * quant(k)
-                    nAc += 1
-                    k += 1
-                  }
-                }
-              }
-            }
-            if (ok) {
-              // reconstruct + fold the in-geometry pixels of this block
-              var hasAc = false
-              var i = 1
-              while (i < 64 && !hasAc) { hasAc = coef(i) != 0; i += 1 }
-              var yy = 0
-              while (yy < 8) {
-                val py = by * 8 + yy
-                if (py < h) {
-                  var xx = 0
-                  while (xx < 8) {
-                    val px = bx * 8 + xx
-                    if (px < w) {
-                      val v =
-                        if (!hasAc) {
-                          // flat block: IDCT is exactly DC/8 (T.81 A.3.3)
-                          val f = coef(0)
-                          val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
-                          math.min(255, math.max(0, q8 + 128))
-                        } else idctPixel(coef, xx, yy)
-                      sum += v
-                      wsum += (py.toLong * w + px + 1L) * v
-                    }
-                    xx += 1
-                  }
-                }
-                yy += 1
-              }
-            }
-          }
-        }
-        bx += 1
-      }
-      by += 1
-    }
-    out(2) = java.lang.Long.valueOf(bw.toLong * bh)
-    if (ok) {
-      out(3) = java.lang.Long.valueOf(sum)
-      out(4) = java.lang.Long.valueOf(wsum)
-      out(5) = java.lang.Long.valueOf(nAc)
-    }
-    new GenericInternalRow(out)
+  // ------------------------------------------------ shared gray machinery
+
+  /** Per-block consumer of DEQUANTIZED zig-zag-ordered coefficients; the
+    * decode drivers stream blocks here, so the pixel folds (stats vs 4×4
+    * grid) exist once regardless of baseline/progressive entropy layout.
+    */
+  private trait BlockSink {
+    def block(bx: Int, by: Int, coefZz: Array[Int], hasAc: Boolean): Unit
   }
 
-  /** Grid-mean content embedding over the baseline GRAYSCALE envelope
-    * (round-14, the [[graft.functions.MediaDecode.embed]] JPEG tier): the
-    * same segment walk + entropy decode + reconstruction as [[jpeg]], but
-    * folding per-pixel values into a 4×4 spatial grid instead of global
-    * sums, emitted as 48 dims (each cell's mean duplicated across the
-    * R,G,B slots so image embeddings share one space regardless of
-    * source format; values in [0,1]). Error contract is simpler than the
-    * stats row's: ANY failure — bad gates, malformed entropy stream,
-    * progressive/color file — returns null (the encoder's honest-null
-    * routing). w,h < 4 also null (a grid cell would be empty).
+  /** Reconstruct one in-geometry pixel of a block: the flat-block
+    * shortcut (IDCT of a DC-only block is exactly DC/8, T.81 A.3.3) or
+    * the reference double IDCT.
     */
-  def embedGray(p: Array[Byte]): Array[Double] = {
+  private def pixelOf(coef: Array[Int], hasAc: Boolean, xx: Int, yy: Int): Int =
+    if (!hasAc) {
+      val f = coef(0)
+      val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
+      math.min(255, math.max(0, q8 + 128))
+    } else idctPixel(coef, xx, yy)
+
+  /** The `graft_jpeg_stats` fold: luma sum + position-weighted checksum
+    * over in-geometry pixels.
+    */
+  private final class StatsSink(w: Int, h: Int) extends BlockSink {
+    var sum = 0L
+    var wsum = 0L
+    def block(bx: Int, by: Int, coef: Array[Int], hasAc: Boolean): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        val py = by * 8 + yy
+        if (py < h) {
+          var xx = 0
+          while (xx < 8) {
+            val px = bx * 8 + xx
+            if (px < w) {
+              val v = pixelOf(coef, hasAc, xx, yy)
+              sum += v
+              wsum += (py.toLong * w + px + 1L) * v
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+  }
+
+  /** The content-embedding fold: 4×4 spatial grid of per-cell means. */
+  private final class GridSink(w: Int, h: Int) extends BlockSink {
+    val sums = new Array[Long](16)
+    val cnts = new Array[Long](16)
+    def block(bx: Int, by: Int, coef: Array[Int], hasAc: Boolean): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        val py = by * 8 + yy
+        if (py < h) {
+          var xx = 0
+          while (xx < 8) {
+            val px = bx * 8 + xx
+            if (px < w) {
+              val v = pixelOf(coef, hasAc, xx, yy)
+              val cell = (py * 4 / h) * 4 + px * 4 / w
+              sums(cell) += v
+              cnts(cell) += 1
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+    /** Cell means duplicated across the R,G,B slots (48 dims in [0,1]) so
+      * grayscale embeddings share the image space; null if a cell is
+      * empty (w or h < 4).
+      */
+    def emit(): Array[Double] = {
+      val out = new Array[Double](48)
+      var c = 0
+      while (c < 16) {
+        if (cnts(c) == 0) return null
+        val m = (sums(c).toDouble / cnts(c)) / 255.0
+        out(c * 3) = m; out(c * 3 + 1) = m; out(c * 3 + 2) = m
+        c += 1
+      }
+      out
+    }
+  }
+
+  /** Decode outcome for the gray tiers; a null GrayOut = header failure
+    * (nothing reportable), ok=false = valid header but malformed entropy
+    * stream (geometry reportable, sums not).
+    */
+  private final class GrayOut(val w: Int, val h: Int, val ok: Boolean, val nAc: Long)
+
+  /** Unified single-component (grayscale) decode driver: walks segments
+    * to the first SOS exactly as a real parser (APPn/COM-heavy headers
+    * included), then runs the SOF0 single-scan streaming path or the
+    * SOF2 multi-scan progressive path, streaming dequantized blocks to
+    * `mk(w, h)`.
+    */
+  private def decodeGray(p: Array[Byte], mk: (Int, Int) => BlockSink): GrayOut = {
     if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8) return null
     var pos = 2
     var w = -1
     var h = -1
-    var quant: Array[Int] = null
-    var dcT: JHuff = null
-    var acT: JHuff = null
+    var progressive = false
+    var compTq = 0
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JHuff](4)
+    val acTabs = new Array[JHuff](4)
     var sosAt = -1
+    // Segment walk to the first SOS, bounded by position progress alone:
+    // every iteration advances pos by 2+len with len >= 2 enforced below,
+    // so the walk is O(p.length) and an APPn/COM-heavy file (EXIF/XMP)
+    // with any number of metadata segments still reaches its SOS (a fixed
+    // hop cap silently nulled such files out).
     while (sosAt < 0 && pos + 4 <= p.length) {
       if (u8(p, pos) != 0xFF) return null
       val marker = u8(p, pos + 1)
       val len = beU16(p, pos + 2)
       if (len < 2 || pos + 2 + len > p.length) return null
       val body = pos + 4
+      val end = pos + 2 + len
       marker match {
-        case 0xDB =>
-          if (len >= 67 && (u8(p, body) & 0xF0) == 0)
-            quant = Array.tabulate(64)(i => u8(p, body + 1 + i))
-        case 0xC0 =>
+        case 0xDB => // DQT: possibly several 8-bit tables per segment
+          var q = body
+          while (q + 65 <= end) {
+            val pq = u8(p, q) >> 4
+            val tq = u8(p, q) & 0x0F
+            if (pq == 0 && tq < 4)
+              quant(tq) = Array.tabulate(64)(i => u8(p, q + 1 + i))
+            q += 65
+          }
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive: 8-bit, one 1x1 component
           if (len >= 11 && u8(p, body) == 8 && u8(p, body + 5) == 1 &&
             u8(p, body + 7) == 0x11) {
+            progressive = marker == 0xC2
             h = beU16(p, body + 1)
             w = beU16(p, body + 3)
-          } else return null
-        case 0xC4 =>
-          var q = body
-          while (q + 17 <= pos + 2 + len) {
-            val tc = u8(p, q) >> 4
-            val th = u8(p, q) & 0x0F
-            val bits = new Array[Int](17)
-            var n = 0
-            var l = 1
-            while (l <= 16) { bits(l) = u8(p, q + l); n += bits(l); l += 1 }
-            if (q + 17 + n > pos + 2 + len || n > 256) return null
-            val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
-            if (th == 0) {
-              if (tc == 0) dcT = new JHuff(bits, vals)
-              else if (tc == 1) acT = new JHuff(bits, vals)
-            }
-            q += 17 + n
-          }
-        case 0xDA => sosAt = pos
-        case 0xD9 => return null
-        case _ => ()
+            compTq = u8(p, body + 8)
+          } else return null // outside the envelope (multi-component etc.)
+        case 0xC4 => // DHT: possibly several tables in one segment
+          if (!parseDht(p, body, end, dcTabs, acTabs)) return null
+        case 0xDD => // DRI: a nonzero restart interval is outside the envelope
+          if (len >= 4 && beU16(p, body) != 0) return null
+        case 0xDA => sosAt = pos // SOS: entropy data follows the header
+        case 0xD9 => return null // EOI before SOS
+        case _ => () // APPn / COM / others: skip
       }
       if (sosAt < 0) pos += 2 + len
     }
-    if (sosAt < 0 || w < 4 || h < 4 || quant == null || dcT == null ||
-      acT == null || w > (1 << 14) || h > (1 << 14)) return null
-    val sosLen = beU16(p, sosAt + 2)
-    val scanStart = sosAt + 2 + sosLen
-    if (scanStart >= p.length) return null
+    val dimCap = if (progressive) 1 << 13 else 1 << 14
+    if (sosAt < 0 || w <= 0 || h <= 0 || compTq > 3 || quant(compTq) == null ||
+      w > dimCap || h > dimCap)
+      return null
+    val qt = quant(compTq)
     val bw = (w + 7) / 8
     val bh = (h + 7) / 8
-    val r = new BitReader(p, scanStart, p.length)
-    val sums = new Array[Long](16)
-    val cnts = new Array[Long](16)
-    var pred = 0
-    val coef = new Array[Int](64)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        java.util.Arrays.fill(coef, 0)
-        val t = dcT.decode(r)
-        if (t < 0 || t > 11) return null
-        val diffBits = if (t == 0) 0 else r.bits(t)
-        if (diffBits < 0) return null
-        pred += extend(diffBits, t)
-        coef(0) = pred * quant(0)
-        var k = 1
-        var eob = false
-        while (!eob && k < 64) {
-          val rs = acT.decode(r)
-          if (rs < 0) return null
-          else if (rs == 0x00) eob = true
-          else if (rs == 0xF0) k += 16
+
+    // first-scan header: Ns must be 1; bind the scan's tables
+    val sosLen = beU16(p, sosAt + 2)
+    if (sosAt + 2 + sosLen > p.length || sosLen != 8 || u8(p, sosAt + 4) != 1)
+      return null
+
+    if (!progressive) {
+      // ---- SOF0: single-scan streaming path (no coefficient plane) ----
+      val tt = u8(p, sosAt + 6)
+      if ((tt >> 4) > 3 || (tt & 0x0F) > 3) return null
+      val dcT = dcTabs(tt >> 4)
+      val acT = acTabs(tt & 0x0F)
+      if (dcT == null || acT == null) return null
+      val sink = mk(w, h)
+      val scanStart = sosAt + 2 + sosLen
+      if (scanStart >= p.length) return new GrayOut(w, h, false, 0L)
+      val r = new BitReader(p, scanStart, p.length)
+      var nAc = 0L
+      var pred = 0
+      val coef = new Array[Int](64)
+      var by = 0
+      var ok = true
+      while (ok && by < bh) {
+        var bx = 0
+        while (ok && bx < bw) {
+          java.util.Arrays.fill(coef, 0)
+          // DC: category + extended difference, predicted from the last block
+          val t = dcT.decode(r)
+          if (t < 0 || t > 11) ok = false
           else {
-            val run = rs >> 4
-            val size = rs & 0x0F
-            k += run
-            if (k > 63) return null
-            val m = r.bits(size)
-            if (m < 0) return null
-            coef(k) = extend(m, size) * quant(k)
-            k += 1
-          }
-        }
-        var hasAc = false
-        var i = 1
-        while (i < 64 && !hasAc) { hasAc = coef(i) != 0; i += 1 }
-        var yy = 0
-        while (yy < 8) {
-          val py = by * 8 + yy
-          if (py < h) {
-            var xx = 0
-            while (xx < 8) {
-              val px = bx * 8 + xx
-              if (px < w) {
-                val v =
-                  if (!hasAc) {
-                    val f = coef(0)
-                    val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
-                    math.min(255, math.max(0, q8 + 128))
-                  } else idctPixel(coef, xx, yy)
-                val cell = (py * 4 / h) * 4 + px * 4 / w
-                sums(cell) += v
-                cnts(cell) += 1
+            val diffBits = if (t == 0) 0 else r.bits(t)
+            if (diffBits < 0) ok = false
+            else {
+              pred += extend(diffBits, t)
+              coef(0) = pred * qt(0)
+              // AC: run/size pairs until EOB or 63 coefficients
+              var k = 1
+              var eob = false
+              while (ok && !eob && k < 64) {
+                val rs = acT.decode(r)
+                if (rs < 0) ok = false
+                else if (rs == 0x00) eob = true
+                else if (rs == 0xF0) k += 16 // ZRL
+                else {
+                  val run = rs >> 4
+                  val size = rs & 0x0F
+                  k += run
+                  if (k > 63) ok = false
+                  else {
+                    val m = r.bits(size)
+                    if (m < 0) ok = false
+                    else {
+                      coef(k) = extend(m, size) * qt(k)
+                      nAc += 1
+                      k += 1
+                    }
+                  }
+                }
               }
-              xx += 1
+              if (ok) {
+                var hasAc = false
+                var i = 1
+                while (i < 64 && !hasAc) { hasAc = coef(i) != 0; i += 1 }
+                sink.block(bx, by, coef, hasAc)
+              }
             }
           }
-          yy += 1
+          bx += 1
         }
-        bx += 1
+        by += 1
       }
-      by += 1
+      return new GrayOut(w, h, ok, nAc)
     }
-    val out = new Array[Double](48)
-    var c = 0
-    while (c < 16) {
-      if (cnts(c) == 0) return null
-      val m = (sums(c).toDouble / cnts(c)) / 255.0
-      out(c * 3) = m; out(c * 3 + 1) = m; out(c * 3 + 2) = m
-      c += 1
+
+    // ---- SOF2: multi-scan progressive path (T.81 Annex G) ----
+    // RAW (pre-dequant) coefficients accumulate across scans; successive-
+    // approximation bit fiddling (| 1<<Al, ±p1 corrections) operates on
+    // raw values, dequant happens once at emission. Short suffices: 8-bit
+    // baseline coefficients are ≤ 11 bits + sign, and the point transform
+    // only restores bits below that. Plane memory at the 8192² cap is
+    // 1024²/64 blocks... (8192/8)² = 1024² blocks × 64 × 2 B = 134 MB —
+    // the same order as the 4:2:0 plane-buffer justification (any real
+    // progressive decoder materializes whole-image coefficient memory;
+    // that is the format's nature, not this implementation's).
+    val nBlocks = bw * bh
+    val coefs = new Array[Short](nBlocks * 64)
+    var scanPos = sosAt // position OF the SOS marker for the current scan
+    var sawScan = false
+    var ok = true
+    var finished = false
+    while (ok && !finished) {
+      // scan header (the first iteration re-reads the one validated above)
+      val sl = beU16(p, scanPos + 2)
+      val sb = scanPos + 4
+      if (scanPos + 2 + sl > p.length || sl != 8 || u8(p, sb) != 1 ||
+        (u8(p, sb + 2) >> 4) > 3 || (u8(p, sb + 2) & 0x0F) > 3) { ok = false }
+      else {
+        val tt = u8(p, sb + 2)
+        val ss = u8(p, sb + 3)
+        val se = u8(p, sb + 4)
+        val ah = u8(p, sb + 5) >> 4
+        val al = u8(p, sb + 5) & 0x0F
+        val dcScan = ss == 0
+        val validBand = if (dcScan) se == 0 else ss <= se && se <= 63
+        val dcT = dcTabs(tt >> 4)
+        val acT = acTabs(tt & 0x0F)
+        // DC-refinement reads raw bits (no table); other scan kinds need theirs
+        val tablesOk = if (dcScan) ah != 0 || dcT != null else acT != null
+        if (!validBand || al > 13 || !tablesOk) ok = false
+        else {
+          val r = new BitReader(p, scanPos + 2 + sl, p.length)
+          ok = decodeProgressiveScan(r, coefs, nBlocks, dcScan, ss, se, ah, al, dcT, acT)
+          sawScan = true
+          if (ok) {
+            // entropy data ends at the next marker: skip pad bits and any
+            // 0xFF fill bytes (T.81 B.1.1.2), then dispatch on the marker
+            var q = r.pos
+            var markerAt = -1
+            while (markerAt < 0 && q + 1 < p.length) {
+              if (u8(p, q) == 0xFF && u8(p, q + 1) != 0x00 && u8(p, q + 1) != 0xFF)
+                markerAt = q
+              else q += 1
+            }
+            if (markerAt < 0) ok = false // truncated: no terminating marker
+            else {
+              var walkPos = markerAt
+              var nextScan = -1
+              while (ok && nextScan < 0 && !finished && walkPos + 2 <= p.length) {
+                val m = u8(p, walkPos + 1)
+                if (u8(p, walkPos) != 0xFF) ok = false
+                else if (m == 0xD9) finished = true // EOI
+                else if (walkPos + 4 > p.length) ok = false
+                else {
+                  val len2 = beU16(p, walkPos + 2)
+                  if (len2 < 2 || walkPos + 2 + len2 > p.length) ok = false
+                  else {
+                    val b2 = walkPos + 4
+                    val e2 = walkPos + 2 + len2
+                    m match {
+                      case 0xC4 => if (!parseDht(p, b2, e2, dcTabs, acTabs)) ok = false
+                      case 0xDB => // DQT redefinition between scans: legal, honored
+                        var q2 = b2
+                        while (q2 + 65 <= e2) {
+                          val pq = u8(p, q2) >> 4
+                          val tq = u8(p, q2) & 0x0F
+                          if (pq == 0 && tq < 4)
+                            quant(tq) = Array.tabulate(64)(i => u8(p, q2 + 1 + i))
+                          q2 += 65
+                        }
+                      case 0xDD => if (len2 >= 4 && beU16(p, b2) != 0) ok = false
+                      case 0xDA => nextScan = walkPos
+                      case _ => () // APPn / COM: skip
+                    }
+                    if (nextScan < 0) walkPos += 2 + len2
+                  }
+                }
+              }
+              if (ok && !finished) {
+                if (nextScan < 0) ok = false
+                else scanPos = nextScan
+              }
+            }
+          }
+        }
+      }
     }
-    out
+    if (!sawScan) return null
+    if (!ok) return new GrayOut(w, h, false, 0L)
+    // emit the finished plane: dequant per block, stream to the sink
+    val qte = quant(compTq) // possibly redefined between scans; bound once here
+    val sink = mk(w, h)
+    val coef = new Array[Int](64)
+    var nAc = 0L
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * 64
+      var hasAc = false
+      var k = 0
+      while (k < 64) {
+        val c = coefs(base + k).toInt
+        coef(k) = c * qte(k)
+        if (k > 0 && c != 0) { hasAc = true; nAc += 1 }
+        k += 1
+      }
+      sink.block(b % bw, b / bw, coef, hasAc)
+      b += 1
+    }
+    new GrayOut(w, h, true, nAc)
+  }
+
+  /** One progressive scan over the raw coefficient plane (single
+    * component, blocks in raster order). Returns false on a malformed
+    * entropy stream. `ah == 0` selects the first-pass coding (G.1.2.1/2),
+    * `ah > 0` the refinement coding (G.1.2.3).
+    */
+  private def decodeProgressiveScan(
+      r: BitReader, coefs: Array[Short], nBlocks: Int, dcScan: Boolean,
+      ss: Int, se: Int, ah: Int, al: Int, dcT: JHuff, acT: JHuff): Boolean = {
+    var pred = 0
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -(1 << al)
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * 64
+      if (dcScan) {
+        if (ah == 0) {
+          // DC first: standard difference coding in the point-transformed
+          // domain, then shift the accumulated value up by Al
+          val t = dcT.decode(r)
+          if (t < 0 || t > 11) return false
+          val diffBits = if (t == 0) 0 else r.bits(t)
+          if (diffBits < 0) return false
+          pred += extend(diffBits, t)
+          coefs(base) = (pred << al).toShort
+        } else {
+          // DC refinement: one raw bit per block, appended at position Al
+          val bit = r.bit()
+          if (bit < 0) return false
+          if (bit == 1) coefs(base) = (coefs(base) | p1).toShort
+        }
+      } else if (ah == 0) {
+        // AC first pass: run/size pairs with EOB-run coding (G.1.2.2)
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (!done && k <= se) {
+            val rs = acT.decode(r)
+            if (rs < 0) return false
+            val run = rs >> 4
+            val size = rs & 0x0F
+            if (size != 0) {
+              k += run
+              if (k > se) return false
+              val m = r.bits(size)
+              if (m < 0) return false
+              coefs(base + k) = (extend(m, size) << al).toShort
+              k += 1
+            } else if (run == 15) k += 16 // ZRL
+            else {
+              eobrun = 1 << run
+              if (run > 0) {
+                val eb = r.bits(run)
+                if (eb < 0) return false
+                eobrun += eb
+              }
+              eobrun -= 1 // this block is the first of the run
+              done = true
+            }
+          }
+        }
+      } else {
+        // AC refinement (G.1.2.3): newly-nonzero coefficients arrive with
+        // a sign bit at a zero-history position; every already-nonzero
+        // coefficient passed over reads one inline correction bit
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (!brk && k <= se) {
+            val rs = acT.decode(r)
+            if (rs < 0) return false
+            var run = rs >> 4
+            val size = rs & 0x0F
+            var sval = 0
+            if (size != 0) {
+              if (size != 1) return false // refinement sizes are always 1
+              val sb = r.bit()
+              if (sb < 0) return false
+              sval = if (sb == 1) p1 else m1
+            } else if (run != 15) {
+              eobrun = 1 << run
+              if (run > 0) {
+                val eb = r.bits(run)
+                if (eb < 0) return false
+                eobrun += eb
+              }
+              brk = true
+            }
+            // run == 15 with size 0 is ZRL: skip 16 zero-history slots,
+            // correcting nonzero ones along the way (run counts only
+            // zero-history positions, exactly as below)
+            if (!brk) {
+              var advancing = true
+              while (advancing && k <= se) {
+                val c = base + k
+                if (coefs(c) != 0) {
+                  val cb = r.bit()
+                  if (cb < 0) return false
+                  if (cb == 1 && (coefs(c) & p1) == 0)
+                    coefs(c) = (coefs(c) + (if (coefs(c) >= 0) p1 else m1)).toShort
+                  k += 1
+                } else if (run == 0) advancing = false // the insertion slot
+                else { run -= 1; k += 1 }
+              }
+              if (sval != 0 && k <= se) { coefs(base + k) = sval.toShort; k += 1 }
+              else if (sval != 0) return false // ran past Se hunting the slot
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // blocks inside an EOB run still carry correction bits for their
+          // already-nonzero coefficients in the band
+          while (k <= se) {
+            val c = base + k
+            if (coefs(c) != 0) {
+              val cb = r.bit()
+              if (cb < 0) return false
+              if (cb == 1 && (coefs(c) & p1) == 0)
+                coefs(c) = (coefs(c) + (if (coefs(c) >= 0) p1 else m1)).toShort
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      b += 1
+    }
+    true
+  }
+
+  /** Parse one DHT segment body (possibly several tables); false on a
+    * malformed table declaration.
+    */
+  private def parseDht(p: Array[Byte], body: Int, end: Int,
+      dcTabs: Array[JHuff], acTabs: Array[JHuff]): Boolean = {
+    var q = body
+    while (q + 17 <= end) {
+      val tc = u8(p, q) >> 4
+      val th = u8(p, q) & 0x0F
+      val bits = new Array[Int](17)
+      var n = 0
+      var l = 1
+      while (l <= 16) { bits(l) = u8(p, q + l); n += bits(l); l += 1 }
+      if (q + 17 + n > end || n > 256) return false
+      val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
+      if (th < 4) {
+        if (tc == 0) dcTabs(th) = new JHuff(bits, vals)
+        else if (tc == 1) acTabs(th) = new JHuff(bits, vals)
+      }
+      q += 17 + n
+    }
+    true
+  }
+
+  /** Grayscale pixel-stats decode (baseline SOF0 and, since round 15,
+    * progressive SOF2): geometry always reported once the header parses,
+    * sums nulled on a malformed entropy stream.
+    */
+  def jpeg(p: Array[Byte]): InternalRow = {
+    val out = new Array[Any](6)
+    var sinkRef: StatsSink = null
+    val res = decodeGray(p, (w, h) => { sinkRef = new StatsSink(w, h); sinkRef })
+    if (res == null) return new GenericInternalRow(out)
+    out(0) = Integer.valueOf(res.w)
+    out(1) = Integer.valueOf(res.h)
+    out(2) = java.lang.Long.valueOf(((res.w + 7) / 8).toLong * ((res.h + 7) / 8))
+    if (res.ok) {
+      out(3) = java.lang.Long.valueOf(sinkRef.sum)
+      out(4) = java.lang.Long.valueOf(sinkRef.wsum)
+      out(5) = java.lang.Long.valueOf(res.nAc)
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Grid-mean content embedding over the GRAYSCALE tiers (baseline and
+    * progressive): same decode drivers as [[jpeg]], folding per-pixel
+    * values into a 4×4 spatial grid, emitted as 48 dims (each cell's mean
+    * duplicated across the R,G,B slots so image embeddings share one
+    * space regardless of source format; values in [0,1]). Error contract
+    * is simpler than the stats row's: ANY failure — bad gates, malformed
+    * entropy stream, color file — returns null (the encoder's honest-null
+    * routing). w,h < 4 also null (a grid cell would be empty).
+    */
+  def embedGray(p: Array[Byte]): Array[Double] = {
+    var sinkRef: GridSink = null
+    val res = decodeGray(p, (w, h) => { sinkRef = new GridSink(w, h); sinkRef })
+    if (res == null || !res.ok) return null
+    sinkRef.emit()
+  }
+
+  /** Content embedding over EVERY decodable JPEG tier (round-15, the
+    * color rung of the embed ladder): grayscale baseline + progressive
+    * through the gray grid fold, color 4:4:4 / 4:2:0 through the RGB grid
+    * fold over libjpeg-exact converted pixels. Color progressive remains
+    * honest-null (the named next rung). The gray attempt costs a color
+    * file only its header walk (the SOF component count rejects in the
+    * segment loop before any entropy work).
+    */
+  def embed(p: Array[Byte]): Array[Double] = {
+    val g = embedGray(p)
+    if (g != null) g else embedColor(p)
   }
 
   val colorOutType: StructType = StructType(Seq(
@@ -442,6 +717,55 @@ object JpegDecode {
     StructField("sum_r", LongType), StructField("sum_g", LongType),
     StructField("sum_b", LongType), StructField("wsum_r", LongType),
     StructField("n_ac_coeffs", LongType)))
+
+  // ------------------------------------------------ shared color machinery
+
+  /** Per-pixel consumer for the color tiers: converted RGB plus the
+    * underlying YCbCr, in top-down image order.
+    */
+  private trait RgbSink {
+    def pixel(px: Int, py: Int, yv: Int, cb: Int, cr: Int,
+        rv: Int, gv: Int, bv: Int): Unit
+  }
+
+  private final class StatsRgbSink(w: Int) extends RgbSink {
+    var sumY = 0L; var sumCb = 0L; var sumCr = 0L
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var wsumR = 0L
+    def pixel(px: Int, py: Int, yv: Int, cb: Int, cr: Int,
+        rv: Int, gv: Int, bv: Int): Unit = {
+      sumY += yv; sumCb += cb; sumCr += cr
+      sumR += rv; sumG += gv; sumB += bv
+      wsumR += (py.toLong * w + px + 1L) * rv
+    }
+  }
+
+  private final class GridRgbSink(w: Int, h: Int) extends RgbSink {
+    val sums = new Array[Long](48)
+    val cnts = new Array[Long](16)
+    def pixel(px: Int, py: Int, yv: Int, cb: Int, cr: Int,
+        rv: Int, gv: Int, bv: Int): Unit = {
+      val cell = (py * 4 / h) * 4 + px * 4 / w
+      cnts(cell) += 1
+      sums(cell * 3) += rv
+      sums(cell * 3 + 1) += gv
+      sums(cell * 3 + 2) += bv
+    }
+    def emit(): Array[Double] = {
+      val out = new Array[Double](48)
+      var i = 0
+      while (i < 48) {
+        val cnt = cnts(i / 3)
+        if (cnt == 0) return null
+        out(i) = (sums(i).toDouble / cnt) / 255.0
+        i += 1
+      }
+      out
+    }
+  }
+
+  private final class ColorOut(val w: Int, val h: Int, val nMcus: Long,
+    val ok: Boolean, val nAc: Long)
 
   /** COLOR baseline JPEG decode — the multi-component tier: YCbCr, either
     * three full-resolution components (4:4:4, every sampling factor 1×1)
@@ -477,8 +801,43 @@ object JpegDecode {
     */
   def jpegColor(p: Array[Byte]): InternalRow = {
     val out = new Array[Any](11)
-    if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8)
-      return new GenericInternalRow(out)
+    var sinkRef: StatsRgbSink = null
+    val res = decodeColor(p, (w, _) => { sinkRef = new StatsRgbSink(w); sinkRef })
+    if (res == null) return new GenericInternalRow(out)
+    out(0) = Integer.valueOf(res.w)
+    out(1) = Integer.valueOf(res.h)
+    out(2) = java.lang.Long.valueOf(res.nMcus)
+    if (res.ok) {
+      out(3) = java.lang.Long.valueOf(sinkRef.sumY)
+      out(4) = java.lang.Long.valueOf(sinkRef.sumCb)
+      out(5) = java.lang.Long.valueOf(sinkRef.sumCr)
+      out(6) = java.lang.Long.valueOf(sinkRef.sumR)
+      out(7) = java.lang.Long.valueOf(sinkRef.sumG)
+      out(8) = java.lang.Long.valueOf(sinkRef.sumB)
+      out(9) = java.lang.Long.valueOf(sinkRef.wsumR)
+      out(10) = java.lang.Long.valueOf(res.nAc)
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Grid-mean content embedding over the COLOR baseline tiers (round-15
+    * verdict task #2 — color JPEGs stop embedding as null): the same
+    * decode + libjpeg-exact RGB conversion as [[jpegColor]], folded into
+    * 4×4 per-cell channel means (48 dims in [0,1], true R,G,B — the same
+    * layout the BMP/PNG encoder emits). Null on any failure or w,h < 4.
+    */
+  def embedColor(p: Array[Byte]): Array[Double] = {
+    var sinkRef: GridRgbSink = null
+    val res = decodeColor(p, (w, h) => { sinkRef = new GridRgbSink(w, h); sinkRef })
+    if (res == null || !res.ok) return null
+    sinkRef.emit()
+  }
+
+  /** Shared color decode driver behind [[jpegColor]] and [[embedColor]];
+    * null = header failure, ok=false = malformed entropy stream.
+    */
+  private def decodeColor(p: Array[Byte], mk: (Int, Int) => RgbSink): ColorOut = {
+    if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8) return null
     var pos = 2
     var w = -1
     var h = -1
@@ -492,10 +851,10 @@ object JpegDecode {
     val compAc = new Array[Int](3)
     var sosAt = -1
     while (sosAt < 0 && pos + 4 <= p.length) {
-      if (u8(p, pos) != 0xFF) return new GenericInternalRow(out)
+      if (u8(p, pos) != 0xFF) return null
       val marker = u8(p, pos + 1)
       val len = beU16(p, pos + 2)
-      if (len < 2 || pos + 2 + len > p.length) return new GenericInternalRow(out)
+      if (len < 2 || pos + 2 + len > p.length) return null
       val body = pos + 4
       val end = pos + 2 + len
       marker match {
@@ -520,39 +879,23 @@ object JpegDecode {
             w = beU16(p, body + 3)
             compId = Array.tabulate(3)(c => u8(p, body + 6 + 3 * c))
             compQ = Array.tabulate(3)(c => u8(p, body + 8 + 3 * c))
-          } else return new GenericInternalRow(out) // outside the envelope
+          } else return null // outside the envelope
         case 0xC4 => // DHT: possibly several tables in one segment
-          var q = body
-          while (q + 17 <= end) {
-            val tc = u8(p, q) >> 4
-            val th = u8(p, q) & 0x0F
-            val bits = new Array[Int](17)
-            var n = 0
-            var l = 1
-            while (l <= 16) { bits(l) = u8(p, q + l); n += bits(l); l += 1 }
-            if (q + 17 + n > end || n > 256) return new GenericInternalRow(out)
-            val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
-            if (th < 4) {
-              if (tc == 0) dcTabs(th) = new JHuff(bits, vals)
-              else if (tc == 1) acTabs(th) = new JHuff(bits, vals)
-            }
-            q += 17 + n
-          }
+          if (!parseDht(p, body, end, dcTabs, acTabs)) return null
         case 0xDA => // SOS: bind each scan component to its tables
-          if (len != 12 || u8(p, body) != 3 || compId == null)
-            return new GenericInternalRow(out)
+          if (len != 12 || u8(p, body) != 3 || compId == null) return null
           var c = 0
           while (c < 3) {
             val cid = u8(p, body + 1 + 2 * c)
             val tt = u8(p, body + 2 + 2 * c)
             val idx = compId.indexOf(cid)
-            if (idx < 0) return new GenericInternalRow(out)
+            if (idx < 0 || (tt >> 4) > 3 || (tt & 0x0F) > 3) return null
             compDc(idx) = tt >> 4
             compAc(idx) = tt & 0x0F
             c += 1
           }
           sosAt = pos
-        case 0xD9 => return new GenericInternalRow(out) // EOI before SOS
+        case 0xD9 => return null // EOI before SOS
         case _ => () // APPn / COM / others: skip
       }
       if (sosAt < 0) pos += 2 + len
@@ -564,23 +907,19 @@ object JpegDecode {
     if (sosAt < 0 || w <= 0 || h <= 0 || compQ == null ||
       w > (1 << 14) || h > (1 << 14) ||
       (lumaSamp == 2 && (w > (1 << 13) || h > (1 << 13))) ||
+      compQ.exists(_ > 3) ||
       (0 until 3).exists(c => quant(compQ(c)) == null ||
         dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null))
-      return new GenericInternalRow(out)
-    out(0) = Integer.valueOf(w)
-    out(1) = Integer.valueOf(h)
+      return null
     val scanStart = sosAt + 2 + beU16(p, sosAt + 2)
-    if (scanStart >= p.length) return new GenericInternalRow(out)
     val mcuPx = 8 * lumaSamp // MCU pixel span: 8 (4:4:4) or 16 (4:2:0)
     val bw = (w + mcuPx - 1) / mcuPx
     val bh = (h + mcuPx - 1) / mcuPx
+    val nMcus = bw.toLong * bh
+    if (scanStart >= p.length) return new ColorOut(w, h, nMcus, false, 0L)
+    val sink = mk(w, h)
     val nLuma = lumaSamp * lumaSamp // Y data units per MCU (1 or 4)
     val r = new BitReader(p, scanStart, p.length)
-    val sums = new Array[Long](3) // y, cb, cr
-    var sumR = 0L
-    var sumG = 0L
-    var sumB = 0L
-    var wsumR = 0L
     var nAc = 0L
     val pred = new Array[Int](3)
     // data units 0..nLuma-1 = Y (T.81 A.2.3: left-to-right, top-to-bottom),
@@ -654,11 +993,7 @@ object JpegDecode {
         }
         if (ok) {
           def unitVal(unit: Int, xx: Int, yy: Int): Int =
-            if (!hasAc(unit)) {
-              val f = coef(unit)(0)
-              val q8 = if (f >= 0) (f + 4) / 8 else -((-f + 4) / 8)
-              clamp255(q8 + 128)
-            } else idctPixel(coef(unit), xx, yy)
+            pixelOf(coef(unit), hasAc(unit), xx, yy)
           if (lumaSamp == 2) {
             // 4:2:0: write decoded (range-limited) samples into the plane
             // buffers; the pixel fold runs after the scan because fancy
@@ -704,19 +1039,13 @@ object JpegDecode {
                     val yv = unitVal(0, xx, yy)
                     val cbv = unitVal(nLuma, xx, yy)
                     val crv = unitVal(nLuma + 1, xx, yy)
-                    sums(0) += yv
-                    sums(1) += cbv
-                    sums(2) += crv
                     val cbx = cbv - 128
                     val crx = crv - 128
                     val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
                     val gv = clamp255(
                       yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
                     val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
-                    sumR += rv
-                    sumG += gv
-                    sumB += bv
-                    wsumR += (py.toLong * w + px + 1L) * rv
+                    sink.pixel(px, py, yv, cbv, crv, rv, gv, bv)
                   }
                   xx += 1
                 }
@@ -762,35 +1091,18 @@ object JpegDecode {
             (3 * (crPlane(j * cwPad + in2) & 0xFF) +
               (crPlane(jn * cwPad + in2) & 0xFF)) + rnd) >> 4
           val yv = yPlane(py * yW + px) & 0xFF
-          sums(0) += yv
-          sums(1) += cbv
-          sums(2) += crv
           val cbx = cbv - 128
           val crx = crv - 128
           val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
           val gv = clamp255(yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
           val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
-          sumR += rv
-          sumG += gv
-          sumB += bv
-          wsumR += (py.toLong * w + px + 1L) * rv
+          sink.pixel(px, py, yv, cbv, crv, rv, gv, bv)
           px += 1
         }
         py += 1
       }
     }
-    out(2) = java.lang.Long.valueOf(bw.toLong * bh)
-    if (ok) {
-      out(3) = java.lang.Long.valueOf(sums(0))
-      out(4) = java.lang.Long.valueOf(sums(1))
-      out(5) = java.lang.Long.valueOf(sums(2))
-      out(6) = java.lang.Long.valueOf(sumR)
-      out(7) = java.lang.Long.valueOf(sumG)
-      out(8) = java.lang.Long.valueOf(sumB)
-      out(9) = java.lang.Long.valueOf(wsumR)
-      out(10) = java.lang.Long.valueOf(nAc)
-    }
-    new GenericInternalRow(out)
+    new ColorOut(w, h, nMcus, ok, nAc)
   }
 
   // zig-zag order: index in scan order -> (row, col)
@@ -806,7 +1118,8 @@ object JpegDecode {
   /** Reference double-precision 2-D IDCT of one pixel (T.81 A.3.3) over
     * zig-zag-ordered dequantized coefficients; rounded and clamped. Exact
     * on DC-only blocks; on AC blocks this is the non-mandated tier where
-    * conforming decoders may differ by ±1.
+    * conforming decoders may differ by ±1 (except single coefficients at
+    * zig-zag index 10, integer-exact — see MediaSynth.jpegAc).
     */
   private def idctPixel(coefZz: Array[Int], x: Int, y: Int): Int = {
     var s = 0.0

@@ -531,13 +531,15 @@ object MediaDecode {
     * Exactness: every value is (exact integer fold) → the SAME IEEE op
     * sequence the DuckDB oracle mirrors — (sum / count) / norm, and
     * sqrt(sumSq / count) / norm — so q_mm_features stays hash-green with
-    * a REAL encoder. Baseline GRAYSCALE JPEG rides the T.81 kernel's grid
-    * fold ([[JpegDecode.embedGray]] — full entropy decode, cell means
-    * duplicated across the RGB slots so image embeddings share one
-    * space). Null for undecodable payloads (bad gates, filtered PNG rows,
-    * truncated streams) and for tiers without an in-engine pixel decode
-    * (progressive/color JPEG) — the same honest-null routing as the
-    * decoders.
+    * a REAL encoder. JPEG rides the T.81 kernels' grid folds
+    * ([[JpegDecode.embed]] — full entropy decode across the ladder:
+    * grayscale baseline AND progressive SOF2 with cell means duplicated
+    * across the RGB slots so image embeddings share one space, plus
+    * color 4:4:4 / 4:2:0 with true per-channel cell means over the
+    * libjpeg-exact converted pixels). Null for undecodable payloads (bad
+    * gates, filtered PNG rows, truncated streams) and for the one tier
+    * without an in-engine pixel decode (color-progressive JPEG) — the
+    * same honest-null routing as the decoders.
     */
   private val G = 4 // image grid — 4×4 cells × 3 channels = 48 dims
 
@@ -547,9 +549,11 @@ object MediaDecode {
       return embedPng(p)
     if (p.length >= 44 && ascii(p, 0, "RIFF")) return embedWav(p)
     if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) {
-      // baseline grayscale JPEG via the T.81 kernel's grid fold; color /
-      // progressive return null there (honest routing, as the decoders)
-      val g = JpegDecode.embedGray(p)
+      // JPEG via the T.81 kernels' grid folds — grayscale baseline AND
+      // progressive (SOF2) through the shared gray driver, color 4:4:4 /
+      // 4:2:0 through the RGB fold over libjpeg-exact converted pixels;
+      // color-progressive returns null (honest routing, as the decoders)
+      val g = JpegDecode.embed(p)
       if (g == null) return null
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(g)
     }

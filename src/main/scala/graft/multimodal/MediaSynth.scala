@@ -494,6 +494,171 @@ object MediaSynth {
     out.toArray
   }
 
+  /** PROGRESSIVE (SOF2) grayscale JPEG — the round-15 fixture behind the
+    * progressive decode tier, planted to be INTEGER-EXACT like
+    * [[jpegAc]]: every block carries its DC plus one AC coefficient at
+    * zig-zag index 10 (reconstruction = 128 + dc + ac·s(y), exact in
+    * every conforming decoder), delivered through FOUR scans that
+    * exercise the full T.81 Annex G machinery:
+    *
+    *  1. DC first (Ss=0, Se=0, Ah=0, Al=1): difference coding of the
+    *     point-transformed dc >> 1;
+    *  2. AC first (Ss=1, Se=63, Ah=0, Al=1): blocks with |ac| ≥ 2 emit a
+    *     run-9/size-1 coefficient of |ac| >> 1; blocks with |ac| = 1
+    *     vanish entirely into EOB runs (EOBn symbols with extra bits —
+    *     run lengths vary 1..6 with the planted pattern);
+    *  3. DC refinement (Ah=1, Al=0): one raw bit per block (dc & 1);
+    *  4. AC refinement (Ah=1, Al=0): the G.1.2.3 coding — |ac| = 1
+    *     coefficients arrive NEWLY NONZERO (run/size symbol + sign at a
+    *     zero-history position), |ac| ≥ 2 coefficients emit correction
+    *     bits (|ac| & 1) buffered across EOB runs exactly as the public
+    *     encoder procedure (jcphuff.c structure) prescribes — so the
+    *     decoder's inline-correction, newly-nonzero-insertion, and
+    *     run-carried-bit paths ALL fire on the oracle-checked corpus.
+    *
+    * Planted: dims and dc as [[jpeg]], ac as [[jpegAc]] — the pixel
+    * field is IDENTICAL to jpegAc's, so the DuckDB oracle for the
+    * progressive row reuses the same formulas. The AC Huffman table
+    * carries EOB0/EOB1/EOB2 and the run-9/size-1 symbol on a canonical
+    * 1/2/3/4-bit ladder (no all-ones codeword, so pad bits can never
+    * alias a symbol).
+    */
+  def jpegProgressive(id: Long): Array[Byte] = {
+    val bw = (1 + id % 3).toInt
+    val bh = (1 + id % 2).toInt
+    val w = bw * 8
+    val h = bh * 8
+    val nBlocks = bw * bh
+    def dcOf(b: Int): Int = ((id + 5L * (b % bw) + 11L * (b / bw)) % 160).toInt - 80
+    def acOf(b: Int): Int = {
+      val bx = b % bw
+      val by = b / bw
+      val m = (1 + (id + bx + by) % 3).toInt
+      if ((id + bx + by) % 2 == 0) m else -m
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00) // DQT, 8-bit table 0
+    (0 until 64).foreach(_ => out += 8.toByte) // Q == 8 everywhere
+    b(0xFF, 0xC2, 0, 11, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0) // SOF2
+    b(0xFF, 0xC4, 0, 31, 0x00) // DHT: DC table 0 (standard Annex K BITS)
+    (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+    (0 to 11).foreach(v => out += v.toByte) // HUFFVAL = categories 0..11
+    // AC table 0: EOB0 '0', run9/size1 '10', EOB1 '110', EOB2 '1110'
+    b(0xFF, 0xC4, 0, 23, 0x10)
+    b(1, 1, 1, 1); (5 to 16).foreach(_ => b(0))
+    b(0x00, 0x91, 0x10, 0x20)
+    val acSym = Map(0x00 -> (0, 1), 0x91 -> (2, 2), 0x10 -> (6, 3), 0x20 -> (14, 4))
+    val dcCode = jpegCodes(jpegDcBits)
+    // MSB-first bit writer with byte stuffing; flushed (1-padded) per scan
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+      cur = 0
+      nb = 0
+    }
+    def putAcSym(sym: Int): Unit = { val (c, l) = acSym(sym); putBits(c, l) }
+    def sos(tdta: Int, ss: Int, se: Int, ah: Int, al: Int): Unit =
+      b(0xFF, 0xDA, 0, 8, 1, 1, tdta, ss, se, (ah << 4) | al)
+
+    // ---- scan 1: DC first, Al = 1 ----
+    sos(0x00, 0, 0, 0, 1)
+    var pred = 0
+    for (blk <- 0 until nBlocks) {
+      val t = dcOf(blk) >> 1 // point transform (arithmetic shift)
+      val diff = t - pred
+      pred = t
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag)
+      val (c, cl) = dcCode(s)
+      putBits(c, cl)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    flushScan()
+
+    // ---- scan 2: AC first, band 1..63, Al = 1 ----
+    sos(0x00, 1, 63, 0, 1)
+    var eobrun = 0
+    def flushEob(): Unit = if (eobrun > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+      putAcSym(nbits << 4)
+      if (nbits > 0) putBits(eobrun & ((1 << nbits) - 1), nbits)
+      eobrun = 0
+    }
+    for (blk <- 0 until nBlocks) {
+      val ac = acOf(blk)
+      val t = math.abs(ac) >> 1
+      if (t == 0) eobrun += 1 // the whole block vanishes into the run
+      else {
+        flushEob()
+        putAcSym(0x91) // run 9 (zig-zag 1..9), size 1
+        putBits(if (ac >= 0) t else ~t & 1, 1)
+        eobrun += 1 // the block's zero tail (11..63) ends it
+      }
+    }
+    flushEob()
+    flushScan()
+
+    // ---- scan 3: DC refinement, Ah = 1, Al = 0 ----
+    sos(0x00, 0, 0, 1, 0)
+    for (blk <- 0 until nBlocks) putBits(dcOf(blk) & 1, 1)
+    flushScan()
+
+    // ---- scan 4: AC refinement, Ah = 1, Al = 0 (G.1.2.3) ----
+    sos(0x00, 1, 63, 1, 0)
+    val pendingBE = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushEobRefine(): Unit = if (eobrun > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+      putAcSym(nbits << 4)
+      if (nbits > 0) putBits(eobrun & ((1 << nbits) - 1), nbits)
+      pendingBE.foreach(putBits(_, 1)) // run-carried correction bits
+      pendingBE.clear()
+      eobrun = 0
+    }
+    for (blk <- 0 until nBlocks) {
+      val ac = acOf(blk)
+      val t = math.abs(ac)
+      val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var r = 9 // zig-zag 1..9 are zero-history zeros before the coef
+      if (t > 1) br += (t & 1) // already nonzero: correction bit only
+      else {
+        // newly nonzero: flush the pending run, then run/size + sign
+        flushEobRefine()
+        putAcSym((r << 4) | 1)
+        putBits(if (ac >= 0) 1 else 0, 1)
+        br.foreach(putBits(_, 1))
+        br.clear()
+        r = 0
+      }
+      // zig-zag 11..63 zero tail: the block closes into an EOB run
+      eobrun += 1
+      pendingBE ++= br
+    }
+    flushEobRefine()
+    flushScan()
+
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
   /** DC-exact COLOR baseline JPEG — YCbCr 4:4:4, three full-resolution
     * components, DC-only blocks: the same every-conforming-decoder-agrees
     * corner as [[jpeg]], promoted to color. REAL multi-component T.81
@@ -792,6 +957,17 @@ case class JpegAcSynth(child: Expression) extends MediaSynthExpression {
   override def prettyName: String = "graft_jpeg_ac_synth"
 }
 
+case class JpegProgressiveSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any =
+    MediaSynth.jpegProgressive(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegProgressive($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegProgressiveSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_progressive_synth"
+}
+
 case class JpegColorSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.jpegColor(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -860,6 +1036,7 @@ object MediaSynthFunctions {
   val pngDynamicName = "graft_png_dynamic_synth"
   val jpegName = "graft_jpeg_synth"
   val jpegAcName = "graft_jpeg_ac_synth"
+  val jpegProgressiveName = "graft_jpeg_progressive_synth"
   val jpegColorName = "graft_jpeg_color_synth"
   val jpegColor420Name = "graft_jpeg_color420_synth"
   val bmpName = "graft_bmp_synth"
@@ -872,6 +1049,7 @@ object MediaSynthFunctions {
     reg.createOrReplaceTempFunction(pngDynamicName, exprs => PngDynamicSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegName, exprs => JpegSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegAcName, exprs => JpegAcSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegProgressiveName, exprs => JpegProgressiveSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegColorName, exprs => JpegColorSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegColor420Name, exprs => JpegColor420Synth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
@@ -881,6 +1059,8 @@ object MediaSynthFunctions {
   def jpegSynth(docId: Column): Column = call_function(jpegName, docId)
 
   def jpegAcSynth(docId: Column): Column = call_function(jpegAcName, docId)
+
+  def jpegProgressiveSynth(docId: Column): Column = call_function(jpegProgressiveName, docId)
 
   def jpegColorSynth(docId: Column): Column = call_function(jpegColorName, docId)
 

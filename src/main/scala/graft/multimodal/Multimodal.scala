@@ -100,8 +100,17 @@ object Multimodal {
     MediaSynthFunctions.ensureRegistered(docs.sparkSession)
     val id = col("doc_id")
     val m = pmod(id, lit(3))
+    // the jpeg third sub-routes across the decoder ladder (round 15): a
+    // doc_id ≡ 1 (mod 3) row is baseline grayscale, progressive grayscale
+    // (doc_id ≡ 4 mod 9), or 4:2:0 color (doc_id ≡ 7 mod 9) — so the
+    // MIXED-format queries exercise every decode tier a real landing zone
+    // routes, not just the easiest one
+    val jm = pmod(id, lit(9))
+    val jpegPayload = when(jm === 4, MediaSynthFunctions.jpegProgressiveSynth(id))
+      .when(jm === 7, MediaSynthFunctions.jpegColor420Synth(id))
+      .otherwise(MediaSynthFunctions.jpegSynth(id))
     val payload = when(m === 0, MediaSynthFunctions.pngSynth(id))
-      .when(m === 1, MediaSynthFunctions.jpegSynth(id))
+      .when(m === 1, jpegPayload)
       .otherwise(MediaSynthFunctions.wavSynth(id))
     val declared = when(m === 0, "png").when(m === 1, "jpeg").otherwise("wav")
     docs
@@ -229,6 +238,20 @@ object Multimodal {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         MediaSynthFunctions.jpegAcSynth(col("doc_id")).as("payload"))
+  }
+
+  /** The PROGRESSIVE (SOF2) grayscale JPEG table
+    * ([[MediaSynth.jpegProgressive]]): four-scan spectral-selection +
+    * successive-approximation fixtures whose planted pixel field is
+    * IDENTICAL to [[jpegAcTable]]'s — the payloads behind
+    * [[q_mm_jpeg_progressive]].
+    */
+  def jpegProgressiveTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.jpegProgressiveSynth(col("doc_id")).as("payload"))
   }
 
   /** The COLOR JPEG table ([[MediaSynth.jpegColor]]): YCbCr 4:4:4,
@@ -402,10 +425,23 @@ object Multimodal {
     */
   def mediaFeatures(media: DataFrame): DataFrame = {
     graft.functions.MediaDecodeFunctions.ensureRegistered(media.sparkSession)
-    media.select(col("media_id"),
-      graft.functions.MediaDecodeFunctions.mediaEmbedding(col("payload")).as("feature"),
-      when(col("declared_format").isin("bmp", "png", "jpeg"), imageEncoderTag)
-        .when(col("declared_format") === "wav", audioEncoderTag).as("encoder"))
+    // the tag's contract is "which encoder PRODUCED this vector", so it is
+    // gated on the vector existing: an undecodable row (or an unknown
+    // declared format) carries a null tag alongside its null feature
+    // rather than claiming an encoder ran (round-14 advice)
+    // two projections, not one: the tag's null-gate references the feature
+    // column, and CollapseProject keeps a non-cheap expression used twice
+    // in separate Projects (the encoder kernel runs ONCE per row — the
+    // same once-per-row discipline as the posexplode_outer consumers)
+    media
+      .select(col("media_id"),
+        graft.functions.MediaDecodeFunctions.mediaEmbedding(col("payload"))
+          .as("feature"),
+        col("declared_format"))
+      .select(col("media_id"), col("feature"),
+        when(col("feature").isNotNull,
+          when(col("declared_format").isin("bmp", "png", "jpeg"), imageEncoderTag)
+            .when(col("declared_format") === "wav", audioEncoderTag)).as("encoder"))
   }
 
   // ---------------------------------------------------------------- queries
@@ -493,15 +529,17 @@ object Multimodal {
              END AS n_bytes,
              CASE doc_id % 3
                WHEN 0 THEN CAST(4 + doc_id % 7 AS INT)
-               WHEN 1 THEN CAST(8 * (1 + doc_id % 3) AS INT)
+               WHEN 1 THEN CAST(CASE WHEN doc_id % 9 = 7 THEN 16 * (1 + doc_id % 2)
+                                     ELSE 8 * (1 + doc_id % 3) END AS INT)
              END AS width,
              CASE doc_id % 3
                WHEN 0 THEN CAST(4 + doc_id % 5 AS INT)
-               WHEN 1 THEN CAST(8 * (1 + doc_id % 2) AS INT)
+               WHEN 1 THEN CAST(CASE WHEN doc_id % 9 = 7 THEN 16 * (1 + doc_id % 3)
+                                     ELSE 8 * (1 + doc_id % 2) END AS INT)
              END AS height,
              CASE WHEN doc_id % 3 = 2 THEN CAST(1 AS INT) END AS channels,
              CASE WHEN doc_id % 3 = 2 THEN CAST($rateSql AS BIGINT) END AS sample_rate,
-             CASE WHEN doc_id % 3 = 1 THEN FALSE END AS progressive
+             CASE WHEN doc_id % 3 = 1 THEN doc_id % 9 = 4 END AS progressive
       FROM documents
       ORDER BY media_id
     """),
@@ -521,11 +559,12 @@ object Multimodal {
           .when(fmt === "jpeg", jpg.getField("height")).as("height"),
         when(fmt === "wav", wav.getField("channels")).as("channels"),
         when(fmt === "wav", wav.getField("sample_rate")).as("sample_rate"),
-        // SOF-family routing flag: false = baseline/sequential (decodable
-        // by the in-engine tiers), true = progressive DCT (SOF2 family —
-        // detected honestly, decode stays null). The planted corpus is
-        // all-baseline, so the oracle pins FALSE on every jpeg row; the
-        // SOF2 positive case is MultimodalSpec's planted fixture.
+        // SOF-family routing flag: false = baseline/sequential, true =
+        // progressive DCT (SOF2 family). Since round 15 the mixed corpus
+        // CARRIES progressive rows (doc_id ≡ 4 mod 9), so the oracle pins
+        // TRUE on exactly those and FALSE on the baseline/color rows —
+        // the flag is exercised positively in the hash gate, not just in
+        // MultimodalSpec.
         when(fmt === "jpeg", jpg.getField("progressive")).as("progressive"),
       )
       .orderBy("media_id")
@@ -643,12 +682,16 @@ object Multimodal {
   /** Oracle-checked encoder over the MIXED-FORMAT real table — the
     * [[q_mm_features]] contract extended to every decode tier: PNG rows
     * decode through the full RFC 1951 inflater, JPEG rows through the
-    * T.81 entropy machinery ([[graft.functions.JpegDecode.embedGray]] —
-    * grayscale cell means duplicated across RGB so all image embeddings
-    * share one space), WAV rows through the PCM segment fold. The oracle
-    * rebuilds every value from the planting formulas (the JPEG fixtures
-    * are DC-exact, so even the lossy tier's means are formula-exact);
-    * same IEEE op order on both engines.
+    * T.81 entropy machinery ([[graft.functions.JpegDecode.embed]] —
+    * since round 15 the jpeg third itself mixes BASELINE grayscale
+    * (grid means duplicated across RGB so all image embeddings share
+    * one space), PROGRESSIVE SOF2 grayscale (four-scan successive
+    * approximation), and 4:2:0 COLOR (true per-channel cell means over
+    * fancy-upsampled libjpeg-exact RGB) — and WAV rows through the PCM
+    * segment fold. The oracle rebuilds every value from the planting
+    * formulas (the JPEG fixtures are integer-exact by construction, so
+    * even the lossy tiers' means are formula-exact, upsampling filter
+    * included); same IEEE op order on both engines.
     */
   val q_mm_embed: Q = Q(
     "q_mm_embed",
@@ -675,7 +718,7 @@ object Multimodal {
       ), jp AS (
         SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
                CAST(unnest(range(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2))) AS BIGINT) AS i
-        FROM documents WHERE doc_id % 3 = 1
+        FROM documents WHERE doc_id % 9 = 1
       ), jpx AS (
         SELECT doc_id, w, h, i % w AS x, i // w AS y FROM jp
       ), jcell AS (
@@ -688,6 +731,74 @@ object Multimodal {
                'pix-grid-mean-v1' AS encoder
         FROM jcell, generate_series(0, 2) AS ch(c)
         GROUP BY doc_id, cell, ch.c
+      ), pg AS (
+        SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+               CAST(unnest(range(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2))) AS BIGINT) AS i
+        FROM documents WHERE doc_id % 9 = 4
+      ), pgpx AS (
+        SELECT doc_id, w, h, i % w AS x, i // w AS y FROM pg
+      ), pgcell AS (
+        SELECT doc_id, ((y * 4) // h) * 4 + ((x * 4) // w) AS cell,
+               48 + (doc_id + 5 * (x // 8) + 11 * (y // 8)) % 160
+                 + (1 + (doc_id + x // 8 + y // 8) % 3)
+                   * (CASE WHEN (doc_id + x // 8 + y // 8) % 2 = 0
+                           THEN 1 ELSE -1 END)
+                   * (CASE WHEN y % 4 IN (0, 3) THEN 1 ELSE -1 END) AS v
+        FROM pgpx
+      ), pgfeat AS (
+        SELECT doc_id AS media_id, CAST(cell * 3 + ch.c AS INT) AS dim,
+               (CAST(sum(v) AS DOUBLE) / count(*)) / 255.0 AS value,
+               'pix-grid-mean-v1' AS encoder
+        FROM pgcell, generate_series(0, 2) AS ch(c)
+        GROUP BY doc_id, cell, ch.c
+      ), c4 AS (
+        SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h,
+               CAST(unnest(range(16 * (1 + doc_id % 2) * 16 * (1 + doc_id % 3)))
+                 AS BIGINT) AS pidx
+        FROM documents WHERE doc_id % 9 = 7
+      ), c4a AS (
+        SELECT doc_id, w, h, pidx % w AS x, pidx // w AS y FROM c4
+      ), c4nb AS (
+        SELECT doc_id, w, h, x, y,
+               x // 2 AS i2a, y // 2 AS j2a,
+               CASE WHEN x % 2 = 0 THEN GREATEST(x // 2 - 1, 0)
+                    ELSE LEAST(x // 2 + 1, w // 2 - 1) END AS i2b,
+               CASE WHEN y % 2 = 0 THEN GREATEST(y // 2 - 1, 0)
+                    ELSE LEAST(y // 2 + 1, h // 2 - 1) END AS j2b,
+               CASE WHEN x % 2 = 0 THEN 8 ELSE 7 END AS rnd
+        FROM c4a
+      ), c4up AS (
+        SELECT doc_id, w, h, x, y,
+               48 + (doc_id + 5 * (x // 8) + 11 * (y // 8)) % 160 AS yv,
+               (3 * (3 * (78 + (3 * doc_id + 7 * (i2a // 8) + 13 * (j2a // 8)) % 100)
+                       + (78 + (3 * doc_id + 7 * (i2a // 8) + 13 * (j2b // 8)) % 100))
+                  + (3 * (78 + (3 * doc_id + 7 * (i2b // 8) + 13 * (j2a // 8)) % 100)
+                       + (78 + (3 * doc_id + 7 * (i2b // 8) + 13 * (j2b // 8)) % 100))
+                  + rnd) // 16 AS cbv,
+               (3 * (3 * (78 + (5 * doc_id + 3 * (i2a // 8) + 17 * (j2a // 8)) % 100)
+                       + (78 + (5 * doc_id + 3 * (i2a // 8) + 17 * (j2b // 8)) % 100))
+                  + (3 * (78 + (5 * doc_id + 3 * (i2b // 8) + 17 * (j2a // 8)) % 100)
+                       + (78 + (5 * doc_id + 3 * (i2b // 8) + 17 * (j2b // 8)) % 100))
+                  + rnd) // 16 AS crv
+        FROM c4nb
+      ), c4rgb AS (
+        SELECT doc_id, w, h, x, y,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (91881 * (crv - 128) + 32768) / 65536.0) AS BIGINT))) AS rv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (-22554 * (cbv - 128) - 46802 * (crv - 128) + 32768) / 65536.0)
+                 AS BIGINT))) AS gv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (116130 * (cbv - 128) + 32768) / 65536.0) AS BIGINT))) AS bv
+        FROM c4up
+      ), cfeat AS (
+        SELECT doc_id AS media_id,
+               CAST((((y * 4) // h) * 4 + ((x * 4) // w)) * 3 + ch.c AS INT) AS dim,
+               (CAST(sum(CASE ch.c WHEN 0 THEN rv WHEN 1 THEN gv ELSE bv END)
+                 AS DOUBLE) / count(*)) / 255.0 AS value,
+               'pix-grid-mean-v1' AS encoder
+        FROM c4rgb, generate_series(0, 2) AS ch(c)
+        GROUP BY doc_id, ((y * 4) // h) * 4 + ((x * 4) // w), ch.c
       ), aud AS (
         SELECT doc_id, 64 + doc_id % 64 AS n,
                CAST(unnest(range(64 + doc_id % 64)) AS BIGINT) AS i
@@ -719,7 +830,9 @@ object Multimodal {
                'pcm-seg-stats-v1' AS encoder
         FROM seg, generate_series(0, 2) AS k(k)
       )
-      SELECT * FROM pfeat UNION ALL SELECT * FROM jfeat UNION ALL SELECT * FROM afeat
+      SELECT * FROM pfeat UNION ALL SELECT * FROM jfeat
+      UNION ALL SELECT * FROM pgfeat UNION ALL SELECT * FROM cfeat
+      UNION ALL SELECT * FROM afeat
       ORDER BY media_id, dim
     """),
   ) { (s, d) =>
@@ -1145,6 +1258,66 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** PROGRESSIVE (SOF2) JPEG decode — round-15 verdict task #1, the tier
+    * real web corpora are MAJORITY-encoded with: the kernel accumulates a
+    * coefficient plane across four scans (DC first with the Al point
+    * transform, AC first with EOB-run decoding, DC refinement bits, AC
+    * refinement via the T.81 G.1.2.3 correction-bit algorithm) and only
+    * then dequantizes + reconstructs. The fixtures plant the SAME pixel
+    * field as [[q_mm_jpeg_pixels_ac]] (DC + one integer-exact AC at
+    * zig-zag 10), so this oracle is the same planted formula — a
+    * progressive decoder that mis-handles ANY scan type (a wrong point
+    * transform, a dropped EOB run, a mis-placed correction bit) lands on
+    * different sums and hash-mismatches. MultimodalSpec pins the same
+    * payloads against ImageIO byte-for-byte and fires the corruption
+    * triggers per scan.
+    */
+  val q_mm_jpeg_progressive: Q = Q(
+    "q_mm_jpeg_progressive",
+    Some("""
+      WITH dim AS (
+        SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS i
+        FROM dim
+      ), v AS (
+        SELECT doc_id, w, h, i,
+               48 + (doc_id + 5 * ((i % w) // 8) + 11 * ((i // w) // 8)) % 160
+                 + (1 + (doc_id + (i % w) // 8 + (i // w) // 8) % 3)
+                   * (CASE WHEN (doc_id + (i % w) // 8 + (i // w) // 8) % 2 = 0
+                           THEN 1 ELSE -1 END)
+                   * (CASE WHEN (i // w) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS val
+        FROM px
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             CAST(min((w // 8) * (h // 8)) AS BIGINT) AS n_blocks,
+             count(*) AS n_pixels,
+             CAST(sum(val) AS BIGINT) AS sum_luma,
+             CAST(sum((i + 1) * val) AS BIGINT) AS wsum_luma,
+             CAST(min((w // 8) * (h // 8)) AS BIGINT) AS n_ac_coeffs,
+             sum(val) * 1.0 / count(*) AS mean_luma
+      FROM v GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    graft.functions.JpegFunctions.ensureRegistered(s)
+    jpegProgressiveTable(Tables.documents(s, d))
+      .select(col("media_id"),
+        graft.functions.JpegFunctions.jpegStats(col("payload")).as("st"))
+      .select(
+        col("media_id"),
+        col("st.w").as("width"), col("st.h").as("height"),
+        col("st.n_blocks").as("n_blocks"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_luma").as("sum_luma"),
+        col("st.wsum_luma").as("wsum_luma"),
+        col("st.n_ac_coeffs").as("n_ac_coeffs"))
+      .withColumn("mean_luma", col("sum_luma") * lit(1.0) / col("n_pixels"))
+      .orderBy("media_id")
+  }
+
   /** COLOR baseline-JPEG decode over the YCbCr 4:4:4 DC-exact fixtures:
     * the kernel runs the full multi-component T.81 machinery (two DQTs,
     * four DHTs, SOS component→table binding, interleaved Y-Cb-Cr MCUs
@@ -1355,6 +1528,6 @@ object Multimodal {
   def all: Seq[Q] =
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_embed, q_mm_resize, q_mm_audio,
       q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn,
-      q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac, q_mm_jpeg_color,
-      q_mm_jpeg_color420)
+      q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac, q_mm_jpeg_progressive,
+      q_mm_jpeg_color, q_mm_jpeg_color420)
 }

@@ -49,11 +49,20 @@ class MultimodalSpec extends SparkSpec {
     assert(png.filter(col("d.width") =!= lit(4) + pmod(col("doc_id"), lit(7))
       || col("d.height") =!= lit(4) + pmod(col("doc_id"), lit(5))).count() === 0)
     assert(png.filter(col("d").isNull).count() === 0)
+    // the jpeg third mixes baseline / progressive / 4:2:0-color builders
+    // (round 15), so the planted geometry depends on the sub-flavor
     val jpg = media.filter(col("declared_format") === "jpeg")
       .select(Multimodal.jpegDimensions(col("payload")).as("d"), col("doc_id"))
-    assert(jpg.filter(col("d.width") =!= lit(8) * (lit(1) + pmod(col("doc_id"), lit(3)))
-      || col("d.height") =!= lit(8) * (lit(1) + pmod(col("doc_id"), lit(2)))).count() === 0)
+    val jw = when(pmod(col("doc_id"), lit(9)) === 7,
+      lit(16) * (lit(1) + pmod(col("doc_id"), lit(2))))
+      .otherwise(lit(8) * (lit(1) + pmod(col("doc_id"), lit(3))))
+    val jh = when(pmod(col("doc_id"), lit(9)) === 7,
+      lit(16) * (lit(1) + pmod(col("doc_id"), lit(3))))
+      .otherwise(lit(8) * (lit(1) + pmod(col("doc_id"), lit(2))))
+    assert(jpg.filter(col("d.width") =!= jw || col("d.height") =!= jh).count() === 0)
     assert(jpg.filter(col("d").isNull).count() === 0)
+    assert(jpg.filter(col("d.progressive") =!=
+      (pmod(col("doc_id"), lit(9)) === 4)).count() === 0)
     val wav = media.filter(col("declared_format") === "wav")
       .select(Multimodal.wavInfo(col("payload")).as("d"), col("doc_id"))
     assert(wav.filter(col("d.channels") =!= lit(1)).count() === 0)
@@ -91,15 +100,17 @@ class MultimodalSpec extends SparkSpec {
     assert(other.isNullAt(0) && other.isNullAt(1))
   }
 
-  test("progressive JPEG (SOF2) detected with dimensions; decode honestly null") {
+  test("progressive JPEG (SOF2) detected with dimensions; COLOR-progressive decode honestly null") {
     import spark.implicits._
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     def seg(marker: Int, payloadLen: Int): Array[Byte] =
       bytes(0xFF, marker, (payloadLen + 2) >> 8, (payloadLen + 2) & 0xFF) ++
         Array.fill(payloadLen)(0x42.toByte)
     // minimal progressive header: SOI, DQT, SOF2 (3 components, 120×240),
-    // then junk entropy bytes — real web corpora are majority-progressive,
-    // and the pipeline contract is detect + route, decode stays null
+    // then junk entropy bytes — real web corpora are majority-progressive.
+    // GRAYSCALE progressive decodes for real since round 15 (see the
+    // four-scan test below); the COLOR-progressive tier remains the one
+    // honest-null rung, pinned here
     val sof2 = bytes(0xFF, 0xC2, 0x00, 0x11, 0x08, 0x00, 0x78, 0x00, 0xF0,
       0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
     val prog = bytes(0xFF, 0xD8) ++ seg(0xDB, 65) ++ sof2 ++ bytes(9, 9, 9)
@@ -714,5 +725,147 @@ class MultimodalSpec extends SparkSpec {
     val wv = vec(wMut)
     val wBest = wavs.indices.maxBy(i => cos(wv, vec(wavs(i))))
     assert(wBest === 11, "one-sample mutant must stay nearest its source clip")
+  }
+
+  test("progressive JPEG: four-scan decode equals the planted formula and ImageIO byte-for-byte") {
+    // the fixtures plant the SAME pixel field as jpegAc (DC + one
+    // integer-exact AC at zig-zag 10), so the progressive decoder must
+    // land on the identical integers the baseline twin and ImageIO do —
+    // across DC-first (Al=1), AC-first (EOB runs with extra bits),
+    // DC-refinement, and AC-refinement (newly-nonzero + correction bits)
+    def s4(y: Int): Long = if (y % 4 == 0 || y % 4 == 3) 1L else -1L
+    for (id <- 0L until 18L) {
+      val payload = MediaSynth.jpegProgressive(id)
+      val st = graft.functions.JpegDecode.jpeg(payload)
+      assert(!st.isNullAt(3), s"progressive fixture $id must decode")
+      val (w, h) = (st.getInt(0), st.getInt(1))
+      def ac(bx: Long, by: Long): Long = {
+        val m = 1L + (id + bx + by) % 3
+        if ((id + bx + by) % 2 == 0) m else -m
+      }
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield 48L + (id + 5L * (x / 8) + 11L * (y / 8)) % 160 + ac(x / 8, y / 8) * s4(y)
+      assert(st.getLong(3) === vals.sum, s"sum_luma exact for $id")
+      assert(st.getLong(4) ===
+        vals.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum,
+        s"wsum_luma exact for $id")
+      assert(st.getLong(5) === st.getLong(2), s"one final AC per block for $id")
+      // the files are real progressive JPEGs: ImageIO's native reader
+      // decodes them, and on the integer-exact planted field the pixels
+      // agree BYTE-FOR-BYTE (no IDCT latitude on this corner)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected progressive JPEG $id")
+      assert(img.getWidth === w && img.getHeight === h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert(raster.getSample(x, y, 0).toLong === vals(y * w + x),
+          s"pixel ($x,$y) of progressive $id diverges from the planted formula")
+      // the content embedding covers the progressive tier (round-15
+      // verdict task #1's last done-criterion): non-null and equal to the
+      // grid means of the planted field
+      val e = graft.functions.JpegDecode.embed(payload)
+      assert(e != null, s"progressive embed must be non-null for $id")
+      val sums = Array.fill(16)(0L)
+      val cnts = Array.fill(16)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y * 4 / h) * 4 + x * 4 / w
+        cnts(cell) += 1
+        sums(cell) += vals(y * w + x)
+      }
+      val want = Array.tabulate(48)(i => (sums(i / 3).toDouble / cnts(i / 3)) / 255.0)
+      assert(e.toSeq === want.toSeq, s"progressive grid means diverge for $id")
+    }
+    // corruption triggers: every truncation and every byte flip returns a
+    // row without throwing; truncations inside/between scans null the sums
+    val sample = MediaSynth.jpegProgressive(5L)
+    for (len <- 0 to sample.length) {
+      val st = graft.functions.JpegDecode.jpeg(sample.take(len))
+      assert(st != null)
+      if (len < sample.length && !st.isNullAt(0))
+        assert(st.isNullAt(3), s"truncated progressive stream (len $len) must null sums")
+    }
+    // an amusing property of the planted basis: zig-zag 10 is zero-mean
+    // over a block AND orthogonal to the linear position weight AND
+    // cancels inside every 4-row grid cell — sum_luma, wsum_luma, and the
+    // embed are ALL invariant to the ac magnitudes by construction (the
+    // per-pixel ImageIO/formula loops above are what pin them). The
+    // structural triggers therefore use n_ac_coeffs and derailment:
+    val goodRow = graft.functions.JpegDecode.jpeg(sample)
+    val goodW = goodRow.getLong(4)
+    val goodNac = goodRow.getLong(5)
+    for (i <- sample.indices) {
+      val m = sample.clone()
+      m(i) = (m(i) ^ 0x55).toByte
+      assert(graft.functions.JpegDecode.jpeg(m) != null)
+    }
+    val lastSos = (0 until sample.length - 10).filter(i =>
+      (sample(i) & 0xFF) == 0xFF && (sample(i + 1) & 0xFF) == 0xDA).max
+    // without its fourth scan the |ac| = 1 coefficients never arrive
+    // (AC-first at Al=1 transforms them to zero): the refinement scan is
+    // what completes the plane — n_ac must drop from 6/6 blocks
+    val cut = sample.take(lastSos) ++ Array(0xFF.toByte, 0xD9.toByte)
+    val st3 = graft.functions.JpegDecode.jpeg(cut)
+    assert(st3.isNullAt(5) || st3.getLong(5) < goodNac,
+      "dropping the AC-refinement scan must lose the newly-nonzero coefficients")
+    // flips in the refinement entropy must be able to change the decode
+    // (a displaced newly-nonzero run lands on a non-canceling zig-zag
+    // position, or the stream derails) — some positions are pad bits, so
+    // the pin is that SOME flip after the fourth SOS lands
+    val refinementFlipLands = (lastSos + 10 until sample.length - 2).exists { i =>
+      val bad = sample.clone()
+      bad(i) = (bad(i) ^ 0x15).toByte
+      val st = graft.functions.JpegDecode.jpeg(bad)
+      st.isNullAt(4) || st.getLong(4) != goodW || st.getLong(5) != goodNac
+    }
+    assert(refinementFlipLands,
+      "no AC-refinement entropy flip changed the decode — the scan is not load-bearing")
+  }
+
+  test("color JPEG embed: per-channel grid means equal ImageIO; one-pixel mutant lands nearest") {
+    def gridOf(img: java.awt.image.BufferedImage): Array[Double] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = Array.fill(48)(0L)
+      val cnts = Array.fill(16)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val cell = (y * 4 / h) * 4 + x * 4 / w
+        cnts(cell) += 1
+        sums(cell * 3) += (rgb >> 16) & 0xFF
+        sums(cell * 3 + 1) += (rgb >> 8) & 0xFF
+        sums(cell * 3 + 2) += rgb & 0xFF
+      }
+      Array.tabulate(48)(i => (sums(i).toDouble / cnts(i / 3)) / 255.0)
+    }
+    // both color layouts: the embed's per-channel cell means must equal a
+    // reference fold over ImageIO's own decoded RGB (the kernels share
+    // libjpeg's fixed-point conversion + fancy upsampler, so the match is
+    // EXACT, not approximate)
+    for ((mk, tag) <- Seq((MediaSynth.jpegColor _, "4:4:4"),
+      (MediaSynth.jpegColor420 _, "4:2:0")); id <- 0L until 12L) {
+      val p = mk(id)
+      val e = graft.functions.JpegDecode.embed(p)
+      assert(e != null, s"$tag color embed must be non-null for $id")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(e.toSeq === gridOf(img).toSeq, s"$tag grid means diverge for $id")
+    }
+    // the r13-verdict mutant property, now on COLOR: flip low entropy bits
+    // of one 4:2:0 payload until the stream still decodes but the content
+    // changed — the mutant's nearest neighbor among 40 distinct color
+    // images must be its own source
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val imgs = (0L until 80L by 2).map(MediaSynth.jpegColor420).toArray
+    val vecs = imgs.map(graft.functions.JpegDecode.embed)
+    val srcIdx = 7
+    val mutant = (0 until 8 * (imgs(srcIdx).length - 3)).iterator.map { bi =>
+      val m = imgs(srcIdx).clone()
+      m(3 + bi / 8) = (m(3 + bi / 8) ^ (1 << (bi % 8))).toByte
+      graft.functions.JpegDecode.embed(m)
+    }.find(v => v != null && v.toSeq != vecs(srcIdx).toSeq).get
+    val best = vecs.indices.maxBy(i => cos(mutant, vecs(i)))
+    assert(best === srcIdx, "a minimal color mutant must stay nearest its source image")
   }
 }
