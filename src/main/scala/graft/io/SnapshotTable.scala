@@ -838,6 +838,28 @@ object SnapshotTable {
     // but NOT java.lang.String order, which compares UTF-16 code units.)
     def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
       a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+    // The recorded bounds round-trip through Java String + JSON, and the
+    // probe arrives as a Java String: invalid UTF-8 in the data surfaces
+    // as U+FFFD after decode, and an unpaired surrogate in either side
+    // re-encodes as '?' in getBytes — both substitutions can REORDER a
+    // bound against the true UTF8String byte order and wrongly prune a
+    // file (silent row loss: the re-applied exact filter only corrects
+    // over-inclusion). Such strings are rare and mark lossy passage, so
+    // the conservative answer is to not prune on them (r14 advice #1).
+    def utf8Faithful(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '\uFFFD') return false
+        if (Character.isHighSurrogate(ch)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(ch)) return false
+        else i += 1
+      }
+      true
+    }
     def fits(f: String, c: String, v: Any): Boolean = v match {
       case n: java.lang.Number =>
         snap.stats.get(f).flatMap(_.get(c)) match {
@@ -848,7 +870,9 @@ object SnapshotTable {
         }
       case s: String =>
         snap.strStats.get(f).flatMap(_.get(c)) match {
-          case Some((mn, mx)) => utf8Cmp(s, mn) >= 0 && utf8Cmp(s, mx) <= 0
+          case Some((mn, mx)) =>
+            if (!utf8Faithful(s) || !utf8Faithful(mn) || !utf8Faithful(mx)) true
+            else utf8Cmp(s, mn) >= 0 && utf8Cmp(s, mx) <= 0
           case None => true
         }
       case _ => true

@@ -633,6 +633,34 @@ class IoSpec extends SparkSpec {
         s"multibyte key '$c' must prune (read ${one.inputFiles.length} of ${snapM.files.size})")
       assert(one.count() === 100L, s"multibyte key '$c' must return exact rows")
     }
+
+    // lossy-passage guard (r14 advice #1): U+FFFD marks a possible
+    // invalid-UTF-8 substitution and an unpaired surrogate re-encodes as
+    // '?' — either could REORDER a bound against true UTF8String byte
+    // order, so such bounds/probes never prune. Rows must come back
+    // exactly; the conservative cost is reading the untrusted file.
+    val dir3 = Files.createTempDirectory("graft-snap-fffd").toString + "/t"
+    val cats3 = Seq("aaa", "b�b", "zzz")
+    val lossy = (0L until 300L).map(i => (i, cats3((i % 3).toInt)))
+      .toDF("id", "cat")
+    SnapshotTable.create(lossy.repartition(4, col("id")), dir3, statsCols = Seq("cat"))
+    SnapshotTable.compact(spark, dir3, minFileBytes = 1L << 30,
+      targetPartitions = 3, clusterBy = Seq("cat"))
+    val snap3 = SnapshotTable.snapshot(spark, dir3, None)
+    // a U+FFFD-keyed probe never silently loses rows
+    val fffd = SnapshotTable.readTuples(spark, dir3, Seq("cat"), Seq(Seq("b�b")))
+    assert(fffd.count() === 100L, "U+FFFD key must return exact rows")
+    // a clean probe still prunes the clean non-matching file, but must
+    // KEEP the file whose bounds carry U+FFFD (untrusted bounds are read)
+    val clean = SnapshotTable.readTuples(spark, dir3, Seq("cat"), Seq(Seq("aaa")))
+    assert(clean.count() === 100L)
+    assert(clean.inputFiles.length === 2 && snap3.files.size === 3,
+      s"clean probe must prune only trusted bounds (read ${clean.inputFiles.length} of ${snap3.files.size})")
+    // an ill-formed probe (unpaired surrogate) disables pruning entirely
+    val surro = SnapshotTable.readTuples(spark, dir3, Seq("cat"), Seq(Seq("\uD800x")))
+    assert(surro.inputFiles.length === snap3.files.size,
+      "an unpaired-surrogate probe must not prune any file")
+    assert(surro.count() === 0L)
   }
 
   test("snapshot table: merge evolves the schema; old files read the new column as null") {
