@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Spark's `lower`, as in [[LangIdHits]]);
   *  - each word encodes by greedy longest-match (maximal munch) against
   *    the learned piece set, longest pieces probed first, single-character
-  *    fallback — pieces are ≤ 8 ASCII letters, so a piece packs into one
-  *    long and each probe is one hash lookup instead of a set scan;
+  *    fallback — each piece (≤ 16 ASCII letters since the round-15 8192-
+  *    merge vocabulary; the 89-merge table fit 8) packs left-aligned into
+  *    two longs, and each probe is one boxing-free open-addressing lookup
+  *    against masked prefixes of the position's 16-byte window;
   *  - "other" tokens are digit runs plus every single non-[a-z0-9\s]
   *    code point, with `\s` being RE2's whitespace class [ \t\n\f\r] —
   *    the oracle's regex engine; vertical tab counts as a symbol (Java's
@@ -62,21 +64,52 @@ object BpeCounts {
     StructField("n_merged", LongType, nullable = false),
     StructField("n_other", LongType, nullable = false)))
 
-  /** Piece lengths probed longest-first; parallel array of piece sets with
-    * each ≤8-letter piece packed big-endian into a long (first char in the
-    * highest occupied byte) — same packing the scan produces.
+  /** Open-addressing set of (hi, lo) piece keys: a piece of l ≤ 16 ASCII
+    * letters packs big-endian LEFT-ALIGNED — bytes 0..7 into the top of
+    * `hi`, bytes 8..15 into the top of `lo`, zero-padded. The first byte
+    * is always ≥ 'a', so hi == 0 marks an empty slot, and zero-padding is
+    * unambiguous across lengths (no letter is 0x00). Probing is two array
+    * reads per linear-probe step — no boxing, no per-length HashSet.
     */
-  private val lens: Array[Int] = graft.text.Bpe.piecesByLen.map(_._1).toArray
-  private val sets: Array[java.util.HashSet[java.lang.Long]] =
-    graft.text.Bpe.piecesByLen.map { case (_, pieces) =>
-      val s = new java.util.HashSet[java.lang.Long](pieces.size * 2)
-      pieces.foreach { p =>
-        var v = 0L
-        p.foreach(c => v = (v << 8) | (c.toLong & 0xFF))
-        s.add(java.lang.Long.valueOf(v))
+  private final class PieceSet(pieces: Seq[String]) {
+    private val cap = Integer.highestOneBit(math.max(16, pieces.size * 4) - 1) << 1
+    private val msk = cap - 1
+    private val his = new Array[Long](cap)
+    private val los = new Array[Long](cap)
+    private def slot(hi: Long, lo: Long): Int = {
+      var z = hi * 0x9E3779B97F4A7C15L ^ lo * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 29)) * 0xBF58476D1CE4E5B9L
+      ((z ^ (z >>> 32)) & msk).toInt
+    }
+    pieces.foreach { p =>
+      var hi = 0L; var lo = 0L
+      var j = 0
+      while (j < p.length) {
+        val bv = p.charAt(j).toLong & 0xFFL
+        if (j < 8) hi |= bv << ((7 - j) * 8) else lo |= bv << ((15 - j) * 8)
+        j += 1
       }
-      s
-    }.toArray
+      var s = slot(hi, lo)
+      while (his(s) != 0L && !(his(s) == hi && los(s) == lo)) s = (s + 1) & msk
+      his(s) = hi; los(s) = lo
+    }
+    def contains(hi: Long, lo: Long): Boolean = {
+      var s = slot(hi, lo)
+      while (his(s) != 0L) {
+        if (his(s) == hi && los(s) == lo) return true
+        s = (s + 1) & msk
+      }
+      false
+    }
+  }
+
+  /** Piece lengths present in the vocabulary, probed longest-first. */
+  private val lens: Array[Int] = graft.text.Bpe.piecesByLen.map(_._1).toArray
+  private val pieceSet: PieceSet =
+    new PieceSet(graft.text.Bpe.piecesByLen.flatMap(_._2))
+  // maskTop(k) keeps the top k bytes of a long (k in 0..8)
+  private val maskTop: Array[Long] =
+    Array.tabulate(9)(k => if (k == 0) 0L else -1L << ((8 - k) * 8))
 
   def compute(text: UTF8String): InternalRow = {
     val b = text.toLowerCase.getBytes
@@ -90,20 +123,23 @@ object BpeCounts {
         while (e < n && b(e) >= 'a' && b(e) <= 'z') e += 1
         var p = i
         while (p < e) {
-          // next up-to-8 bytes packed so the first l of them are the low
-          // l bytes after >>> (8-l)*8 — one long per position, one hash
-          // probe per candidate length
-          val lim = if (e - p < 8) e - p else 8
-          var v = 0L
+          // pack the next up-to-16 bytes left-aligned into (hi, lo) once;
+          // each candidate length probes a masked prefix of that window
+          val lim = if (e - p < 16) e - p else 16
+          var hi = 0L; var lo = 0L
           var j = 0
-          while (j < lim) { v = (v << 8) | (b(p + j) & 0xFFL); j += 1 }
-          v <<= (8 - lim) * 8
+          while (j < lim) {
+            val bv = b(p + j) & 0xFFL
+            if (j < 8) hi |= bv << ((7 - j) * 8) else lo |= bv << ((15 - j) * 8)
+            j += 1
+          }
           var matched = 0
           var k = 0
           while (matched == 0 && k < lens.length) {
             val l = lens(k)
-            if (l <= e - p &&
-              sets(k).contains(java.lang.Long.valueOf(v >>> ((8 - l) * 8))))
+            if (l <= e - p && (
+              if (l <= 8) pieceSet.contains(hi & maskTop(l), 0L)
+              else pieceSet.contains(hi, lo & maskTop(l - 8))))
               matched = l
             k += 1
           }

@@ -10,50 +10,49 @@ import graft.util.{Q, Tables}
   * reference counts nothing smarter than langdetect's words;
   * `/root/reference/transform_raw_data.py:132` treats text as opaque).
   *
-  * The vocabulary below was LEARNED with the byte-pair-encoding procedure
-  * of Sennrich et al. 2016 ("Neural Machine Translation of Rare Words
-  * with Subword Units"): starting from characters over the corpus's
-  * lowercase letter-run words, repeatedly merge the most frequent
-  * adjacent symbol pair (ties broken lexicographically, stop below
-  * frequency 20) — 89 merges learned from the sf0.01 `documents` corpus,
-  * shipped here as a literal merges table exactly like a production
-  * tokenizer ships its `merges.txt`. Inference is greedy longest-match
-  * (maximal munch) against the piece set — the standard WordPiece-style
-  * decode over a BPE vocabulary; unknown characters fall back to
-  * single-symbol tokens, so every input encodes.
+  * The vocabulary was LEARNED with the byte-pair-encoding procedure of
+  * Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+  * Subword Units"): starting from characters over the corpus's lowercase
+  * letter-run words, repeatedly merge the most frequent adjacent symbol
+  * pair (ties broken lexicographically). Through round 14 that was 89
+  * merges from the sf0.01 `documents` corpus — two orders below a real
+  * tokenizer; since round 15 it is 8192 merges learned by the incremental
+  * trainer ([[BpeTrain.learnMergesFast]]) from the deterministic
+  * synthetic corpus ([[BpeTrain.syntheticTrainingCorpus]]), shipped as a
+  * `merges.txt`-style resource exactly like a production tokenizer ships
+  * its vocabulary, and re-derived bit-for-bit by BpeSpec. Inference is
+  * greedy longest-match (maximal munch) against the piece set — the
+  * standard WordPiece-style decode over a BPE vocabulary; unknown
+  * characters fall back to single-symbol tokens, so every input encodes.
   *
   * Engine shape: encoding is one compiled row-local pass — the
   * [[graft.functions.BpeCounts]] native kernel (greedy longest-match with
-  * each ≤8-letter piece packed into a long, one hash probe per candidate
-  * length). No UDF, no shuffle, constant plan size in vocabulary size.
-  * The DuckDB oracle carries the original packed-long `list_reduce`
-  * formulation (skip·10¹² + merged·10⁶ + count per word) — an independent
-  * integer-state implementation of the same maximal munch, so the
-  * hash-compare cross-checks the kernel against a second engine. At
-  * 100 TB this runs at scan speed; the classic Zipf rewrite (encode each
+  * each ≤16-letter piece packed into two longs, one open-addressing probe
+  * per candidate length — boxing-free, constant plan size in vocabulary
+  * size). No UDF, no shuffle. The DuckDB oracle carries the original
+  * packed-long `list_reduce` formulation (skip·10¹² + merged·10⁶ + count
+  * per word) — an independent integer-state implementation of the same
+  * maximal munch, so the hash-compare cross-checks the kernel against a
+  * second engine at the full 8192-piece vocabulary (measured ~3 s per
+  * count column at sf0.01: DuckDB hashes literal IN-lists). At 100 TB
+  * this runs at scan speed; the classic Zipf rewrite (encode each
   * DISTINCT word once, join counts back) is a drop-in if per-char cost
   * ever dominates — documented, not needed at current piece-set sizes.
   */
 object Bpe {
 
-  /** Learned merge results, bucketed by piece length (longest first for
-    * maximal munch). Single-character symbols are implicit.
+  /** The shipped merge table, in merge order (see bpe_merges.txt). */
+  private[graft] val merges: Seq[(String, String)] = BpeTrain.loadShippedMerges()
+
+  /** Learned pieces (distinct merge results), bucketed by piece length,
+    * longest first for maximal munch. Single-character symbols are
+    * implicit.
     */
-  private[graft] val piecesByLen: Seq[(Int, Seq[String])] = Seq(
-    8 -> Seq("customer"),
-    6 -> Seq("column", "filter", "stream", "vector", "window"),
-    5 -> Seq("batch", "colum", "custo", "ector", "group", "indow", "merge",
-      "order", "query", "small", "spark", "table", "value"),
-    4 -> Seq("able", "alue", "atch", "colu", "ctor", "cust", "data", "fast",
-      "filt", "hash", "join", "line", "mall", "park", "part", "ream",
-      "scan", "slow", "sort"),
-    3 -> Seq("abl", "agg", "all", "alu", "ash", "ast", "ata", "atc", "big",
-      "can", "der", "dow", "dup", "eam", "ery", "fil", "gro", "ine", "key",
-      "low", "mer", "ort", "par", "row", "the"),
-    2 -> Seq("ab", "ag", "al", "am", "an", "ar", "as", "at", "bi", "co",
-      "ct", "cu", "er", "ey", "fi", "ge", "gr", "he", "in", "jo", "lu",
-      "or", "ow", "qu", "st", "up"),
-  )
+  private[graft] val piecesByLen: Seq[(Int, Seq[String])] =
+    merges.map { case (a, b) => a + b }.distinct
+      .groupBy(_.length).toSeq
+      .map { case (l, ps) => l -> ps.sorted }
+      .sortBy(-_._1)
 
   private val wordRe = "[a-z]+"
   // digit runs and non-alphanumeric symbols tokenize as-is (no merges).
@@ -123,19 +122,22 @@ object Bpe {
   private[graft] def totalCountSql(text: String): String =
     s"(${bpeCountSql(text)} + ${otherCountSql(text)})"
 
-  /** The TRAINER that produced [[piecesByLen]] — Sennrich et al. 2016
-    * byte-pair encoding, structured the way production tokenizer trainers
-    * (subword-nmt, HF tokenizers) are: the DATA-scale part — counting
-    * corpus words — is a distributed groupBy; the VOCAB-scale part — the
-    * sequential most-frequent-pair merge loop — runs on the aggregated
-    * word-frequency table, which Zipf bounds to thousands of rows
-    * regardless of corpus size (at 100 TB the word count is still the
-    * only full scan; 200 global argmax rounds over a distributed
-    * ~5k-row table would be 200 near-empty shuffles for nothing).
-    * Ties break (frequency desc, pair lexicographic) so training is
-    * deterministic; BpeSpec pins that this trainer, run on the sf0.01
-    * corpus with the documented stop rule, reproduces the shipped merges
-    * table exactly.
+  /** The REFERENCE trainer — Sennrich et al. 2016 byte-pair encoding as
+    * published (full pair recount each round), structured the way
+    * production tokenizer trainers (subword-nmt, HF tokenizers) are: the
+    * DATA-scale part — counting corpus words — is a distributed groupBy;
+    * the VOCAB-scale part — the sequential most-frequent-pair merge
+    * loop — runs on the aggregated word-frequency table, which Zipf
+    * bounds to thousands of rows regardless of corpus size (at 100 TB
+    * the word count is still the only full scan; the argmax rounds over
+    * a distributed ~30k-row table would be thousands of near-empty
+    * shuffles for nothing). Ties break (frequency desc, pair
+    * lexicographic) so training is deterministic. O(merges × types), so
+    * it trains small vocabularies only; the SHIPPED 8192-merge table
+    * comes from the provably-equivalent incremental trainer
+    * ([[BpeTrain.learnMergesFast]]) — BpeSpec pins both merge-sequence
+    * equality between the trainers and that the incremental trainer on
+    * the deterministic corpus reproduces the resource exactly.
     */
   def learnMerges(docs: org.apache.spark.sql.DataFrame, maxMerges: Int,
       minFreq: Long, maxWordTypes: Int = 1 << 16): Seq[(String, String)] = {

@@ -84,8 +84,9 @@ class ExtensionsSpec extends SparkSpec {
     // repetition stats: empty token list evals to null (= "no row")
     assert(RepetitionStats.compute(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])) === null)
-    // bpe counts: "spark spark!" = 2 merged words + 1 symbol
-    val bpe = BpeCounts(Literal("spark spark!")).eval(null)
+    // bpe counts: two single-piece vocab words + 1 symbol ("leszaskor" is
+    // a learned 9-letter piece of the 8192-merge vocabulary)
+    val bpe = BpeCounts(Literal("leszaskor leszaskor!")).eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
     assert(bpe.getLong(0) === 2L && bpe.getLong(1) === 2L && bpe.getLong(2) === 1L)
   }

@@ -50,13 +50,13 @@ class BpeSpec extends SparkSpec {
 
   test("expression fold matches the JVM reference on curated cases") {
     val cases = Seq(
-      "the customer joined the stream", // long merges incl. len-8 piece
-      "window FILTER Column vectorized", // case folding + piece prefixes
-      "a", "zz qq customercustomer", // single chars, back-to-back merges
-      "datadatadata sparkspark", // repeated merges, no separators
+      "the leszaskor joined the stream", // incl. a len-9 piece (two-long probe)
+      "LESZASKOR MesPasMen vectorized", // case folding + piece prefixes
+      "a", "zz qq leszaskorleszaskor", // single chars, back-to-back merges
+      "banobanobano mesmes", // repeated merges, no separators
       "42 rows; 3.14 * x_y!", // digits runs + symbols only
       "", "   ", "\t\n", // empty and whitespace-only
-      "unmergeable xylophones", // mostly fallback singles
+      "unmergeable xylophones", // fallback-heavy
     )
     assert(sparkCounts(cases) === cases.map(refCounts))
   }
@@ -70,26 +70,40 @@ class BpeSpec extends SparkSpec {
   }
 
   test("maximal munch prefers the longest piece") {
-    // "customer" is a learned piece; greedy must emit it whole, not
-    // "cust"+"om"+... ; "custox" falls back to "custo"+"x"
-    assert(refEncode("customer") === Seq("customer"))
-    assert(refEncode("custox") === Seq("custo", "x"))
-    val Seq((n1, m1, _)) = sparkCounts(Seq("customer"))
+    // "leszaskor" is a learned 9-letter piece whose prefixes "le"/"les"/
+    // "leszas" are also pieces; greedy must emit it whole, and "leszasx"
+    // falls back to "leszas"+"x"
+    assert(refEncode("leszaskor") === Seq("leszaskor"))
+    assert(refEncode("leszasx") === Seq("leszas", "x"))
+    val Seq((n1, m1, _)) = sparkCounts(Seq("leszaskor"))
     assert(n1 === 1L && m1 === 1L)
-    val Seq((n2, _, _)) = sparkCounts(Seq("custox"))
+    val Seq((n2, _, _)) = sparkCounts(Seq("leszasx"))
     assert(n2 === 2L)
   }
 
-  test("the shipped merges table IS what the trainer learns from the corpus") {
-    // provenance pin: Sennrich training on the sf0.01 documents with the
-    // documented stop rule (max 200 merges, min pair frequency 20) must
-    // reproduce the piecesByLen literal exactly — the vocabulary is
-    // learned, not invented, and re-derivable from the repo alone
+  test("incremental trainer equals the published reference trainer") {
+    // equivalence pin: the O(affected)-per-merge incremental trainer and
+    // the published full-recount loop produce the SAME merge sequence —
+    // same counts, same (frequency desc, pair lexicographic) tie-break —
+    // on the real sf0.01 corpus at a size the naive loop can afford
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
-    val merges = Bpe.learnMerges(docs, maxMerges = 200, minFreq = 20L)
-    val learnedPieces = merges.map { case (a, b) => a + b }.toSet
-    val shipped = Bpe.piecesByLen.flatMap(_._2).toSet
-    assert(learnedPieces === shipped)
+    val naive = Bpe.learnMerges(docs, maxMerges = 200, minFreq = 20L)
+    val fast = BpeTrain.learnMergesFast(docs, maxMerges = 200, minFreq = 20L)
+    assert(fast === naive)
+  }
+
+  test("the shipped 8192-merge resource IS what the trainer learns") {
+    // provenance pin: the incremental trainer on the deterministic
+    // synthetic corpus with the documented stop rule must reproduce the
+    // bpe_merges.txt resource exactly, in merge order — the vocabulary is
+    // learned, not invented, and re-derivable from the repo alone
+    val merges = BpeTrain.learnMergesFast(
+      BpeTrain.syntheticTrainingCorpus(spark),
+      BpeTrain.shippedMaxMerges, BpeTrain.shippedMinFreq)
+    assert(merges.size === 8192)
+    assert(merges === Bpe.merges)
+    // every piece fits the kernel's two-long packing bound
+    assert(Bpe.piecesByLen.map(_._1).max <= 16)
   }
 
   test("pack budget consumes the tokenizer totals (count composition)") {
