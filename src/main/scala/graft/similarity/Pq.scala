@@ -51,7 +51,6 @@ object Pq {
   /** Train m codebooks of ksub centroids each. */
   def codebooks(emb: DataFrame, m: Int = 8, ksub: Int = 16, d: Int = 64,
       lloydIters: Int = 1): Array[Array[Array[Double]]] = {
-    VectorFunctions.ensureRegistered(emb.sparkSession)
     val ds = d / m
     require(m * ds == d, s"d=$d must split evenly into m=$m subspaces")
     // deterministic seed: the ksub hash-first vectors, sliced per subspace
@@ -59,8 +58,63 @@ object Pq {
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
       .collect().map(_.getSeq[Double](1).toArray)
     require(seed.length == ksub, s"corpus smaller than ksub=$ksub")
-    var books: Array[Array[Array[Double]]] =
+    val books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => Array.tabulate(ksub)(j => seed(j).slice(s * ds, s * ds + ds)))
+    lloydRefine(emb, books, lloydIters)
+  }
+
+  /** FREQUENT-PATTERN seeding (round 15, the coded-dedup trainer): per
+    * subspace, the ksub most frequent DISTINCT subvectors (count desc,
+    * subvector lexicographic — deterministic) seed the codebook, padded by
+    * repeating the head when a subspace has fewer distinct patterns.
+    * Hash-first seeding ([[codebooks]]) samples ROWS, so on repetitive
+    * data two distinct patterns can land in one Lloyd cell and merge —
+    * fatal for dedup, where a merged cell makes two different vectors
+    * reconstruct identically (a false dup) — while mass-ordered seeding
+    * covers every pattern up to ksub by construction. Count ties break by
+    * subvector HASH (then the subvector itself), so on continuous
+    * embeddings — where every count is 1 — this degenerates to a
+    * well-spread deterministic sample, not the 16 lexicographically
+    * smallest slices. Cost: one explode + groupBy over the TRAINING frame
+    * (callers pass the bounded sample, never the corpus) and an
+    * m·ksub-row collect.
+    */
+  def frequentSeeds(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      d: Int = 64): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = d / m
+    require(m * ds == d, s"d=$d must split evenly into m=$m subspaces")
+    val e = col("embedding")
+    val top = emb
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), sub(e, s, ds).as("x"))).toIndexedSeq: _*)).as("a"))
+      .groupBy(col("a.s").as("s"), col("a.x").as("x")).count()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s")
+          .orderBy(col("count").desc, xxhash64(col("x")), col("x"))))
+      .filter(col("rn") <= ksub)
+      .select("s", "rn", "x")
+      .collect()
+    val bySub: Map[Int, Seq[Array[Double]]] = top
+      .groupBy(_.getInt(0))
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Double](2).toArray)
+      }
+    Array.tabulate(m) { s =>
+      val ps = bySub.getOrElse(s, Seq.empty)
+      require(ps.nonEmpty, s"subspace $s has no training rows")
+      Array.tabulate(ksub)(j => ps(j % ps.length).clone())
+    }
+  }
+
+  /** The distributed Lloyd refinement shared by both seeders. */
+  def lloydRefine(emb: DataFrame, seed: Array[Array[Array[Double]]],
+      lloydIters: Int): Array[Array[Array[Double]]] = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val m = seed.length
+    val ksub = seed(0).length
+    val ds = seed(0)(0).length
+    var books = seed
     for (_ <- 0 until lloydIters) {
       // ONE pass re-centers every subspace: assign all m codes, explode to
       // (s, code, dim, value), partial-aggregated mean, tiny collect
@@ -102,6 +156,66 @@ object Pq {
       sqErr.as("sq_err"),
       (dotXR / (sqrt(x2) * sqrt(r2))).as("cos_recon"),
       r2.as("r2"))
+  }
+
+  /** Codes-only projection for a frame carrying `embedding` (round 15 —
+    * the coded semantic dedup's 32×-smaller corpus representation): every
+    * original column is kept, `embedding` is REPLACED by
+    * (pcodes, rnrm) — the m 4-bit codes OR-packed into one long (ksub is
+    * required = 16 so a code is a nibble; 8 codes = 32 bits) and the
+    * reconstruction norm √Σ‖c_chosen‖². One [[PqArgmin]] pass per
+    * subspace, same scan as [[encode]]; downstream pair scans shuffle
+    * 16 bytes per vector where the float frame shuffled 256+.
+    */
+  def withPackedCodes(df: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    VectorFunctions.ensureRegistered(df.sparkSession)
+    val m = books.length
+    val ksub = books(0).length
+    require(ksub == 16, s"packed codes are 4-bit nibbles; ksub must be 16, got $ksub")
+    val ds = books(0)(0).length
+    val e = col("embedding")
+    val best = (0 until m).map(s => l2Best(sub(e, s, ds), books(s)).as(s"__b$s"))
+    val keep = df.columns.filter(_ != "embedding").map(col).toSeq
+    val withBest = df.select((df.columns.map(col) ++ best): _*)
+    val pcodes = (0 until m)
+      .map(s => shiftleft(col(s"__b$s.code").cast("long"), 4 * s))
+      .reduce(_.bitwiseOR(_))
+    val rnrm = sqrt((0 until m).map(s => col(s"__b$s.c2")).reduce(_ + _))
+    withBest.select(keep :+ pcodes.as("pcodes") :+ rnrm.as("rnrm"): _*)
+  }
+
+  /** The m·ksub·ksub symmetric-distance table (Jégou's SDC): flat array
+    * with T(s·ksub² + a·ksub + b) = c_{s,a}·c_{s,b}, driver-built (2048
+    * doubles at the default geometry) and shipped as a literal.
+    */
+  def sdcTable(books: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = books.length
+    val ksub = books(0).length
+    val out = new Array[Double](m * ksub * ksub)
+    for (s <- 0 until m; a <- 0 until ksub; b <- 0 until ksub) {
+      var acc = 0.0
+      var k = 0
+      while (k < books(s)(a).length) {
+        acc += books(s)(a)(k) * books(s)(b)(k); k += 1
+      }
+      out(s * ksub * ksub + a * ksub + b) = acc
+    }
+    out
+  }
+
+  /** Reconstructed dot product of two PACKED code words via [[sdcTable]]
+    * lookups: Σ_s T[s, code_i(s), code_j(s)] — eight element_at probes on
+    * a literal array, no floats from either vector.
+    */
+  def sdcDot(tLit: Column, m: Int, ksub: Int, pi: Column, pj: Column): Column = {
+    def codeOf(p: Column, s: Int): Column =
+      shiftright(p, 4 * s).bitwiseAND(lit(15L))
+    (0 until m).map { s =>
+      element_at(tLit,
+        (lit(s * ksub * ksub + 1) + codeOf(pi, s) * ksub + codeOf(pj, s))
+          .cast("int"))
+    }.reduce(_ + _)
   }
 
   /** Asymmetric-distance (ADC) top-k over the PQ-compressed corpus — the

@@ -503,6 +503,26 @@ object Similarity {
     * keep-first, the same canonical-pick rule the text dedup family uses.
     */
   def semanticDedup(emb: DataFrame, k: Int, t: Double): DataFrame = {
+    val spark = emb.sparkSession
+    // r14 advice note #2: the seed collect (and the k-wide literal plan it
+    // feeds) grows with k — GB-scale at millions of centroids. Above the
+    // threshold, route to the two-level probe-join assignment, whose only
+    // driver state is the √k coarse book and whose fine books ride
+    // broadcast joins; below it, keep the literal form the SQL oracle can
+    // recompute. The dedup contract (keep-first within a near-dup family)
+    // is centroid-rule-invariant — the same fact every twin's planted-
+    // family parity pin leans on.
+    val maxLit = spark.conf.get("spark.graft.semdedup.maxLiteralSeeds", "4096").toInt
+    if (k > maxLit) return semanticDedupIndexed(emb, k, t)
+    clusterKeepFirst(seedAssign(emb, k), t)
+  }
+
+  /** The oracle path's assignment: cosine argmax against the k lowest-
+    * vec_id seed vectors as a literal expression (bounded driver collect,
+    * callers guard k). Shared by [[semanticDedup]] and the coded oracle
+    * query, which swaps only the pair-scan representation.
+    */
+  private def seedAssign(emb: DataFrame, k: Int): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     // codebook-scale driver collect (precedent: Pq centroids) — k rows
     val seeds: Array[Seq[Double]] = emb.filter(col("vec_id") < k)
@@ -516,13 +536,12 @@ object Similarity {
       dot(col("embedding"), sLit) /
         (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(sLit, sLit)))
     }: _*)
-    val asg = emb
+    emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
         (array_position(cosToSeeds, array_max(cosToSeeds)) - 1).cast("int")
           .as("cluster"))
-    clusterKeepFirst(asg, t)
   }
 
   /** The intra-cluster keep-first pair scan shared by [[semanticDedup]]
@@ -595,6 +614,98 @@ object Similarity {
     clusterKeepFirst(asg, t)
   }
 
+  /** CODES-based semantic dedup — the FIFTH-decade twin (round-15 verdict
+    * #4): [[semanticDedupIndexed]]'s intra-cluster pair scan carries the
+    * float embeddings through a cluster-keyed self-join, so at 200M
+    * vectors the scan's two shuffled sides alone are ~100 GB of floats —
+    * past what the probe host's disk (or any single node) absorbs. This
+    * twin swaps the floats for PQ codes at the pair-scan boundary
+    * (Jégou et al. 2011; symmetric/SDC scoring, since BOTH sides of a
+    * dedup pair are corpus rows — ADC's exact side doesn't exist here):
+    *
+    *  - codebooks train on a BOUNDED hash-first sample (2^18 rows — the
+    *    FAISS practice; training cost is corpus-independent) with
+    *    frequent-pattern seeding ([[Pq.frequentSeeds]] — on repetitive
+    *    near-dup data, row-sampled seeds can merge two patterns into one
+    *    cell, turning distinct vectors into identical reconstructions);
+    *  - the cluster assignment is [[indexedAssignment]] unchanged, but
+    *    its corpus-scale checkpoint carries (pcodes, rnrm) — one long of
+    *    packed 4-bit codes + the reconstruction norm — instead of the
+    *    embedding: 16 bytes/vector, 32× less disk and shuffle;
+    *  - the pair scan scores reconstructed cosine via the m·ksub² SDC
+    *    lookup table ([[Pq.sdcTable]], 2048 doubles, a literal) — eight
+    *    array probes per pair, no floats from either vector.
+    *
+    * The pair DECISION is sketch-then-rescore, the same pairing every
+    * dedup path here uses (PPJoin estimator gate → exact intersect;
+    * bottom-k probe → exact rescore): the codes scan emits CANDIDATE
+    * pairs at a gate threshold below t, and only candidate docs' floats
+    * are then fetched (a candidate-id semi-join back onto the input scan —
+    * candidate-mass scale, the [[graft.dedup.Dedup]] candPrunedSets
+    * shape) for the exact cosine ≥ t verdict. Precision is exact;
+    * recall loss needs a pair whose reconstruction cosine sits more than
+    * (t − gate) below its true cosine. SimilaritySpec pins planted-family
+    * kept/dropped parity and a corpus-level agreement floor against the
+    * float twin.
+    */
+  def semanticDedupCoded(emb: DataFrame, k: Int, t: Double,
+      lloydIters: Int = 1, nprobe: Int = 2, m: Int = 8,
+      sampleCap: Int = 1 << 18, gate: Double = Double.NaN): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val ksub = 16 // 4-bit packing; see Pq.withPackedCodes
+    // deterministic bounded training sample: hash-first rows (a
+    // TakeOrdered — the only driver-adjacent cost, ~70 MB at the cap)
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
+    val books = Pq.lloydRefine(sample,
+      Pq.frequentSeeds(sample, m, ksub, d = dim), lloydIters = 1)
+    val (_, asg) = indexedAssignment(emb, k, lloydIters, nprobe,
+      asgProject = df => Pq.withPackedCodes(df, books))
+    val g = if (gate.isNaN) t - 0.1 else gate
+    codedKeepFirst(asg, emb, books, t, g)
+  }
+
+  /** Intra-cluster keep-first over PACKED PQ codes with exact rescore:
+    * candidates by SDC-reconstructed cosine ≥ gate (T-table lookups /
+    * precomputed norms — no floats from either side), verdicts by true
+    * cosine ≥ t over candidate docs' floats only.
+    */
+  private def codedKeepFirst(asg: DataFrame, emb: DataFrame,
+      books: Array[Array[Array[Double]]], t: Double, gate: Double): DataFrame = {
+    val m = books.length
+    val ksub = books(0).length
+    val tLit = typedLit(Pq.sdcTable(books).toSeq)
+    val a = asg.select(col("cluster").as("ca"), col("vec_id").as("i"),
+      col("pcodes").as("p_i"), col("rnrm").as("n_i"))
+    val b = asg.select(col("cluster").as("cb"), col("vec_id").as("j"),
+      col("pcodes").as("p_j"), col("rnrm").as("n_j"))
+    // candidate pairs off the compressed frame — the only corpus-scale
+    // join; checkpointed once for the id prune + rescore consumers
+    val cand = a.join(b, col("ca") === col("cb") && col("i") < col("j"))
+      .filter(Pq.sdcDot(tLit, m, ksub, col("p_i"), col("p_j")) /
+        (col("n_i") * col("n_j")) >= gate)
+      .select("i", "j").localCheckpoint()
+    val candIds = cand.select(col("i").as("vec_id"))
+      .union(cand.select(col("j"))).distinct().localCheckpoint()
+    // candidate docs' floats ride a semi-join ABOVE the input scan, so
+    // float bytes materialize at candidate mass, never corpus mass (AQE
+    // broadcasts the id side while it fits; past that it degrades to a
+    // shuffled semi-join, not an OOM)
+    val flo = emb.join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .localCheckpoint()
+    val dupIds = cand
+      .join(flo.select(col("vec_id").as("i"), col("embedding").as("e_i"),
+        col("nrm").as("fn_i")), "i")
+      .join(flo.select(col("vec_id").as("j"), col("embedding").as("e_j"),
+        col("nrm").as("fn_j")), "j")
+      .filter(dot(col("e_i"), col("e_j")) / (col("fn_i") * col("fn_j")) >= t)
+      .select(col("j").as("dup_id")).distinct()
+    asg.join(dupIds, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
+  }
+
   /** Stage-boundary shuffle release (the Stages.released lesson, extended
     * to SHUFFLE FILES): each eager checkpoint truncates lineage, but the
     * dead exchanges' files are deleted only after a JVM GC proves their
@@ -636,7 +747,12 @@ object Similarity {
     * √k scale).
     */
   private[similarity] def indexedAssignment(emb: DataFrame, k: Int,
-      lloydIters: Int, nprobe: Int): (DataFrame, DataFrame) = {
+      lloydIters: Int, nprobe: Int,
+      asgProject: DataFrame => DataFrame = _.select(col("vec_id"),
+        col("embedding"),
+        sqrt(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+          .as("nrm"),
+        col("cluster"))): (DataFrame, DataFrame) = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val spark = emb.sparkSession
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
@@ -731,10 +847,14 @@ object Similarity {
         (-element_at(col(s"fids$r"), nv.getField("idx") + 1)).as("nf"))
     }
     val best = if (nr == 1) cand.head else greatest(cand: _*)
-    val asg = cur
+    // asgProject decides what the corpus-scale checkpoint CARRIES: the
+    // float path keeps (embedding, nrm) for the intra-cluster pair scan;
+    // the coded path (round 15) swaps them for (pcodes, rnrm) — 16 bytes
+    // per vector instead of 256+, which is what makes the fifth decade's
+    // pair scan disk-feasible
+    val asg = asgProject(cur
       .select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-        (-best.getField("nf")).cast("int").as("cluster"))
+        (-best.getField("nf")).cast("int").as("cluster")))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY) // corpus-scale: see members
     releaseShuffles(spark)
     (fineC, asg)
@@ -782,6 +902,116 @@ object Similarity {
   ) { (s, d) =>
     semanticDedup(Tables.embeddings(s, d), 16, 0.4)
       .orderBy("vec_id")
+  }
+
+  /** Oracle-checked CODED semantic dedup — [[q_dedup_semantic]] with the
+    * pair scan on PQ codes (round-15 verdict #4's hash-green anchor): the
+    * clusters are the same seed argmax, the PQ codebooks are the SUBSPACE
+    * SLICES of the 16 lowest-vec_id vectors (no Lloyd — training means
+    * carry partition-order bits, but raw slices are exact data both
+    * engines read identically, the q_dedup_semantic seed rule applied to
+    * codebooks), and the keep decision is the production composition:
+    * SDC-reconstructed cosine ≥ gate (0.3) shortlists, true cosine ≥ t
+    * (0.4) over the shortlisted pairs' floats decides. DuckDB
+    * independently re-derives every stage: per-subspace argmin codes
+    * (dist = ‖x_s‖² − 2·x_s·c + ‖c‖², ROW_NUMBER ties to the lower
+    * code — [[graft.functions.PqArgmin]]'s strict-< rule), reconstruction
+    * norms and pair dot products as s-ASCENDING list_reduce folds
+    * (bit-identical to the engine's left-fold `reduce(_ + _)`), the gate,
+    * the float rescore, and the keep-first verdict. list_inner_product ≡ the [[VectorFunctions]]
+    * fold — the q_embed_quantize precedent — so every compared double is
+    * bit-equal and the only hashed columns are ints and booleans.
+    * The production twin ([[semanticDedupCoded]]) swaps in trained
+    * codebooks and the two-level assignment; this row pins the CODES
+    * ARITHMETIC (packing, SDC table, threshold decision) against a second
+    * engine.
+    */
+  val q_dedup_semantic_coded: Q = Q(
+    "q_dedup_semantic_coded",
+    Some("""
+      WITH bk AS (
+        SELECT r.s, e.vec_id AS code,
+               (e.embedding::DOUBLE[])[r.s*8+1 : r.s*8+8] AS cvec
+        FROM embeddings e CROSS JOIN range(0, 8) r(s)
+        WHERE e.vec_id < 16
+      ), bk2 AS (
+        SELECT s, code, cvec, list_inner_product(cvec, cvec) AS c2 FROM bk
+      ), sub AS (
+        SELECT e.vec_id, r.s,
+               (e.embedding::DOUBLE[])[r.s*8+1 : r.s*8+8] AS xs
+        FROM embeddings e CROSS JOIN range(0, 8) r(s)
+      ), dist AS (
+        SELECT x.vec_id, x.s, b.code,
+               list_inner_product(x.xs, x.xs)
+                 - 2 * list_inner_product(x.xs, b.cvec) + b.c2 AS dist
+        FROM sub x JOIN bk2 b ON x.s = b.s
+      ), codes AS (
+        SELECT vec_id, s, code
+        FROM (SELECT vec_id, s, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                        ORDER BY dist, code) AS rn
+              FROM dist)
+        WHERE rn = 1
+      ), rsq AS (
+        SELECT c.vec_id,
+               sqrt(list_reduce(array_agg(b.c2 ORDER BY c.s),
+                                (a, x) -> a + x)) AS rnrm
+        FROM codes c JOIN bk2 b ON b.s = c.s AND b.code = c.code
+        GROUP BY c.vec_id
+      ), s0 AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+      ), scored AS (
+        SELECT e.vec_id, s0.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], s0.ce::DOUBLE[]) AS cos
+        FROM embeddings e CROSS JOIN s0
+      ), asg AS (
+        SELECT vec_id, CAST(cid AS INT) AS cluster
+        FROM (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM scored)
+        WHERE rn = 1
+      ), pairdot AS (
+        SELECT x.vec_id AS i, y.vec_id AS j,
+               list_reduce(array_agg(list_inner_product(bi.cvec, bj.cvec)
+                                     ORDER BY ci.s),
+                           (a, v) -> a + v) AS dot_rr
+        FROM asg x
+        JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        JOIN codes ci ON ci.vec_id = x.vec_id
+        JOIN codes cj ON cj.vec_id = y.vec_id AND cj.s = ci.s
+        JOIN bk2 bi ON bi.s = ci.s AND bi.code = ci.code
+        JOIN bk2 bj ON bj.s = cj.s AND bj.code = cj.code
+        GROUP BY x.vec_id, y.vec_id
+      ), dup AS (
+        SELECT DISTINCT p.j AS dup_id
+        FROM pairdot p
+        JOIN rsq ri ON ri.vec_id = p.i
+        JOIN rsq rj ON rj.vec_id = p.j
+        JOIN embeddings ei ON ei.vec_id = p.i
+        JOIN embeddings ej ON ej.vec_id = p.j
+        WHERE p.dot_rr / (ri.rnrm * rj.rnrm) >= 0.3
+          AND list_cosine_similarity(ei.embedding::DOUBLE[],
+                                     ej.embedding::DOUBLE[]) >= 0.4
+      )
+      SELECT a.vec_id, a.cluster, d.dup_id IS NULL AS kept
+      FROM asg a LEFT JOIN dup d ON a.vec_id = d.dup_id
+      ORDER BY a.vec_id
+    """),
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val m = 8
+    val ksub = 16
+    val bookRows = emb.filter(col("vec_id") < ksub)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(bookRows.length == ksub, s"corpus smaller than ksub=$ksub")
+    val ds = bookRows(0).length / m
+    val books = Array.tabulate(m)(ss => Array.tabulate(ksub)(j =>
+      bookRows(j).slice(ss * ds, ss * ds + ds)))
+    val coded = Pq.withPackedCodes(seedAssign(emb, 16).drop("nrm"), books)
+    codedKeepFirst(coded, emb, books, t = 0.4, gate = 0.3).orderBy("vec_id")
   }
 
   // ------------------------------------------------ embedding maintenance
@@ -1013,7 +1243,7 @@ object Similarity {
 
   def all: Seq[Q] =
     Seq(q_sim_topk_cosine, q_sim_ann_lsh, q_sim_ann_ivf, q_dedup_embedding,
-      q_dedup_semantic,
+      q_dedup_semantic, q_dedup_semantic_coded,
       q_embed_quantize, q_embed_centroids, q_embed_knn_audit,
       q_embed_hard_negatives, Pca.q_embed_pca, Pq.q_embed_pq, Pq.q_sim_ann_pq,
       Pq.q_sim_ann_ivfpq, Pq.q_sim_ann_ivfpq_res, Pq.q_sim_ann_ivfpq_idx)

@@ -380,14 +380,15 @@ class SimilaritySpec extends SparkSpec {
     info(s"semantic dedup dropped ${dropped.size} of $n (16 clusters)")
   }
 
-  test("trained semantic dedup: same kept/dropped as the oracle path on planted clusters") {
-    // r12 verdict #2: the production twin assigns against IVF Lloyd
-    // centroids instead of lowest-vec_id seeds. Plant 4 orthogonal regions
-    // each holding near-identical FAMILIES (intra-family cos ≈ 0.999,
-    // cross-family cos ≤ 0.5 < t) — then for ANY sane centroid set a
-    // family co-clusters (its members are ε-identical), no cross-family
-    // pair can ever count as a dup, and both paths must land on the same
-    // keep-first decisions: lowest vec_id per family kept, rest dropped.
+  /** Planted-family fixture shared by the semantic-dedup twin pins: 4
+    * orthogonal regions each holding near-identical FAMILIES (intra-family
+    * cos ≈ 0.999, cross-family cos ≤ 0.5 < t) — for ANY sane centroid set
+    * a family co-clusters (its members are ε-identical), no cross-family
+    * pair can count as a dup, so every twin must land on the same
+    * keep-first decisions: lowest vec_id per family kept, rest dropped.
+    * Returns (corpus, expected kept-by-vec_id).
+    */
+  private def plantedFamilies: (org.apache.spark.sql.DataFrame, Map[Long, Boolean]) = {
     import spark.implicits._
     val d = 64
     def vec(region: Int, family: Int, member: Int): Array[Float] = {
@@ -399,7 +400,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // 4 regions × (2 families × 3 members + 2 singletons) = 32 vectors;
     // the oracle's lowest-4 seeds land one per region while the trained
-    // path's hash seeds are arbitrary members — the pin holds because
+    // path's hash seeds are arbitrary members — the pins hold because
     // kept/dropped only depends on family CO-clustering, not on which
     // cluster a family lands in
     val rows = for {
@@ -412,6 +413,17 @@ class SimilaritySpec extends SparkSpec {
         val v = Array.fill(d)(0.0f); v(16 * r) = 1.0f; v(16 * r + 6 + s) = 1.0f; v
       })
     val corpus = (rows ++ singles).toDF("vec_id", "embedding")
+    // family id = (region, f); vec_id = r + 4*(f*3 + m) → member index
+    // m = (vec_id/4) % 3, and m == 0 is the family's lowest vec_id
+    val expect = (rows ++ singles).map(_._1)
+      .map(id => id -> (id >= 100 || (id / 4) % 3 == 0)).toMap
+    (corpus, expect)
+  }
+
+  test("trained semantic dedup: same kept/dropped as the oracle path on planted clusters") {
+    // r12 verdict #2: the production twin assigns against IVF Lloyd
+    // centroids instead of lowest-vec_id seeds.
+    val (corpus, expect) = plantedFamilies
     val t = 0.9
     def decisions(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
       df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
@@ -421,10 +433,6 @@ class SimilaritySpec extends SparkSpec {
       "trained-centroid twin must make the oracle path's kept/dropped decisions")
     // and both equal the brute-force family expectation: min vec_id per
     // family kept, other members dropped, singletons kept
-    // family id = (region, f); vec_id = r + 4*(f*3 + m) → member index
-    // m = (vec_id/4) % 3, and m == 0 is the family's lowest vec_id
-    val expect = (rows ++ singles).map(_._1)
-      .map(id => id -> (id >= 100 || (id / 4) % 3 == 0)).toMap
     assert(trained === expect, "kept set must be keep-first per planted family")
     // corpus-level invariants on the driver table: a partition, no crash
     val big = Similarity.semanticDedupTrained(Tables.embeddings(spark, sf("sf0.01")), 16, 0.4)
@@ -445,6 +453,53 @@ class SimilaritySpec extends SparkSpec {
     assert(bigIdx.count() === n)
     assert(bigIdx.filter(!col("kept")).count() > 0,
       "planted near-dups must still collapse under two-level assignment")
+  }
+
+  test("coded semantic dedup: planted-family parity with the float twin") {
+    // r15 verdict #4: the fifth-decade twin scores the intra-cluster pair
+    // scan on PQ codes (SDC lookups) instead of float cosines. Family
+    // members quantize to equal or ε-close codes (frequent-pattern seeding
+    // covers every planted pattern, so reconstructions are exact) and
+    // cross-family cosines sit at ~0.5, far from t — the kept/dropped
+    // decisions must match the float path's exactly.
+    val (corpus, expect) = plantedFamilies
+    val t = 0.9
+    def decisions(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    val coded = decisions(Similarity.semanticDedupCoded(corpus, 4, t))
+    assert(coded === expect,
+      "coded twin must make the planted families' keep-first decisions")
+    // corpus-level invariants on the driver table: a partition, and the
+    // planted near-dups still collapse when scored through codes
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val big = Similarity.semanticDedupCoded(emb, 16, 0.4)
+    assert(big.count() === emb.count())
+    assert(big.filter(!col("kept")).count() > 0,
+      "planted near-dups must still collapse under coded scoring")
+    // agreement floor vs the float twin at the same geometry: the rescore
+    // makes precision exact, so disagreement needs a pair whose
+    // reconstruction cosine undershoots its true cosine by more than the
+    // 0.1 gate margin (raw SDC decisions measured 0.85 agreement on this
+    // corpus at t=0.4 — the rescore is what buys the rest)
+    val fl = Similarity.semanticDedupIndexed(emb, 16, 0.4)
+      .select(col("vec_id"), col("kept").as("kf"))
+    val agree = big.join(fl, "vec_id")
+      .filter(col("kept") === col("kf")).count().toDouble / emb.count()
+    assert(agree >= 0.95, f"coded-vs-float kept agreement $agree%.3f < 0.95")
+  }
+
+  test("semanticDedup routes to the probe-join assignment above the literal-seed threshold") {
+    // r14 advice note #2: the seed collect grows with k; above
+    // spark.graft.semdedup.maxLiteralSeeds the oracle path must delegate
+    // to the two-level assignment instead of building a k-wide literal
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val n = emb.count()
+    spark.conf.set("spark.graft.semdedup.maxLiteralSeeds", "8")
+    try {
+      val routed = Similarity.semanticDedup(emb, 16, 0.4)
+      assert(routed.count() === n)
+      assert(routed.filter(!col("kept")).count() > 0)
+    } finally spark.conf.unset("spark.graft.semdedup.maxLiteralSeeds")
   }
 
   test("two-level semantic assignment agrees with the flat argmax over the same centroids") {
