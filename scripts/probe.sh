@@ -13,6 +13,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx"${HEAP:-8g}" \
+# SPARK_EXTRA_OPTS: optional -Dspark.* properties (SparkConf reads spark.*
+# system properties), e.g. compression A/B probes:
+#   SPARK_EXTRA_OPTS="-Dspark.rdd.compress=true -Dspark.io.compression.codec=zstd"
+exec java $OPENS -Xmx"${HEAP:-8g}" ${SPARK_EXTRA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

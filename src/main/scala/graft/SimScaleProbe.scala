@@ -30,16 +30,21 @@ object SimScaleProbe {
       println(f"[simprobe] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
     timed("corpus count")(emb.count())
-    if (args.length > 1 && (args(1) == "semdedup" || args(1) == "semdedup_idx")) {
+    if (args.length > 1 && (args(1) == "semdedup" || args(1) == "semdedup_idx"
+      || args(1) == "semdedup_coded")) {
       // semantic dedup per-decade rows: k scales with the corpus (k ∝ n
       // holds |cluster| ~constant, SemDeDup's regime). `semdedup` times the
-      // flat n·k argmax twin; `semdedup_idx` the two-level n·√k·nprobe one.
+      // flat n·k argmax twin; `semdedup_idx` the two-level n·√k·nprobe one;
+      // `semdedup_coded` the fifth-decade PQ shortlist + exact-rescore one.
       val k = if (args.length > 2) args(2).toInt
         else math.max(16, (emb.count() / 125).toInt)
-      val out =
-        if (args(1) == "semdedup_idx") Similarity.semanticDedupIndexed(emb, k, 0.4)
-        else Similarity.semanticDedupTrained(emb, k, 0.4)
-      timed(s"${args(1)} k=$k") {
+      val t = if (args.length > 3) args(3).toDouble else 0.4
+      val out = args(1) match {
+        case "semdedup_idx" => Similarity.semanticDedupIndexed(emb, k, t)
+        case "semdedup_coded" => Similarity.semanticDedupCoded(emb, k, t)
+        case _ => Similarity.semanticDedupTrained(emb, k, t)
+      }
+      timed(s"${args(1)} k=$k t=$t") {
         out.write.format("noop").mode("overwrite").save()
       }
       spark.stop(); return

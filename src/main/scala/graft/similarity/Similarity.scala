@@ -647,6 +647,21 @@ object Similarity {
     * (t − gate) below its true cosine. SimilaritySpec pins planted-family
     * kept/dropped parity and a corpus-level agreement floor against the
     * float twin.
+    *
+    * Scale contract: NOTHING pair-shaped ever materializes — the 2M probe
+    * taught that lesson the hard way (this corpus plants ~1.5% of ALL
+    * pairs above 0.9 cosine, so gated-pair mass is genuinely quadratic; a
+    * checkpointed candidate-pair frame filled 60 GB of disk that the
+    * float twin never writes, because its pairs form and die inside one
+    * cluster-co-located join). Both phases here stream pair mass the same
+    * way: the gate phase feeds the pair scan straight into a DISTINCT
+    * candidate-id aggregate (map-side partials bound every task's output
+    * by ids, not pairs), and the rescore phase re-forms pairs in a second
+    * cluster-keyed join whose sides carry floats only for candidate docs.
+    * Materialized state is linear everywhere: codes 16 B/vector, ids
+    * 8 B/candidate, floats 264 B/candidate. Worst case (every doc a
+    * candidate) degenerates to the float twin's shuffle plus a cheap
+    * extra codes pass — graceful, not fatal.
     */
   def semanticDedupCoded(emb: DataFrame, k: Int, t: Double,
       lloydIters: Int = 1, nprobe: Int = 2, m: Int = 8,
@@ -654,9 +669,15 @@ object Similarity {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val ksub = 16 // 4-bit packing; see Pq.withPackedCodes
     // deterministic bounded training sample: hash-first rows (a
-    // TakeOrdered — the only driver-adjacent cost, ~70 MB at the cap)
+    // TakeOrdered — the only driver-adjacent cost, ~70 MB at the cap).
+    // limit() leaves ONE partition; repartition before the trainer's
+    // groupBy or its whole hash aggregation lands in a single task's
+    // memory share (probe-found OOM at 2M vectors), and checkpoint so
+    // the TakeOrdered doesn't re-run per training pass
     val sample = emb.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val books = Pq.lloydRefine(sample,
       Pq.frequentSeeds(sample, m, ksub, d = dim), lloydIters = 1)
     val (_, asg) = indexedAssignment(emb, k, lloydIters, nprobe,
@@ -675,32 +696,45 @@ object Similarity {
     val m = books.length
     val ksub = books(0).length
     val tLit = typedLit(Pq.sdcTable(books).toSeq)
+    def gateCond: Column =
+      Pq.sdcDot(tLit, m, ksub, col("p_i"), col("p_j")) /
+        (col("n_i") * col("n_j")) >= gate
     val a = asg.select(col("cluster").as("ca"), col("vec_id").as("i"),
       col("pcodes").as("p_i"), col("rnrm").as("n_i"))
     val b = asg.select(col("cluster").as("cb"), col("vec_id").as("j"),
       col("pcodes").as("p_j"), col("rnrm").as("n_j"))
-    // candidate pairs off the compressed frame — the only corpus-scale
-    // join; checkpointed once for the id prune + rescore consumers
-    val cand = a.join(b, col("ca") === col("cb") && col("i") < col("j"))
-      .filter(Pq.sdcDot(tLit, m, ksub, col("p_i"), col("p_j")) /
-        (col("n_i") * col("n_j")) >= gate)
-      .select("i", "j").localCheckpoint()
-    val candIds = cand.select(col("i").as("vec_id"))
-      .union(cand.select(col("j"))).distinct().localCheckpoint()
-    // candidate docs' floats ride a semi-join ABOVE the input scan, so
-    // float bytes materialize at candidate mass, never corpus mass (AQE
-    // broadcasts the id side while it fits; past that it degrades to a
-    // shuffled semi-join, not an OOM)
-    val flo = emb.join(candIds, Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-      .localCheckpoint()
-    val dupIds = cand
-      .join(flo.select(col("vec_id").as("i"), col("embedding").as("e_i"),
-        col("nrm").as("fn_i")), "i")
-      .join(flo.select(col("vec_id").as("j"), col("embedding").as("e_j"),
-        col("nrm").as("fn_j")), "j")
-      .filter(dot(col("e_i"), col("e_j")) / (col("fn_i") * col("fn_j")) >= t)
+    // gate phase: the pair scan STREAMS into a distinct over doc ids —
+    // map-side partial aggregation bounds every task's output by ids, so
+    // quadratic gated-pair mass never hits disk (see scaladoc)
+    val gated = a.join(b, col("ca") === col("cb") && col("i") < col("j"))
+      .filter(gateCond)
+    // DISK_ONLY: on a dup-dense corpus the candidate set approaches the
+    // corpus itself, and a deserialized memory cache of 20M ids competes
+    // with the rescore scan's parquet allocations (probe-found GC death)
+    val candIds = gated.select(col("i").as("vec_id"))
+      .union(gated.select(col("j").as("vec_id")))
+      .distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // rescore phase: candidate docs pull their floats (semi-join above the
+    // input scan — candidate mass, never corpus mass; AQE broadcasts the
+    // id side while it fits), pairs RE-FORM in a second cluster-co-located
+    // join, and gate + exact cosine decide inline; only distinct dup ids
+    // survive
+    val cf = asg
+      .join(emb.join(candIds, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("fn")),
+        Seq("vec_id"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val x = cf.select(col("cluster").as("ca"), col("vec_id").as("i"),
+      col("pcodes").as("p_i"), col("rnrm").as("n_i"),
+      col("embedding").as("e_i"), col("fn").as("fn_i"))
+    val y = cf.select(col("cluster").as("cb"), col("vec_id").as("j"),
+      col("pcodes").as("p_j"), col("rnrm").as("n_j"),
+      col("embedding").as("e_j"), col("fn").as("fn_j"))
+    val dupIds = x.join(y, col("ca") === col("cb") && col("i") < col("j"))
+      .filter(gateCond &&
+        dot(col("e_i"), col("e_j")) / (col("fn_i") * col("fn_j")) >= t)
       .select(col("j").as("dup_id")).distinct()
     asg.join(dupIds, col("vec_id") === col("dup_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
