@@ -476,6 +476,68 @@ object Streaming {
       }
       .start()
 
+  /** media landing schema (JSON lines; `payload` rides base64 — Spark's
+    * JSON source encodes/decodes BinaryType that way on both directions).
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("declared_format", StringType),
+  ))
+
+  /** Streaming media ingest — ENCODE ON INGEST (round-15 verdict #6): each
+    * micro-batch of landed media files runs the UNCHANGED batch content
+    * encoder ([[graft.multimodal.Multimodal.mediaFeatures]] — decode +
+    * 4×4 grid-mean/segment-stats embed, honest-null on undecodable tiers)
+    * and MERGEs (media_id, encoder, feature) into a SnapshotTable, so the
+    * feature store trails the landing zone by one trigger instead of one
+    * batch re-scan — at 100 TB you cannot re-decode the corpus because a
+    * crawl delivered a new shard. Exactly-once via the same
+    * checkpoint-lineage batch-id skip as [[vectorIngest]]/[[ledgerIngest]]
+    * (a post-crash replay of a committed batch is a no-op; re-ingest of a
+    * media_id upserts — last write wins, rows are content-keyed so the
+    * row is identical anyway). The table is created by the first
+    * non-empty batch ([[upsertLatestByUser]]'s create-or-merge shape).
+    * StreamingSpec pins batch parity — streamed features bit-equal to
+    * `mediaFeatures` over the same rows — and replay idempotence.
+    */
+  def mediaIngest(
+      spark: SparkSession,
+      landingDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery =
+    spark.readStream.options(options).schema(mediaSchema).json(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val runId = cdcRunId(checkpointDir)
+        val tableExists = graft.io.SnapshotTable.exists(tableDir)
+        val meta =
+          if (tableExists)
+            graft.io.SnapshotTable.snapshot(spark, tableDir, None).meta
+          else Map.empty[String, String]
+        val applied = meta.get(cdcBatchIdKey).map(_.toLong)
+          .filter(_ => meta.get(cdcRunIdKey).contains(runId))
+        if (applied.exists(_ >= batchId)) ()
+        else {
+          val feats = graft.multimodal.Multimodal
+            .mediaFeatures(batch.dropDuplicates("media_id"))
+            .localCheckpoint()
+          if (!feats.isEmpty) {
+            val m = Map(cdcBatchIdKey -> batchId.toString, cdcRunIdKey -> runId)
+            if (tableExists)
+              graft.io.SnapshotTable.merge(spark, tableDir, feats, "media_id",
+                meta = m)
+            else graft.io.SnapshotTable.create(feats, tableDir, meta = m)
+            ()
+          }
+        }
+      }
+      .start()
+
   /** documents landing schema (JSON lines, same columns as the batch
     * table).
     */

@@ -483,6 +483,50 @@ class StreamingSpec extends SparkSpec {
     assert(postCompact === preCompact, "compaction changed probe results")
   }
 
+  test("streaming media ingest encodes on ingest, exactly-once, batch-parity") {
+    import graft.multimodal.Multimodal
+    import graft.util.Tables
+    val landing = tmpDir("graft-stream-media")
+    val tableDir = tmpDir("graft-stream-mediafeat") + "/t"
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 30)
+    // the real mixed-format table: PNG / JPEG (baseline, progressive,
+    // 4:2:0 color) / WAV thirds — the stream must route every decode tier
+    val media = Multimodal.realMediaTable(docs).localCheckpoint()
+    val rows = media
+      .select(to_json(struct(col("media_id"), col("payload"),
+        col("declared_format"))).as("j"))
+      .collect().map(_.getString(0))
+    assert(rows.length === 30)
+    // two landing files → two micro-batches under maxFilesPerTrigger=1
+    Files.writeString(Paths.get(landing, "b1.json"),
+      rows.take(15).mkString("\n") + "\n")
+    Files.writeString(Paths.get(landing, "b2.json"),
+      rows.drop(15).mkString("\n") + "\n")
+    Streaming.mediaIngest(spark, landing, tableDir, tmpDir("graft-media-cp"),
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    val got = graft.io.SnapshotTable.read(spark, tableDir)
+    assert(got.count() === 30)
+    // batch parity: the streamed features are BIT-EQUAL to the batch
+    // encoder over the same rows (same kernel, same bytes), including the
+    // honest-null rows whose encoder tag must also be null
+    def mismatches(): Long = graft.io.SnapshotTable.read(spark, tableDir)
+      .select(col("media_id"), col("feature").as("fs"), col("encoder").as("es"))
+      .join(Multimodal.mediaFeatures(media)
+        .select(col("media_id"), col("feature").as("fb"), col("encoder").as("eb")),
+        Seq("media_id"), "full")
+      .filter(!(col("fs") <=> col("fb")) || !(col("es") <=> col("eb")))
+      .count()
+    assert(mismatches() === 0L)
+    assert(got.filter(col("feature").isNotNull).count() === 30,
+      "every realMediaTable tier decodes since round 15 — the stream must too")
+    // replay through a FRESH checkpoint: the upsert re-writes identical
+    // rows — count and content must not change (idempotent end-to-end)
+    Streaming.mediaIngest(spark, landing, tableDir, tmpDir("graft-media-cp2"),
+      Map("maxFilesPerTrigger" -> "1")).awaitTermination()
+    assert(graft.io.SnapshotTable.read(spark, tableDir).count() === 30)
+    assert(mismatches() === 0L)
+  }
+
   test("streaming LSH dedup ingest: pairs = batch join on the union, reported once") {
     import graft.dedup.Dedup
     import graft.util.Tables
