@@ -97,6 +97,12 @@ object ScaleProbeData {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.rdd.compress", "true")
+      // zstd for shuffle/spill/cached blocks: the round-15 sf1000 A/B
+      // measured 18% faster wall at 33% lower peak disk on the bottom-k
+      // join (and 25%/15% on coded semantic dedup) vs the lz4 default —
+      // the disk-bound phases read and write a third less
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -668,15 +668,18 @@ object Similarity {
       sampleCap: Int = 1 << 18, gate: Double = Double.NaN): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val ksub = 16 // 4-bit packing; see Pq.withPackedCodes
-    // deterministic bounded training sample: hash-first rows (a
-    // TakeOrdered — the only driver-adjacent cost, ~70 MB at the cap).
-    // limit() leaves ONE partition; repartition before the trainer's
-    // groupBy or its whole hash aggregation lands in a single task's
-    // memory share (probe-found OOM at 2M vectors), and checkpoint so
-    // the TakeOrdered doesn't re-run per training pass
+    // deterministic bounded training sample by hash-modulus filter — a
+    // pure scan-side predicate, so NOTHING corpus-scale approaches the
+    // driver. (The first cut used orderBy(hash).limit(cap): TakeOrdered
+    // returns up to cap rows PER PARTITION to the driver before merging —
+    // 161 partitions × 70 MB killed the 40M probe's 8 GB driver heap. A
+    // bare limit() also leaves one partition, single-tasking the
+    // trainer's aggregation — probe-found OOM at 2M.) The one count()
+    // is a metadata-cheap parquet pass; the sample size is ~sampleCap by
+    // hash uniformity, and small corpora (mod 1) train on everything.
+    val sampleMod = math.max(1L, emb.count() / sampleCap)
     val sample = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
       .localCheckpoint()
     val books = Pq.lloydRefine(sample,
       Pq.frequentSeeds(sample, m, ksub, d = dim), lloydIters = 1)
