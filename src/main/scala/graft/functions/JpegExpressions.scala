@@ -28,9 +28,14 @@ import org.apache.spark.sql.types._
   *    (newly-nonzero insertion at a zero-history position, inline
   *    correction bits for already-nonzero coefficients, EOB-run carried
   *    correction bits) — then one dequant + IDCT emission over the
-  *    finished plane. DHT redefinition between scans is honored; DNL /
-  *    restart intervals stay outside the envelope (DRI with a nonzero
-  *    interval nulls honestly, as arithmetic coding does);
+  *    finished plane. DHT redefinition between scans is honored; DNL
+  *    stays outside the envelope (nulls honestly, as arithmetic coding
+  *    does);
+  *  - RESTART INTERVALS (DRI, round 15) on every Huffman tier: at each
+  *    interval boundary the stream byte-aligns, the RSTm index is
+  *    verified strictly (cycling 0..7, per scan in progressive — T.81
+  *    E.1.4), DC predictors reset, and a progressive EOB run may not
+  *    cross the boundary. Real web JPEGs carry DRI routinely;
   *  - COLOR BASELINE (SOF0, three components, 4:4:4 or 4:2:0): see
   *    [[JpegDecode.jpegColor]].
   *
@@ -148,6 +153,20 @@ object JpegDecode {
       }
       v
     }
+    /** Consume an RSTm marker at a restart boundary (T.81 E.1.4): the
+      * partial byte's remaining pad bits drop (byte alignment), then the
+      * EXPECTED marker index is verified strictly — a skipped or
+      * misnumbered restart is a corrupt stream, not a recoverable one,
+      * in a batch decoder (resync is a streaming-display concern).
+      */
+    def restart(m: Int): Boolean = {
+      nbits = 0
+      cur = 0
+      if (pos + 1 >= limit) return false
+      if (u8(p, pos) != 0xFF || u8(p, pos + 1) != 0xD0 + m) return false
+      pos += 2
+      true
+    }
   }
 
   /** Signed-magnitude EXTEND (T.81 F.2.2.1): an s-bit magnitude v decodes
@@ -263,6 +282,7 @@ object JpegDecode {
     var w = -1
     var h = -1
     var progressive = false
+    var ri = 0 // DRI restart interval (0 = none)
     var compTq = 0
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[JHuff](4)
@@ -300,8 +320,8 @@ object JpegDecode {
           } else return null // outside the envelope (multi-component etc.)
         case 0xC4 => // DHT: possibly several tables in one segment
           if (!parseDht(p, body, end, dcTabs, acTabs)) return null
-        case 0xDD => // DRI: a nonzero restart interval is outside the envelope
-          if (len >= 4 && beU16(p, body) != 0) return null
+        case 0xDD => // DRI: restart interval (supported since round 15)
+          if (len >= 4) ri = beU16(p, body)
         case 0xDA => sosAt = pos // SOS: entropy data follows the header
         case 0xD9 => return null // EOI before SOS
         case _ => () // APPn / COM / others: skip
@@ -340,6 +360,14 @@ object JpegDecode {
       while (ok && by < bh) {
         var bx = 0
         while (ok && bx < bw) {
+          val mcu = by * bw + bx
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            // restart boundary: byte-align + strict RSTm check, DC
+            // predictor resets (T.81 E.1.4 / F.2.1.3.1)
+            if (!r.restart((mcu / ri - 1) % 8)) ok = false
+            pred = 0
+          }
+          if (!ok) return new GrayOut(w, h, false, nAc)
           java.util.Arrays.fill(coef, 0)
           // DC: category + extended difference, predicted from the last block
           val t = dcT.decode(r)
@@ -426,7 +454,8 @@ object JpegDecode {
         if (!validBand || al > 13 || !tablesOk) ok = false
         else {
           val r = new BitReader(p, scanPos + 2 + sl, p.length)
-          ok = decodeProgressiveScan(r, coefs, nBlocks, dcScan, ss, se, ah, al, dcT, acT)
+          ok = decodeProgressiveScan(r, coefs, nBlocks, dcScan, ss, se, ah, al,
+            dcT, acT, ri)
           sawScan = true
           if (ok) {
             // entropy data ends at the next marker: skip pad bits and any
@@ -464,7 +493,8 @@ object JpegDecode {
                             quant(tq) = Array.tabulate(64)(i => u8(p, q2 + 1 + i))
                           q2 += 65
                         }
-                      case 0xDD => if (len2 >= 4 && beU16(p, b2) != 0) ok = false
+                      case 0xDD => // DRI between scans: legal, honored
+                        if (len2 >= 4) ri = beU16(p, b2)
                       case 0xDA => nextScan = walkPos
                       case _ => () // APPn / COM: skip
                     }
@@ -512,13 +542,22 @@ object JpegDecode {
     */
   private def decodeProgressiveScan(
       r: BitReader, coefs: Array[Short], nBlocks: Int, dcScan: Boolean,
-      ss: Int, se: Int, ah: Int, al: Int, dcT: JHuff, acT: JHuff): Boolean = {
+      ss: Int, se: Int, ah: Int, al: Int, dcT: JHuff, acT: JHuff,
+      ri: Int): Boolean = {
     var pred = 0
     var eobrun = 0
     val p1 = 1 << al
     val m1 = -(1 << al)
     var b = 0
     while (b < nBlocks) {
+      if (ri > 0 && b > 0 && b % ri == 0) {
+        // restart boundary (marker index cycles from 0 PER SCAN): an EOB
+        // run may not cross it (T.81 G.1.2.2), the stream byte-aligns,
+        // and the DC predictor resets
+        if (eobrun != 0) return false
+        if (!r.restart((b / ri - 1) % 8)) return false
+        pred = 0
+      }
       val base = b * 64
       if (dcScan) {
         if (ah == 0) {
@@ -841,6 +880,7 @@ object JpegDecode {
     var pos = 2
     var w = -1
     var h = -1
+    var ri = 0 // DRI restart interval (0 = none)
     var lumaSamp = 1 // 1 = 4:4:4, 2 = 4:2:0 (Y 2×2, chroma 1×1)
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[JHuff](4)
@@ -882,6 +922,8 @@ object JpegDecode {
           } else return null // outside the envelope
         case 0xC4 => // DHT: possibly several tables in one segment
           if (!parseDht(p, body, end, dcTabs, acTabs)) return null
+        case 0xDD => // DRI: restart interval (supported since round 15)
+          if (len >= 4) ri = beU16(p, body)
         case 0xDA => // SOS: bind each scan component to its tables
           if (len != 12 || u8(p, body) != 3 || compId == null) return null
           var c = 0
@@ -941,6 +983,13 @@ object JpegDecode {
     while (ok && by < bh) {
       var bx = 0
       while (ok && bx < bw) {
+        val mcu = by * bw + bx
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          // restart boundary: byte-align + strict RSTm, EVERY component's
+          // DC predictor resets (T.81 E.1.4)
+          if (!r.restart((mcu / ri - 1) % 8)) ok = false
+          java.util.Arrays.fill(pred, 0)
+        }
         // interleaved MCU: nLuma Y units then Cb, Cr — the DC predictor is
         // per COMPONENT, so all Y units in an MCU chain through pred(0)
         var unit = 0

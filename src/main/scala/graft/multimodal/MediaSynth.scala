@@ -322,6 +322,16 @@ object MediaSynth {
     */
   def jpeg(id: Long): Array[Byte] = jpeg(id, withAc = false)
 
+  /** [[jpeg]] with a RESTART INTERVAL (round 15): same geometry, same
+    * planted DC field — byte-identical pixels — but the entropy stream
+    * carries DRI(Ri=1) framing: after every MCU the bit stream pads to a
+    * byte, an RSTm marker (m cycling 0..7) follows, and the DC predictor
+    * resets. Real web JPEGs carry restart intervals routinely (error
+    * resilience), so the decoder's restart machinery needs a spec-true
+    * fixture whose formulas the oracle already knows.
+    */
+  def jpegRestart(id: Long): Array[Byte] = jpeg(id, withAc = false, ri = 1)
+
   /** `withAc = true` is the SPEC-ONLY variant: the AC table gains a
     * run0/size1 code and every block carries one ±1 coefficient at
     * zig-zag position 1 — exercising the kernel's AC run-length layer
@@ -329,7 +339,7 @@ object MediaSynth {
     * (T.81 mandates no bit-exact IDCT), pinned with a tolerance in
     * MultimodalSpec. The oracle-checked fixture stays DC-only.
     */
-  private[graft] def jpeg(id: Long, withAc: Boolean): Array[Byte] = {
+  private[graft] def jpeg(id: Long, withAc: Boolean, ri: Int = 0): Array[Byte] = {
     val bw = (1 + id % 3).toInt
     val bh = (1 + id % 2).toInt
     val w = bw * 8
@@ -354,6 +364,7 @@ object MediaSynth {
       b(1); (2 to 16).foreach(_ => b(0))
       b(0x00)
     }
+    if (ri > 0) b(0xFF, 0xDD, 0, 4, ri >> 8, ri & 0xFF) // DRI
     b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS: comp 1, DC 0 / AC 0
     val dcCode = jpegCodes(jpegDcBits)
     // MSB-first bit writer with byte stuffing
@@ -373,11 +384,25 @@ object MediaSynth {
         i -= 1
       }
     }
+    def flushBits(): Unit = if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+      cur = 0
+      nb = 0
+    }
     var pred = 0
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
+        val mcu = by * bw + bx
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          // restart: byte-align, RSTm (m cycles 0..7), DC predictor resets
+          flushBits()
+          b(0xFF, 0xD0 + ((mcu / ri - 1) % 8))
+          pred = 0
+        }
         val dc = dcOf(bx, by)
         val diff = dc - pred
         pred = dc
@@ -395,11 +420,7 @@ object MediaSynth {
       }
       by += 1
     }
-    if (nb > 0) { // pad the final byte with 1-bits (T.81 F.1.2.3)
-      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
-      out += cur.toByte
-      if (cur == 0xFF) out += 0x00.toByte
-    }
+    flushBits()
     b(0xFF, 0xD9) // EOI
     out.toArray
   }
@@ -523,7 +544,19 @@ object MediaSynth {
     * 1/2/3/4-bit ladder (no all-ones codeword, so pad bits can never
     * alias a symbol).
     */
-  def jpegProgressive(id: Long): Array[Byte] = {
+  def jpegProgressive(id: Long): Array[Byte] = jpegProgressive(id, 0)
+
+  /** [[jpegProgressive]] with DRI(Ri=2): per SCAN, after every 2 data
+    * units the EOB run flushes (T.81 forbids a run crossing a restart),
+    * the stream byte-aligns, an RSTm marker follows (m cycling from 0 at
+    * each scan start, libjpeg's numbering), and the DC predictor resets.
+    * Ri=2 rather than 1 so an EOB run can SPAN blocks inside an interval
+    * and still must end at the boundary — the decoder state the marker
+    * machinery actually guards.
+    */
+  def jpegProgressiveRestart(id: Long): Array[Byte] = jpegProgressive(id, 2)
+
+  private[graft] def jpegProgressive(id: Long, ri: Int): Array[Byte] = {
     val bw = (1 + id % 3).toInt
     val bh = (1 + id % 2).toInt
     val w = bw * 8
@@ -578,11 +611,21 @@ object MediaSynth {
     def putAcSym(sym: Int): Unit = { val (c, l) = acSym(sym); putBits(c, l) }
     def sos(tdta: Int, ss: Int, se: Int, ah: Int, al: Int): Unit =
       b(0xFF, 0xDA, 0, 8, 1, 1, tdta, ss, se, (ah << 4) | al)
+    // restart boundary inside a scan: callers flush any pending EOB run
+    // FIRST (a run may not cross a restart), then the stream byte-aligns
+    // and the marker index cycles 0..7 from 0 per scan
+    def rst(blk: Int): Boolean = ri > 0 && blk > 0 && blk % ri == 0
+    def putRst(blk: Int): Unit = {
+      flushScan()
+      b(0xFF, 0xD0 + ((blk / ri - 1) % 8))
+    }
+    if (ri > 0) b(0xFF, 0xDD, 0, 4, ri >> 8, ri & 0xFF) // DRI
 
     // ---- scan 1: DC first, Al = 1 ----
     sos(0x00, 0, 0, 0, 1)
     var pred = 0
     for (blk <- 0 until nBlocks) {
+      if (rst(blk)) { putRst(blk); pred = 0 }
       val t = dcOf(blk) >> 1 // point transform (arithmetic shift)
       val diff = t - pred
       pred = t
@@ -604,6 +647,7 @@ object MediaSynth {
       eobrun = 0
     }
     for (blk <- 0 until nBlocks) {
+      if (rst(blk)) { flushEob(); putRst(blk) }
       val ac = acOf(blk)
       val t = math.abs(ac) >> 1
       if (t == 0) eobrun += 1 // the whole block vanishes into the run
@@ -619,7 +663,10 @@ object MediaSynth {
 
     // ---- scan 3: DC refinement, Ah = 1, Al = 0 ----
     sos(0x00, 0, 0, 1, 0)
-    for (blk <- 0 until nBlocks) putBits(dcOf(blk) & 1, 1)
+    for (blk <- 0 until nBlocks) {
+      if (rst(blk)) putRst(blk)
+      putBits(dcOf(blk) & 1, 1)
+    }
     flushScan()
 
     // ---- scan 4: AC refinement, Ah = 1, Al = 0 (G.1.2.3) ----
@@ -634,6 +681,7 @@ object MediaSynth {
       eobrun = 0
     }
     for (blk <- 0 until nBlocks) {
+      if (rst(blk)) { flushEobRefine(); putRst(blk) }
       val ac = acOf(blk)
       val t = math.abs(ac)
       val br = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -968,6 +1016,28 @@ case class JpegProgressiveSynth(child: Expression) extends MediaSynthExpression 
   override def prettyName: String = "graft_jpeg_progressive_synth"
 }
 
+case class JpegRestartSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any =
+    MediaSynth.jpegRestart(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegRestart($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegRestartSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_restart_synth"
+}
+
+case class JpegProgressiveRestartSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any =
+    MediaSynth.jpegProgressiveRestart(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegProgressiveRestart($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegProgressiveRestartSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_progressive_restart_synth"
+}
+
 case class JpegColorSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.jpegColor(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -1037,6 +1107,8 @@ object MediaSynthFunctions {
   val jpegName = "graft_jpeg_synth"
   val jpegAcName = "graft_jpeg_ac_synth"
   val jpegProgressiveName = "graft_jpeg_progressive_synth"
+  val jpegRestartName = "graft_jpeg_restart_synth"
+  val jpegProgressiveRestartName = "graft_jpeg_progressive_restart_synth"
   val jpegColorName = "graft_jpeg_color_synth"
   val jpegColor420Name = "graft_jpeg_color420_synth"
   val bmpName = "graft_bmp_synth"
@@ -1050,6 +1122,8 @@ object MediaSynthFunctions {
     reg.createOrReplaceTempFunction(jpegName, exprs => JpegSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegAcName, exprs => JpegAcSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegProgressiveName, exprs => JpegProgressiveSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegRestartName, exprs => JpegRestartSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegProgressiveRestartName, exprs => JpegProgressiveRestartSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegColorName, exprs => JpegColorSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegColor420Name, exprs => JpegColor420Synth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
@@ -1061,6 +1135,11 @@ object MediaSynthFunctions {
   def jpegAcSynth(docId: Column): Column = call_function(jpegAcName, docId)
 
   def jpegProgressiveSynth(docId: Column): Column = call_function(jpegProgressiveName, docId)
+
+  def jpegRestartSynth(docId: Column): Column = call_function(jpegRestartName, docId)
+
+  def jpegProgressiveRestartSynth(docId: Column): Column =
+    call_function(jpegProgressiveRestartName, docId)
 
   def jpegColorSynth(docId: Column): Column = call_function(jpegColorName, docId)
 

@@ -104,11 +104,20 @@ object Multimodal {
     // doc_id ≡ 1 (mod 3) row is baseline grayscale, progressive grayscale
     // (doc_id ≡ 4 mod 9), or 4:2:0 color (doc_id ≡ 7 mod 9) — so the
     // MIXED-format queries exercise every decode tier a real landing zone
-    // routes, not just the easiest one
+    // routes, not just the easiest one. Half the baseline and progressive
+    // rows additionally carry RESTART INTERVALS (DRI + RSTm framing) —
+    // byte-different files, pixel-identical planting, so the formula
+    // oracles hold while the marker machinery is exercised in the hash
+    // gate, not just in specs
     val jm = pmod(id, lit(9))
-    val jpegPayload = when(jm === 4, MediaSynthFunctions.jpegProgressiveSynth(id))
+    val driHalf = pmod(id / 9, lit(2)) === 0
+    val jpegPayload = when(jm === 4,
+        when(driHalf, MediaSynthFunctions.jpegProgressiveRestartSynth(id))
+          .otherwise(MediaSynthFunctions.jpegProgressiveSynth(id)))
       .when(jm === 7, MediaSynthFunctions.jpegColor420Synth(id))
-      .otherwise(MediaSynthFunctions.jpegSynth(id))
+      .otherwise(
+        when(driHalf, MediaSynthFunctions.jpegRestartSynth(id))
+          .otherwise(MediaSynthFunctions.jpegSynth(id)))
     val payload = when(m === 0, MediaSynthFunctions.pngSynth(id))
       .when(m === 1, jpegPayload)
       .otherwise(MediaSynthFunctions.wavSynth(id))

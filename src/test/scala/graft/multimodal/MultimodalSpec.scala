@@ -359,6 +359,62 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("restart-interval JPEGs: pixel-identical to no-DRI twins, ImageIO parity, strict RSTm") {
+    import spark.implicits._
+    graft.functions.JpegFunctions.ensureRegistered(spark)
+    // baseline + DRI(Ri=1): same planted DC field as jpeg(id), so decoded
+    // sums must be BIT-EQUAL to the plain twin's — the restart machinery
+    // (byte-align, marker verify, predictor reset) must be transparent
+    for (id <- 0L until 24L) {
+      val dri = MediaSynth.jpegRestart(id)
+      val plain = MediaSynth.jpeg(id)
+      assert(!java.util.Arrays.equals(dri, plain),
+        s"DRI twin must differ in bytes for $id (DRI segment at least)")
+      val a = graft.functions.JpegDecode.jpeg(dri)
+      val b = graft.functions.JpegDecode.jpeg(plain)
+      assert(!a.isNullAt(3), s"DRI baseline must decode for $id")
+      assert(a.getLong(3) === b.getLong(3), s"sum_luma DRI-vs-plain for $id")
+      assert(a.getLong(4) === b.getLong(4), s"wsum_luma DRI-vs-plain for $id")
+      // the files stay real JPEGs: the JDK's reader accepts the restart
+      // framing and reconstructs the same DC-exact pixels
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(dri))
+      assert(img != null, s"ImageIO rejected DRI JPEG $id")
+      val pix = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRaster.getSample(x, y, 0).toLong
+      assert(a.getLong(3) === pix.sum, s"ImageIO sum parity for DRI $id")
+    }
+    // progressive + DRI(Ri=2): per-scan restart numbering, EOB runs end at
+    // boundaries; sums bit-equal to the plain progressive twin
+    for (id <- Seq(1L, 4L, 5L, 13L, 22L)) { // 4/4/6/4/2 data units: with
+      // Ri=2 the first four fire restarts, 22 carries DRI but no marker
+      val dri = MediaSynth.jpegProgressiveRestart(id)
+      val plain = MediaSynth.jpegProgressive(id)
+      assert(!java.util.Arrays.equals(dri, plain))
+      val a = graft.functions.JpegDecode.jpeg(dri)
+      val b = graft.functions.JpegDecode.jpeg(plain)
+      assert(!a.isNullAt(3), s"DRI progressive must decode for $id")
+      assert(a.getLong(3) === b.getLong(3), s"progressive sum for $id")
+      assert(a.getLong(4) === b.getLong(4), s"progressive wsum for $id")
+    }
+    // strict marker discipline: misnumbering the first RSTm (D0 -> D1)
+    // nulls the sums — a skipped/renumbered restart is a corrupt stream
+    val f = MediaSynth.jpegRestart(1L) // 4 MCUs, Ri=1: markers D0 D1 D2
+    val at = (0 until f.length - 1).find(i =>
+      (f(i) & 0xFF) == 0xFF && (f(i + 1) & 0xFF) == 0xD0)
+    assert(at.isDefined, "fixture must carry an RST0 marker")
+    val bad = f.clone()
+    bad(at.get + 1) = 0xD1.toByte
+    val badRow = graft.functions.JpegDecode.jpeg(bad)
+    assert(badRow.getInt(0) > 0, "geometry still parses")
+    assert(badRow.isNullAt(3), "a misnumbered restart must null the sums")
+    // and the embedding path rides the same driver: DRI rows embed
+    // identically to their plain twins
+    val eDri = graft.functions.JpegDecode.embedGray(MediaSynth.jpegRestart(7L))
+    val ePlain = graft.functions.JpegDecode.embedGray(MediaSynth.jpeg(7L))
+    assert(eDri != null && (eDri sameElements ePlain),
+      "grid embedding must be identical through restart framing")
+  }
+
   test("JPEG AC layer: ±1 coefficients decode within the T.81 IDCT tolerance") {
     for (id <- 0L until 12L) {
       val payload = MediaSynth.jpeg(id, withAc = true)
