@@ -428,6 +428,12 @@ object JpegDecode {
     // progressive decoder materializes whole-image coefficient memory;
     // that is the format's nature, not this implementation's).
     val nBlocks = bw * bh
+    // allocate-before-validate guard (review-found): the plane is sized
+    // from HEADER fields alone, so a 100-byte hostile payload declaring
+    // 8192x8192 would zero 134 MB per row before any entropy check. A
+    // real DC-first scan spends >= 1 bit per block, so a file plausibly
+    // carrying nBlocks blocks is at least nBlocks/8 bytes long.
+    if (nBlocks.toLong > 8L * p.length) return null
     val coefs = new Array[Short](nBlocks * 64)
     var scanPos = sosAt // position OF the SOS marker for the current scan
     var sawScan = false
@@ -633,9 +639,13 @@ object JpegDecode {
               }
               brk = true
             }
-            // run == 15 with size 0 is ZRL: skip 16 zero-history slots,
-            // correcting nonzero ones along the way (run counts only
-            // zero-history positions, exactly as below)
+            // run == 15 with size 0 is ZRL: skip SIXTEEN zero-history
+            // slots, correcting nonzero ones along the way (run counts
+            // only zero-history positions, exactly as below — the loop
+            // stops AT the 16th/insertion slot, which is then consumed by
+            // the store or, for ZRL, by the bare advance: libjpeg's outer
+            // k++ in decode_mcu_AC_refine; stopping short desynchronized
+            // every later symbol of the block — review-found)
             if (!brk) {
               var advancing = true
               while (advancing && k <= se) {
@@ -646,11 +656,13 @@ object JpegDecode {
                   if (cb == 1 && (coefs(c) & p1) == 0)
                     coefs(c) = (coefs(c) + (if (coefs(c) >= 0) p1 else m1)).toShort
                   k += 1
-                } else if (run == 0) advancing = false // the insertion slot
+                } else if (run == 0) advancing = false // the stop slot
                 else { run -= 1; k += 1 }
               }
-              if (sval != 0 && k <= se) { coefs(base + k) = sval.toShort; k += 1 }
-              else if (sval != 0) return false // ran past Se hunting the slot
+              if (sval != 0) {
+                if (!advancing && k <= se) { coefs(base + k) = sval.toShort; k += 1 }
+                else return false // ran past Se hunting the slot
+              } else if (!advancing) k += 1 // ZRL: consume the 16th slot
             }
           }
         }
@@ -973,6 +985,11 @@ object JpegDecode {
     // upsampling filter reads NEIGHBOR samples across MCU boundaries, so
     // the pixel fold cannot run per-MCU — decode every sample into padded
     // planes first, fold after the scan
+    // same allocate-before-validate guard as the progressive plane: a
+    // 4:2:0 MCU holds six data units (>= 6 Huffman codes, well over a
+    // byte), so a genuine file carries at least one byte per MCU
+    if (lumaSamp == 2 && nMcus > p.length)
+      return new ColorOut(w, h, nMcus, false, 0L)
     val yW = if (lumaSamp == 2) 16 * bw else 0
     val cwPad = if (lumaSamp == 2) 8 * bw else 0
     val yPlane: Array[Byte] = if (lumaSamp == 2) new Array(yW * 16 * bh) else null

@@ -110,7 +110,10 @@ object Multimodal {
     // oracles hold while the marker machinery is exercised in the hash
     // gate, not just in specs
     val jm = pmod(id, lit(9))
-    val driHalf = pmod(id / 9, lit(2)) === 0
+    // Column `/` is double division — pmod(id / 9, 2) === 0 held only
+    // for doc_id % 18 == 0, which never hits a jpeg row (review-found:
+    // the DRI twins were silently dead); floor first, compare on longs
+    val driHalf = pmod(floor(id / lit(9)).cast("long"), lit(2)) === 0
     val jpegPayload = when(jm === 4,
         when(driHalf, MediaSynthFunctions.jpegProgressiveRestartSynth(id))
           .otherwise(MediaSynthFunctions.jpegProgressiveSynth(id)))

@@ -681,6 +681,10 @@ object Similarity {
     val sample = emb.select(col("vec_id"), col("embedding"))
       .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
       .localCheckpoint()
+    // `lloydIters` (the parameter) tunes the CLUSTER assignment below;
+    // the PQ books always take exactly one refinement pass over the
+    // frequent-pattern seeds — more passes can only merge covered
+    // patterns, the failure mode frequentSeeds exists to prevent
     val books = Pq.lloydRefine(sample,
       Pq.frequentSeeds(sample, m, ksub, d = dim), lloydIters = 1)
     val (_, asg) = indexedAssignment(emb, k, lloydIters, nprobe,

@@ -415,6 +415,86 @@ class MultimodalSpec extends SparkSpec {
       "grid embedding must be identical through restart framing")
   }
 
+  test("AC-refinement ZRL consumes sixteen zero-history slots (G.1.2.3)") {
+    // review-found bug pin: the refinement decoder stopped AT the 16th
+    // zero-history slot of a ZRL instead of consuming it (libjpeg's outer
+    // k++), desynchronizing every later symbol of the block. Fixtures
+    // never emitted refinement-ZRL (their run is always 9), so this
+    // hand-assembled pair does: ONE 8x8 block whose only AC coefficient
+    // (+1 at zig-zag 30) arrives in the AC-REFINEMENT scan behind 29
+    // zero-history positions — encoded as ZRL + run13/size1 — against a
+    // BASELINE encoding of the identical coefficient plane. Same plane,
+    // same IDCT: the sums must be bit-equal.
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => buf += x.toByte)
+    var cur = 0; var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; if (cur == 0xFF) buf += 0x00.toByte; cur = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nb > 0) {
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      buf += cur.toByte; if (cur == 0xFF) buf += 0x00.toByte
+      cur = 0; nb = 0
+    }
+    // shared header: DQT(Q=8), DHTs — DC table: vals 0..4 at length 3
+    // (codes 000..100); AC table: EOB='0', ZRL='10', run13/size1='11'
+    def header(sofMarker: Int): Unit = {
+      b(0xFF, 0xD8)
+      b(0xFF, 0xDB, 0, 67, 0x00); (0 until 64).foreach(_ => buf += 8.toByte)
+      b(0xFF, sofMarker, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0)
+      b(0xFF, 0xC4, 0, 24, 0x00) // DC: bits
+      b(0, 0, 5); (4 to 16).foreach(_ => b(0)); b(0, 1, 2, 3, 4)
+      // AC: EOB='0', ZRL='10', run13/size1='110' — the all-ones code of
+      // each length stays free (libjpeg rejects full code space)
+      b(0xFF, 0xC4, 0, 22, 0x10)
+      b(1, 1, 1); (4 to 16).foreach(_ => b(0)); b(0x00, 0xF0, 0xD1)
+    }
+    def dcCode(cat: Int): Unit = putBits(cat, 3) // canonical: cat == code
+    // ---- progressive: DC first (Al=1, D=10 -> 5, cat 3), AC first (all
+    // zero at Al=1: EOB0), DC refine (bit 0), AC refine (ZRL + run13/size1
+    // + sign, then EOB0)
+    header(0xC2)
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 0, 0x01) // DC first, Al=1
+    dcCode(3); putBits(5, 3); flush()
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x01) // AC first, Al=1
+    putBits(0, 1); flush() // EOB0
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 0, 0x10) // DC refine
+    putBits(0, 1); flush()
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x10) // AC refine
+    putBits(2, 2) // ZRL '10': sixteen zero-history slots (zz 1..16)
+    putBits(6, 3) // run13/size1 '110': zz 17..29 zero, insert at 30
+    putBits(1, 1) // sign: positive
+    putBits(0, 1) // EOB0 for the 31..63 tail
+    flush()
+    b(0xFF, 0xD9)
+    val progressive = buf.toArray
+    // ---- baseline twin: DC=10 (cat 4), ZRL + run13/size1(+1) + EOB
+    buf.clear()
+    header(0xC0)
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0)
+    dcCode(4); putBits(10, 4)
+    putBits(2, 2); putBits(6, 3); putBits(1, 1) // ZRL, run13/size1, +1
+    putBits(0, 1) // EOB
+    flush()
+    b(0xFF, 0xD9)
+    val baseline = buf.toArray
+    val pr = graft.functions.JpegDecode.jpeg(progressive)
+    val br = graft.functions.JpegDecode.jpeg(baseline)
+    assert(!br.isNullAt(3), "baseline twin must decode")
+    assert(!pr.isNullAt(3), "refinement-ZRL progressive must decode")
+    assert(pr.getLong(3) === br.getLong(3), "sum_luma: same plane, same IDCT")
+    assert(pr.getLong(4) === br.getLong(4), "wsum_luma parity")
+    assert(pr.getLong(5) === 1L && br.getLong(5) === 1L, "one AC coefficient")
+    // both are spec-true files: the JDK reader accepts them
+    for (f <- Seq(progressive, baseline))
+      assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)) != null)
+  }
+
   test("JPEG AC layer: ±1 coefficients decode within the T.81 IDCT tolerance") {
     for (id <- 0L until 12L) {
       val payload = MediaSynth.jpeg(id, withAc = true)
