@@ -37,7 +37,15 @@ import org.apache.spark.sql.types._
   *    E.1.4), DC predictors reset, and a progressive EOB run may not
   *    cross the boundary. Real web JPEGs carry DRI routinely;
   *  - COLOR BASELINE (SOF0, three components, 4:4:4 or 4:2:0): see
-  *    [[JpegDecode.jpegColor]].
+  *    [[JpegDecode.jpegColor]];
+  *  - COLOR PROGRESSIVE (SOF2, three components, 4:4:4 or 4:2:0, round
+  *    16): the Annex G machinery generalized to multi-component —
+  *    per-component coefficient planes, interleaved DC scans in MCU order
+  *    over the padded grids (per-component predictors), non-interleaved
+  *    AC/DC scans over the owning component's real blocks — feeding the
+  *    same libjpeg-exact RGB conversion and h2v2 fancy upsampling as the
+  *    baseline color tiers. One engine serves gray and color
+  *    ([[JpegDecode]] `runProgressiveScans`), so a fix lands once.
   *
   * The per-PIXEL consumers are factored out of the decode machinery
   * (round-15, retiring the duplicated segment walk the round-14 advice
@@ -284,6 +292,7 @@ object JpegDecode {
     var progressive = false
     var ri = 0 // DRI restart interval (0 = none)
     var compTq = 0
+    var compIdG = -1 // the single component's id (scan headers bind by id)
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[JHuff](4)
     val acTabs = new Array[JHuff](4)
@@ -316,6 +325,7 @@ object JpegDecode {
             progressive = marker == 0xC2
             h = beU16(p, body + 1)
             w = beU16(p, body + 3)
+            compIdG = u8(p, body + 6)
             compTq = u8(p, body + 8)
           } else return null // outside the envelope (multi-component etc.)
         case 0xC4 => // DHT: possibly several tables in one segment
@@ -423,45 +433,343 @@ object JpegDecode {
     // raw values, dequant happens once at emission. Short suffices: 8-bit
     // baseline coefficients are ≤ 11 bits + sign, and the point transform
     // only restores bits below that. Plane memory at the 8192² cap is
-    // 1024²/64 blocks... (8192/8)² = 1024² blocks × 64 × 2 B = 134 MB —
-    // the same order as the 4:2:0 plane-buffer justification (any real
-    // progressive decoder materializes whole-image coefficient memory;
-    // that is the format's nature, not this implementation's).
+    // (8192/8)² = 1024² blocks × 64 × 2 B = 134 MB — the same order as
+    // the 4:2:0 plane-buffer justification (any real progressive decoder
+    // materializes whole-image coefficient memory; that is the format's
+    // nature, not this implementation's).
     val nBlocks = bw * bh
-    // allocate-before-validate guard (review-found): the plane is sized
-    // from HEADER fields alone, so a 100-byte hostile payload declaring
-    // 8192x8192 would zero 134 MB per row before any entropy check. A
-    // real DC-first scan spends >= 1 bit per block, so a file plausibly
-    // carrying nBlocks blocks is at least nBlocks/8 bytes long.
-    if (nBlocks.toLong > 8L * p.length) return null
-    val coefs = new Array[Short](nBlocks * 64)
-    var scanPos = sosAt // position OF the SOS marker for the current scan
+    // allocate-before-validate guard: the plane is sized from HEADER
+    // fields alone, so a hostile payload declaring 8192×8192 would zero
+    // 134 MB before any entropy check. A DC-first scan spends ≥ 1 bit per
+    // block, and entropy data lives AFTER the first SOS — so the bound is
+    // the remaining ENTROPY bytes, not the total file length (a header-
+    // only payload padded with metadata cannot vouch for plane mass;
+    // advice r15).
+    if (nBlocks.toLong > 8L * (p.length - sosAt)) return null
+    val comp = new PComp(1, 1, compTq, bw, bh, bw, bh)
+    runProgressiveScans(p, sosAt, Array(comp), Array(compIdG),
+      quant, dcTabs, acTabs, ri, bw, bh) match {
+      case ScanNoScan => null
+      case ScanCorrupt => new GrayOut(w, h, false, 0L)
+      case ScanOk =>
+        // emit the finished plane: dequant per block, stream to the sink
+        val qte = quant(compTq) // possibly redefined between scans; bound once
+        val sink = mk(w, h)
+        val coef = new Array[Int](64)
+        var nAc = 0L
+        var b = 0
+        while (b < nBlocks) {
+          val base = b * 64
+          var hasAc = false
+          var k = 0
+          while (k < 64) {
+            val c = comp.coefs(base + k).toInt
+            coef(k) = c * qte(k)
+            if (k > 0 && c != 0) { hasAc = true; nAc += 1 }
+            k += 1
+          }
+          sink.block(b % bw, b / bw, coef, hasAc)
+          b += 1
+        }
+        new GrayOut(w, h, true, nAc)
+    }
+  }
+
+  // --------------------- progressive machinery (shared, multi-component)
+
+  /** Per-component progressive state: sampling factors, quantizer id, the
+    * REAL (non-interleaved) and PADDED (interleaved, MCU-multiple) block
+    * geometry, the raw coefficient plane accumulated across scans, and the
+    * per-scan DC predictor. T.81 A.2.4: non-interleaved scans code exactly
+    * the component's real blocks; interleaved scans cover the padded grid.
+    * Both walks write the same padded plane, so emission reads one layout.
+    */
+  private final class PComp(
+      val hs: Int, val vs: Int, val tq: Int,
+      val bwReal: Int, val bhReal: Int, val bwPad: Int, val bhPad: Int) {
+    val coefs = new Array[Short](bwPad * bhPad * 64)
+    var pred = 0
+  }
+
+  /** Per-scan entropy state shared by the AC block coders. */
+  private final class ScanCtx { var eobrun = 0 }
+
+  // runProgressiveScans outcome: distinguishes "first scan header never
+  // parsed" (a header failure — the whole row nulls, like a missing SOS)
+  // from "a scan's entropy stream is malformed" (geometry reportable,
+  // sums nulled).
+  private final val ScanOk = 0
+  private final val ScanCorrupt = 1
+  private final val ScanNoScan = 2
+
+  /** DC-first coding (G.1.2.1) for one block. The accumulated predictor is
+    * range-checked against the Short plane BEFORE the Al shift: a hostile
+    * stream can walk `pred` past the 12-bit coefficient envelope and a
+    * silent Short overflow would turn honest-null into wrong-sums
+    * (advice r15).
+    */
+  private def dcFirstBlock(r: BitReader, c: PComp, base: Int, dcT: JHuff,
+      al: Int): Boolean = {
+    val t = dcT.decode(r)
+    if (t < 0 || t > 11) return false
+    val diffBits = if (t == 0) 0 else r.bits(t)
+    if (diffBits < 0) return false
+    c.pred += extend(diffBits, t)
+    val v = c.pred << al
+    if (v < Short.MinValue || v > Short.MaxValue) return false
+    c.coefs(base) = v.toShort
+    true
+  }
+
+  /** DC refinement (G.1.2.1, Ah > 0): one raw bit, appended at Al. */
+  private def dcRefineBlock(r: BitReader, c: PComp, base: Int, p1: Int): Boolean = {
+    val bit = r.bit()
+    if (bit < 0) return false
+    if (bit == 1) c.coefs(base) = (c.coefs(base) | p1).toShort
+    true
+  }
+
+  /** AC first pass (G.1.2.2) for one block: run/size pairs with EOB-run
+    * coding; the run state lives in `ctx` because an EOB run spans blocks.
+    */
+  private def acFirstBlock(r: BitReader, c: PComp, base: Int, ss: Int, se: Int,
+      al: Int, acT: JHuff, ctx: ScanCtx): Boolean = {
+    if (ctx.eobrun > 0) { ctx.eobrun -= 1; return true }
+    var k = ss
+    var done = false
+    while (!done && k <= se) {
+      val rs = acT.decode(r)
+      if (rs < 0) return false
+      val run = rs >> 4
+      val size = rs & 0x0F
+      if (size != 0) {
+        k += run
+        if (k > se) return false
+        val m = r.bits(size)
+        if (m < 0) return false
+        c.coefs(base + k) = (extend(m, size) << al).toShort
+        k += 1
+      } else if (run == 15) k += 16 // ZRL
+      else {
+        ctx.eobrun = 1 << run
+        if (run > 0) {
+          val eb = r.bits(run)
+          if (eb < 0) return false
+          ctx.eobrun += eb
+        }
+        ctx.eobrun -= 1 // this block is the first of the run
+        done = true
+      }
+    }
+    true
+  }
+
+  /** AC refinement (G.1.2.3) for one block: newly-nonzero coefficients
+    * arrive with a sign bit at a zero-history position; every
+    * already-nonzero coefficient passed over reads one inline correction
+    * bit; blocks inside an EOB run still carry correction bits.
+    */
+  private def acRefineBlock(r: BitReader, c: PComp, base: Int, ss: Int, se: Int,
+      al: Int, acT: JHuff, ctx: ScanCtx): Boolean = {
+    val p1 = 1 << al
+    val m1 = -(1 << al)
+    val coefs = c.coefs
+    var k = ss
+    if (ctx.eobrun == 0) {
+      var brk = false
+      while (!brk && k <= se) {
+        val rs = acT.decode(r)
+        if (rs < 0) return false
+        var run = rs >> 4
+        val size = rs & 0x0F
+        var sval = 0
+        if (size != 0) {
+          if (size != 1) return false // refinement sizes are always 1
+          val sb = r.bit()
+          if (sb < 0) return false
+          sval = if (sb == 1) p1 else m1
+        } else if (run != 15) {
+          ctx.eobrun = 1 << run
+          if (run > 0) {
+            val eb = r.bits(run)
+            if (eb < 0) return false
+            ctx.eobrun += eb
+          }
+          brk = true
+        }
+        // run == 15 with size 0 is ZRL: skip SIXTEEN zero-history slots,
+        // correcting nonzero ones along the way (run counts only
+        // zero-history positions — the loop stops AT the 16th/insertion
+        // slot, which is then consumed by the store or, for ZRL, by the
+        // bare advance: libjpeg's outer k++ in decode_mcu_AC_refine;
+        // stopping short desynchronized every later symbol — review-found)
+        if (!brk) {
+          var advancing = true
+          while (advancing && k <= se) {
+            val at = base + k
+            if (coefs(at) != 0) {
+              val cb = r.bit()
+              if (cb < 0) return false
+              if (cb == 1 && (coefs(at) & p1) == 0)
+                coefs(at) = (coefs(at) + (if (coefs(at) >= 0) p1 else m1)).toShort
+              k += 1
+            } else if (run == 0) advancing = false // the stop slot
+            else { run -= 1; k += 1 }
+          }
+          if (sval != 0) {
+            if (!advancing && k <= se) { coefs(base + k) = sval.toShort; k += 1 }
+            else return false // ran past Se hunting the slot
+          } else if (!advancing) k += 1 // ZRL: consume the 16th slot
+        }
+      }
+    }
+    if (ctx.eobrun > 0) {
+      // blocks inside an EOB run still carry correction bits for their
+      // already-nonzero coefficients in the band
+      while (k <= se) {
+        val at = base + k
+        if (coefs(at) != 0) {
+          val cb = r.bit()
+          if (cb < 0) return false
+          if (cb == 1 && (coefs(at) & p1) == 0)
+            coefs(at) = (coefs(at) + (if (coefs(at) >= 0) p1 else m1)).toShort
+        }
+        k += 1
+      }
+      ctx.eobrun -= 1
+    }
+    true
+  }
+
+  /** One progressive scan's entropy body. Interleaved scans (Ns > 1 —
+    * DC-only per T.81 B.2.3, validated by the caller) walk MCUs over the
+    * PADDED grids with data units in A.2.3 order and per-component DC
+    * predictors; non-interleaved scans (Ns = 1) walk the component's REAL
+    * blocks in raster order. Restart intervals count MCUs respectively
+    * data units (T.81 E.1.4), the marker index cycles from 0 per scan, an
+    * EOB run may not cross a boundary, and predictors reset.
+    */
+  private def decodeScanBody(r: BitReader, sc: Array[PComp], std: Array[JHuff],
+      sta: Array[JHuff], ns: Int, ss: Int, se: Int, ah: Int, al: Int,
+      ri: Int, mcuW: Int, mcuH: Int): Boolean = {
+    val ctx = new ScanCtx
+    var i = 0
+    while (i < ns) { sc(i).pred = 0; i += 1 }
+    if (ns > 1) {
+      val nMcus = mcuW * mcuH
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          if (!r.restart((mcu / ri - 1) % 8)) return false
+          var j = 0
+          while (j < ns) { sc(j).pred = 0; j += 1 }
+        }
+        val mx = mcu % mcuW
+        val my = mcu / mcuW
+        var ci = 0
+        while (ci < ns) {
+          val c = sc(ci)
+          var v = 0
+          while (v < c.vs) {
+            var hh = 0
+            while (hh < c.hs) {
+              val base = ((my * c.vs + v) * c.bwPad + mx * c.hs + hh) * 64
+              val good =
+                if (ah == 0) dcFirstBlock(r, c, base, std(ci), al)
+                else dcRefineBlock(r, c, base, 1 << al)
+              if (!good) return false
+              hh += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      val c = sc(0)
+      val n = c.bwReal * c.bhReal
+      var b = 0
+      while (b < n) {
+        if (ri > 0 && b > 0 && b % ri == 0) {
+          if (ctx.eobrun != 0) return false // a run may not cross a restart
+          if (!r.restart((b / ri - 1) % 8)) return false
+          c.pred = 0
+        }
+        val base = ((b / c.bwReal) * c.bwPad + b % c.bwReal) * 64
+        val good =
+          if (ss == 0) {
+            if (ah == 0) dcFirstBlock(r, c, base, std(0), al)
+            else dcRefineBlock(r, c, base, 1 << al)
+          } else if (ah == 0) acFirstBlock(r, c, base, ss, se, al, sta(0), ctx)
+          else acRefineBlock(r, c, base, ss, se, al, sta(0), ctx)
+        if (!good) return false
+        b += 1
+      }
+    }
+    true
+  }
+
+  /** Multi-scan progressive (SOF2) driver shared by the grayscale and the
+    * color tiers (round 16 — one copy of the Annex G machinery): walks
+    * scans from the first SOS to EOI, decoding each into the components'
+    * raw coefficient planes and honoring DHT/DQT/DRI redefinition between
+    * scans. Scan headers bind components by id and tables per component;
+    * interleaved scans must be DC-only (T.81 B.2.3), AC scans
+    * single-component with a valid band; Al ≤ 13. Callers dequantize and
+    * emit AFTER this returns [[ScanOk]].
+    */
+  private def runProgressiveScans(
+      p: Array[Byte], firstSos: Int, comps: Array[PComp], compIds: Array[Int],
+      quant: Array[Array[Int]], dcTabs: Array[JHuff], acTabs: Array[JHuff],
+      ri0: Int, mcuW: Int, mcuH: Int): Int = {
+    var ri = ri0
+    var scanPos = firstSos
     var sawScan = false
     var ok = true
     var finished = false
     while (ok && !finished) {
-      // scan header (the first iteration re-reads the one validated above)
       val sl = beU16(p, scanPos + 2)
       val sb = scanPos + 4
-      if (scanPos + 2 + sl > p.length || sl != 8 || u8(p, sb) != 1 ||
-        (u8(p, sb + 2) >> 4) > 3 || (u8(p, sb + 2) & 0x0F) > 3) { ok = false }
+      val ns = if (sb < p.length) u8(p, sb) else -1
+      if (ns < 1 || ns > comps.length || sl != 6 + 2 * ns ||
+        scanPos + 2 + sl > p.length) ok = false
       else {
-        val tt = u8(p, sb + 2)
-        val ss = u8(p, sb + 3)
-        val se = u8(p, sb + 4)
-        val ah = u8(p, sb + 5) >> 4
-        val al = u8(p, sb + 5) & 0x0F
+        // bind the scan's components + tables (DHTs as defined RIGHT NOW —
+        // redefinition between scans is legal and honored)
+        val sc = new Array[PComp](ns)
+        val std = new Array[JHuff](ns)
+        val sta = new Array[JHuff](ns)
+        var bindOk = true
+        var i = 0
+        while (bindOk && i < ns) {
+          val cid = u8(p, sb + 1 + 2 * i)
+          val tt = u8(p, sb + 2 + 2 * i)
+          val idx = compIds.indexOf(cid)
+          if (idx < 0 || (tt >> 4) > 3 || (tt & 0x0F) > 3) bindOk = false
+          else {
+            sc(i) = comps(idx)
+            std(i) = dcTabs(tt >> 4)
+            sta(i) = acTabs(tt & 0x0F)
+          }
+          i += 1
+        }
+        val pe = sb + 1 + 2 * ns
+        val ss = u8(p, pe)
+        val se = u8(p, pe + 1)
+        val ah = u8(p, pe + 2) >> 4
+        val al = u8(p, pe + 2) & 0x0F
         val dcScan = ss == 0
-        val validBand = if (dcScan) se == 0 else ss <= se && se <= 63
-        val dcT = dcTabs(tt >> 4)
-        val acT = acTabs(tt & 0x0F)
-        // DC-refinement reads raw bits (no table); other scan kinds need theirs
-        val tablesOk = if (dcScan) ah != 0 || dcT != null else acT != null
-        if (!validBand || al > 13 || !tablesOk) ok = false
+        val validBand =
+          if (dcScan) se == 0 else ns == 1 && ss <= se && se <= 63
+        // DC-refinement reads raw bits (no table); other kinds need theirs
+        val tablesOk = bindOk && (0 until ns).forall { j =>
+          if (dcScan) ah != 0 || std(j) != null else sta(j) != null
+        }
+        if (!bindOk || !validBand || al > 13 || !tablesOk) ok = false
         else {
           val r = new BitReader(p, scanPos + 2 + sl, p.length)
-          ok = decodeProgressiveScan(r, coefs, nBlocks, dcScan, ss, se, ah, al,
-            dcT, acT, ri)
+          ok = decodeScanBody(r, sc, std, sta, ns, ss, se, ah, al, ri, mcuW, mcuH)
           sawScan = true
           if (ok) {
             // entropy data ends at the next marker: skip pad bits and any
@@ -517,174 +825,9 @@ object JpegDecode {
         }
       }
     }
-    if (!sawScan) return null
-    if (!ok) return new GrayOut(w, h, false, 0L)
-    // emit the finished plane: dequant per block, stream to the sink
-    val qte = quant(compTq) // possibly redefined between scans; bound once here
-    val sink = mk(w, h)
-    val coef = new Array[Int](64)
-    var nAc = 0L
-    var b = 0
-    while (b < nBlocks) {
-      val base = b * 64
-      var hasAc = false
-      var k = 0
-      while (k < 64) {
-        val c = coefs(base + k).toInt
-        coef(k) = c * qte(k)
-        if (k > 0 && c != 0) { hasAc = true; nAc += 1 }
-        k += 1
-      }
-      sink.block(b % bw, b / bw, coef, hasAc)
-      b += 1
-    }
-    new GrayOut(w, h, true, nAc)
-  }
-
-  /** One progressive scan over the raw coefficient plane (single
-    * component, blocks in raster order). Returns false on a malformed
-    * entropy stream. `ah == 0` selects the first-pass coding (G.1.2.1/2),
-    * `ah > 0` the refinement coding (G.1.2.3).
-    */
-  private def decodeProgressiveScan(
-      r: BitReader, coefs: Array[Short], nBlocks: Int, dcScan: Boolean,
-      ss: Int, se: Int, ah: Int, al: Int, dcT: JHuff, acT: JHuff,
-      ri: Int): Boolean = {
-    var pred = 0
-    var eobrun = 0
-    val p1 = 1 << al
-    val m1 = -(1 << al)
-    var b = 0
-    while (b < nBlocks) {
-      if (ri > 0 && b > 0 && b % ri == 0) {
-        // restart boundary (marker index cycles from 0 PER SCAN): an EOB
-        // run may not cross it (T.81 G.1.2.2), the stream byte-aligns,
-        // and the DC predictor resets
-        if (eobrun != 0) return false
-        if (!r.restart((b / ri - 1) % 8)) return false
-        pred = 0
-      }
-      val base = b * 64
-      if (dcScan) {
-        if (ah == 0) {
-          // DC first: standard difference coding in the point-transformed
-          // domain, then shift the accumulated value up by Al
-          val t = dcT.decode(r)
-          if (t < 0 || t > 11) return false
-          val diffBits = if (t == 0) 0 else r.bits(t)
-          if (diffBits < 0) return false
-          pred += extend(diffBits, t)
-          coefs(base) = (pred << al).toShort
-        } else {
-          // DC refinement: one raw bit per block, appended at position Al
-          val bit = r.bit()
-          if (bit < 0) return false
-          if (bit == 1) coefs(base) = (coefs(base) | p1).toShort
-        }
-      } else if (ah == 0) {
-        // AC first pass: run/size pairs with EOB-run coding (G.1.2.2)
-        if (eobrun > 0) eobrun -= 1
-        else {
-          var k = ss
-          var done = false
-          while (!done && k <= se) {
-            val rs = acT.decode(r)
-            if (rs < 0) return false
-            val run = rs >> 4
-            val size = rs & 0x0F
-            if (size != 0) {
-              k += run
-              if (k > se) return false
-              val m = r.bits(size)
-              if (m < 0) return false
-              coefs(base + k) = (extend(m, size) << al).toShort
-              k += 1
-            } else if (run == 15) k += 16 // ZRL
-            else {
-              eobrun = 1 << run
-              if (run > 0) {
-                val eb = r.bits(run)
-                if (eb < 0) return false
-                eobrun += eb
-              }
-              eobrun -= 1 // this block is the first of the run
-              done = true
-            }
-          }
-        }
-      } else {
-        // AC refinement (G.1.2.3): newly-nonzero coefficients arrive with
-        // a sign bit at a zero-history position; every already-nonzero
-        // coefficient passed over reads one inline correction bit
-        var k = ss
-        if (eobrun == 0) {
-          var brk = false
-          while (!brk && k <= se) {
-            val rs = acT.decode(r)
-            if (rs < 0) return false
-            var run = rs >> 4
-            val size = rs & 0x0F
-            var sval = 0
-            if (size != 0) {
-              if (size != 1) return false // refinement sizes are always 1
-              val sb = r.bit()
-              if (sb < 0) return false
-              sval = if (sb == 1) p1 else m1
-            } else if (run != 15) {
-              eobrun = 1 << run
-              if (run > 0) {
-                val eb = r.bits(run)
-                if (eb < 0) return false
-                eobrun += eb
-              }
-              brk = true
-            }
-            // run == 15 with size 0 is ZRL: skip SIXTEEN zero-history
-            // slots, correcting nonzero ones along the way (run counts
-            // only zero-history positions, exactly as below — the loop
-            // stops AT the 16th/insertion slot, which is then consumed by
-            // the store or, for ZRL, by the bare advance: libjpeg's outer
-            // k++ in decode_mcu_AC_refine; stopping short desynchronized
-            // every later symbol of the block — review-found)
-            if (!brk) {
-              var advancing = true
-              while (advancing && k <= se) {
-                val c = base + k
-                if (coefs(c) != 0) {
-                  val cb = r.bit()
-                  if (cb < 0) return false
-                  if (cb == 1 && (coefs(c) & p1) == 0)
-                    coefs(c) = (coefs(c) + (if (coefs(c) >= 0) p1 else m1)).toShort
-                  k += 1
-                } else if (run == 0) advancing = false // the stop slot
-                else { run -= 1; k += 1 }
-              }
-              if (sval != 0) {
-                if (!advancing && k <= se) { coefs(base + k) = sval.toShort; k += 1 }
-                else return false // ran past Se hunting the slot
-              } else if (!advancing) k += 1 // ZRL: consume the 16th slot
-            }
-          }
-        }
-        if (eobrun > 0) {
-          // blocks inside an EOB run still carry correction bits for their
-          // already-nonzero coefficients in the band
-          while (k <= se) {
-            val c = base + k
-            if (coefs(c) != 0) {
-              val cb = r.bit()
-              if (cb < 0) return false
-              if (cb == 1 && (coefs(c) & p1) == 0)
-                coefs(c) = (coefs(c) + (if (coefs(c) >= 0) p1 else m1)).toShort
-            }
-            k += 1
-          }
-          eobrun -= 1
-        }
-      }
-      b += 1
-    }
-    true
+    if (!sawScan) ScanNoScan
+    else if (!ok) ScanCorrupt
+    else ScanOk
   }
 
   /** Parse one DHT segment body (possibly several tables); false on a
@@ -747,13 +890,12 @@ object JpegDecode {
     sinkRef.emit()
   }
 
-  /** Content embedding over EVERY decodable JPEG tier (round-15, the
-    * color rung of the embed ladder): grayscale baseline + progressive
-    * through the gray grid fold, color 4:4:4 / 4:2:0 through the RGB grid
-    * fold over libjpeg-exact converted pixels. Color progressive remains
-    * honest-null (the named next rung). The gray attempt costs a color
-    * file only its header walk (the SOF component count rejects in the
-    * segment loop before any entropy work).
+  /** Content embedding over EVERY decodable JPEG tier: grayscale baseline
+    * + progressive through the gray grid fold, color 4:4:4 / 4:2:0 —
+    * baseline AND progressive (round 16) — through the RGB grid fold over
+    * libjpeg-exact converted pixels. The gray attempt costs a color file
+    * only its header walk (the SOF component count rejects in the segment
+    * loop before any entropy work).
     */
   def embed(p: Array[Byte]): Array[Double] = {
     val g = embedGray(p)
@@ -885,7 +1027,9 @@ object JpegDecode {
   }
 
   /** Shared color decode driver behind [[jpegColor]] and [[embedColor]];
-    * null = header failure, ok=false = malformed entropy stream.
+    * null = header failure, ok=false = malformed entropy stream. Routes
+    * SOF0 to the single-scan interleaved baseline path and SOF2 (round 16)
+    * to the shared multi-scan progressive engine.
     */
   private def decodeColor(p: Array[Byte], mk: (Int, Int) => RgbSink): ColorOut = {
     if (p.length < 4 || u8(p, 0) != 0xFF || u8(p, 1) != 0xD8) return null
@@ -893,6 +1037,7 @@ object JpegDecode {
     var w = -1
     var h = -1
     var ri = 0 // DRI restart interval (0 = none)
+    var progressive = false
     var lumaSamp = 1 // 1 = 4:4:4, 2 = 4:2:0 (Y 2×2, chroma 1×1)
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[JHuff](4)
@@ -919,13 +1064,15 @@ object JpegDecode {
               quant(tq) = Array.tabulate(64)(i => u8(p, q + 1 + i))
             q += 65
           }
-        case 0xC0 => // SOF0 baseline: 8-bit, three components, 4:4:4 or 4:2:0
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive:
+          // 8-bit, three components, 4:4:4 or 4:2:0
           val samp444 = len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
             (0 until 3).forall(c => u8(p, body + 7 + 3 * c) == 0x11)
           val samp420 = len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
             u8(p, body + 7) == 0x22 && u8(p, body + 10) == 0x11 &&
             u8(p, body + 13) == 0x11
           if (samp444 || samp420) {
+            progressive = marker == 0xC2
             if (samp420) lumaSamp = 2
             h = beU16(p, body + 1)
             w = beU16(p, body + 3)
@@ -936,7 +1083,12 @@ object JpegDecode {
           if (!parseDht(p, body, end, dcTabs, acTabs)) return null
         case 0xDD => // DRI: restart interval (supported since round 15)
           if (len >= 4) ri = beU16(p, body)
-        case 0xDA => // SOS: bind each scan component to its tables
+        case 0xDA if progressive =>
+          // progressive: the multi-scan engine parses + validates every
+          // scan header (a progressive first scan may be interleaved DC
+          // over all three components or single-component)
+          sosAt = pos
+        case 0xDA => // baseline SOS: bind each scan component to its tables
           if (len != 12 || u8(p, body) != 3 || compId == null) return null
           var c = 0
           while (c < 3) {
@@ -955,16 +1107,26 @@ object JpegDecode {
       if (sosAt < 0) pos += 2 + len
     }
     // the 4:2:0 path buffers full sample planes (fancy upsampling needs
-    // cross-MCU chroma neighbors), so its dimension cap is tighter: 1.5
-    // bytes/pixel ≤ 100 MB at 8192² — the same order as the BufferedImage
-    // any real decoder materializes for such an image
+    // cross-MCU chroma neighbors) and the progressive path whole-image
+    // coefficient planes, so their dimension caps are tighter: ≤ 100 MB /
+    // ≤ 200 MB at 8192² — the same order as the BufferedImage any real
+    // decoder materializes for such an image
     if (sosAt < 0 || w <= 0 || h <= 0 || compQ == null ||
       w > (1 << 14) || h > (1 << 14) ||
-      (lumaSamp == 2 && (w > (1 << 13) || h > (1 << 13))) ||
+      ((lumaSamp == 2 || progressive) && (w > (1 << 13) || h > (1 << 13))) ||
       compQ.exists(_ > 3) ||
-      (0 until 3).exists(c => quant(compQ(c)) == null ||
+      (0 until 3).exists(c => quant(compQ(c)) == null))
+      return null
+    // the baseline path's scan tables bind once at its single SOS; the
+    // progressive engine binds per scan (DHTs may even be redefined
+    // between scans), so only the baseline path gates on them here
+    if (!progressive &&
+      (0 until 3).exists(c =>
         dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null))
       return null
+    if (progressive)
+      return decodeColorProgressive(p, sosAt, w, h, lumaSamp, compId, compQ,
+        quant, dcTabs, acTabs, ri, mk)
     val scanStart = sosAt + 2 + beU16(p, sosAt + 2)
     val mcuPx = 8 * lumaSamp // MCU pixel span: 8 (4:4:4) or 16 (4:2:0)
     val bw = (w + mcuPx - 1) / mcuPx
@@ -1124,51 +1286,209 @@ object JpegDecode {
       }
       by += 1
     }
-    if (ok && lumaSamp == 2) {
-      // Chroma upsampling = libjpeg's h2v2 "fancy" triangular filter
-      // (jdsample.c h2v2_fancy_upsample — the filter ImageIO's native
-      // reader runs by default, pinned byte-exact per pixel in
-      // MultimodalSpec): vertically the NEARER chroma row gets weight 3
-      // and the farther 1 (t = 3·s[j] + s[j±1]), horizontally the two
-      // column sums combine 3:1 with rounding 8 (even px) / 7 (odd px)
-      // and a >> 4. Image edges replicate (the clamped neighbor makes
-      // t = 4·s, reproducing libjpeg's first/last special cases).
-      val cdw = (w + 1) / 2
-      val cdh = (h + 1) / 2
-      var py = 0
-      while (py < h) {
-        val j = py >> 1
-        val jn =
-          if ((py & 1) == 0) { if (j > 0) j - 1 else 0 }
-          else math.min(j + 1, cdh - 1)
-        var px = 0
-        while (px < w) {
-          val i = px >> 1
-          val in2 =
-            if ((px & 1) == 0) { if (i > 0) i - 1 else 0 }
-            else math.min(i + 1, cdw - 1)
-          val rnd = if ((px & 1) == 0) 8 else 7
-          val cbv = (3 * (3 * (cbPlane(j * cwPad + i) & 0xFF) +
-            (cbPlane(jn * cwPad + i) & 0xFF)) +
-            (3 * (cbPlane(j * cwPad + in2) & 0xFF) +
-              (cbPlane(jn * cwPad + in2) & 0xFF)) + rnd) >> 4
-          val crv = (3 * (3 * (crPlane(j * cwPad + i) & 0xFF) +
-            (crPlane(jn * cwPad + i) & 0xFF)) +
-            (3 * (crPlane(j * cwPad + in2) & 0xFF) +
-              (crPlane(jn * cwPad + in2) & 0xFF)) + rnd) >> 4
-          val yv = yPlane(py * yW + px) & 0xFF
-          val cbx = cbv - 128
-          val crx = crv - 128
-          val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
-          val gv = clamp255(yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
-          val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
-          sink.pixel(px, py, yv, cbv, crv, rv, gv, bv)
-          px += 1
-        }
-        py += 1
-      }
-    }
+    if (ok && lumaSamp == 2)
+      fold420Planes(yPlane, cbPlane, crPlane, yW, cwPad, w, h, sink)
     new ColorOut(w, h, nMcus, ok, nAc)
+  }
+
+  /** 4:2:0 chroma upsampling + per-pixel fold over decoded sample planes
+    * (shared by the baseline and progressive color paths): libjpeg's h2v2
+    * "fancy" triangular filter (jdsample.c h2v2_fancy_upsample — the
+    * filter ImageIO's native reader runs by default, pinned byte-exact per
+    * pixel in MultimodalSpec): vertically the NEARER chroma row gets
+    * weight 3 and the farther 1 (t = 3·s[j] + s[j±1]), horizontally the
+    * two column sums combine 3:1 with rounding 8 (even px) / 7 (odd px)
+    * and a >> 4. Image edges replicate (the clamped neighbor makes
+    * t = 4·s, reproducing libjpeg's first/last special cases). RGB is
+    * libjpeg's exact 16-bit fixed-point arithmetic (jdcolor.c).
+    */
+  private def fold420Planes(yPlane: Array[Byte], cbPlane: Array[Byte],
+      crPlane: Array[Byte], yW: Int, cwPad: Int, w: Int, h: Int,
+      sink: RgbSink): Unit = {
+    def clamp255(v: Int): Int = math.min(255, math.max(0, v))
+    val cdw = (w + 1) / 2
+    val cdh = (h + 1) / 2
+    var py = 0
+    while (py < h) {
+      val j = py >> 1
+      val jn =
+        if ((py & 1) == 0) { if (j > 0) j - 1 else 0 }
+        else math.min(j + 1, cdh - 1)
+      var px = 0
+      while (px < w) {
+        val i = px >> 1
+        val in2 =
+          if ((px & 1) == 0) { if (i > 0) i - 1 else 0 }
+          else math.min(i + 1, cdw - 1)
+        val rnd = if ((px & 1) == 0) 8 else 7
+        val cbv = (3 * (3 * (cbPlane(j * cwPad + i) & 0xFF) +
+          (cbPlane(jn * cwPad + i) & 0xFF)) +
+          (3 * (cbPlane(j * cwPad + in2) & 0xFF) +
+            (cbPlane(jn * cwPad + in2) & 0xFF)) + rnd) >> 4
+        val crv = (3 * (3 * (crPlane(j * cwPad + i) & 0xFF) +
+          (crPlane(jn * cwPad + i) & 0xFF)) +
+          (3 * (crPlane(j * cwPad + in2) & 0xFF) +
+            (crPlane(jn * cwPad + in2) & 0xFF)) + rnd) >> 4
+        val yv = yPlane(py * yW + px) & 0xFF
+        val cbx = cbv - 128
+        val crx = crv - 128
+        val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
+        val gv = clamp255(yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
+        val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
+        sink.pixel(px, py, yv, cbv, crv, rv, gv, bv)
+        px += 1
+      }
+      py += 1
+    }
+  }
+
+  /** COLOR PROGRESSIVE (SOF2 multi-component) decode — round 16, the rung
+    * the round-15 verdict named the single biggest real-corpus gap (real
+    * web JPEGs are majority progressive AND overwhelmingly color): the
+    * shared Annex G engine accumulates per-COMPONENT coefficient planes
+    * across scans (interleaved DC scans walk MCUs over the padded grids
+    * with per-component predictors; non-interleaved AC/DC scans walk the
+    * owning component's real blocks), then one dequant + IDCT emission
+    * feeds the SAME pixel folds as baseline color — the 4:4:4 per-pixel
+    * stream or the 4:2:0 plane fill + [[fold420Planes]] fancy upsampling.
+    * `n_ac_coeffs` counts nonzero AC entries of the finished planes, the
+    * progressive analogue of the baseline's per-scan count (every planted
+    * coefficient ends nonzero, so the fixtures agree across tiers).
+    */
+  private def decodeColorProgressive(p: Array[Byte], sosAt: Int, w: Int, h: Int,
+      lumaSamp: Int, compId: Array[Int], compQ: Array[Int],
+      quant: Array[Array[Int]], dcTabs: Array[JHuff], acTabs: Array[JHuff],
+      ri: Int, mk: (Int, Int) => RgbSink): ColorOut = {
+    val mcuPx = 8 * lumaSamp
+    val mcuW = (w + mcuPx - 1) / mcuPx
+    val mcuH = (h + mcuPx - 1) / mcuPx
+    val nMcus = mcuW.toLong * mcuH
+    // per-component geometry: Y real blocks cover the image; chroma real
+    // blocks cover the SUBSAMPLED dims (ceil(w/2) for 4:2:0); padded grids
+    // are MCU multiples (differ from real when w or h is not an MCU
+    // multiple — the interleaved DC scan codes pad blocks, AC scans skip
+    // them, and emission never reads their out-of-geometry pixels)
+    val cw = (w + lumaSamp - 1) / lumaSamp
+    val ch = (h + lumaSamp - 1) / lumaSamp
+    // allocate-before-validate, BEFORE the planes exist: a DC scan spends
+    // ≥ 1 bit per data unit of every component, and entropy data lives
+    // after the first SOS — header bytes cannot vouch for plane mass
+    val yPadBlocks = (mcuW.toLong * lumaSamp) * (mcuH.toLong * lumaSamp)
+    val totalBlocks = yPadBlocks + 2L * nMcus
+    if (totalBlocks > 8L * (p.length - sosAt))
+      return new ColorOut(w, h, nMcus, false, 0L)
+    val comps = Array(
+      new PComp(lumaSamp, lumaSamp, compQ(0), (w + 7) / 8, (h + 7) / 8,
+        mcuW * lumaSamp, mcuH * lumaSamp),
+      new PComp(1, 1, compQ(1), (cw + 7) / 8, (ch + 7) / 8, mcuW, mcuH),
+      new PComp(1, 1, compQ(2), (cw + 7) / 8, (ch + 7) / 8, mcuW, mcuH))
+    runProgressiveScans(p, sosAt, comps, compId, quant, dcTabs, acTabs,
+      ri, mcuW, mcuH) match {
+      case ScanNoScan => null
+      case ScanCorrupt => new ColorOut(w, h, nMcus, false, 0L)
+      case ScanOk =>
+        val sink = mk(w, h)
+        var nAc = 0L
+        val coef = new Array[Int](64)
+        // dequant one block of component `c` at padded (bx, by) into
+        // `coef`; returns the hasAc flag and counts nonzero AC entries
+        def dequantBlock(c: PComp, bx: Int, by: Int): Boolean = {
+          val qt = quant(c.tq)
+          val base = (by * c.bwPad + bx) * 64
+          var hasAc = false
+          var k = 0
+          while (k < 64) {
+            val v = c.coefs(base + k).toInt
+            coef(k) = v * qt(k)
+            if (k > 0 && v != 0) { hasAc = true; nAc += 1 }
+            k += 1
+          }
+          hasAc
+        }
+        def clamp255(v: Int): Int = math.min(255, math.max(0, v))
+        if (lumaSamp == 1) {
+          // 4:4:4: all three planes share the real grid; reconstruct the
+          // three aligned blocks and fold in-geometry pixels per block
+          val yC = new Array[Int](64)
+          val cbC = new Array[Int](64)
+          val crC = new Array[Int](64)
+          val bw = comps(0).bwReal
+          val bh = comps(0).bhReal
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val yHas = dequantBlock(comps(0), bx, by)
+              System.arraycopy(coef, 0, yC, 0, 64)
+              val cbHas = dequantBlock(comps(1), bx, by)
+              System.arraycopy(coef, 0, cbC, 0, 64)
+              val crHas = dequantBlock(comps(2), bx, by)
+              System.arraycopy(coef, 0, crC, 0, 64)
+              var yy = 0
+              while (yy < 8) {
+                val py = by * 8 + yy
+                if (py < h) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val px = bx * 8 + xx
+                    if (px < w) {
+                      val yv = pixelOf(yC, yHas, xx, yy)
+                      val cbv = pixelOf(cbC, cbHas, xx, yy)
+                      val crv = pixelOf(crC, crHas, xx, yy)
+                      val cbx2 = cbv - 128
+                      val crx2 = crv - 128
+                      val rv = clamp255(yv + ((91881 * crx2 + 32768) >> 16))
+                      val gv = clamp255(
+                        yv + ((-22554 * cbx2 - 46802 * crx2 + 32768) >> 16))
+                      val bv = clamp255(yv + ((116130 * cbx2 + 32768) >> 16))
+                      sink.pixel(px, py, yv, cbv, crv, rv, gv, bv)
+                    }
+                    xx += 1
+                  }
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          // 4:2:0: reconstruct every padded block into the sample planes,
+          // then run the shared fancy-upsample fold (it needs cross-block
+          // chroma neighbors, so the fold cannot run per block)
+          val yW = 16 * mcuW
+          val cwPad = 8 * mcuW
+          val yPlane = new Array[Byte](yW * 16 * mcuH)
+          val cbPlane = new Array[Byte](cwPad * 8 * mcuH)
+          val crPlane = new Array[Byte](cwPad * 8 * mcuH)
+          def fillPlane(c: PComp, plane: Array[Byte], pw: Int): Unit = {
+            var by = 0
+            while (by < c.bhPad) {
+              var bx = 0
+              while (bx < c.bwPad) {
+                val hasAc = dequantBlock(c, bx, by)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    plane((by * 8 + yy) * pw + bx * 8 + xx) =
+                      pixelOf(coef, hasAc, xx, yy).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          fillPlane(comps(0), yPlane, yW)
+          fillPlane(comps(1), cbPlane, cwPad)
+          fillPlane(comps(2), crPlane, cwPad)
+          fold420Planes(yPlane, cbPlane, crPlane, yW, cwPad, w, h, sink)
+        }
+        new ColorOut(w, h, nMcus, true, nAc)
+    }
   }
 
   // zig-zag order: index in scan order -> (row, col)

@@ -908,6 +908,325 @@ object MediaSynth {
     out.toArray
   }
 
+  /** COLOR PROGRESSIVE (SOF2, 4:4:4) JPEG — the round-16 fixture behind
+    * the color-progressive decode tier, planted to be INTEGER-EXACT like
+    * [[jpegAc]]/[[jpegProgressive]]: Y carries its DC plus one AC at
+    * zig-zag index 10 (reconstruction = 128 + dc + ac·s(y), exact in every
+    * conforming decoder), Cb/Cr are DC-only, and the YCbCr→RGB hop is
+    * libjpeg's deterministic fixed point — so a formula oracle covers the
+    * full multi-component Annex G machinery. Six scans:
+    *
+    *  1. DC first, INTERLEAVED (Ns=3, Al=1): MCU-ordered Y,Cb,Cr data
+    *     units with per-COMPONENT difference predictors — the scan shape
+    *     every real progressive color JPEG opens with;
+    *  2. AC first Y (Ss=1..63, Al=1): |ac| ≥ 2 emits run-9/size-1 of
+    *     |ac| >> 1; |ac| = 1 blocks vanish into EOB runs;
+    *  3./4. AC first Cb / Cr (Al=0): non-interleaved chroma scans — all
+    *     blocks zero, pure EOB-run coding over the chroma block grid;
+    *  5. DC refinement, INTERLEAVED (Ah=1): one raw bit per data unit in
+    *     MCU order (dc & 1 per component);
+    *  6. AC refinement Y (G.1.2.3): newly-nonzero insertions + correction
+    *     bits, as [[jpegProgressive]] scan 4.
+    *
+    * Planted: dims and yDc/cbDc/crDc as [[jpegColor]], Y ac as [[jpegAc]]
+    * — so the oracle is the [[jpegColor]] formulas with the AC term of
+    * the progressive grayscale row added to Y. Huffman tables: Annex K DC
+    * BITS ×2; AC0 = EOB0/run9-size1/EOB1/EOB2 on the 1/2/3/4-bit ladder;
+    * AC1 = EOB0/EOB1/EOB2 on 1/2/3 bits (no all-ones codeword anywhere,
+    * so pad bits cannot alias a symbol).
+    */
+  def jpegColorProgressive(id: Long): Array[Byte] = {
+    val bw = (1 + id % 3).toInt
+    val bh = (1 + id % 2).toInt
+    val w = bw * 8
+    val h = bh * 8
+    val nBlocks = bw * bh
+    def yDc(b: Int): Int = ((id + 5L * (b % bw) + 11L * (b / bw)) % 160).toInt - 80
+    def cbDc(b: Int): Int = ((3L * id + 7L * (b % bw) + 13L * (b / bw)) % 100).toInt - 50
+    def crDc(b: Int): Int = ((5L * id + 3L * (b % bw) + 17L * (b / bw)) % 100).toInt - 50
+    def acOf(b: Int): Int = {
+      val s = (id + b % bw + b / bw)
+      val m = (1 + s % 3).toInt
+      if (s % 2 == 0) m else -m
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00) // DQT: 8-bit table 0 (luma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    b(0xFF, 0xDB, 0, 67, 0x01) // DQT: 8-bit table 1 (chroma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    // SOF2: 8-bit, THREE 1x1 components (4:4:4); Y uses QT 0, Cb/Cr QT 1
+    b(0xFF, 0xC2, 0, 17, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Seq(0x00, 0x01).foreach { th => // DC tables 0 and 1 (Annex K BITS)
+      b(0xFF, 0xC4, 0, 31, th)
+      (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+      (0 to 11).foreach(v => out += v.toByte)
+    }
+    // AC table 0 (luma): EOB0 '0', run9/size1 '10', EOB1 '110', EOB2 '1110'
+    b(0xFF, 0xC4, 0, 23, 0x10)
+    b(1, 1, 1, 1); (5 to 16).foreach(_ => b(0))
+    b(0x00, 0x91, 0x10, 0x20)
+    // AC table 1 (chroma): EOB0 '0', EOB1 '10', EOB2 '110'
+    b(0xFF, 0xC4, 0, 22, 0x11)
+    b(1, 1, 1); (4 to 16).foreach(_ => b(0))
+    b(0x00, 0x10, 0x20)
+    val acSymY = Map(0x00 -> (0, 1), 0x91 -> (2, 2), 0x10 -> (6, 3), 0x20 -> (14, 4))
+    val acSymC = Map(0x00 -> (0, 1), 0x10 -> (2, 2), 0x20 -> (6, 3))
+    val dcCode = jpegCodes(jpegDcBits)
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+      cur = 0
+      nb = 0
+    }
+    def putDcDiff(diff: Int): Unit = {
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag)
+      val (c, cl) = dcCode(s)
+      putBits(c, cl)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    // ---- scan 1: DC first, interleaved Y,Cb,Cr, Al = 1 ----
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01)
+    val pred = new Array[Int](3)
+    for (blk <- 0 until nBlocks; comp <- 0 until 3) {
+      val dc = comp match {
+        case 0 => yDc(blk); case 1 => cbDc(blk); case _ => crDc(blk)
+      }
+      val t = dc >> 1 // point transform (arithmetic shift)
+      putDcDiff(t - pred(comp))
+      pred(comp) = t
+    }
+    flushScan()
+    // ---- scan 2: AC first Y, band 1..63, Al = 1 ----
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x01)
+    var eobrun = 0
+    def flushEob(sym: Map[Int, (Int, Int)]): Unit = if (eobrun > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+      val (c, l) = sym(nbits << 4)
+      putBits(c, l)
+      if (nbits > 0) putBits(eobrun & ((1 << nbits) - 1), nbits)
+      eobrun = 0
+    }
+    for (blk <- 0 until nBlocks) {
+      val ac = acOf(blk)
+      val t = math.abs(ac) >> 1
+      if (t == 0) eobrun += 1
+      else {
+        flushEob(acSymY)
+        val (c, l) = acSymY(0x91)
+        putBits(c, l)
+        putBits(if (ac >= 0) t else ~t & 1, 1)
+        eobrun += 1 // the block's zero tail ends it
+      }
+    }
+    flushEob(acSymY)
+    flushScan()
+    // ---- scans 3, 4: AC first Cb then Cr — all-zero bands, EOB runs ----
+    for (cid <- Seq(2, 3)) {
+      b(0xFF, 0xDA, 0, 8, 1, cid, 0x11, 1, 63, 0x00)
+      eobrun = nBlocks
+      flushEob(acSymC)
+      flushScan()
+    }
+    // ---- scan 5: DC refinement, interleaved, Ah = 1, Al = 0 ----
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10)
+    for (blk <- 0 until nBlocks; comp <- 0 until 3) {
+      val dc = comp match {
+        case 0 => yDc(blk); case 1 => cbDc(blk); case _ => crDc(blk)
+      }
+      putBits(dc & 1, 1)
+    }
+    flushScan()
+    // ---- scan 6: AC refinement Y, Ah = 1, Al = 0 (G.1.2.3) ----
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x10)
+    val pendingBE = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushEobRefine(): Unit = if (eobrun > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+      val (c, l) = acSymY(nbits << 4)
+      putBits(c, l)
+      if (nbits > 0) putBits(eobrun & ((1 << nbits) - 1), nbits)
+      pendingBE.foreach(putBits(_, 1)) // run-carried correction bits
+      pendingBE.clear()
+      eobrun = 0
+    }
+    eobrun = 0
+    for (blk <- 0 until nBlocks) {
+      val ac = acOf(blk)
+      val t = math.abs(ac)
+      if (t > 1) pendingBE += (t & 1) // already nonzero: correction bit only
+      else {
+        // newly nonzero: flush the pending run, then run/size + sign
+        flushEobRefine()
+        val (c, l) = acSymY(0x91)
+        putBits(c, l)
+        putBits(if (ac >= 0) 1 else 0, 1)
+      }
+      eobrun += 1 // zig-zag 11..63 zero tail closes the block into a run
+    }
+    flushEobRefine()
+    flushScan()
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
+  /** PROGRESSIVE 4:2:0 COLOR JPEG — the pixel-identical progressive TWIN
+    * of [[jpegColor420]] (round 16): same planted DC fields, same
+    * dimensions, byte-different multi-scan SOF2 framing — which is what
+    * lets the mixed-table formula oracles hold while the subsampled
+    * multi-scan MCU walk is exercised in the hash gate. Scans: interleaved
+    * DC first (Al=1; four Y units per MCU in A.2.3 order chaining one
+    * luma predictor, then Cb, Cr), non-interleaved all-zero AC-first
+    * scans per component (pure EOB-run coding over each component's REAL
+    * block grid — for Y that grid differs from the padded interleaved one
+    * whenever w or h is not a 16-multiple), and an interleaved DC
+    * refinement (dc & 1 raw bits).
+    */
+  def jpegColor420Progressive(id: Long): Array[Byte] =
+    jpegColor420Progressive(id, 16 * (1 + id % 2).toInt, 16 * (1 + id % 3).toInt)
+
+  /** [[jpegColor420Progressive]] with explicit dimensions (multiples of 8,
+    * NOT necessarily of 16) — the spec probe for partial-MCU geometry:
+    * when w % 16 == 8 the padded luma grid carries a pad block column the
+    * interleaved DC scan codes (edge-replicated DC) but the
+    * non-interleaved AC scans and emission must skip. Same planted
+    * formulas, luma blocks indexed over the REAL grid.
+    */
+  private[graft] def jpegColor420Progressive(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "dims must be block multiples")
+    val mw = (w + 15) / 16 // MCUs across
+    val mh = (h + 15) / 16
+    val lbw = w / 8 // REAL luma block grid
+    val lbh = h / 8
+    def yDc(lbx: Int, lby: Int): Int = {
+      // pad blocks (outside the real grid) replicate the clamped edge
+      // block so the interleaved scan has a value and predictors stay tame
+      val bx = math.min(lbx, lbw - 1)
+      val by = math.min(lby, lbh - 1)
+      ((id + 5L * bx + 11L * by) % 160).toInt - 80
+    }
+    def cbDc(mx: Int, my: Int): Int = ((3L * id + 7L * mx + 13L * my) % 100).toInt - 50
+    def crDc(mx: Int, my: Int): Int = ((5L * id + 3L * mx + 17L * my) % 100).toInt - 50
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00) // DQT: 8-bit table 0 (luma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    b(0xFF, 0xDB, 0, 67, 0x01) // DQT: 8-bit table 1 (chroma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    // SOF2: 8-bit, Y sampled 2x2 (QT 0), Cb/Cr 1x1 (QT 1) — 4:2:0
+    b(0xFF, 0xC2, 0, 17, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Seq(0x00, 0x01).foreach { th => // DC tables 0 and 1 (Annex K BITS)
+      b(0xFF, 0xC4, 0, 31, th)
+      (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+      (0 to 11).foreach(v => out += v.toByte)
+    }
+    // AC table 0 (luma): EOB0..EOB4 on the 1..5-bit ladder (a real-dims Y
+    // grid can hold up to 24 blocks -> one EOBn run needs n up to 4)
+    b(0xFF, 0xC4, 0, 24, 0x10)
+    b(1, 1, 1, 1, 1); (6 to 16).foreach(_ => b(0))
+    b(0x00, 0x10, 0x20, 0x30, 0x40)
+    // AC table 1 (chroma): EOB0 '0', EOB1 '10', EOB2 '110'
+    b(0xFF, 0xC4, 0, 22, 0x11)
+    b(1, 1, 1); (4 to 16).foreach(_ => b(0))
+    b(0x00, 0x10, 0x20)
+    val acCodeY = Array((0, 1), (2, 2), (6, 3), (14, 4), (30, 5)) // EOBn n=0..4
+    val acCodeC = Array((0, 1), (2, 2), (6, 3)) // EOBn n=0..2
+    val dcCode = jpegCodes(jpegDcBits)
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+      cur = 0
+      nb = 0
+    }
+    def putDcDiff(diff: Int): Unit = {
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag)
+      val (c, cl) = dcCode(s)
+      putBits(c, cl)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    def putEobRun(run: Int, codes: Array[(Int, Int)]): Unit = if (run > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(run)
+      val (c, l) = codes(nbits)
+      putBits(c, l)
+      if (nbits > 0) putBits(run & ((1 << nbits) - 1), nbits)
+    }
+    // ---- scan 1: DC first, interleaved (four Y units, Cb, Cr), Al = 1 ----
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01)
+    val pred = new Array[Int](3)
+    for (my <- 0 until mh; mx <- 0 until mw) {
+      for (sy <- 0 until 2; sx <- 0 until 2) {
+        val t = yDc(2 * mx + sx, 2 * my + sy) >> 1
+        putDcDiff(t - pred(0))
+        pred(0) = t
+      }
+      val tcb = cbDc(mx, my) >> 1
+      putDcDiff(tcb - pred(1)); pred(1) = tcb
+      val tcr = crDc(mx, my) >> 1
+      putDcDiff(tcr - pred(2)); pred(2) = tcr
+    }
+    flushScan()
+    // ---- scans 2..4: non-interleaved all-zero AC-first bands (Al = 0),
+    // one EOB run per component over its REAL block grid ----
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x00)
+    putEobRun(lbw * lbh, acCodeY)
+    flushScan()
+    for (cid <- Seq(2, 3)) {
+      b(0xFF, 0xDA, 0, 8, 1, cid, 0x11, 1, 63, 0x00)
+      putEobRun(mw * mh, acCodeC)
+      flushScan()
+    }
+    // ---- scan 5: DC refinement, interleaved, Ah = 1, Al = 0 ----
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10)
+    for (my <- 0 until mh; mx <- 0 until mw) {
+      for (sy <- 0 until 2; sx <- 0 until 2)
+        putBits(yDc(2 * mx + sx, 2 * my + sy) & 1, 1)
+      putBits(cbDc(mx, my) & 1, 1)
+      putBits(crDc(mx, my) & 1, 1)
+    }
+    flushScan()
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
   /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
     * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
     * the PNG but with the BMP moduli for dimensions.
@@ -1058,6 +1377,28 @@ case class JpegColor420Synth(child: Expression) extends MediaSynthExpression {
   override def prettyName: String = "graft_jpeg_color420_synth"
 }
 
+case class JpegColorProgressiveSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any =
+    MediaSynth.jpegColorProgressive(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegColorProgressive($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegColorProgressiveSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_color_progressive_synth"
+}
+
+case class JpegColor420ProgressiveSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any =
+    MediaSynth.jpegColor420Progressive(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegColor420Progressive($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegColor420ProgressiveSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_color420_progressive_synth"
+}
+
 case class PngDynamicSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.pngDynamic(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -1111,6 +1452,8 @@ object MediaSynthFunctions {
   val jpegProgressiveRestartName = "graft_jpeg_progressive_restart_synth"
   val jpegColorName = "graft_jpeg_color_synth"
   val jpegColor420Name = "graft_jpeg_color420_synth"
+  val jpegColorProgressiveName = "graft_jpeg_color_progressive_synth"
+  val jpegColor420ProgressiveName = "graft_jpeg_color420_progressive_synth"
   val bmpName = "graft_bmp_synth"
   val wavName = "graft_wav_synth"
 
@@ -1126,6 +1469,8 @@ object MediaSynthFunctions {
     reg.createOrReplaceTempFunction(jpegProgressiveRestartName, exprs => JpegProgressiveRestartSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegColorName, exprs => JpegColorSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(jpegColor420Name, exprs => JpegColor420Synth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegColorProgressiveName, exprs => JpegColorProgressiveSynth(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(jpegColor420ProgressiveName, exprs => JpegColor420ProgressiveSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
   }
@@ -1144,6 +1489,12 @@ object MediaSynthFunctions {
   def jpegColorSynth(docId: Column): Column = call_function(jpegColorName, docId)
 
   def jpegColor420Synth(docId: Column): Column = call_function(jpegColor420Name, docId)
+
+  def jpegColorProgressiveSynth(docId: Column): Column =
+    call_function(jpegColorProgressiveName, docId)
+
+  def jpegColor420ProgressiveSynth(docId: Column): Column =
+    call_function(jpegColor420ProgressiveName, docId)
 
   def pngSynth(docId: Column): Column = call_function(pngName, docId)
 

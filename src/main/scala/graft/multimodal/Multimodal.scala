@@ -114,10 +114,16 @@ object Multimodal {
     // for doc_id % 18 == 0, which never hits a jpeg row (review-found:
     // the DRI twins were silently dead); floor first, compare on longs
     val driHalf = pmod(floor(id / lit(9)).cast("long"), lit(2)) === 0
+    // ... and since round 16 the color rows (doc_id ≡ 7 mod 9) split the
+    // same way between baseline 4:2:0 and its PROGRESSIVE twin
+    // (pixel-identical planting, byte-different SOF2 multi-scan framing),
+    // so the subsampled multi-scan MCU walk rides the hash gate too
     val jpegPayload = when(jm === 4,
         when(driHalf, MediaSynthFunctions.jpegProgressiveRestartSynth(id))
           .otherwise(MediaSynthFunctions.jpegProgressiveSynth(id)))
-      .when(jm === 7, MediaSynthFunctions.jpegColor420Synth(id))
+      .when(jm === 7,
+        when(driHalf, MediaSynthFunctions.jpegColor420ProgressiveSynth(id))
+          .otherwise(MediaSynthFunctions.jpegColor420Synth(id)))
       .otherwise(
         when(driHalf, MediaSynthFunctions.jpegRestartSynth(id))
           .otherwise(MediaSynthFunctions.jpegSynth(id)))
@@ -289,6 +295,20 @@ object Multimodal {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("media_id"),
         MediaSynthFunctions.jpegColor420Synth(col("doc_id")).as("payload"))
+  }
+
+  /** The COLOR-PROGRESSIVE JPEG table ([[MediaSynth.jpegColorProgressive]]):
+    * SOF2 4:4:4 with an interleaved DC scan, per-component AC scans, and
+    * interleaved DC refinement — Y planted DC + one integer-exact AC at
+    * zig-zag 10, chroma DC-only — the payloads behind
+    * [[q_mm_jpeg_color_prog]].
+    */
+  def jpegColorProgressiveTable(docs: DataFrame): DataFrame = {
+    MediaSynthFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        MediaSynthFunctions.jpegColorProgressiveSynth(col("doc_id")).as("payload"))
   }
 
   /** The dynamic-Huffman PNG table: each IDAT is REAL `java.util.zip`
@@ -551,7 +571,10 @@ object Multimodal {
              END AS height,
              CASE WHEN doc_id % 3 = 2 THEN CAST(1 AS INT) END AS channels,
              CASE WHEN doc_id % 3 = 2 THEN CAST($rateSql AS BIGINT) END AS sample_rate,
-             CASE WHEN doc_id % 3 = 1 THEN doc_id % 9 = 4 END AS progressive
+             CASE WHEN doc_id % 3 = 1
+                  THEN doc_id % 9 = 4
+                    OR (doc_id % 9 = 7 AND (doc_id // 9) % 2 = 0)
+             END AS progressive
       FROM documents
       ORDER BY media_id
     """),
@@ -572,11 +595,12 @@ object Multimodal {
         when(fmt === "wav", wav.getField("channels")).as("channels"),
         when(fmt === "wav", wav.getField("sample_rate")).as("sample_rate"),
         // SOF-family routing flag: false = baseline/sequential, true =
-        // progressive DCT (SOF2 family). Since round 15 the mixed corpus
-        // CARRIES progressive rows (doc_id ≡ 4 mod 9), so the oracle pins
-        // TRUE on exactly those and FALSE on the baseline/color rows —
-        // the flag is exercised positively in the hash gate, not just in
-        // MultimodalSpec.
+        // progressive DCT (SOF2 family). The mixed corpus CARRIES
+        // progressive rows — grayscale at doc_id ≡ 4 mod 9 (round 15) and
+        // the 4:2:0 color-progressive half at doc_id ≡ 7 mod 9 (round 16)
+        // — so the oracle pins TRUE on exactly those and FALSE on the
+        // baseline rows; the flag is exercised positively in the hash
+        // gate, not just in MultimodalSpec.
         when(fmt === "jpeg", jpg.getField("progressive")).as("progressive"),
       )
       .orderBy("media_id")
@@ -1406,6 +1430,94 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** COLOR PROGRESSIVE (SOF2 multi-component) decode — round 16, the tier
+    * the round-15 verdict named the biggest real-corpus gap (real web
+    * JPEGs are majority progressive AND overwhelmingly color): the shared
+    * Annex G engine accumulates per-COMPONENT coefficient planes across
+    * six scans — an INTERLEAVED DC-first scan (MCU order, per-component
+    * predictors), per-component AC scans (Y carries the integer-exact
+    * zig-zag-10 coefficient through first-pass + G.1.2.3 refinement;
+    * chroma bands are pure EOB-run coding), an interleaved DC refinement —
+    * then dequantizes, reconstructs, and converts with libjpeg's exact
+    * fixed-point RGB. Y varies per pixel row (the ac·s(y) term), chroma
+    * per block, and every step is integer-exact — so the oracle recomputes
+    * all ten aggregates per PIXEL from the planted formulas and the row
+    * hash-checks. A decoder that mis-walks interleaved-vs-non-interleaved
+    * geometry, mixes component predictors, or drops a refinement bit lands
+    * on different sums. MultimodalSpec pins the same payloads against
+    * ImageIO byte-for-byte.
+    */
+  val q_mm_jpeg_color_prog: Q = Q(
+    "q_mm_jpeg_color_prog",
+    Some("""
+      WITH dim AS (
+        SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS i
+        FROM dim
+      ), a AS (
+        SELECT doc_id, w, h, i % w AS x, i // w AS y FROM px
+      ), v AS (
+        SELECT doc_id, w, h, x, y,
+               48 + (doc_id + 5 * (x // 8) + 11 * (y // 8)) % 160
+                 + (1 + (doc_id + x // 8 + y // 8) % 3)
+                   * (CASE WHEN (doc_id + x // 8 + y // 8) % 2 = 0
+                           THEN 1 ELSE -1 END)
+                   * (CASE WHEN y % 4 IN (0, 3) THEN 1 ELSE -1 END) AS yv,
+               78 + (3 * doc_id + 7 * (x // 8) + 13 * (y // 8)) % 100 AS cbv,
+               78 + (5 * doc_id + 3 * (x // 8) + 17 * (y // 8)) % 100 AS crv
+        FROM a
+      ), rgb AS (
+        SELECT doc_id, w, h, yv, cbv, crv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (91881 * (crv - 128) + 32768) / 65536.0) AS BIGINT))) AS rv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (-22554 * (cbv - 128) - 46802 * (crv - 128) + 32768) / 65536.0)
+                 AS BIGINT))) AS gv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (116130 * (cbv - 128) + 32768) / 65536.0) AS BIGINT))) AS bv,
+               y * w + x + 1 AS sidx
+        FROM v
+      )
+      SELECT doc_id AS media_id,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             CAST(min((w // 8) * (h // 8)) AS BIGINT) AS n_mcus,
+             CAST(min(w * h) AS BIGINT) AS n_pixels,
+             CAST(sum(yv) AS BIGINT) AS sum_y,
+             CAST(sum(cbv) AS BIGINT) AS sum_cb,
+             CAST(sum(crv) AS BIGINT) AS sum_cr,
+             CAST(sum(rv) AS BIGINT) AS sum_r,
+             CAST(sum(gv) AS BIGINT) AS sum_g,
+             CAST(sum(bv) AS BIGINT) AS sum_b,
+             CAST(sum(rv * sidx) AS BIGINT) AS wsum_r,
+             CAST(min((w // 8) * (h // 8)) AS BIGINT) AS n_ac_coeffs,
+             sum(yv) * 1.0 / min(w * h) AS mean_luma
+      FROM rgb GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    graft.functions.JpegFunctions.ensureRegistered(s)
+    jpegColorProgressiveTable(Tables.documents(s, d))
+      .select(col("media_id"),
+        graft.functions.JpegFunctions.jpegColorStats(col("payload")).as("st"))
+      .select(
+        col("media_id"),
+        col("st.w").as("width"), col("st.h").as("height"),
+        col("st.n_mcus").as("n_mcus"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_y").as("sum_y"),
+        col("st.sum_cb").as("sum_cb"),
+        col("st.sum_cr").as("sum_cr"),
+        col("st.sum_r").as("sum_r"),
+        col("st.sum_g").as("sum_g"),
+        col("st.sum_b").as("sum_b"),
+        col("st.wsum_r").as("wsum_r"),
+        col("st.n_ac_coeffs").as("n_ac_coeffs"))
+      .withColumn("mean_luma", col("sum_y") * lit(1.0) / col("n_pixels"))
+      .orderBy("media_id")
+  }
+
   /** 4:2:0 CHROMA-SUBSAMPLED color decode — the real-corpus JPEG layout:
     * the kernel walks four-Y-unit MCUs (T.81 A.2.3 interleave, shared
     * per-component DC predictor), and — since r13's fixtures plant chroma
@@ -1541,5 +1653,5 @@ object Multimodal {
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_embed, q_mm_resize, q_mm_audio,
       q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn,
       q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac, q_mm_jpeg_progressive,
-      q_mm_jpeg_color, q_mm_jpeg_color420)
+      q_mm_jpeg_color, q_mm_jpeg_color_prog, q_mm_jpeg_color420)
 }

@@ -61,8 +61,13 @@ class MultimodalSpec extends SparkSpec {
       .otherwise(lit(8) * (lit(1) + pmod(col("doc_id"), lit(2))))
     assert(jpg.filter(col("d.width") =!= jw || col("d.height") =!= jh).count() === 0)
     assert(jpg.filter(col("d").isNull).count() === 0)
-    assert(jpg.filter(col("d.progressive") =!=
-      (pmod(col("doc_id"), lit(9)) === 4)).count() === 0)
+    // progressive rows: grayscale at doc_id ≡ 4 (mod 9), plus — round 16 —
+    // the color-progressive half of the 4:2:0 rows (doc_id ≡ 7 mod 9,
+    // driHalf split)
+    val progExpected = (pmod(col("doc_id"), lit(9)) === 4) ||
+      (pmod(col("doc_id"), lit(9)) === 7 &&
+        pmod(floor(col("doc_id") / lit(9)).cast("long"), lit(2)) === 0)
+    assert(jpg.filter(col("d.progressive") =!= progExpected).count() === 0)
     val wav = media.filter(col("declared_format") === "wav")
       .select(Multimodal.wavInfo(col("payload")).as("d"), col("doc_id"))
     assert(wav.filter(col("d.channels") =!= lit(1)).count() === 0)
@@ -100,17 +105,18 @@ class MultimodalSpec extends SparkSpec {
     assert(other.isNullAt(0) && other.isNullAt(1))
   }
 
-  test("progressive JPEG (SOF2) detected with dimensions; COLOR-progressive decode honestly null") {
+  test("progressive JPEG (SOF2) detected with dimensions; header-only color SOF2 stays null") {
     import spark.implicits._
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     def seg(marker: Int, payloadLen: Int): Array[Byte] =
       bytes(0xFF, marker, (payloadLen + 2) >> 8, (payloadLen + 2) & 0xFF) ++
         Array.fill(payloadLen)(0x42.toByte)
     // minimal progressive header: SOI, DQT, SOF2 (3 components, 120×240),
-    // then junk entropy bytes — real web corpora are majority-progressive.
-    // GRAYSCALE progressive decodes for real since round 15 (see the
-    // four-scan test below); the COLOR-progressive tier remains the one
-    // honest-null rung, pinned here
+    // then junk bytes and NO SOS — real web corpora are majority-
+    // progressive. Color progressive decodes for REAL since round 16 (see
+    // the multi-component tests below); this pin covers detection plus
+    // the header-failure contract: a scanless SOF2 stream nulls the whole
+    // row, never throws or invents sums.
     val sof2 = bytes(0xFF, 0xC2, 0x00, 0x11, 0x08, 0x00, 0x78, 0x00, 0xF0,
       0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
     val prog = bytes(0xFF, 0xD8) ++ seg(0xDB, 65) ++ sof2 ++ bytes(9, 9, 9)
@@ -123,13 +129,12 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).getInt(0) === 240 && byId(1L).getInt(1) === 120)
     assert(byId(1L).getBoolean(2) === true, "SOF2 must flag progressive")
     assert(byId(2L).getBoolean(2) === false, "SOF0 must flag baseline")
-    // the baseline decoders null the progressive stream instead of guessing
     graft.functions.JpegFunctions.ensureRegistered(spark)
     val dec = Seq((1L, prog)).toDF("id", "p")
       .select(graft.functions.JpegFunctions.jpegColorStats(col("p")).as("s"))
       .head()
     assert(dec.isNullAt(0) || dec.getStruct(0).isNullAt(0),
-      "progressive stream must not decode through the baseline tier")
+      "a scanless progressive stream must stay null")
   }
 
   test("PCM16 decode agrees with a JVM ByteBuffer decode of the same bytes") {
@@ -737,6 +742,125 @@ class MultimodalSpec extends SparkSpec {
     val samp422 = sample.clone()
     samp422(sof + 11) = 0x21.toByte // Y sampling 2x2 -> 2x1
     assert(graft.functions.JpegDecode.jpegColor(samp422).isNullAt(3))
+  }
+
+  test("color-progressive JPEG (SOF2 4:4:4): kernel equals planted formulas, ImageIO, and the embed fold") {
+    // round 16: the multi-component Annex G machinery — interleaved DC
+    // scans, per-component AC scans (Y carries the integer-exact zig-zag-10
+    // coefficient through first pass + G.1.2.3 refinement), interleaved DC
+    // refinement — reconstructed through libjpeg's fixed-point RGB. Every
+    // step is integer-exact, so parity with ImageIO is per PIXEL.
+    def clamp(v: Int): Int = math.min(255, math.max(0, v))
+    for (id <- 0L until 24L) {
+      val payload = MediaSynth.jpegColorProgressive(id)
+      val st = graft.functions.JpegDecode.jpegColor(payload)
+      assert(!st.isNullAt(3), s"color-progressive fixture $id must decode")
+      val (w, h) = (st.getInt(0), st.getInt(1))
+      assert(w === 8 * (1 + id % 3) && h === 8 * (1 + id % 2), s"dims for $id")
+      def s(y: Int): Int = if (y % 4 == 0 || y % 4 == 3) 1 else -1
+      def yv(x: Int, y: Int): Int = {
+        val bs = id + x / 8 + y / 8
+        val ac = (1 + bs % 3).toInt * (if (bs % 2 == 0) 1 else -1)
+        48 + ((id + 5L * (x / 8) + 11L * (y / 8)) % 160).toInt + ac * s(y)
+      }
+      def cbv(x: Int, y: Int) = 78 + ((3L * id + 7L * (x / 8) + 13L * (y / 8)) % 100).toInt
+      def crv(x: Int, y: Int) = 78 + ((5L * id + 3L * (x / 8) + 17L * (y / 8)) % 100).toInt
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected color-progressive JPEG $id")
+      assert(img.getWidth === w && img.getHeight === h)
+      var (sy, scb, scr, sr, sg, sb2, wr) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      val gridSum = new Array[Long](48)
+      val gridCnt = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val yy = yv(x, y); val cb = cbv(x, y); val cr = crv(x, y)
+        val r = clamp(yy + ((91881 * (cr - 128) + 32768) >> 16))
+        val g = clamp(yy + ((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768) >> 16))
+        val b = clamp(yy + ((116130 * (cb - 128) + 32768) >> 16))
+        sy += yy; scb += cb; scr += cr; sr += r; sg += g; sb2 += b
+        wr += r.toLong * (y.toLong * w + x + 1)
+        val cell = (y * 4 / h) * 4 + x * 4 / w
+        gridCnt(cell) += 1
+        gridSum(cell * 3) += r; gridSum(cell * 3 + 1) += g; gridSum(cell * 3 + 2) += b
+        val v = img.getRGB(x, y)
+        assert(((v >> 16) & 0xFF) === r && ((v >> 8) & 0xFF) === g && (v & 0xFF) === b,
+          s"ImageIO pixel parity for color-progressive $id at ($x,$y)")
+      }
+      assert(st.getLong(3) === sy, s"sum_y for $id")
+      assert(st.getLong(4) === scb, s"sum_cb for $id")
+      assert(st.getLong(5) === scr, s"sum_cr for $id")
+      assert(st.getLong(6) === sr, s"sum_r for $id")
+      assert(st.getLong(7) === sg, s"sum_g for $id")
+      assert(st.getLong(8) === sb2, s"sum_b for $id")
+      assert(st.getLong(9) === wr, s"wsum_r for $id")
+      assert(st.getLong(10) === (w / 8).toLong * (h / 8),
+        s"one nonzero Y AC per block for $id")
+      // the content embedding routes color progressive for real (the
+      // round-15 verdict's "q_mm_embed non-null on them")
+      val e = graft.functions.JpegDecode.embed(payload)
+      assert(e != null, s"color-progressive embed must be non-null for $id")
+      val want = (0 until 48).map(i => (gridSum(i).toDouble / gridCnt(i / 3)) / 255.0)
+      assert(e.toSeq === want, s"color-progressive grid means diverge for $id")
+    }
+    // truncated streams null the sums and never throw (scan-resolution
+    // honesty: any prefix that still parses a header reports geometry only)
+    val sample = MediaSynth.jpegColorProgressive(7L)
+    for (len <- Seq(sample.length - 3, sample.length * 3 / 4, sample.length / 2, 40)) {
+      val st = graft.functions.JpegDecode.jpegColor(sample.take(len))
+      if (st != null && !st.isNullAt(0))
+        assert(st.isNullAt(3), s"truncated color-progressive (len $len) must null sums")
+    }
+  }
+
+  test("progressive 4:2:0: pixel-identical twin of the baseline fixture; partial-MCU dims pin ImageIO") {
+    // the mixed-table twin: same planted DC fields as jpegColor420, byte-
+    // different SOF2 multi-scan framing — every stats field must agree
+    // bit-for-bit, which is what lets the formula oracles stay green while
+    // the subsampled multi-scan MCU walk rides the hash gate
+    for (id <- 0L until 24L) {
+      val prog = graft.functions.JpegDecode.jpegColor(
+        MediaSynth.jpegColor420Progressive(id))
+      val base = graft.functions.JpegDecode.jpegColor(MediaSynth.jpegColor420(id))
+      assert(!prog.isNullAt(3), s"progressive 4:2:0 twin $id must decode")
+      for (f <- 0 to 10)
+        assert(prog.get(f, null) === base.get(f, null),
+          s"field $f of progressive-4:2:0 twin $id diverges from baseline")
+    }
+    // partial-MCU geometry: dims that are block multiples but NOT MCU
+    // multiples — the padded luma grid carries pad blocks the interleaved
+    // DC scan codes but the non-interleaved AC scans and emission skip.
+    // ImageIO (the real libjpeg walk) is the reference, per pixel.
+    for ((w, h) <- Seq((24, 40), (40, 24), (24, 24), (8, 8))) {
+      val payload = MediaSynth.jpegColor420Progressive(11L, w, h)
+      val st = graft.functions.JpegDecode.jpegColor(payload)
+      assert(!st.isNullAt(3), s"partial-MCU progressive 4:2:0 ($w x $h) must decode")
+      assert(st.getInt(0) === w && st.getInt(1) === h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected partial-MCU progressive 4:2:0 ($w x $h)")
+      assert(img.getWidth === w && img.getHeight === h)
+      var (ir, ig, ib) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = img.getRGB(x, y)
+        ir += (v >> 16) & 0xFF; ig += (v >> 8) & 0xFF; ib += v & 0xFF
+      }
+      assert(st.getLong(6) === ir, s"ImageIO sum_r parity ($w x $h)")
+      assert(st.getLong(7) === ig, s"ImageIO sum_g parity ($w x $h)")
+      assert(st.getLong(8) === ib, s"ImageIO sum_b parity ($w x $h)")
+    }
+    // a flipped entropy bit in the interleaved DC scan derails or nulls
+    val sample = MediaSynth.jpegColor420Progressive(5L)
+    val good = graft.functions.JpegDecode.jpegColor(sample)
+    val bad = sample.clone()
+    // the first scan's entropy starts right after the first SOS header
+    val sosAt = {
+      var i = 2
+      while (!(bad(i) == 0xFF.toByte && bad(i + 1) == 0xDA.toByte)) i += 1
+      i
+    }
+    bad(sosAt + 14 + 2) = (bad(sosAt + 14 + 2) ^ 0x55).toByte
+    val st = graft.functions.JpegDecode.jpegColor(bad)
+    assert(st.isNullAt(3) || st.getLong(3) != good.getLong(3) ||
+      st.getLong(4) != good.getLong(4) || st.getLong(5) != good.getLong(5),
+      "a DC-scan flip cannot decode to identical planes")
   }
 
   test("color JPEG: corrupting a CHROMA component fires without touching luma") {
