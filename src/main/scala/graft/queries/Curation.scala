@@ -234,7 +234,8 @@ object Curation {
   val q_pipeline_e2e: Q = Q(
     "q_pipeline_e2e",
     Some(s"""
-      WITH RECURSIVE corpus AS (
+      WITH RECURSIVE ${Bpe.replayCtes},
+      corpus AS (
         SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 20
       ), fp AS (
         SELECT doc_id, n_chars, md5(${TextAnalysis.normalizeSql}) AS f FROM corpus
@@ -333,8 +334,9 @@ object Curation {
         FROM keep k LEFT JOIN cl ON k.doc_id = cl.doc_id
       ), toks3 AS (
         SELECT d.doc_id, d.source, sp.split,
-               ${Bpe.totalCountSql("text")} AS nt
+               ${Bpe.totalFromJoinSql("d.text")} AS nt
         FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+        LEFT JOIN bpe_doc bd ON d.doc_id = bd.doc_id
       ), cum AS (
         SELECT *, sum(nt) OVER (PARTITION BY split, source ORDER BY doc_id) AS cum
         FROM toks3
@@ -437,10 +439,11 @@ object Curation {
   val q_pack_sequences: Q = Q(
     "q_pack_sequences",
     Some(s"""
-      WITH t AS (
-        SELECT doc_id, source,
-               ${Bpe.totalCountSql("text")} AS n_tokens
-        FROM documents
+      WITH ${Bpe.replayCtes},
+      t AS (
+        SELECT d.doc_id, d.source,
+               ${Bpe.totalFromJoinSql("d.text")} AS n_tokens
+        FROM documents d LEFT JOIN bpe_doc bd ON d.doc_id = bd.doc_id
       ), c AS (
         SELECT doc_id, source, n_tokens,
                sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
@@ -509,8 +512,10 @@ object Curation {
   val q_mix_sources: Q = Q(
     "q_mix_sources",
     Some(s"""
-      WITH t AS (
-        SELECT doc_id, source, ${Bpe.totalCountSql("text")} AS nt FROM documents
+      WITH ${Bpe.replayCtes},
+      t AS (
+        SELECT d.doc_id, d.source, ${Bpe.totalFromJoinSql("d.text")} AS nt
+        FROM documents d LEFT JOIN bpe_doc bd ON d.doc_id = bd.doc_id
       ), s AS (
         SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
         FROM t GROUP BY source

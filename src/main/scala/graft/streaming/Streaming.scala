@@ -523,8 +523,23 @@ object Streaming {
           .filter(_ => meta.get(cdcRunIdKey).contains(runId))
         if (applied.exists(_ >= batchId)) ()
         else {
+          // deterministic winner per media_id (advice r15): in a healthy
+          // feed media_id is content-keyed so duplicates are identical
+          // rows, but dropDuplicates keeps an ARBITRARY one — if a
+          // malformed batch ever lands two different payloads under one
+          // id, the stored feature must not depend on partition order.
+          // max_by on the payload hash picks the same row on every replay
+          // (hash ties ⇒ byte-identical payloads ⇒ any winner is the same
+          // content).
+          val winners = batch
+            .groupBy(col("media_id"))
+            .agg(max_by(
+              struct(col("payload"), col("declared_format")),
+              xxhash64(col("payload"))).as("w"))
+            .select(col("media_id"), col("w.payload").as("payload"),
+              col("w.declared_format").as("declared_format"))
           val feats = graft.multimodal.Multimodal
-            .mediaFeatures(batch.dropDuplicates("media_id"))
+            .mediaFeatures(winners)
             .localCheckpoint()
           if (!feats.isEmpty) {
             val m = Map(cdcBatchIdKey -> batchId.toString, cdcRunIdKey -> runId)

@@ -226,13 +226,29 @@ object BpeTrain {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
     require(in != null, "bpe_merges.txt resource missing")
     try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
-        val t = l.trim
-        if (t.isEmpty || t.startsWith("#")) None
-        else {
-          val sp = t.indexOf(' ')
-          Some((t.substring(0, sp), t.substring(sp + 1)))
-        }
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().zipWithIndex.flatMap {
+        case (l, ln) =>
+          val t = l.trim
+          if (t.isEmpty || t.startsWith("#")) None
+          else {
+            // validated eagerly with descriptive failures: this runs at
+            // Bpe object init, so a malformed resource line must not
+            // surface as an opaque ExceptionInInitializerError on an
+            // executor (round-15 advice) — and the ≤16-letter merged-piece
+            // bound is what the kernel's two-long packing REQUIRES (a
+            // longer piece would shift by a negative amount and silently
+            // corrupt every probe; the kernel re-checks, belt+braces)
+            val sp = t.indexOf(' ')
+            require(sp > 0 && sp < t.length - 1 && t.indexOf(' ', sp + 1) < 0,
+              s"bpe_merges.txt line ${ln + 1}: expected 'left right', got '$t'")
+            val (a, b) = (t.substring(0, sp), t.substring(sp + 1))
+            require((a + b).forall(c => c >= 'a' && c <= 'z'),
+              s"bpe_merges.txt line ${ln + 1}: pieces must be [a-z]+, got '$t'")
+            require(a.length + b.length <= 16,
+              s"bpe_merges.txt line ${ln + 1}: merged piece '${a + b}' exceeds " +
+                "the kernel's 16-letter packing bound")
+            Some((a, b))
+          }
       }.toVector
     } finally in.close()
   }

@@ -129,7 +129,7 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
-  test("BpeCounts equals a regex + greedy-match reference on adversarial text") {
+  test("BpeCounts equals a regex + merge-replay reference on adversarial text") {
     import spark.implicits._
     // mixed words/digits/symbols/multibyte/odd whitespace: NBSP is not \s
     // under either engine (symbol token), and VERTICAL TAB is whitespace
@@ -143,22 +143,12 @@ class KernelPropertySpec extends SparkSpec {
     def ref(text: String): (Long, Long, Long) = {
       val lowered = text.toLowerCase
       val words = "[a-z]+".r.findAllIn(lowered).toSeq
-      val byLen = graft.text.Bpe.piecesByLen.map { case (l, ps) => l -> ps.toSet }
-      var nBpe = 0L; var nMerged = 0L
-      words.foreach { w =>
-        var i = 0
-        while (i < w.length) {
-          byLen.find { case (l, ps) =>
-            i + l <= w.length && ps.contains(w.substring(i, i + l))
-          } match {
-            case Some((l, _)) => nBpe += 1; nMerged += 1; i += l
-            case None => nBpe += 1; i += 1
-          }
-        }
-      }
+      // round 16: the reference encoder is sequential trainer application
+      // (BpeReference.encode), matching the kernel's merge-priority replay
+      val toks = words.flatMap(graft.text.BpeReference.encode)
       // RE2's \s set spelled out — Java's \s would wrongly swallow VT
       val nOther = "[0-9]+|[^a-z0-9 \\t\\n\\f\\r]".r.findAllIn(lowered).size.toLong
-      (nBpe, nMerged, nOther)
+      (toks.size.toLong, toks.count(_.length > 1).toLong, nOther)
     }
     val texts = samples(genDoc, 300)
     BpeFunctions.ensureRegistered(spark)

@@ -4,31 +4,16 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Pins the subword encoder (the BpeCounts native kernel since round 9)
-  * against a direct JVM greedy longest-match reference over the same
-  * learned merge vocabulary.
+/** Pins the subword encoder (the BpeCounts native kernel) against
+  * sequential trainer-merge application over the same learned vocabulary
+  * ([[BpeReference.encode]]) — since round 16 the kernel replays merges by
+  * priority, which must equal the trainer's own application rule token for
+  * token (a merge can only create pairs of higher rank than itself, so the
+  * rank-ordered fixpoint and the in-order replay coincide).
   */
 class BpeSpec extends SparkSpec {
 
-  private val byLen: Seq[(Int, Set[String])] =
-    Bpe.piecesByLen.map { case (l, ps) => l -> ps.toSet }
-
-  /** Reference encoder: maximal munch, single chars as fallback. */
-  private def refEncode(word: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var i = 0
-    while (i < word.length) {
-      val piece = byLen
-        .collectFirst {
-          case (l, ps) if i + l <= word.length && ps(word.substring(i, i + l)) =>
-            word.substring(i, i + l)
-        }
-        .getOrElse(word.substring(i, i + 1))
-      out += piece
-      i += piece.length
-    }
-    out.result()
-  }
+  private def refEncode(word: String): Seq[String] = BpeReference.encode(word)
 
   private def refCounts(text: String): (Long, Long, Long) = {
     val words = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
@@ -69,16 +54,61 @@ class BpeSpec extends SparkSpec {
     assert(sparkCounts(texts) === texts.map(refCounts))
   }
 
-  test("maximal munch prefers the longest piece") {
-    // "leszaskor" is a learned 9-letter piece whose prefixes "le"/"les"/
-    // "leszas" are also pieces; greedy must emit it whole, and "leszasx"
-    // falls back to "leszas"+"x"
+  test("kernel replay equals sequential trainer application token-for-token") {
+    // the round-16 contract: trainer-applied merges ≡ kernel output on
+    // generated AND adversarial corpora. Boundary-crossing sequences —
+    // synthetic-corpus words CONCATENATED pairwise, the exact shape where
+    // maximal munch used to grab unreachable pieces — plus every distinct
+    // corpus word and the trained words themselves.
+    val corpusWords = {
+      import spark.implicits._
+      spark.read.parquet(sf() + "/documents.parquet")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+        .distinct().as[String].collect().toSeq
+    }
+    val trained = (0 until 512).map(BpeTrain.wordOf)
+    val adversarial = for {
+      i <- 0 until 64
+      j <- 0 until 16
+    } yield BpeTrain.wordOf(i * 37 % 32768) + BpeTrain.wordOf(j * 911 % 32768)
+    val all = (corpusWords ++ trained ++ adversarial).distinct
+    all.foreach { w =>
+      assert(graft.functions.BpeCounts.encodeTokens(w) === refEncode(w),
+        s"replay mismatch on '$w'")
+    }
+  }
+
+  test("replay diverges from maximal munch where munch grabs unreachable pieces") {
+    // the observable difference the round-15 verdict flagged: munch takes
+    // the longest PIECE even when no merge chain reaches it in context.
+    // Find witnesses among boundary-crossing concatenations and pin that
+    // the kernel sides with the trainer, not with munch.
+    val candidates = for {
+      i <- 0 until 256
+      j <- 0 until 8
+    } yield BpeTrain.wordOf((i * 131 + 7) % 32768) + BpeTrain.wordOf((j * 4099 + 3) % 32768)
+    val divergent = candidates.distinct.filter(w =>
+      BpeReference.munchEncode(w) != refEncode(w))
+    assert(divergent.nonEmpty,
+      "expected at least one munch-vs-replay divergence among boundary-crossing words")
+    divergent.take(16).foreach { w =>
+      assert(graft.functions.BpeCounts.encodeTokens(w) === refEncode(w),
+        s"kernel must follow the trainer on divergent '$w' " +
+          s"(munch: ${BpeReference.munchEncode(w)}, replay: ${refEncode(w)})")
+    }
+  }
+
+  test("a learned piece encodes whole under replay") {
+    // "leszaskor" is a learned 9-letter piece: the merge chain that built
+    // it during training applies verbatim to the standalone word, so
+    // replay reduces it to one token (the standard BPE closure property)
     assert(refEncode("leszaskor") === Seq("leszaskor"))
-    assert(refEncode("leszasx") === Seq("leszas", "x"))
     val Seq((n1, m1, _)) = sparkCounts(Seq("leszaskor"))
     assert(n1 === 1L && m1 === 1L)
-    val Seq((n2, _, _)) = sparkCounts(Seq("leszasx"))
-    assert(n2 === 2L)
+    // and a non-piece stays whatever the merge chain reaches
+    assert(sparkCounts(Seq("leszasx")).head._1 ===
+      refEncode("leszasx").size.toLong)
   }
 
   test("incremental trainer equals the published reference trainer") {
