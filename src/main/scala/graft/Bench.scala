@@ -9,12 +9,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.rdd.compress", "true")
-      // zstd for shuffle/spill/cached blocks: the round-15 sf1000 A/B
-      // measured 18% faster wall at 33% lower peak disk on the bottom-k
-      // join (and 25%/15% on coded semantic dedup) vs the lz4 default —
-      // the disk-bound phases read and write a third less
-      .config("spark.io.compression.codec", "zstd")
+      // zstd + rdd.compress for shuffle/spill/cached blocks: the round-15
+      // sf1000 A/B measured 18% faster wall at 33% lower peak disk on the
+      // bottom-k join (and 25%/15% on coded semantic dedup) vs the lz4
+      // default — the disk-bound phases read and write a third less.
+      // sys.props FIRST so SPARK_EXTRA_OPTS="-Dspark.io.compression.codec=…"
+      // A/B probes can override (builder .config beats system properties,
+      // so a hardcoded value would silently ignore the passthrough)
+      .config("spark.rdd.compress",
+        sys.props.getOrElse("spark.rdd.compress", "true"))
+      .config("spark.io.compression.codec",
+        sys.props.getOrElse("spark.io.compression.codec", "zstd"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1559,10 +1559,26 @@ object Dedup {
     * the scan means the write is the only corpus-scale disk this frame
     * ever costs (exchange + checkpoint concurrently was 2x that, which
     * mattered at the fourth decade).
+    *
+    * RECOMPUTE-VS-STORE knob (round 16 — the sf2000 probe died HERE, mid-
+    * checkpoint at 46.4 GB peak with 47 GB free; single-host scratch
+    * CAPACITY ~0.7 GB per million docs is the fifth decade's wall):
+    * `spark.graft.bottomk.storeSets=false` skips the checkpoint, so every
+    * consumer re-derives the arrays from the text scan + shingle kernel —
+    * trading ~3–4 extra compiled scan passes (CPU, linear) for the entire
+    * array checkpoint's disk (capacity, the binding constraint on a
+    * disk-bound host; a cluster's aggregate disks dissolve it, so the
+    * default stays `true`). DedupSpec pins knob-invariance of the join
+    * results.
     */
-  private[graft] def bkSets(docs: DataFrame): DataFrame =
-    unshuffledSets(docs).filter(col("sz") > 0)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  private[graft] def bkSets(docs: DataFrame): DataFrame = {
+    val base = unshuffledSets(docs).filter(col("sz") > 0)
+    val store = docs.sparkSession.conf
+      .get("spark.graft.bottomk.storeSets", "true").toBoolean
+    if (store)
+      base.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else base
+  }
 
   /** Build-side row ceiling for the bottom-k broadcast semi-joins. A long
     * key costs ~32 B in a broadcast hash relation, so 64M rows ≈ 2 GB —

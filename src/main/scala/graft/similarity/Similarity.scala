@@ -665,7 +665,8 @@ object Similarity {
     */
   def semanticDedupCoded(emb: DataFrame, k: Int, t: Double,
       lloydIters: Int = 1, nprobe: Int = 2, m: Int = 8,
-      sampleCap: Int = 1 << 18, gate: Double = Double.NaN): DataFrame = {
+      sampleCap: Int = 1 << 18, gate: Double = Double.NaN,
+      corpusSize: Long = -1L): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val ksub = 16 // 4-bit packing; see Pq.withPackedCodes
     // deterministic bounded training sample by hash-modulus filter — a
@@ -674,10 +675,14 @@ object Similarity {
     // returns up to cap rows PER PARTITION to the driver before merging —
     // 161 partitions × 70 MB killed the 40M probe's 8 GB driver heap. A
     // bare limit() also leaves one partition, single-tasking the
-    // trainer's aggregation — probe-found OOM at 2M.) The one count()
-    // is a metadata-cheap parquet pass; the sample size is ~sampleCap by
-    // hash uniformity, and small corpora (mod 1) train on everything.
-    val sampleMod = math.max(1L, emb.count() / sampleCap)
+    // trainer's aggregation — probe-found OOM at 2M.) The modulus only
+    // SIZES the sample, so exactness is never needed: callers over
+    // computed/joined inputs pass `corpusSize` (any order-of-magnitude
+    // estimate keeps the sample within ~2× of sampleCap) and skip the
+    // count; without a hint the count() runs once — metadata-cheap for
+    // parquet-backed frames, a full lineage pass otherwise (advice r15).
+    val sampleMod =
+      math.max(1L, (if (corpusSize >= 0L) corpusSize else emb.count()) / sampleCap)
     val sample = emb.select(col("vec_id"), col("embedding"))
       .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
       .localCheckpoint()
@@ -727,12 +732,20 @@ object Similarity {
     // id side while it fits), pairs RE-FORM in a second cluster-co-located
     // join, and gate + exact cosine decide inline; only distinct dup ids
     // survive
-    val cf = asg
+    // same knob as indexedAssignment's members checkpoint: with
+    // storeAssignInputs=false the candidate floats are re-read from the
+    // source scan by each rescore side instead of checkpointed (on a
+    // dup-dense corpus candidates ≈ corpus, so this frame is float-scale)
+    val cf0 = asg
       .join(emb.join(candIds, Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("embedding"),
           sqrt(dot(col("embedding"), col("embedding"))).as("fn")),
         Seq("vec_id"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cf =
+      if (asg.sparkSession.conf
+        .get("spark.graft.semdedup.storeAssignInputs", "true").toBoolean)
+        cf0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else cf0
     val x = cf.select(col("cluster").as("ca"), col("vec_id").as("i"),
       col("pcodes").as("p_i"), col("rnrm").as("n_i"),
       col("embedding").as("e_i"), col("fn").as("fn_i"))
@@ -808,10 +821,27 @@ object Similarity {
     // disk-spilled blocks into the memory store as Java objects
     // (BlockManager.maybeCacheDiskValuesInMemory) — the 20M-vector probe's
     // executor OOM. Disk blocks stream; the bkSets precedent.
-    val members = emb
+    //
+    // RECOMPUTE-VS-STORE knob (round 16, the fifth decade's wall): this is
+    // the one corpus-scale FLOAT checkpoint left in the coded path —
+    // ~272 B/vector where the codes are 16 — and single-host scratch
+    // CAPACITY is what killed the sf2000-class probes.
+    // `spark.graft.semdedup.storeAssignInputs=false` skips it (and the
+    // candidate-float checkpoint in the coded rescore), so consumers
+    // re-derive (ccell, embedding) from the source scan + the row-local
+    // coarse argmax — a few extra compiled scan passes (CPU, linear) for
+    // 17× less scratch. Default `true`: on a cluster, disks are aggregate
+    // and the checkpoint saves the recompute. SimilaritySpec pins
+    // knob-invariance of the dedup verdicts.
+    val storeFloats = spark.conf
+      .get("spark.graft.semdedup.storeAssignInputs", "true").toBoolean
+    val members0 = emb
       .select(col("vec_id"), element_at(cellsCol(cids, cbook, 1), 1).as("ccell"),
         col("embedding"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val members =
+      if (storeFloats)
+        members0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else members0
     releaseShuffles(spark)
     // per-cell fine seeds: the kf hash-first members of each coarse cell,
     // with fid = ccell·kf + rank so the fine id ENCODES its coarse cell.

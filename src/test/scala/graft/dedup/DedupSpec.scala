@@ -287,6 +287,23 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.bottomk.docsPerShard")
   }
 
+  test("bottom-k storeSets=false (recompute mode) is result-identical") {
+    // round 16: the recompute-vs-store knob for disk-bound hosts — the
+    // sf2000 probe died mid-bkSets checkpoint on scratch CAPACITY, so
+    // storeSets=false trades extra shingle-kernel scan passes for the
+    // whole array checkpoint's disk. The knob may only change WHERE the
+    // arrays come from, never the pairs.
+    val cont1 = pairSet(Dedup.containmentBottomKJoin(docs, 0.8))
+    val jac1 = pairSet(Dedup.jaccardBottomKJoin(docs, 0.5))
+    spark.conf.set("spark.graft.bottomk.storeSets", "false")
+    try {
+      assert(pairSet(Dedup.containmentBottomKJoin(docs, 0.8)) == cont1,
+        "recompute-mode containment pairs diverge from stored-mode")
+      assert(pairSet(Dedup.jaccardBottomKJoin(docs, 0.5)) == jac1,
+        "recompute-mode jaccard pairs diverge from stored-mode")
+    } finally spark.conf.unset("spark.graft.bottomk.storeSets")
+  }
+
   test("signature prefilter: threshold-exact pairs survive both banded joins") {
     // a pair at jaccard EXACTLY t is the prefilter's worst legitimate
     // customer: its lane estimate must clear t − 0.25 (the 4σ margin), so

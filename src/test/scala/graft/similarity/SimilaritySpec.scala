@@ -488,6 +488,26 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.95, f"coded-vs-float kept agreement $agree%.3f < 0.95")
   }
 
+  test("coded dedup: storeAssignInputs=false (codes-only scratch) is verdict-identical") {
+    // round 16, the fifth decade's knob: with storeAssignInputs=false the
+    // corpus-scale float checkpoints (indexedAssignment's members frame,
+    // the rescore's candidate-float frame) are skipped and floats re-read
+    // from the source scan — scratch carries codes + norms only. The knob
+    // may only change WHAT is materialized, never a verdict; and the
+    // corpus-size hint must not change the sample (same modulus either way).
+    val (corpus, expect) = plantedFamilies
+    def decisions(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    val stored = decisions(Similarity.semanticDedupCoded(corpus, 4, 0.9))
+    spark.conf.set("spark.graft.semdedup.storeAssignInputs", "false")
+    try {
+      val light = decisions(Similarity.semanticDedupCoded(corpus, 4, 0.9,
+        corpusSize = corpus.count()))
+      assert(light === stored && light === expect,
+        "codes-only-scratch verdicts diverge from the stored-float mode")
+    } finally spark.conf.unset("spark.graft.semdedup.storeAssignInputs")
+  }
+
   test("semanticDedup routes to the probe-join assignment above the literal-seed threshold") {
     // r14 advice note #2: the seed collect grows with k; above
     // spark.graft.semdedup.maxLiteralSeeds the oracle path must delegate
