@@ -20,6 +20,12 @@ object Bench {
         sys.props.getOrElse("spark.rdd.compress", "true"))
       .config("spark.io.compression.codec",
         sys.props.getOrElse("spark.io.compression.codec", "zstd"))
+      // zstd LEVEL 3 (round-16 A/B at sf1000, same session, bottom-k):
+      // 403.1 s / 19.5 GB peak scratch vs level-1's 421.4 s / 34.7 GB —
+      // wall within noise, scratch -44%, and scratch CAPACITY is the
+      // single-host wall the fifth-decade probes keep hitting
+      .config("spark.io.compression.zstd.level",
+        sys.props.getOrElse("spark.io.compression.zstd.level", "3"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
