@@ -25,20 +25,11 @@ object MvScaleProbe {
     val Array(work, rowsS) = args.take(2)
     val n = rowsS.toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // compression defaults (zstd level 3 etc.) live in ONE place,
+    // sys-prop-overridable for A/B probes: graft.util.EngineDefaults
+    val spark = graft.util.EngineDefaults.withCompression(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.rdd.compress", "true")
-      // zstd for shuffle/spill/cached blocks: the round-15 sf1000 A/B
-      // measured 18% faster wall at 33% lower peak disk on the bottom-k
-      // join (and 25%/15% on coded semantic dedup) vs the lz4 default —
-      // the disk-bound phases read and write a third less
-      .config("spark.io.compression.codec", "zstd")
-      // zstd LEVEL 3 (round-16 A/B at sf1000, same session, bottom-k):
-      // 403.1 s / 19.5 GB peak scratch vs level-1's 421.4 s / 34.7 GB —
-      // wall within noise, scratch -44%, and scratch CAPACITY is the
-      // single-host wall the fifth-decade probes keep hitting
-      .config("spark.io.compression.zstd.level", "3")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -528,14 +528,16 @@ object Streaming {
           // rows, but dropDuplicates keeps an ARBITRARY one — if a
           // malformed batch ever lands two different payloads under one
           // id, the stored feature must not depend on partition order.
-          // max_by on the payload hash picks the same row on every replay
-          // (hash ties ⇒ byte-identical payloads ⇒ any winner is the same
-          // content).
+          // max_by on (payload hash, declared_format) picks the same row on
+          // every replay: a hash tie means byte-identical payloads, but the
+          // DECLARED FORMAT can still differ between the tied rows (it
+          // feeds the encoder tag), so it joins the ordering key rather
+          // than riding partition order (review r16).
           val winners = batch
             .groupBy(col("media_id"))
             .agg(max_by(
               struct(col("payload"), col("declared_format")),
-              xxhash64(col("payload"))).as("w"))
+              struct(xxhash64(col("payload")), col("declared_format"))).as("w"))
             .select(col("media_id"), col("w.payload").as("payload"),
               col("w.declared_format").as("declared_format"))
           val feats = graft.multimodal.Multimodal

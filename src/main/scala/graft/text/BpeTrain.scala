@@ -249,7 +249,22 @@ object BpeTrain {
                 "the kernel's 16-letter packing bound")
             Some((a, b))
           }
-      }.toVector
+      }.toVector.ensuring({ ms =>
+        // The priority-replay ≡ sequential-replay equivalence the kernel
+        // leans on ("a merge creates only higher-rank pairs") has a hole
+        // when TWO merges produce the same piece and a consumer of that
+        // piece ranks between them: the second producer then creates a
+        // LOWER-rank consumable pair that sequential application (the
+        // trainer's ground truth) never revisits but priority replay
+        // would. Distinct products rule the configuration out entirely;
+        // the shipped vocabulary satisfies this, and a retrained one that
+        // does not must fail LOUDLY here, not drift the kernel away from
+        // its own oracle (review r16).
+        val prods = ms.map { case (a, b) => a + b }
+        prods.distinct.size == prods.size
+      }, "bpe_merges.txt: two merges produce the same piece — the kernel's " +
+        "priority replay would diverge from sequential trainer application; " +
+        "see the equivalence note in BpeCounts")
     } finally in.close()
   }
 
