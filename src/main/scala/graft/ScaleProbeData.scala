@@ -41,7 +41,8 @@ object ScaleProbeData {
   ).withDefault(identity)
 
   def amplify(table: String, df: DataFrame, cols: Seq[String],
-      bases: Map[String, Long], factor: Int): DataFrame =
+      bases: Map[String, Long], factor: Int,
+      mode: String = "tagged", salt: Int = 0): DataFrame =
     // dimension tables (no shift columns) stay FIXED — one copy, as TPC-H
     // scaling does. Unioning identical replicas would duplicate every
     // dimension key, fanning each nation/region join out by the factor and
@@ -51,7 +52,8 @@ object ScaleProbeData {
       val shifted = cols.foldLeft(df) { (acc, c) =>
         acc.withColumn(c, col(c) + lit(i * bases(baseOf(c))))
       }
-      mutate(table, shifted, i)
+      if (mode == "crawl") mutateCrawl(table, shifted, i, salt)
+      else mutate(table, shifted, i)
     }.reduce(_ unionAll _)
 
   /** Replicas must not be DUPLICATES of each other: the source corpus has
@@ -85,13 +87,82 @@ object ScaleProbeData {
       case _ => df
     }
 
+  /** REALISTIC-VOCABULARY amplification (round-17 verdict #2). The tagged
+    * mode above keeps replicas distinct with a FIXED 9-token tag alphabet,
+    * so the amplified corpus's shingle vocabulary barely grows — df
+    * exchanges and candidate masses probe far smaller than a real crawl's
+    * at the same row count (the r16 886 MB figure vs the documented
+    * ~15 GB/shard real-corpus bound) — and chained ×10 steps make half of
+    * each ×2 step verbatim. Crawl mode makes the headline numbers honest:
+    *
+    *  - documents: every other source token gets a SPLICED synthetic token
+    *    keyed by (salt, replica, underlying word) — per replica that is up
+    *    to 4096 novel tokens whose placement follows the source text, so
+    *    per-replica shingle vocabulary stays ≈ the source's (shifted
+    *    patterns) and TOTAL distinct shingles grow ~linearly with the
+    *    factor, Heaps-law-like, instead of staying flat. ~10% of replica
+    *    docs (doc_id-keyed) splice only every 16th token: those remain
+    *    genuine near-dup family members of their source (3-shingle Jaccard
+    *    ~0.6-0.7), giving candidate generation a realistic boilerplate-
+    *    family mass instead of 0% or 100%.
+    *  - embeddings: additive hash noise on every coordinate, scaled to the
+    *    vector's own norm — 10% of replicas at ε=0.05 (cosine ≈ 0.999:
+    *    true semantic dups) and 90% at ε=1.0 (cosine ≈ 0.7: in-
+    *    distribution neighbors, below dedup gates) — so the candidate set
+    *    scales like a corpus with real dup families, not like the
+    *    degenerate everything-is-a-candidate regime verbatim replication
+    *    produced.
+    *
+    * `salt` MUST differ between chained amplification steps (×100 then
+    * ×10): without it, level-2 replica 3's tag tokens collide with
+    * level-1 replica 3's and vocabulary growth flattens again.
+    */
+  private def mutateCrawl(table: String, df: DataFrame, i: Int, salt: Int): DataFrame =
+    table match {
+      case "documents" if i > 0 =>
+        val words = split(col("text"), " ")
+        val light = pmod(xxhash64(col("doc_id"), lit(salt)), lit(10)) === 0
+        val stride = when(light, lit(16)).otherwise(lit(2))
+        val tagged = array_join(
+          zip_with(words,
+            sequence(lit(0), greatest(size(words) - 1, lit(0))),
+            (w, k) => when(k % stride === 0,
+              concat(lit(s"z${salt}x$i" + "q"),
+                pmod(xxhash64(w, lit(salt), lit(i)), lit(4096)),
+                lit(" "), w)).otherwise(w)),
+          " ")
+        df.withColumn("text", when(col("text").isNull, col("text")).otherwise(tagged))
+          .withColumn("n_chars", coalesce(length(col("text")), lit(0)).cast("long"))
+      case "embeddings" if i > 0 =>
+        // per-coordinate noise u ∈ [-1, 1] keyed by (vec_id, coord, salt,
+        // replica); ε·‖v‖/√d per coordinate gives cosine ≈ 1/√(1+ε²)
+        val nrm = sqrt(aggregate(transform(col("embedding"),
+          v => v.cast("double") * v), lit(0.0d), (a, x) => a + x))
+        val eps = when(
+          pmod(xxhash64(col("vec_id"), lit(salt + 7), lit(i)), lit(10)) === 0,
+          lit(0.05d)).otherwise(lit(1.0d))
+        df.withColumn("embedding",
+          transform(col("embedding"), (v, k) =>
+            (v + (eps * nrm / lit(8.0d)) *
+              ((pmod(xxhash64(col("vec_id"), k, lit(salt), lit(i)), lit(2001))
+                - lit(1000)) / lit(1000.0d))).cast("float")))
+      case _ => df
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 4th arg: comma-separated table subset — a FACTOR=100 probe
-    // of one pipeline doesn't need 60M amplified lineitem rows on disk
+    // of one pipeline doesn't need 60M amplified lineitem rows on disk.
+    // optional 5th arg: mode — "tagged" (default, fixed tag alphabet) or
+    // "crawl:<salt>" (realistic vocabulary growth; salt distinguishes
+    // chained amplification steps — see mutateCrawl).
     val Array(src, out, factorS) = args.take(3)
     val only: Set[String] =
-      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      if (args.length > 3 && args(3).nonEmpty) args(3).split(",").map(_.trim).toSet
       else shiftCols.keySet
+    val (mode, salt) =
+      if (args.length > 4 && args(4).startsWith("crawl"))
+        ("crawl", args(4).split(":").lift(1).map(_.toInt).getOrElse(1))
+      else ("tagged", 0)
     val factor = factorS.toInt
     // compression defaults (zstd level 3 etc.) live in ONE place,
     // sys-prop-overridable for A/B probes: graft.util.EngineDefaults
@@ -125,10 +196,10 @@ object ScaleProbeData {
       val outParts = math.max(
         math.max(spark.sparkContext.defaultParallelism, factor),
         (df.count() * factor / 250000L + 1L).toInt)
-      amplify(t, df, cols, bases, factor)
+      amplify(t, df, cols, bases, factor, mode, salt)
         .repartition(outParts)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[probe] $t x$factor written ($outParts files)")
+      println(s"[probe] $t x$factor written ($outParts files, mode=$mode salt=$salt)")
     }
     spark.stop()
   }

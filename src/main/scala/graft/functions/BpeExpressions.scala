@@ -144,46 +144,117 @@ object BpeCounts {
     }
   }
 
+  /** Reusable replay scratch: symbol linked list + current pair ranks +
+    * a lazy-deletion binary min-heap of packed (rank << 32 | leftStart)
+    * entries. One instance per counting row, grown to the longest letter
+    * run encountered (the same reuse discipline the old starts/prk pair
+    * had).
+    */
+  private[graft] final class BpeScratch {
+    var nxt: Array[Int] = new Array[Int](0)
+    var prv: Array[Int] = new Array[Int](0)
+    var rnk: Array[Int] = new Array[Int](0)
+    private var heap: Array[Long] = new Array[Long](0)
+    var hn = 0
+    def ensure(n: Int): Unit = if (nxt.length < n + 1) {
+      nxt = new Array[Int](n + 1); prv = new Array[Int](n + 1)
+      rnk = new Array[Int](n + 1); heap = new Array[Long](3 * n + 8)
+    }
+    def push(v: Long): Unit = {
+      var i = hn; heap(i) = v; hn += 1
+      while (i > 0 && heap((i - 1) >> 1) > heap(i)) {
+        val pa = (i - 1) >> 1
+        val t = heap(i); heap(i) = heap(pa); heap(pa) = t
+        i = pa
+      }
+    }
+    def pop(): Long = {
+      val top = heap(0); hn -= 1; heap(0) = heap(hn)
+      var i = 0
+      var done = false
+      while (!done) {
+        var c = 2 * i + 1
+        if (c >= hn) done = true
+        else {
+          if (c + 1 < hn && heap(c + 1) < heap(c)) c += 1
+          if (heap(i) <= heap(c)) done = true
+          else { val t = heap(i); heap(i) = heap(c); heap(c) = t; i = c }
+        }
+      }
+      top
+    }
+  }
+
   /** Merge-priority replay over one [a-z]+ run b[start, end): fills
     * `starts` (caller-sized ≥ len+1) with the final token boundaries and
     * returns the token count m (boundaries starts(0..m), starts(m) = end).
-    * `prk` (caller-sized ≥ len) caches per-pair ranks so each merge
-    * recomputes only its two neighbors; the min-scan per merge is O(m).
+    *
+    * The lowest-rank-pair selection runs through `sc`'s lazy-deletion heap
+    * (advice r16 #1 — the retired linear rescan made a single megabyte
+    * [a-z]+ run O(L²) when any (x,x) merge is learned): pairs are keyed
+    * (rank << 32 | leftStart), so Long ordering IS (rank, leftmost) — the
+    * exact tie-break of the old scan — and left-symbol start offsets never
+    * move (boundaries only get removed), so stale entries are detected by
+    * `rnk(p) != rank` alone. The one stale-entry case that check cannot
+    * see — a recomputed pair landing on the SAME rank — implies the same
+    * merge product at the same split (loadShippedMerges enforces
+    * no-duplicate-product), i.e. a byte-identical pair whose merge action
+    * is the one the fresh entry would take; popping the stale twin first
+    * is therefore behavior-identical. Each merge pushes ≤ 2 entries, so
+    * the heap is ≤ 3·L and the replay O(L log L) on ANY input.
     */
   private[graft] def encodeWord(b: Array[Byte], start: Int, end: Int,
-      starts: Array[Int], prk: Array[Int]): Int = {
+      starts: Array[Int], sc: BpeScratch): Int = {
     val n = end - start
-    var m = n
     var i = 0
     while (i <= n) { starts(i) = start + i; i += 1 }
-    if (m < 2) return m
-    def rank(i: Int): Int =
-      Ranks.rankOf(b, starts(i), starts(i + 2) - starts(i),
-        starts(i + 1) - starts(i))
-    i = 0
-    while (i < m - 1) { prk(i) = rank(i); i += 1 }
-    var done = false
-    while (!done) {
-      var best = -1
-      var bestR = Int.MaxValue
-      var k = 0
-      while (k < m - 1) {
-        if (prk(k) < bestR) { bestR = prk(k); best = k }
-        k += 1
-      }
-      if (best < 0) done = true
-      else {
-        // merge symbols best and best+1: drop boundary starts(best+1);
-        // pairs past the merge keep their ranks, the two pairs touching
-        // the new symbol recompute
-        System.arraycopy(starts, best + 2, starts, best + 1, m - best - 1)
-        if (m - best - 3 > 0)
-          System.arraycopy(prk, best + 2, prk, best + 1, m - best - 3)
-        m -= 1
-        if (best > 0) prk(best - 1) = rank(best - 1)
-        if (best < m - 1) prk(best) = rank(best)
+    if (n < 2) return n
+    sc.ensure(n)
+    val nxt = sc.nxt; val prv = sc.prv; val rnk = sc.rnk
+    sc.hn = 0
+    var p = 0
+    while (p < n) {
+      nxt(p) = p + 1; prv(p) = p - 1; rnk(p) = Int.MaxValue
+      p += 1
+    }
+    p = 0
+    while (p < n - 1) {
+      val r = Ranks.rankOf(b, start + p, 2, 1)
+      rnk(p) = r
+      if (r != Int.MaxValue) sc.push((r.toLong << 32) | p)
+      p += 1
+    }
+    while (sc.hn > 0) {
+      val e = sc.pop()
+      val r = (e >>> 32).toInt
+      val li = (e & 0xFFFFFFFFL).toInt
+      // alive (nxt >= 0) and current (rank unchanged) — else a stale entry
+      if (nxt(li) >= 0 && rnk(li) == r) {
+        val q = nxt(li) // right symbol's start: the boundary this merge drops
+        val s = nxt(q)
+        nxt(q) = -1 // dead marker
+        nxt(li) = s
+        rnk(li) = Int.MaxValue
+        if (s < n) {
+          prv(s) = li
+          // new right-neighbor pair (li, s): spans [li, nxt(s)), split at s
+          val nr = Ranks.rankOf(b, start + li, nxt(s) - li, s - li)
+          rnk(li) = nr
+          if (nr != Int.MaxValue) sc.push((nr.toLong << 32) | li)
+        }
+        val l = prv(li)
+        if (l >= 0) {
+          // left-neighbor pair (l, li): spans [l, s), split at li
+          val nr = Ranks.rankOf(b, start + l, s - l, li - l)
+          rnk(l) = nr
+          if (nr != Int.MaxValue) sc.push((nr.toLong << 32) | l)
+        }
       }
     }
+    var m = 0
+    p = 0
+    while (p < n) { starts(m) = start + p; m += 1; p = nxt(p) }
+    starts(m) = end
     m
   }
 
@@ -194,8 +265,7 @@ object BpeCounts {
   private[graft] def encodeTokens(word: String): Seq[String] = {
     val b = word.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val starts = new Array[Int](b.length + 1)
-    val prk = new Array[Int](math.max(1, b.length))
-    val m = encodeWord(b, 0, b.length, starts, prk)
+    val m = encodeWord(b, 0, b.length, starts, new BpeScratch)
     (0 until m).map(i => word.substring(starts(i), starts(i + 1)))
   }
 
@@ -205,18 +275,15 @@ object BpeCounts {
     var nBpe = 0L; var nMerged = 0L; var nOther = 0L
     // per-row replay buffers, grown to the longest letter run encountered
     var starts = new Array[Int](65)
-    var prk = new Array[Int](64)
+    val sc = new BpeScratch
     var i = 0
     while (i < n) {
       val c = b(i)
       if (c >= 'a' && c <= 'z') {
         var e = i
         while (e < n && b(e) >= 'a' && b(e) <= 'z') e += 1
-        if (e - i + 1 > starts.length) {
-          starts = new Array[Int](e - i + 1)
-          prk = new Array[Int](e - i)
-        }
-        val m = encodeWord(b, i, e, starts, prk)
+        if (e - i + 1 > starts.length) starts = new Array[Int](e - i + 1)
+        val m = encodeWord(b, i, e, starts, sc)
         nBpe += m
         var t = 0
         while (t < m) {

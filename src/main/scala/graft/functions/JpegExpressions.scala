@@ -274,7 +274,12 @@ object JpegDecode {
 
   /** Decode outcome for the gray tiers; a null GrayOut = header failure
     * (nothing reportable), ok=false = valid header but malformed entropy
-    * stream (geometry reportable, sums not).
+    * stream (geometry reportable, sums not). The allocate-before-validate
+    * plausibility guard (header-declared dims demanding more plane mass
+    * than the remaining entropy bytes could code) is the SAME contract on
+    * every tier, gray and color alike: the header DID parse, so geometry
+    * reports and sums null — ok=false, never a whole-row null (advice
+    * r16 #3 closed the gray-progressive asymmetry).
     */
   private final class GrayOut(val w: Int, val h: Int, val ok: Boolean, val nAc: Long)
 
@@ -444,8 +449,10 @@ object JpegDecode {
     // block, and entropy data lives AFTER the first SOS — so the bound is
     // the remaining ENTROPY bytes, not the total file length (a header-
     // only payload padded with metadata cannot vouch for plane mass;
-    // advice r15).
-    if (nBlocks.toLong > 8L * (p.length - sosAt)) return null
+    // advice r15). Geometry-with-null-sums, like every tier's guard: the
+    // header parsed, the entropy stream just cannot be genuine (see the
+    // GrayOut contract; advice r16 #3).
+    if (nBlocks.toLong > 8L * (p.length - sosAt)) return new GrayOut(w, h, false, 0L)
     val comp = new PComp(1, 1, compTq, bw, bh, bw, bh)
     runProgressiveScans(p, sosAt, Array(comp), Array(compIdG),
       quant, dcTabs, acTabs, ri, bw, bh) match {
@@ -453,7 +460,9 @@ object JpegDecode {
       case ScanCorrupt => new GrayOut(w, h, false, 0L)
       case ScanOk =>
         // emit the finished plane: dequant per block, stream to the sink
-        val qte = quant(compTq) // possibly redefined between scans; bound once
+        // the table latched at the component's FIRST scan, not the last
+        // DQT in the stream (libjpeg parity; advice r16 #2)
+        val qte = if (comp.latchedQt != null) comp.latchedQt else quant(compTq)
         val sink = mk(w, h)
         val coef = new Array[Int](64)
         var nAc = 0L
@@ -489,6 +498,16 @@ object JpegDecode {
       val bwReal: Int, val bhReal: Int, val bwPad: Int, val bhPad: Int) {
     val coefs = new Array[Short](bwPad * bhPad * 64)
     var pred = 0
+    /** Quant table LATCHED at this component's first scan (advice r16 #2):
+      * libjpeg's jdinput.c latch_quant_tables binds each component's
+      * dequant table once, when the first scan containing it starts — so
+      * a stream that redefines a DQT between scans dequantizes earlier
+      * components with the OLD values. Emission reads this reference
+      * (DQT redefinition installs a fresh array, leaving it intact);
+      * null only if the component never appeared in any scan, where the
+      * plane is all zeros and the table is irrelevant.
+      */
+    var latchedQt: Array[Int] = null
   }
 
   /** Per-scan entropy state shared by the AC block coders. */
@@ -768,6 +787,13 @@ object JpegDecode {
         }
         if (!bindOk || !validBand || al > 13 || !tablesOk) ok = false
         else {
+          // latch each scanned component's quant table ONCE, at its first
+          // scan — libjpeg's latch_quant_tables contract (advice r16 #2)
+          var lj = 0
+          while (lj < ns) {
+            if (sc(lj).latchedQt == null) sc(lj).latchedQt = quant(sc(lj).tq)
+            lj += 1
+          }
           val r = new BitReader(p, scanPos + 2 + sl, p.length)
           ok = decodeScanBody(r, sc, std, sta, ns, ss, se, ah, al, ri, mcuW, mcuH)
           sawScan = true
@@ -1038,7 +1064,11 @@ object JpegDecode {
     var h = -1
     var ri = 0 // DRI restart interval (0 = none)
     var progressive = false
-    var lumaSamp = 1 // 1 = 4:4:4, 2 = 4:2:0 (Y 2×2, chroma 1×1)
+    // Y sampling factors (chroma always 1×1): (1,1) = 4:4:4, (2,2) = 4:2:0,
+    // (2,1) = 4:2:2, (1,2) = 4:4:0 — the full two-factor envelope round 17
+    // generalized the MCU walks to (verdict #4)
+    var hsY = 1
+    var vsY = 1
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[JHuff](4)
     val acTabs = new Array[JHuff](4)
@@ -1064,16 +1094,18 @@ object JpegDecode {
               quant(tq) = Array.tabulate(64)(i => u8(p, q + 1 + i))
             q += 65
           }
-        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive:
-          // 8-bit, three components, 4:4:4 or 4:2:0
-          val samp444 = len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
-            (0 until 3).forall(c => u8(p, body + 7 + 3 * c) == 0x11)
-          val samp420 = len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
-            u8(p, body + 7) == 0x22 && u8(p, body + 10) == 0x11 &&
-            u8(p, body + 13) == 0x11
-          if (samp444 || samp420) {
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive: 8-bit,
+          // three components, Y factors ∈ {1,2}², chroma 1×1 —
+          // 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0
+          val f0 = u8(p, body + 7)
+          val sampOk = len >= 17 && u8(p, body) == 8 && u8(p, body + 5) == 3 &&
+            (f0 >> 4) >= 1 && (f0 >> 4) <= 2 &&
+            (f0 & 0x0F) >= 1 && (f0 & 0x0F) <= 2 &&
+            u8(p, body + 10) == 0x11 && u8(p, body + 13) == 0x11
+          if (sampOk) {
             progressive = marker == 0xC2
-            if (samp420) lumaSamp = 2
+            hsY = f0 >> 4
+            vsY = f0 & 0x0F
             h = beU16(p, body + 1)
             w = beU16(p, body + 3)
             compId = Array.tabulate(3)(c => u8(p, body + 6 + 3 * c))
@@ -1113,7 +1145,7 @@ object JpegDecode {
     // decoder materializes for such an image
     if (sosAt < 0 || w <= 0 || h <= 0 || compQ == null ||
       w > (1 << 14) || h > (1 << 14) ||
-      ((lumaSamp == 2 || progressive) && (w > (1 << 13) || h > (1 << 13))) ||
+      ((hsY * vsY > 1 || progressive) && (w > (1 << 13) || h > (1 << 13))) ||
       compQ.exists(_ > 3) ||
       (0 until 3).exists(c => quant(compQ(c)) == null))
       return null
@@ -1125,16 +1157,18 @@ object JpegDecode {
         dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null))
       return null
     if (progressive)
-      return decodeColorProgressive(p, sosAt, w, h, lumaSamp, compId, compQ,
+      return decodeColorProgressive(p, sosAt, w, h, hsY, vsY, compId, compQ,
         quant, dcTabs, acTabs, ri, mk)
     val scanStart = sosAt + 2 + beU16(p, sosAt + 2)
-    val mcuPx = 8 * lumaSamp // MCU pixel span: 8 (4:4:4) or 16 (4:2:0)
-    val bw = (w + mcuPx - 1) / mcuPx
-    val bh = (h + mcuPx - 1) / mcuPx
+    val mcuPxW = 8 * hsY // MCU pixel span per axis: 8 or 16
+    val mcuPxH = 8 * vsY
+    val bw = (w + mcuPxW - 1) / mcuPxW
+    val bh = (h + mcuPxH - 1) / mcuPxH
     val nMcus = bw.toLong * bh
     if (scanStart >= p.length) return new ColorOut(w, h, nMcus, false, 0L)
     val sink = mk(w, h)
-    val nLuma = lumaSamp * lumaSamp // Y data units per MCU (1 or 4)
+    val nLuma = hsY * vsY // Y data units per MCU (1, 2 or 4)
+    val subsampled = nLuma > 1
     val r = new BitReader(p, scanStart, p.length)
     var nAc = 0L
     val pred = new Array[Int](3)
@@ -1143,20 +1177,20 @@ object JpegDecode {
     val coef = Array.ofDim[Int](nLuma + 2, 64)
     val hasAc = new Array[Boolean](nLuma + 2)
     def clamp255(v: Int): Int = math.min(255, math.max(0, v))
-    // 4:2:0 plane buffers: the chroma plane varies across MCUs and the
+    // subsampled plane buffers: the chroma plane varies across MCUs and the
     // upsampling filter reads NEIGHBOR samples across MCU boundaries, so
     // the pixel fold cannot run per-MCU — decode every sample into padded
     // planes first, fold after the scan
     // same allocate-before-validate guard as the progressive plane: a
-    // 4:2:0 MCU holds six data units (>= 6 Huffman codes, well over a
+    // subsampled MCU holds 4-6 data units (>= 4 Huffman codes, over a
     // byte), so a genuine file carries at least one byte per MCU
-    if (lumaSamp == 2 && nMcus > p.length)
+    if (subsampled && nMcus > p.length)
       return new ColorOut(w, h, nMcus, false, 0L)
-    val yW = if (lumaSamp == 2) 16 * bw else 0
-    val cwPad = if (lumaSamp == 2) 8 * bw else 0
-    val yPlane: Array[Byte] = if (lumaSamp == 2) new Array(yW * 16 * bh) else null
-    val cbPlane: Array[Byte] = if (lumaSamp == 2) new Array(cwPad * 8 * bh) else null
-    val crPlane: Array[Byte] = if (lumaSamp == 2) new Array(cwPad * 8 * bh) else null
+    val yW = if (subsampled) mcuPxW * bw else 0
+    val cwPad = if (subsampled) 8 * bw else 0
+    val yPlane: Array[Byte] = if (subsampled) new Array(yW * mcuPxH * bh) else null
+    val cbPlane: Array[Byte] = if (subsampled) new Array(cwPad * 8 * bh) else null
+    val crPlane: Array[Byte] = if (subsampled) new Array(cwPad * 8 * bh) else null
     var by = 0
     var ok = true
     while (ok && by < bh) {
@@ -1222,14 +1256,14 @@ object JpegDecode {
         if (ok) {
           def unitVal(unit: Int, xx: Int, yy: Int): Int =
             pixelOf(coef(unit), hasAc(unit), xx, yy)
-          if (lumaSamp == 2) {
-            // 4:2:0: write decoded (range-limited) samples into the plane
-            // buffers; the pixel fold runs after the scan because fancy
+          if (subsampled) {
+            // subsampled: write decoded (range-limited) samples into the
+            // plane buffers; the pixel fold runs after the scan because
             // upsampling needs chroma neighbors from adjacent MCUs
             var u = 0
             while (u < nLuma) {
-              val baseX = bx * 16 + (u & 1) * 8
-              val baseY = by * 16 + (u >> 1) * 8
+              val baseX = bx * mcuPxW + (u % hsY) * 8
+              val baseY = by * mcuPxH + (u / hsY) * 8
               var yy = 0
               while (yy < 8) {
                 var xx = 0
@@ -1257,12 +1291,12 @@ object JpegDecode {
             // 4:4:4: fold the in-geometry pixels streaming — every
             // component is full-resolution, no upsampling anywhere
             var yy = 0
-            while (yy < mcuPx) {
-              val py = by * mcuPx + yy
+            while (yy < 8) {
+              val py = by * 8 + yy
               if (py < h) {
                 var xx = 0
-                while (xx < mcuPx) {
-                  val px = bx * mcuPx + xx
+                while (xx < 8) {
+                  val px = bx * 8 + xx
                   if (px < w) {
                     val yv = unitVal(0, xx, yy)
                     val cbv = unitVal(nLuma, xx, yy)
@@ -1286,10 +1320,26 @@ object JpegDecode {
       }
       by += 1
     }
-    if (ok && lumaSamp == 2)
-      fold420Planes(yPlane, cbPlane, crPlane, yW, cwPad, w, h, sink)
+    if (ok && subsampled)
+      foldSubsampledPlanes(hsY, vsY, yPlane, cbPlane, crPlane, yW, cwPad,
+        w, h, sink)
     new ColorOut(w, h, nMcus, ok, nAc)
   }
+
+  /** Dispatch to the sampling geometry's upsampling fold: (2,2) h2v2
+    * fancy, (2,1) h2v1 fancy, (1,2) row replication — each the filter the
+    * IJG-derived ImageIO reader runs for that geometry (jdsample.c
+    * jinit_upsampler: h2v2_fancy / h2v1_fancy / int_upsample).
+    */
+  private def foldSubsampledPlanes(hsY: Int, vsY: Int, yPlane: Array[Byte],
+      cbPlane: Array[Byte], crPlane: Array[Byte], yW: Int, cwPad: Int,
+      w: Int, h: Int, sink: RgbSink): Unit =
+    if (hsY == 2 && vsY == 2)
+      fold420Planes(yPlane, cbPlane, crPlane, yW, cwPad, w, h, sink)
+    else if (hsY == 2)
+      fold422Planes(yPlane, cbPlane, crPlane, yW, cwPad, w, h, sink)
+    else
+      fold440Planes(yPlane, cbPlane, crPlane, yW, cwPad, w, h, sink)
 
   /** 4:2:0 chroma upsampling + per-pixel fold over decoded sample planes
     * (shared by the baseline and progressive color paths): libjpeg's h2v2
@@ -1342,6 +1392,86 @@ object JpegDecode {
     }
   }
 
+  /** 4:2:2 (Y 2×1) upsampling fold — libjpeg's h2v1 "fancy" filter
+    * (jdsample.c h2v1_fancy_upsample, the IJG default ImageIO runs):
+    * horizontally the NEARER chroma sample weighs 3:1 against the farther
+    * with rounding +1 (even px) / +2 (odd px) and one >> 2; rows are
+    * full-resolution (no vertical filter). The first/last-column special
+    * cases (output = the edge sample verbatim) are exactly the
+    * clamped-index formula — (4·s + 1) >> 2 = s — so one formula covers
+    * the whole row, mirroring [[fold420Planes]]'s clamping.
+    */
+  private def fold422Planes(yPlane: Array[Byte], cbPlane: Array[Byte],
+      crPlane: Array[Byte], yW: Int, cwPad: Int, w: Int, h: Int,
+      sink: RgbSink): Unit = {
+    def clamp255(v: Int): Int = math.min(255, math.max(0, v))
+    val cdw = (w + 1) / 2
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        val i = px >> 1
+        val in2 =
+          if ((px & 1) == 0) { if (i > 0) i - 1 else 0 }
+          else math.min(i + 1, cdw - 1)
+        val rnd = if ((px & 1) == 0) 1 else 2
+        val cbv = (3 * (cbPlane(py * cwPad + i) & 0xFF) +
+          (cbPlane(py * cwPad + in2) & 0xFF) + rnd) >> 2
+        val crv = (3 * (crPlane(py * cwPad + i) & 0xFF) +
+          (crPlane(py * cwPad + in2) & 0xFF) + rnd) >> 2
+        val yv = yPlane(py * yW + px) & 0xFF
+        val cbx = cbv - 128
+        val crx = crv - 128
+        val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
+        val gv = clamp255(yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
+        val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
+        sink.pixel(px, py, yv, cbv, crv, rv, gv, bv)
+        px += 1
+      }
+      py += 1
+    }
+  }
+
+  /** 4:4:0 (Y 1×2) upsampling fold — the h1v2 FANCY filter (vertical
+    * triangular): the NEARER chroma row weighs 3:1 against the farther,
+    * rounding +1 (even py) / +2 (odd py), one >> 2, edge rows clamped.
+    * Classic IJG 6b fell through to int_upsample (row replication) here,
+    * but the filter the JDK's bundled decoder ACTUALLY runs is the
+    * libjpeg-turbo h1v2_fancy_upsample — established empirically by the
+    * per-pixel MultimodalSpec pin (replication missed by ±3 at block
+    * boundaries), which is the same ground truth the other folds pin.
+    */
+  private def fold440Planes(yPlane: Array[Byte], cbPlane: Array[Byte],
+      crPlane: Array[Byte], yW: Int, cwPad: Int, w: Int, h: Int,
+      sink: RgbSink): Unit = {
+    def clamp255(v: Int): Int = math.min(255, math.max(0, v))
+    val cdh = (h + 1) / 2
+    var py = 0
+    while (py < h) {
+      val j = py >> 1
+      val jn =
+        if ((py & 1) == 0) { if (j > 0) j - 1 else 0 }
+        else math.min(j + 1, cdh - 1)
+      val rnd = if ((py & 1) == 0) 1 else 2
+      var px = 0
+      while (px < w) {
+        val cbv = (3 * (cbPlane(j * cwPad + px) & 0xFF) +
+          (cbPlane(jn * cwPad + px) & 0xFF) + rnd) >> 2
+        val crv = (3 * (crPlane(j * cwPad + px) & 0xFF) +
+          (crPlane(jn * cwPad + px) & 0xFF) + rnd) >> 2
+        val yv = yPlane(py * yW + px) & 0xFF
+        val cbx = cbv - 128
+        val crx = crv - 128
+        val rv = clamp255(yv + ((91881 * crx + 32768) >> 16))
+        val gv = clamp255(yv + ((-22554 * cbx - 46802 * crx + 32768) >> 16))
+        val bv = clamp255(yv + ((116130 * cbx + 32768) >> 16))
+        sink.pixel(px, py, yv, cbv, crv, rv, gv, bv)
+        px += 1
+      }
+      py += 1
+    }
+  }
+
   /** COLOR PROGRESSIVE (SOF2 multi-component) decode — round 16, the rung
     * the round-15 verdict named the single biggest real-corpus gap (real
     * web JPEGs are majority progressive AND overwhelmingly color): the
@@ -1356,30 +1486,31 @@ object JpegDecode {
     * coefficient ends nonzero, so the fixtures agree across tiers).
     */
   private def decodeColorProgressive(p: Array[Byte], sosAt: Int, w: Int, h: Int,
-      lumaSamp: Int, compId: Array[Int], compQ: Array[Int],
+      hsY: Int, vsY: Int, compId: Array[Int], compQ: Array[Int],
       quant: Array[Array[Int]], dcTabs: Array[JHuff], acTabs: Array[JHuff],
       ri: Int, mk: (Int, Int) => RgbSink): ColorOut = {
-    val mcuPx = 8 * lumaSamp
-    val mcuW = (w + mcuPx - 1) / mcuPx
-    val mcuH = (h + mcuPx - 1) / mcuPx
+    val mcuPxW = 8 * hsY
+    val mcuPxH = 8 * vsY
+    val mcuW = (w + mcuPxW - 1) / mcuPxW
+    val mcuH = (h + mcuPxH - 1) / mcuPxH
     val nMcus = mcuW.toLong * mcuH
     // per-component geometry: Y real blocks cover the image; chroma real
-    // blocks cover the SUBSAMPLED dims (ceil(w/2) for 4:2:0); padded grids
-    // are MCU multiples (differ from real when w or h is not an MCU
-    // multiple — the interleaved DC scan codes pad blocks, AC scans skip
-    // them, and emission never reads their out-of-geometry pixels)
-    val cw = (w + lumaSamp - 1) / lumaSamp
-    val ch = (h + lumaSamp - 1) / lumaSamp
+    // blocks cover the SUBSAMPLED dims (per-axis ceil by the Y factor);
+    // padded grids are MCU multiples (differ from real when w or h is not
+    // an MCU multiple — the interleaved DC scan codes pad blocks, AC scans
+    // skip them, and emission never reads their out-of-geometry pixels)
+    val cw = (w + hsY - 1) / hsY
+    val ch = (h + vsY - 1) / vsY
     // allocate-before-validate, BEFORE the planes exist: a DC scan spends
     // ≥ 1 bit per data unit of every component, and entropy data lives
     // after the first SOS — header bytes cannot vouch for plane mass
-    val yPadBlocks = (mcuW.toLong * lumaSamp) * (mcuH.toLong * lumaSamp)
+    val yPadBlocks = (mcuW.toLong * hsY) * (mcuH.toLong * vsY)
     val totalBlocks = yPadBlocks + 2L * nMcus
     if (totalBlocks > 8L * (p.length - sosAt))
       return new ColorOut(w, h, nMcus, false, 0L)
     val comps = Array(
-      new PComp(lumaSamp, lumaSamp, compQ(0), (w + 7) / 8, (h + 7) / 8,
-        mcuW * lumaSamp, mcuH * lumaSamp),
+      new PComp(hsY, vsY, compQ(0), (w + 7) / 8, (h + 7) / 8,
+        mcuW * hsY, mcuH * vsY),
       new PComp(1, 1, compQ(1), (cw + 7) / 8, (ch + 7) / 8, mcuW, mcuH),
       new PComp(1, 1, compQ(2), (cw + 7) / 8, (ch + 7) / 8, mcuW, mcuH))
     runProgressiveScans(p, sosAt, comps, compId, quant, dcTabs, acTabs,
@@ -1393,7 +1524,9 @@ object JpegDecode {
         // dequant one block of component `c` at padded (bx, by) into
         // `coef`; returns the hasAc flag and counts nonzero AC entries
         def dequantBlock(c: PComp, bx: Int, by: Int): Boolean = {
-          val qt = quant(c.tq)
+          // first-scan latched table, not the stream's last DQT (advice
+          // r16 #2; see PComp.latchedQt)
+          val qt = if (c.latchedQt != null) c.latchedQt else quant(c.tq)
           val base = (by * c.bwPad + bx) * 64
           var hasAc = false
           var k = 0
@@ -1406,7 +1539,7 @@ object JpegDecode {
           hasAc
         }
         def clamp255(v: Int): Int = math.min(255, math.max(0, v))
-        if (lumaSamp == 1) {
+        if (hsY == 1 && vsY == 1) {
           // 4:4:4: all three planes share the real grid; reconstruct the
           // three aligned blocks and fold in-geometry pixels per block
           val yC = new Array[Int](64)
@@ -1453,12 +1586,12 @@ object JpegDecode {
             by += 1
           }
         } else {
-          // 4:2:0: reconstruct every padded block into the sample planes,
-          // then run the shared fancy-upsample fold (it needs cross-block
-          // chroma neighbors, so the fold cannot run per block)
-          val yW = 16 * mcuW
+          // subsampled: reconstruct every padded block into the sample
+          // planes, then run the geometry's upsample fold (it needs
+          // cross-block chroma neighbors, so the fold cannot run per block)
+          val yW = mcuPxW * mcuW
           val cwPad = 8 * mcuW
-          val yPlane = new Array[Byte](yW * 16 * mcuH)
+          val yPlane = new Array[Byte](yW * mcuPxH * mcuH)
           val cbPlane = new Array[Byte](cwPad * 8 * mcuH)
           val crPlane = new Array[Byte](cwPad * 8 * mcuH)
           def fillPlane(c: PComp, plane: Array[Byte], pw: Int): Unit = {
@@ -1485,7 +1618,8 @@ object JpegDecode {
           fillPlane(comps(0), yPlane, yW)
           fillPlane(comps(1), cbPlane, cwPad)
           fillPlane(comps(2), crPlane, cwPad)
-          fold420Planes(yPlane, cbPlane, crPlane, yW, cwPad, w, h, sink)
+          foldSubsampledPlanes(hsY, vsY, yPlane, cbPlane, crPlane, yW, cwPad,
+            w, h, sink)
         }
         new ColorOut(w, h, nMcus, true, nAc)
     }

@@ -1227,6 +1227,307 @@ object MediaSynth {
     out.toArray
   }
 
+  /** GENERALIZED-SAMPLING DC-exact color baseline JPEG (round 17 — the
+    * 4:2:2 / 4:4:0 envelope remainder): Y sampled hs×vs (hs, vs ∈ {1,2}),
+    * chroma 1×1, per-axis MCU spans 8·hs × 8·vs, optional restart
+    * framing. Planted exactly like [[jpegColor420]] — per LUMA BLOCK
+    * (lbx, lby): yDc = ((id + 5·lbx + 11·lby) % 160) − 80; per MCU
+    * (mx, my): cbDc = ((3id + 7mx + 13my) % 100) − 50,
+    * crDc = ((5id + 3mx + 17my) % 100) − 50 — so one oracle family covers
+    * every geometry; dims w = 8·hs·(1+id%2), h = 8·vs·(1+id%3).
+    */
+  def jpegColorSampled(id: Long, hs: Int, vs: Int,
+      ri: Int): Array[Byte] = {
+    val mw = (1 + id % 2).toInt // MCUs across
+    val mh = (1 + id % 3).toInt // MCUs down
+    val w = mw * 8 * hs
+    val h = mh * 8 * vs
+    def yDc(lbx: Int, lby: Int): Int = ((id + 5L * lbx + 11L * lby) % 160).toInt - 80
+    def cbDc(mx: Int, my: Int): Int = ((3L * id + 7L * mx + 13L * my) % 100).toInt - 50
+    def crDc(mx: Int, my: Int): Int = ((5L * id + 3L * mx + 17L * my) % 100).toInt - 50
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00) // DQT: 8-bit table 0 (luma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    b(0xFF, 0xDB, 0, 67, 0x01) // DQT: 8-bit table 1 (chroma), Q == 8
+    (0 until 64).foreach(_ => out += 8.toByte)
+    // SOF0: 8-bit, Y sampled hs×vs (QT 0), Cb/Cr 1x1 (QT 1)
+    b(0xFF, 0xC0, 0, 17, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Seq(0x00, 0x01).foreach { th => // DC tables 0 and 1 (Annex K BITS)
+      b(0xFF, 0xC4, 0, 31, th)
+      (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+      (0 to 11).foreach(v => out += v.toByte)
+    }
+    Seq(0x10, 0x11).foreach { tcth => // AC tables 0 and 1: one EOB code
+      b(0xFF, 0xC4, 0, 20, tcth)
+      b(1); (2 to 16).foreach(_ => b(0))
+      b(0x00)
+    }
+    if (ri > 0) b(0xFF, 0xDD, 0, 4, ri >> 8, ri & 0xFF) // DRI
+    // SOS: Y -> (DC0, AC0), Cb/Cr -> (DC1, AC1)
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
+    val dcCode = jpegCodes(jpegDcBits)
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    def byteAlign(): Unit = if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+      cur = 0
+      nb = 0
+    }
+    val pred = new Array[Int](3)
+    def putDc(comp: Int, dc: Int): Unit = {
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag)
+      val (c, cl) = dcCode(s)
+      putBits(c, cl)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // EOB
+    }
+    var mcu = 0
+    var my = 0
+    while (my < mh) {
+      var mx = 0
+      while (mx < mw) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          // restart: byte-align, RSTm (cycling 0..7), ALL predictors reset
+          byteAlign()
+          b(0xFF, 0xD0 + ((mcu / ri - 1) % 8))
+          java.util.Arrays.fill(pred, 0)
+        }
+        // Y units: left-to-right then top-to-bottom inside the MCU
+        var sy = 0
+        while (sy < vs) {
+          var sx = 0
+          while (sx < hs) {
+            putDc(0, yDc(hs * mx + sx, vs * my + sy))
+            sx += 1
+          }
+          sy += 1
+        }
+        putDc(1, cbDc(mx, my))
+        putDc(2, crDc(mx, my))
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    byteAlign()
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
+  /** Progressive (SOF2) pixel-identical twin of [[jpegColorSampled]] —
+    * generalizes [[jpegColor420Progressive]]'s scan plan to every (hs, vs)
+    * geometry and adds RESTART framing (the round-17 hash-gate gap: color
+    * progressive never carried DRI in the mixed table). Scans: interleaved
+    * DC first (Al=1), per-component all-zero AC-first bands (EOB runs
+    * SEGMENTED at restart boundaries — T.81 forbids a run crossing one),
+    * interleaved DC refinement. Restart markers byte-align and cycle
+    * 0..7 independently per scan; interleaved scans count the interval in
+    * MCUs, non-interleaved in the component's real blocks.
+    */
+  def jpegColorSampledProgressive(id: Long, hs: Int, vs: Int,
+      ri: Int): Array[Byte] = {
+    val mw = (1 + id % 2).toInt
+    val mh = (1 + id % 3).toInt
+    val w = mw * 8 * hs
+    val h = mh * 8 * vs
+    val lbw = w / 8 // REAL luma block grid (dims are MCU multiples here)
+    val lbh = h / 8
+    def yDc(lbx: Int, lby: Int): Int = ((id + 5L * lbx + 11L * lby) % 160).toInt - 80
+    def cbDc(mx: Int, my: Int): Int = ((3L * id + 7L * mx + 13L * my) % 100).toInt - 50
+    def crDc(mx: Int, my: Int): Int = ((5L * id + 3L * mx + 17L * my) % 100).toInt - 50
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00)
+    (0 until 64).foreach(_ => out += 8.toByte)
+    b(0xFF, 0xDB, 0, 67, 0x01)
+    (0 until 64).foreach(_ => out += 8.toByte)
+    b(0xFF, 0xC2, 0, 17, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Seq(0x00, 0x01).foreach { th => // DC tables 0 and 1 (Annex K BITS)
+      b(0xFF, 0xC4, 0, 31, th)
+      (1 to 16).foreach(l => out += jpegDcBits(l).toByte)
+      (0 to 11).foreach(v => out += v.toByte)
+    }
+    // AC table 0 (luma): EOB0..EOB4 on the 1..5-bit ladder; AC table 1
+    // (chroma): EOB0..EOB2 — as [[jpegColor420Progressive]]
+    b(0xFF, 0xC4, 0, 24, 0x10)
+    b(1, 1, 1, 1, 1); (6 to 16).foreach(_ => b(0))
+    b(0x00, 0x10, 0x20, 0x30, 0x40)
+    b(0xFF, 0xC4, 0, 22, 0x11)
+    b(1, 1, 1); (4 to 16).foreach(_ => b(0))
+    b(0x00, 0x10, 0x20)
+    val acCodeY = Array((0, 1), (2, 2), (6, 3), (14, 4), (30, 5)) // EOBn n=0..4
+    val acCodeC = Array((0, 1), (2, 2), (6, 3)) // EOBn n=0..2
+    val dcCode = jpegCodes(jpegDcBits)
+    if (ri > 0) b(0xFF, 0xDD, 0, 4, ri >> 8, ri & 0xFF) // DRI
+    var cur = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += cur.toByte
+          if (cur == 0xFF) out += 0x00.toByte // stuff
+          cur = 0
+          nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out += cur.toByte
+      if (cur == 0xFF) out += 0x00.toByte
+      cur = 0
+      nb = 0
+    }
+    def putRst(unit: Int): Unit = { // byte-align + RSTm cycling per scan
+      flushScan()
+      b(0xFF, 0xD0 + ((unit / ri - 1) % 8))
+    }
+    def putDcDiff(diff: Int): Unit = {
+      val mag = math.abs(diff)
+      val s = 32 - Integer.numberOfLeadingZeros(mag)
+      val (c, cl) = dcCode(s)
+      putBits(c, cl)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    def putEobRun(run: Int, codes: Array[(Int, Int)]): Unit = if (run > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(run)
+      val (c, l) = codes(nbits)
+      putBits(c, l)
+      if (nbits > 0) putBits(run & ((1 << nbits) - 1), nbits)
+    }
+    // an all-zero AC band over n blocks as restart-segmented EOB runs
+    def putZeroBand(n: Int, codes: Array[(Int, Int)]): Unit =
+      if (ri <= 0) { putEobRun(n, codes); flushScan() }
+      else {
+        var done = 0
+        while (done < n) {
+          if (done > 0) putRst(done)
+          val seg = math.min(ri, n - done)
+          putEobRun(seg, codes)
+          done += seg
+        }
+        flushScan()
+      }
+    // ---- scan 1: DC first, interleaved (Y units, Cb, Cr), Al = 1 ----
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01)
+    val pred = new Array[Int](3)
+    var mcu = 0
+    for (my <- 0 until mh; mx <- 0 until mw) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        putRst(mcu)
+        java.util.Arrays.fill(pred, 0)
+      }
+      for (sy <- 0 until vs; sx <- 0 until hs) {
+        val t = yDc(hs * mx + sx, vs * my + sy) >> 1
+        putDcDiff(t - pred(0))
+        pred(0) = t
+      }
+      val tcb = cbDc(mx, my) >> 1
+      putDcDiff(tcb - pred(1)); pred(1) = tcb
+      val tcr = crDc(mx, my) >> 1
+      putDcDiff(tcr - pred(2)); pred(2) = tcr
+      mcu += 1
+    }
+    flushScan()
+    // ---- scans 2..4: non-interleaved all-zero AC-first bands (Al = 0) ----
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x00)
+    putZeroBand(lbw * lbh, acCodeY)
+    for (cid <- Seq(2, 3)) {
+      b(0xFF, 0xDA, 0, 8, 1, cid, 0x11, 1, 63, 0x00)
+      putZeroBand(mw * mh, acCodeC)
+    }
+    // ---- scan 5: DC refinement, interleaved, Ah = 1, Al = 0 ----
+    b(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10)
+    mcu = 0
+    for (my <- 0 until mh; mx <- 0 until mw) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) putRst(mcu)
+      for (sy <- 0 until vs; sx <- 0 until hs)
+        putBits(yDc(hs * mx + sx, vs * my + sy) & 1, 1)
+      putBits(cbDc(mx, my) & 1, 1)
+      putBits(crDc(mx, my) & 1, 1)
+      mcu += 1
+    }
+    flushScan()
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
+  /** 4:2:2 baseline / progressive and 4:4:0 baseline / progressive — the
+    * round-17 envelope rows; the id's low bit of its 8-quotient decides a
+    * restart-interval twin exactly like the mixed table's gray rows.
+    */
+  def jpegColor422(id: Long): Array[Byte] = jpegColorSampled(id, 2, 1, 0)
+  def jpegColor422Restart(id: Long): Array[Byte] = jpegColorSampled(id, 2, 1, 2)
+  def jpegColor440(id: Long): Array[Byte] = jpegColorSampled(id, 1, 2, 0)
+  def jpegColor440Restart(id: Long): Array[Byte] = jpegColorSampled(id, 1, 2, 2)
+  def jpegColor422Progressive(id: Long): Array[Byte] =
+    jpegColorSampledProgressive(id, 2, 1, 0)
+  def jpegColor440Progressive(id: Long): Array[Byte] =
+    jpegColorSampledProgressive(id, 1, 2, 0)
+
+  /** DRI twin of [[jpegColor420Progressive]] (round-17 verdict #4: color-
+    * progressive fixtures never carried DRI in the mixed table) — same
+    * planted fields and dims, multi-component restart framing in every
+    * scan, pixel-identical by construction.
+    */
+  def jpegColor420ProgressiveRestart(id: Long): Array[Byte] =
+    jpegColorSampledProgressive(id, 2, 2, 2)
+
+  /** ARITHMETIC-CODED sequential JPEG (SOF9, T.81 §F / Annex C.15) —
+    * a DETECTION-ONLY honesty fixture: the header is spec-true (DQT,
+    * SOF9 with planted dims, DAC conditioning, SOS), the entropy body is
+    * token bytes. Neither this engine nor the IJG-derived ImageIO decodes
+    * arithmetic entropy coding; the contract is that metadata DETECTS the
+    * SOF9 family (dims + arith flag) and every decode tier reports
+    * honest null instead of inventing pixels. Planted dims:
+    * w = 8·(1+id%3), h = 8·(1+id%2) (the gray-tier formula).
+    */
+  def jpegArith(id: Long): Array[Byte] = {
+    val w = 8 * (1 + id % 3).toInt
+    val h = 8 * (1 + id % 2).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => out += x.toByte)
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB, 0, 67, 0x00)
+    (0 until 64).foreach(_ => out += 8.toByte)
+    // SOF9: arithmetic sequential, one 8-bit component
+    b(0xFF, 0xC9, 0, 11, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0)
+    // DAC: DC conditioning table 0 (U=1, L=0), T.81 B.2.4.3
+    b(0xFF, 0xCC, 0, 4, 0x00, 0x01)
+    b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0)
+    b(0xA5, 0x5A, 0xA5, 0x5A) // token entropy bytes — never decoded
+    b(0xFF, 0xD9) // EOI
+    out.toArray
+  }
+
   /** 24-bit uncompressed BMP (bottom-up BGR rows, 4-byte stride padding,
     * true size fields). Planted: w = 4+id%8, h = 4+id%6, same RGB field as
     * the PNG but with the BMP moduli for dimensions.
@@ -1399,6 +1700,39 @@ case class JpegColor420ProgressiveSynth(child: Expression) extends MediaSynthExp
   override def prettyName: String = "graft_jpeg_color420_progressive_synth"
 }
 
+/** One parameterized expression for the whole round-17 sampled-color
+  * envelope ([[MediaSynth.jpegColorSampled]] baseline /
+  * [[MediaSynth.jpegColorSampledProgressive]] twin, any (hs, vs), with or
+  * without restart framing) — the geometry constants bake into codegen as
+  * literals, so each registered variant stays a static call.
+  */
+case class JpegSampledSynth(child: Expression, hs: Int, vs: Int, ri: Int,
+    progressive: Boolean) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any =
+    if (progressive)
+      MediaSynth.jpegColorSampledProgressive(id.asInstanceOf[Long], hs, vs, ri)
+    else MediaSynth.jpegColorSampled(id.asInstanceOf[Long], hs, vs, ri)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth." +
+        (if (progressive) "jpegColorSampledProgressive" else "jpegColorSampled") +
+        s"($c, $hs, $vs, $ri);")
+  override protected def withNewChildInternal(newChild: Expression): JpegSampledSynth =
+    copy(child = newChild)
+  override def prettyName: String =
+    s"graft_jpeg_color$hs${vs}_${if (progressive) "prog" else "base"}_ri${ri}_synth"
+}
+
+case class JpegArithSynth(child: Expression) extends MediaSynthExpression {
+  override def nullSafeEval(id: Any): Any = MediaSynth.jpegArith(id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.MediaSynth.jpegArith($c);")
+  override protected def withNewChildInternal(newChild: Expression): JpegArithSynth =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jpeg_arith_synth"
+}
+
 case class PngDynamicSynth(child: Expression) extends MediaSynthExpression {
   override def nullSafeEval(id: Any): Any = MediaSynth.pngDynamic(id.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -1454,8 +1788,19 @@ object MediaSynthFunctions {
   val jpegColor420Name = "graft_jpeg_color420_synth"
   val jpegColorProgressiveName = "graft_jpeg_color_progressive_synth"
   val jpegColor420ProgressiveName = "graft_jpeg_color420_progressive_synth"
+  val jpegColor420ProgressiveRestartName = "graft_jpeg_color420_progressive_restart_synth"
+  val jpegArithName = "graft_jpeg_arith_synth"
   val bmpName = "graft_bmp_synth"
   val wavName = "graft_wav_synth"
+
+  /** Registered name for one sampled-color variant (round 17): geometry
+    * "422"/"440", progressive or baseline, restart or plain.
+    */
+  def jpegSampledName(geom: String, progressive: Boolean, ri: Int): String =
+    s"graft_jpeg_color${geom}_${if (progressive) "prog" else "base"}_ri${ri}_synth"
+
+  private val sampledVariants: Seq[(String, Int, Int)] =
+    Seq(("422", 2, 1), ("440", 1, 2))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -1473,7 +1818,22 @@ object MediaSynthFunctions {
     reg.createOrReplaceTempFunction(jpegColor420ProgressiveName, exprs => JpegColor420ProgressiveSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(bmpName, exprs => BmpSynth(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(wavName, exprs => WavSynth(exprs.head), "built-in")
+    for ((geom, hs, vs) <- sampledVariants; prog <- Seq(false, true); ri <- Seq(0, 2))
+      reg.createOrReplaceTempFunction(jpegSampledName(geom, prog, ri),
+        exprs => JpegSampledSynth(exprs.head, hs, vs, ri, prog), "built-in")
+    reg.createOrReplaceTempFunction(jpegColor420ProgressiveRestartName,
+      exprs => JpegSampledSynth(exprs.head, 2, 2, 2, progressive = true), "built-in")
+    reg.createOrReplaceTempFunction(jpegArithName,
+      exprs => JpegArithSynth(exprs.head), "built-in")
   }
+
+  def jpegSampledSynth(geom: String, progressive: Boolean, ri: Int)(docId: Column): Column =
+    call_function(jpegSampledName(geom, progressive, ri), docId)
+
+  def jpegColor420ProgressiveRestartSynth(docId: Column): Column =
+    call_function(jpegColor420ProgressiveRestartName, docId)
+
+  def jpegArithSynth(docId: Column): Column = call_function(jpegArithName, docId)
 
   def jpegSynth(docId: Column): Column = call_function(jpegName, docId)
 

@@ -117,15 +117,27 @@ object Multimodal {
     // ... and since round 16 the color rows (doc_id ≡ 7 mod 9) split the
     // same way between baseline 4:2:0 and its PROGRESSIVE twin
     // (pixel-identical planting, byte-different SOF2 multi-scan framing),
-    // so the subsampled multi-scan MCU walk rides the hash gate too
+    // so the subsampled multi-scan MCU walk rides the hash gate too.
+    // Round 17: the progressive-color half further splits on floor(id/18)
+    // parity into plain and RESTART-FRAMED twins (again pixel-identical,
+    // so no formula oracle moves) — multi-component restart framing now
+    // rides the hash gate, not just specs (r16 verdict gap #3) — and a
+    // QUARTER of the gray-baseline rows (floor(id/9) ≡ 3 mod 4) become
+    // ARITHMETIC-CODED SOF9 fixtures with the same planted dims: the
+    // honesty rows q_mm_metadata detects and every decode tier nulls.
+    val cpDri = pmod(floor(id / lit(18)).cast("long"), lit(2)) === 0
+    val arithRow = pmod(floor(id / lit(9)).cast("long"), lit(4)) === 3
     val jpegPayload = when(jm === 4,
         when(driHalf, MediaSynthFunctions.jpegProgressiveRestartSynth(id))
           .otherwise(MediaSynthFunctions.jpegProgressiveSynth(id)))
       .when(jm === 7,
-        when(driHalf, MediaSynthFunctions.jpegColor420ProgressiveSynth(id))
+        when(driHalf && cpDri,
+          MediaSynthFunctions.jpegColor420ProgressiveRestartSynth(id))
+          .when(driHalf, MediaSynthFunctions.jpegColor420ProgressiveSynth(id))
           .otherwise(MediaSynthFunctions.jpegColor420Synth(id)))
       .otherwise(
         when(driHalf, MediaSynthFunctions.jpegRestartSynth(id))
+          .when(arithRow, MediaSynthFunctions.jpegArithSynth(id))
           .otherwise(MediaSynthFunctions.jpegSynth(id)))
     val payload = when(m === 0, MediaSynthFunctions.pngSynth(id))
       .when(m === 1, jpegPayload)
@@ -379,12 +391,20 @@ object Multimodal {
             st.getField("h").as("h"), st.getField("w").as("w"),
             st.getField("m").as("m")))
       })
+    // the arithmetic-coded SOF family (C9/CA/CB — T.81 §F): detected and
+    // surfaced so a pipeline can COUNT and ROUTE what no Huffman decoder
+    // (this engine and the IJG-derived ImageIO alike) can decode — the
+    // round-17 honesty row in q_mm_metadata
+    val arith = Seq(0xFFC9, 0xFFCA, 0xFFCB)
     val ok = p.substr(1, 2) === b(0xFF, 0xD8)
     when(ok, struct(
       walk.getField("w").as("width"), walk.getField("h").as("height"),
       when(walk.getField("m").isNotNull,
-        walk.getField("m").isin(progressive: _*)).as("progressive")))
-      .otherwise(lit(null).cast("struct<width:int,height:int,progressive:boolean>"))
+        walk.getField("m").isin(progressive: _*)).as("progressive"),
+      when(walk.getField("m").isNotNull,
+        walk.getField("m").isin(arith: _*)).as("arith")))
+      .otherwise(lit(null).cast(
+        "struct<width:int,height:int,progressive:boolean,arith:boolean>"))
   }
 
   /** WAV (channels, sample rate) from the canonical RIFF/fmt layout:
@@ -574,7 +594,10 @@ object Multimodal {
              CASE WHEN doc_id % 3 = 1
                   THEN doc_id % 9 = 4
                     OR (doc_id % 9 = 7 AND (doc_id // 9) % 2 = 0)
-             END AS progressive
+             END AS progressive,
+             CASE WHEN doc_id % 3 = 1
+                  THEN doc_id % 9 = 1 AND (doc_id // 9) % 4 = 3
+             END AS arith_coded
       FROM documents
       ORDER BY media_id
     """),
@@ -602,6 +625,11 @@ object Multimodal {
         // baseline rows; the flag is exercised positively in the hash
         // gate, not just in MultimodalSpec.
         when(fmt === "jpeg", jpg.getField("progressive")).as("progressive"),
+        // round 17: arithmetic-coded SOF family (C9/CA/CB) detected — the
+        // quarter of gray rows carrying SOF9 pin TRUE; every Huffman row
+        // pins FALSE; decode tiers null these rows instead of inventing
+        // pixels (see MediaSynth.jpegArith)
+        when(fmt === "jpeg", jpg.getField("arith")).as("arith_coded"),
       )
       .orderBy("media_id")
   }
@@ -752,9 +780,12 @@ object Multimodal {
         FROM pcell, generate_series(0, 2) AS ch(c)
         GROUP BY doc_id, cell, ch.c
       ), jp AS (
+        -- round 17: the (doc_id // 9) % 4 = 3 quarter is ARITHMETIC-coded
+        -- (SOF9) — undecodable, null feature, filtered out by the query's
+        -- dim IS NOT NULL, so the oracle excludes those rows too
         SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
                CAST(unnest(range(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2))) AS BIGINT) AS i
-        FROM documents WHERE doc_id % 9 = 1
+        FROM documents WHERE doc_id % 9 = 1 AND (doc_id // 9) % 4 <> 3
       ), jpx AS (
         SELECT doc_id, w, h, i % w AS x, i // w AS y FROM jp
       ), jcell AS (
@@ -1616,6 +1647,141 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Oracle-checked 4:2:2 / 4:4:0 decode (round 17 — the sampling-envelope
+    * remainder): every document carries ONE of the eight variant framings
+    * (geometry by id parity; baseline/progressive by id//2; restart
+    * framing by id//4 — all four framings of an id are pixel-identical
+    * twins by construction, so the oracle depends only on the geometry),
+    * decoded by the generalized MCU walk through the geometry's own
+    * libjpeg upsampler: h2v1 fancy (3:1 horizontal, +1/+2 rounding) for
+    * 4:2:2, h1v2 fancy (3:1 vertical) for 4:4:0 — both pinned per-pixel
+    * against ImageIO in MultimodalSpec, and here against the planting
+    * formulas in the driver hash gate.
+    */
+  val q_mm_jpeg_sampling: Q = Q(
+    "q_mm_jpeg_sampling",
+    Some("""
+      WITH d422 AS (
+        SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 8 * (1 + doc_id % 3) AS h
+        FROM documents WHERE doc_id % 2 = 0
+      ), p422 AS (
+        SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS pidx
+        FROM d422
+      ), a422 AS (
+        SELECT doc_id, w, h, pidx % w AS x, pidx // w AS y FROM p422
+      ), u422 AS (
+        SELECT doc_id, w, h, x, y,
+               48 + (doc_id + 5 * (x // 8) + 11 * (y // 8)) % 160 AS yv,
+               (3 * (78 + (3 * doc_id + 7 * ((x // 2) // 8) + 13 * (y // 8)) % 100)
+                  + (78 + (3 * doc_id + 7 * ((CASE WHEN x % 2 = 0
+                        THEN GREATEST(x // 2 - 1, 0)
+                        ELSE LEAST(x // 2 + 1, w // 2 - 1) END) // 8)
+                      + 13 * (y // 8)) % 100)
+                  + CASE WHEN x % 2 = 0 THEN 1 ELSE 2 END) // 4 AS cbv,
+               (3 * (78 + (5 * doc_id + 3 * ((x // 2) // 8) + 17 * (y // 8)) % 100)
+                  + (78 + (5 * doc_id + 3 * ((CASE WHEN x % 2 = 0
+                        THEN GREATEST(x // 2 - 1, 0)
+                        ELSE LEAST(x // 2 + 1, w // 2 - 1) END) // 8)
+                      + 17 * (y // 8)) % 100)
+                  + CASE WHEN x % 2 = 0 THEN 1 ELSE 2 END) // 4 AS crv,
+               (w // 16) * (h // 8) AS nm
+        FROM a422
+      ), d440 AS (
+        SELECT doc_id, 8 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h
+        FROM documents WHERE doc_id % 2 = 1
+      ), p440 AS (
+        SELECT doc_id, w, h, CAST(unnest(range(w * h)) AS BIGINT) AS pidx
+        FROM d440
+      ), a440 AS (
+        SELECT doc_id, w, h, pidx % w AS x, pidx // w AS y FROM p440
+      ), u440 AS (
+        SELECT doc_id, w, h, x, y,
+               48 + (doc_id + 5 * (x // 8) + 11 * (y // 8)) % 160 AS yv,
+               (3 * (78 + (3 * doc_id + 7 * (x // 8) + 13 * ((y // 2) // 8)) % 100)
+                  + (78 + (3 * doc_id + 7 * (x // 8) + 13 * ((CASE WHEN y % 2 = 0
+                        THEN GREATEST(y // 2 - 1, 0)
+                        ELSE LEAST(y // 2 + 1, h // 2 - 1) END) // 8)) % 100)
+                  + CASE WHEN y % 2 = 0 THEN 1 ELSE 2 END) // 4 AS cbv,
+               (3 * (78 + (5 * doc_id + 3 * (x // 8) + 17 * ((y // 2) // 8)) % 100)
+                  + (78 + (5 * doc_id + 3 * (x // 8) + 17 * ((CASE WHEN y % 2 = 0
+                        THEN GREATEST(y // 2 - 1, 0)
+                        ELSE LEAST(y // 2 + 1, h // 2 - 1) END) // 8)) % 100)
+                  + CASE WHEN y % 2 = 0 THEN 1 ELSE 2 END) // 4 AS crv,
+               (w // 8) * (h // 16) AS nm
+        FROM a440
+      ), up AS (
+        SELECT * FROM u422 UNION ALL SELECT * FROM u440
+      ), rgb AS (
+        SELECT doc_id, w, h, nm, yv, cbv, crv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (91881 * (crv - 128) + 32768) / 65536.0) AS BIGINT))) AS rv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (-22554 * (cbv - 128) - 46802 * (crv - 128) + 32768) / 65536.0)
+                 AS BIGINT))) AS gv,
+               LEAST(255, GREATEST(0, yv + CAST(floor(
+                 (116130 * (cbv - 128) + 32768) / 65536.0) AS BIGINT))) AS bv,
+               y * w + x + 1 AS sidx
+        FROM up
+      )
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'h2v1' ELSE 'h1v2' END AS geometry,
+             (doc_id // 2) % 2 = 1 AS progressive,
+             (doc_id // 4) % 2 = 1 AS restart_framed,
+             CAST(min(w) AS INT) AS width,
+             CAST(min(h) AS INT) AS height,
+             CAST(min(nm) AS BIGINT) AS n_mcus,
+             CAST(min(w * h) AS BIGINT) AS n_pixels,
+             CAST(sum(yv) AS BIGINT) AS sum_y,
+             CAST(sum(cbv) AS BIGINT) AS sum_cb,
+             CAST(sum(crv) AS BIGINT) AS sum_cr,
+             CAST(sum(rv) AS BIGINT) AS sum_r,
+             CAST(sum(gv) AS BIGINT) AS sum_g,
+             CAST(sum(bv) AS BIGINT) AS sum_b,
+             CAST(sum(rv * sidx) AS BIGINT) AS wsum_r,
+             sum(yv) * 1.0 / min(w * h) AS mean_luma
+      FROM rgb GROUP BY doc_id ORDER BY media_id
+    """),
+  ) { (s, d) =>
+    graft.functions.JpegFunctions.ensureRegistered(s)
+    MediaSynthFunctions.ensureRegistered(s)
+    val id = col("doc_id")
+    val geom422 = pmod(id, lit(2)) === 0
+    val prog = pmod(floor(id / lit(2)).cast("long"), lit(2)) === 1
+    val dri = pmod(floor(id / lit(4)).cast("long"), lit(2)) === 1
+    def synth(g: String, p: Boolean, r: Int) =
+      MediaSynthFunctions.jpegSampledSynth(g, p, r)(id)
+    val payload =
+      when(geom422 && prog && dri, synth("422", p = true, 2))
+        .when(geom422 && prog, synth("422", p = true, 0))
+        .when(geom422 && dri, synth("422", p = false, 2))
+        .when(geom422, synth("422", p = false, 0))
+        .when(prog && dri, synth("440", p = true, 2))
+        .when(prog, synth("440", p = true, 0))
+        .when(dri, synth("440", p = false, 2))
+        .otherwise(synth("440", p = false, 0))
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("media_id"),
+        when(geom422, "h2v1").otherwise("h1v2").as("geometry"),
+        prog.as("progressive"), dri.as("restart_framed"),
+        graft.functions.JpegFunctions.jpegColorStats(payload).as("st"))
+      .select(
+        col("media_id"), col("geometry"), col("progressive"),
+        col("restart_framed"),
+        col("st.w").as("width"), col("st.h").as("height"),
+        col("st.n_mcus").as("n_mcus"),
+        (col("st.w") * col("st.h")).cast(LongType).as("n_pixels"),
+        col("st.sum_y").as("sum_y"),
+        col("st.sum_cb").as("sum_cb"),
+        col("st.sum_cr").as("sum_cr"),
+        col("st.sum_r").as("sum_r"),
+        col("st.sum_g").as("sum_g"),
+        col("st.sum_b").as("sum_b"),
+        col("st.wsum_r").as("wsum_r"))
+      .withColumn("mean_luma", col("sum_y") * lit(1.0) / col("n_pixels"))
+      .orderBy("media_id")
+  }
+
   /** The stored-deflate PNG decoder over any (media_id, payload) frame —
     * factored out of [[q_mm_png_pixels]] so MultimodalSpec can drive it
     * over deliberately corrupted payloads and watch the integrity columns
@@ -1653,5 +1819,6 @@ object Multimodal {
     Seq(q_mm_metadata, q_mm_frames, q_mm_features, q_mm_embed, q_mm_resize, q_mm_audio,
       q_mm_pixels, q_mm_png_pixels, q_mm_png_pixels_fh, q_mm_png_pixels_dyn,
       q_mm_jpeg_pixels, q_mm_jpeg_pixels_ac, q_mm_jpeg_progressive,
-      q_mm_jpeg_color, q_mm_jpeg_color_prog, q_mm_jpeg_color420)
+      q_mm_jpeg_color, q_mm_jpeg_color_prog, q_mm_jpeg_color420,
+      q_mm_jpeg_sampling)
 }

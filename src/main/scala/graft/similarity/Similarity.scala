@@ -659,9 +659,16 @@ object Similarity {
     * by ids, not pairs), and the rescore phase re-forms pairs in a second
     * cluster-keyed join whose sides carry floats only for candidate docs.
     * Materialized state is linear everywhere: codes 16 B/vector, ids
-    * 8 B/candidate, floats 264 B/candidate. Worst case (every doc a
-    * candidate) degenerates to the float twin's shuffle plus a cheap
-    * extra codes pass — graceful, not fatal.
+    * 8 B/candidate, floats 264 B/candidate.
+    *
+    * The DEGENERATE regime (every doc a candidate — the r16 100M probe,
+    * where verbatim replication collapsed Lloyd onto mega-clusters and the
+    * pair scan died on per-slot sort memory) is bounded structurally in
+    * [[codedKeepFirst]] (round-17 verdict #1): exact-duplicate groups
+    * collapse to their rep before any pair forms, and surviving oversized
+    * clusters pair-scan through a per-cluster chunk grid that caps every
+    * join key group at `spark.graft.semdedup.pairChunk` rows per side.
+    * Both bounds are verdict-exact — see codedKeepFirst's scaladoc.
     */
   def semanticDedupCoded(emb: DataFrame, k: Int, t: Double,
       lloydIters: Int = 1, nprobe: Int = 2, m: Int = 8,
@@ -693,71 +700,173 @@ object Similarity {
     val books = Pq.lloydRefine(sample,
       Pq.frequentSeeds(sample, m, ksub, d = dim), lloydIters = 1)
     val (_, asg) = indexedAssignment(emb, k, lloydIters, nprobe,
-      asgProject = df => Pq.withPackedCodes(df, books))
+      asgProject = df => Pq.withPackedCodes(withEmbHashes(df), books))
     val g = if (gate.isNaN) t - 0.1 else gate
     codedKeepFirst(asg, emb, books, t, g)
   }
+
+  /** Two independent 64-bit xxhash64 streams over the embedding — the
+    * exact-duplicate group key [[codedKeepFirst]]'s collapse phase needs.
+    * Row-local off whatever scan carries the floats, so the codes-only
+    * checkpoint can keep 16 bytes of group identity without the floats.
+    * A collapse-group merger of two DIFFERENT embeddings needs both
+    * streams to collide (~2^-128 at any corpus size); even then precision
+    * survives (every emitted dup still passes the exact float rescore) —
+    * only recall rests on the no-collision event.
+    */
+  private def withEmbHashes(df: DataFrame): DataFrame = df
+    .withColumn("eh1", xxhash64(col("embedding")))
+    .withColumn("eh2", xxhash64(lit("graft/eh2"), col("embedding")))
 
   /** Intra-cluster keep-first over PACKED PQ codes with exact rescore:
     * candidates by SDC-reconstructed cosine ≥ gate (T-table lookups /
     * precomputed norms — no floats from either side), verdicts by true
     * cosine ≥ t over candidate docs' floats only.
+    *
+    * ROUND-17 shape (verdict #1 — the fifth decade's per-slot memory
+    * wall): the r16 100M-vector probe died on UNABLE_TO_ACQUIRE_MEMORY in
+    * the pair scan, because a verbatim-duplicated corpus collapses Lloyd
+    * assignment onto a handful of mega-clusters (identical seed centroids
+    * tie to the lowest fid) and an intra-cluster i<j self-join over a
+    * multi-million-row key group is quadratic in both work and per-task
+    * sort/buffer footprint. Two structural bounds, both EXACT:
+    *
+    *  1. EXACT-DUPLICATE COLLAPSE. Members group by (cluster, eh1, eh2) —
+    *     two independent xxhash64 streams over the embedding — and only
+    *     each group's min-vec_id REP enters the pair scan. A non-rep j is
+    *     decided by the single pair (rep_j, j) (gate + exact float
+    *     rescore, same predicates as any pair): identical embeddings give
+    *     identical codes and cosine 1, so j drops whenever exact all-pairs
+    *     would drop it, and a rep's earlier qualifying partner i always
+    *     has a rep r_i ≤ i with the SAME codes and cosine — so rep-vs-rep
+    *     pairs decide reps exactly. Dup-dense mass (the degenerate regime)
+    *     leaves the pair phase entirely: 50× verbatim replicas mean 50×
+    *     fewer pair-scan rows and 2500× fewer pairs.
+    *  2. CHUNK-GRIDDED PAIR JOIN. Surviving rep clusters above
+    *     `spark.graft.semdedup.pairChunk` (default 4096) split into a
+    *     per-cluster chunk grid ([[chunkedClusterPairs]]): the join key
+    *     becomes (cluster, chunkI, chunkJ), so no sort-merge key group —
+    *     and therefore no per-task buffered-row array — ever exceeds one
+    *     chunk per side, at the price of ×ceil(n/chunk) replication of the
+    *     16-byte code rows in oversized clusters only. Same pairs, same
+    *     verdicts, bounded per-slot footprint.
     */
   private def codedKeepFirst(asg: DataFrame, emb: DataFrame,
       books: Array[Array[Array[Double]]], t: Double, gate: Double): DataFrame = {
+    val spark = asg.sparkSession
     val m = books.length
     val ksub = books(0).length
     val tLit = typedLit(Pq.sdcTable(books).toSeq)
     def gateCond: Column =
       Pq.sdcDot(tLit, m, ksub, col("p_i"), col("p_j")) /
         (col("n_i") * col("n_j")) >= gate
-    val a = asg.select(col("cluster").as("ca"), col("vec_id").as("i"),
-      col("pcodes").as("p_i"), col("rnrm").as("n_i"))
-    val b = asg.select(col("cluster").as("cb"), col("vec_id").as("j"),
-      col("pcodes").as("p_j"), col("rnrm").as("n_j"))
-    // gate phase: the pair scan STREAMS into a distinct over doc ids —
-    // map-side partial aggregation bounds every task's output by ids, so
-    // quadratic gated-pair mass never hits disk (see scaladoc)
-    val gated = a.join(b, col("ca") === col("cb") && col("i") < col("j"))
+    def exactCond: Column =
+      dot(col("e_i"), col("e_j")) / (col("fn_i") * col("fn_j")) >= t
+    // exact-duplicate collapse: one window pass tags every member with its
+    // group rep; checkpointed because four downstream frames read it, and
+    // it is codes-scale (ids + packed codes — no floats)
+    val mem = asg
+      .withColumn("rep", min("vec_id").over(
+        Window.partitionBy("cluster", "eh1", "eh2")))
+      .select("vec_id", "cluster", "pcodes", "rnrm", "rep")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val reps = mem.filter(col("vec_id") === col("rep"))
+      .select("cluster", "vec_id", "pcodes", "rnrm")
+    val chunk = spark.conf.get("spark.graft.semdedup.pairChunk", "4096").toInt
+    // gate phase over REPS only: the chunk-gridded pair scan STREAMS into
+    // a distinct over doc ids — map-side partial aggregation bounds every
+    // task's output by ids, so gated-pair mass never hits disk
+    val gated = chunkedClusterPairs(reps, chunk, carryFloats = false)
       .filter(gateCond)
     // DISK_ONLY: on a dup-dense corpus the candidate set approaches the
-    // corpus itself, and a deserialized memory cache of 20M ids competes
+    // rep set, and a deserialized memory cache of millions of ids competes
     // with the rescore scan's parquet allocations (probe-found GC death)
     val candIds = gated.select(col("i").as("vec_id"))
       .union(gated.select(col("j").as("vec_id")))
       .distinct()
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // rescore phase: candidate docs pull their floats (semi-join above the
-    // input scan — candidate mass, never corpus mass; AQE broadcasts the
-    // id side while it fits), pairs RE-FORM in a second cluster-co-located
-    // join, and gate + exact cosine decide inline; only distinct dup ids
-    // survive
+    // rescore phase, rep-vs-rep: candidate reps pull their floats
+    // (semi-join above the input scan — candidate mass, never corpus
+    // mass), pairs RE-FORM in a second chunk-gridded join, and gate +
+    // exact cosine decide inline.
     // same knob as indexedAssignment's members checkpoint: with
     // storeAssignInputs=false the candidate floats are re-read from the
     // source scan by each rescore side instead of checkpointed (on a
-    // dup-dense corpus candidates ≈ corpus, so this frame is float-scale)
-    val cf0 = asg
+    // dup-dense corpus candidate reps ≈ distinct vectors, a float-scale
+    // frame)
+    val cf0 = reps
       .join(emb.join(candIds, Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("embedding"),
           sqrt(dot(col("embedding"), col("embedding"))).as("fn")),
         Seq("vec_id"))
     val cf =
-      if (asg.sparkSession.conf
+      if (spark.conf
         .get("spark.graft.semdedup.storeAssignInputs", "true").toBoolean)
         cf0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       else cf0
-    val x = cf.select(col("cluster").as("ca"), col("vec_id").as("i"),
-      col("pcodes").as("p_i"), col("rnrm").as("n_i"),
-      col("embedding").as("e_i"), col("fn").as("fn_i"))
-    val y = cf.select(col("cluster").as("cb"), col("vec_id").as("j"),
-      col("pcodes").as("p_j"), col("rnrm").as("n_j"),
-      col("embedding").as("e_j"), col("fn").as("fn_j"))
-    val dupIds = x.join(y, col("ca") === col("cb") && col("i") < col("j"))
-      .filter(gateCond &&
-        dot(col("e_i"), col("e_j")) / (col("fn_i") * col("fn_j")) >= t)
-      .select(col("j").as("dup_id")).distinct()
+    val dupReps = chunkedClusterPairs(cf, chunk, carryFloats = true)
+      .filter(gateCond && exactCond)
+      .select(col("j").as("dup_id"))
+    // rescore phase, member-vs-rep: every non-rep member is decided by the
+    // ONE pair against its group rep — linear joins (by rep id, then by
+    // member id for the member's own floats), the same gate + exact-rescore
+    // predicates, so precision never rests on the hash equality
+    val nonRep = mem.filter(col("vec_id") =!= col("rep"))
+      .select(col("rep"), col("vec_id").as("j"),
+        col("pcodes").as("p_j"), col("rnrm").as("n_j"))
+    val repC = mem.filter(col("vec_id") === col("rep"))
+      .select(col("rep"), col("pcodes").as("p_i"), col("rnrm").as("n_i"))
+    val fl = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("fn"))
+    val repF = fl
+      .join(nonRep.select(col("rep").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("rep"), col("embedding").as("e_i"),
+        col("fn").as("fn_i"))
+    val memF = fl.select(col("vec_id").as("j"), col("embedding").as("e_j"),
+      col("fn").as("fn_j"))
+    val dupMembers = nonRep
+      .join(repC, "rep").join(repF, "rep").join(memF, "j")
+      .filter(gateCond && exactCond)
+      .select(col("j").as("dup_id"))
+    val dupIds = dupReps.union(dupMembers).distinct()
     asg.join(dupIds, col("vec_id") === col("dup_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
+  }
+
+  /** Per-cluster chunk-gridded i<j self-pairs: clusters above `chunk` rows
+    * split into ns = ceil(n/chunk) hash chunks and the self-join runs on
+    * (cluster, chunkI, chunkJ) — row i replicates across all chunkJ, row j
+    * across all chunkI, so the unordered pair {i, j} meets exactly once,
+    * at (chunk_i, chunk_j), and survives the i<j filter in one
+    * orientation. Every join key group is ≤ chunk rows per side, which is
+    * what bounds the sort-merge buffered-row array (and with it per-task
+    * execution memory) regardless of cluster skew. Clusters at or under
+    * `chunk` take ns = 1 — a single (0,0) grid cell, no replication —
+    * so the default 4096 never engages at SemDeDup's ~125-member cluster
+    * regime; only the oversized-cluster roster is counted and broadcast
+    * (pathological clusters only — tiny in every regime).
+    */
+  private def chunkedClusterPairs(rows: DataFrame, chunk: Int,
+      carryFloats: Boolean): DataFrame = {
+    val big = rows.groupBy("cluster").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > chunk)
+    val ch = rows.join(broadcast(big), Seq("cluster"), "left")
+      .withColumn("ns",
+        coalesce(ceil(col("cn") / lit(chunk.toDouble)).cast("int"), lit(1)))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), col("ns")).cast("int"))
+      .withColumn("x", explode(sequence(lit(0), col("ns") - 1)))
+    def sideCols(sfx: String) =
+      Seq(col("vec_id").as(sfx), col("pcodes").as(s"p_$sfx"),
+        col("rnrm").as(s"n_$sfx")) ++
+        (if (carryFloats) Seq(col("embedding").as(s"e_$sfx"),
+          col("fn").as(s"fn_$sfx")) else Nil)
+    val lhs = ch.select(Seq(col("cluster").as("ca"), col("g").as("pa"),
+      col("x").as("qa")) ++ sideCols("i"): _*)
+    val rhs = ch.select(Seq(col("cluster").as("cb"), col("x").as("pb"),
+      col("g").as("qb")) ++ sideCols("j"): _*)
+    lhs.join(rhs, col("ca") === col("cb") && col("pa") === col("pb") &&
+      col("qa") === col("qb") && col("i") < col("j"))
   }
 
   /** Stage-boundary shuffle release (the Stages.released lesson, extended
@@ -904,7 +1013,12 @@ object Similarity {
     // candidate; the r=0 probe is the member's OWN cell (same argmax
     // arithmetic), which always retains at least one fine cluster, so
     // every row has a real winner.
-    val nr = math.min(nprobe, kc)
+    // clamp to the SURVIVING coarse-cell count, not the requested kc: on
+    // duplicate-heavy data Lloyd re-centering can lose coarse cells (two
+    // seeds with identical members collapse), and probing more cells than
+    // the book holds made element_at(pc, r+1) throw (r17 spec-found, the
+    // verbatim-clone fixture)
+    val nr = math.min(nprobe, math.min(kc, cids.length))
     val books = booksOf(fineC)
     var cur = members.withColumn("pc", cellsCol(cids, cbook, nr))
     for (r <- 0 until nr)
@@ -1081,7 +1195,8 @@ object Similarity {
     val ds = bookRows(0).length / m
     val books = Array.tabulate(m)(ss => Array.tabulate(ksub)(j =>
       bookRows(j).slice(ss * ds, ss * ds + ds)))
-    val coded = Pq.withPackedCodes(seedAssign(emb, 16).drop("nrm"), books)
+    val coded = Pq.withPackedCodes(
+      withEmbHashes(seedAssign(emb, 16).drop("nrm")), books)
     codedKeepFirst(coded, emb, books, t = 0.4, gate = 0.3).orderBy("vec_id")
   }
 

@@ -500,6 +500,101 @@ class MultimodalSpec extends SparkSpec {
       assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)) != null)
   }
 
+  test("inter-scan DQT redefinition dequantizes with the FIRST-scan table (libjpeg latch)") {
+    // advice r16 #2: libjpeg (jdinput.c latch_quant_tables) binds each
+    // component's dequant table ONCE, at the first scan containing it —
+    // a DQT redefined between scans must not change the emitted pixels.
+    // Fixture: one 8×8 progressive block, DC=5 coded under an all-8 DQT,
+    // then the DQT redefined to all-16 before the (empty) AC scan.
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(xs: Int*): Unit = xs.foreach(x => buf += x.toByte)
+    var cur = 0; var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) { buf += cur.toByte; if (cur == 0xFF) buf += 0x00.toByte; cur = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nb > 0) {
+      cur = (cur << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      buf += cur.toByte; if (cur == 0xFF) buf += 0x00.toByte
+      cur = 0; nb = 0
+    }
+    def build(firstQ: Int, redefineQ: Option[Int]): Array[Byte] = {
+      buf.clear(); cur = 0; nb = 0
+      b(0xFF, 0xD8)
+      b(0xFF, 0xDB, 0, 67, 0x00); (0 until 64).foreach(_ => buf += firstQ.toByte)
+      b(0xFF, 0xC2, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0)
+      b(0xFF, 0xC4, 0, 24, 0x00) // DC: vals 0..4 at length 3
+      b(0, 0, 5); (4 to 16).foreach(_ => b(0)); b(0, 1, 2, 3, 4)
+      b(0xFF, 0xC4, 0, 22, 0x10) // AC: EOB='0', ZRL='10', run13/size1='110'
+      b(1, 1, 1); (4 to 16).foreach(_ => b(0)); b(0x00, 0xF0, 0xD1)
+      b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 0, 0x00) // DC first, Al=0
+      putBits(3, 3); putBits(5, 3); flush() // cat 3, value +5
+      redefineQ.foreach { q =>
+        b(0xFF, 0xDB, 0, 67, 0x00); (0 until 64).foreach(_ => buf += q.toByte)
+      }
+      b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 1, 63, 0x00) // AC first: all zero
+      putBits(0, 1); flush() // EOB0
+      b(0xFF, 0xD9)
+      buf.toArray
+    }
+    val redefined = build(8, Some(16))
+    val latchedTwin = build(8, None) // what first-scan latching must yield
+    val lastDqtTwin = build(16, None) // what last-DQT dequant would yield
+    val rows = Seq(redefined, latchedTwin, lastDqtTwin)
+      .map(graft.functions.JpegDecode.jpeg)
+    rows.foreach(r => assert(!r.isNullAt(3), "all three fixtures must decode"))
+    assert(rows(0).getLong(3) === rows(1).getLong(3),
+      "redefined-DQT stream must dequantize with the FIRST-scan table")
+    assert(rows(1).getLong(3) !== rows(2).getLong(3),
+      "the two tables must actually disagree — else this test proves nothing")
+    // ImageIO (IJG-derived, the latch behavior we claim) is ground truth
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(redefined))
+    assert(img != null, "ImageIO rejected the DQT-redefined progressive stream")
+    // raster samples, not getRGB: TYPE_BYTE_GRAY getRGB runs a linear→sRGB
+    // gamma conversion that has nothing to do with the decoded bytes
+    var ioSum = 0L
+    for (y <- 0 until 8; x <- 0 until 8) ioSum += img.getRaster.getSample(x, y, 0)
+    assert(rows(0).getLong(3) === ioSum, "ImageIO parity on the redefined stream")
+  }
+
+  test("plausibility guard reports geometry with null sums on BOTH progressive tiers") {
+    // advice r16 #3: the gray tier whole-row-nulled on implausible
+    // header-declared dims while color reported geometry. One contract
+    // now (see GrayOut's scaladoc): the header parsed, so geometry
+    // reports and sums null — symmetric across tiers.
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val dqt = bytes(0xFF, 0xDB, 0, 67, 0x00) ++ Array.fill(64)(8.toByte)
+    val dht = bytes(0xFF, 0xC4, 0, 24, 0x00, 0, 0, 5) ++
+      Array.fill(13)(0.toByte) ++ bytes(0, 1, 2, 3, 4)
+    // gray: SOF2 4096×4096 (under the dim cap) with 2 entropy bytes —
+    // 512×512 blocks can never be coded by 2 bytes
+    val gray = bytes(0xFF, 0xD8) ++ dqt ++
+      bytes(0xFF, 0xC2, 0, 11, 8, 0x10, 0, 0x10, 0, 1, 1, 0x11, 0) ++ dht ++
+      bytes(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 0, 0x00, 0xAB, 0xCD) ++
+      bytes(0xFF, 0xD9)
+    val grow = graft.functions.JpegDecode.jpeg(gray)
+    assert(!grow.isNullAt(0) && grow.getInt(0) === 4096 && grow.getInt(1) === 4096,
+      "gray guard must report the parsed geometry")
+    assert(grow.isNullAt(3) && grow.isNullAt(4) && grow.isNullAt(5),
+      "gray guard must null the sums")
+    // color: SOF2 3-component 4:4:4 at the same dims — same contract
+    val color = bytes(0xFF, 0xD8) ++ dqt ++
+      bytes(0xFF, 0xC2, 0, 17, 8, 0x10, 0, 0x10, 0, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0) ++ dht ++
+      bytes(0xFF, 0xDA, 0, 12, 3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00,
+        0xAB, 0xCD) ++
+      bytes(0xFF, 0xD9)
+    val crow = graft.functions.JpegDecode.jpegColor(color)
+    assert(!crow.isNullAt(0) && crow.getInt(0) === 4096 && crow.getInt(1) === 4096,
+      "color guard must report the parsed geometry")
+    assert(crow.isNullAt(3) && crow.isNullAt(6),
+      "color guard must null the sums")
+  }
+
   test("JPEG AC layer: ±1 coefficients decode within the T.81 IDCT tolerance") {
     for (id <- 0L until 12L) {
       val payload = MediaSynth.jpeg(id, withAc = true)
@@ -737,11 +832,118 @@ class MultimodalSpec extends SparkSpec {
     assert(st.isNullAt(3) || st.getLong(3) != good.getLong(3) ||
       st.getLong(4) != good.getLong(4) || st.getLong(5) != good.getLong(5),
       "an entropy flip cannot decode to identical planes")
-    // a 2x1 (4:2:2) declaration is outside the decode envelope: null, not junk
+    // a 2x1 (4:2:2) declaration is IN the envelope since round 17 — the
+    // header parses, but a 4:2:0-laid-out entropy stream read as 4:2:2
+    // MCUs derails or lands on different planes, never on silent parity
     val sof = sample.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
     val samp422 = sample.clone()
     samp422(sof + 11) = 0x21.toByte // Y sampling 2x2 -> 2x1
-    assert(graft.functions.JpegDecode.jpegColor(samp422).isNullAt(3))
+    val st422 = graft.functions.JpegDecode.jpegColor(samp422)
+    assert(!st422.isNullAt(0), "4:2:2 headers parse since round 17")
+    assert(st422.isNullAt(3) || st422.getLong(3) != good.getLong(3),
+      "a mislabeled sampling cannot decode to identical planes")
+    // factor 3 stays outside the envelope: whole-row null
+    val samp43 = sample.clone()
+    samp43(sof + 11) = 0x23.toByte
+    assert(graft.functions.JpegDecode.jpegColor(samp43).isNullAt(0))
+  }
+
+  test("4:2:2 and 4:4:0 JPEG: kernel equals the geometry's libjpeg upsampler and ImageIO per PIXEL") {
+    // round-17 envelope rows: Y 2×1 (h2v1 fancy upsampling — nearer
+    // sample 3:1, rounding +1 even / +2 odd, >> 2) and Y 1×2 (IJG 6b has
+    // no fancy filter for vertical-only: int_upsample row REPLICATION).
+    // Baseline, progressive, and DRI variants are pixel-identical twins
+    // by construction; ImageIO parity is per pixel on every variant.
+    def clamp(v: Int): Int = math.min(255, math.max(0, v))
+    for (id <- 0L until 24L; (hs, vs) <- Seq((2, 1), (1, 2))) {
+      val w = 8 * hs * (1 + id % 2).toInt
+      val h = 8 * vs * (1 + id % 3).toInt
+      def yv(x: Int, y: Int) = 48 + ((id + 5L * (x / 8) + 11L * (y / 8)) % 160).toInt
+      def cbP(i: Int, j: Int) = 78 + ((3L * id + 7L * (i / 8) + 13L * (j / 8)) % 100).toInt
+      def crP(i: Int, j: Int) = 78 + ((5L * id + 3L * (i / 8) + 17L * (j / 8)) % 100).toInt
+      // chroma sample grid: subsampled along the Y-factor-2 axis only
+      def up(p: (Int, Int) => Int, x: Int, y: Int): Int =
+        if (hs == 2) { // h2v1 fancy
+          val i = x >> 1
+          val in = if ((x & 1) == 0) math.max(i - 1, 0) else math.min(i + 1, w / 2 - 1)
+          (3 * p(i, y) + p(in, y) + (if ((x & 1) == 0) 1 else 2)) >> 2
+        } else { // h1v2 fancy: vertical triangular
+          val j = y >> 1
+          val jn = if ((y & 1) == 0) math.max(j - 1, 0) else math.min(j + 1, h / 2 - 1)
+          (3 * p(x, j) + p(x, jn) + (if ((y & 1) == 0) 1 else 2)) >> 2
+        }
+      val variants = Seq(
+        "base" -> MediaSynth.jpegColorSampled(id, hs, vs, 0),
+        "base+dri" -> MediaSynth.jpegColorSampled(id, hs, vs, 2),
+        "prog" -> MediaSynth.jpegColorSampledProgressive(id, hs, vs, 0),
+        "prog+dri" -> MediaSynth.jpegColorSampledProgressive(id, hs, vs, 2))
+      val rows = variants.map { case (n, p) =>
+        n -> graft.functions.JpegDecode.jpegColor(p)
+      }
+      rows.foreach { case (n, st) =>
+        assert(!st.isNullAt(3), s"$hs x$vs $n fixture $id must decode")
+        assert(st.getInt(0) === w && st.getInt(1) === h, s"dims for $id $n")
+      }
+      // all four variants are pixel-identical plantings
+      for ((n, st) <- rows.tail; f <- 3 to 9)
+        assert(st.getLong(f) === rows.head._2.getLong(f),
+          s"variant $n of $hs x$vs $id diverges from baseline in field $f")
+      // formula + ImageIO parity on the baseline variant
+      var (sy, scb, scr, sr, sg, sb2, wr) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(variants.head._2))
+      assert(img != null, s"ImageIO rejected $hs x$vs JPEG $id")
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val yy = yv(x, y)
+        val cb = up(cbP, x, y); val cr = up(crP, x, y)
+        val r = clamp(yy + ((91881 * (cr - 128) + 32768) >> 16))
+        val g = clamp(yy + ((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768) >> 16))
+        val b = clamp(yy + ((116130 * (cb - 128) + 32768) >> 16))
+        sy += yy; scb += cb; scr += cr; sr += r; sg += g; sb2 += b
+        wr += r.toLong * (y.toLong * w + x + 1)
+        val v = img.getRGB(x, y)
+        assert(((v >> 16) & 0xFF) === r && ((v >> 8) & 0xFF) === g && (v & 0xFF) === b,
+          s"ImageIO pixel parity for $hs x$vs $id at ($x,$y)")
+      }
+      val st = rows.head._2
+      assert(st.getLong(3) === sy && st.getLong(4) === scb && st.getLong(5) === scr,
+        s"plane sums for $hs x$vs $id")
+      assert(st.getLong(6) === sr && st.getLong(7) === sg && st.getLong(8) === sb2,
+        s"rgb sums for $hs x$vs $id")
+      assert(st.getLong(9) === wr, s"wsum_r for $hs x$vs $id")
+      // ImageIO parity on the DRI + progressive variants too (byte-
+      // different streams, same decoded image)
+      for ((n, p) <- variants.tail) {
+        val im2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        assert(im2 != null, s"ImageIO rejected $hs x$vs $n $id")
+        assert(im2.getRGB(w - 1, h - 1) === img.getRGB(w - 1, h - 1) &&
+          im2.getRGB(0, 0) === img.getRGB(0, 0), s"$n twin parity $id")
+      }
+      // corruption: one flipped entropy bit never yields silent parity
+      val bad = variants.head._2.clone()
+      bad(bad.length - 4) = (bad(bad.length - 4) ^ 0x40).toByte
+      val bs = graft.functions.JpegDecode.jpegColor(bad)
+      assert(bs.isNullAt(3) || bs.getLong(3) != st.getLong(3) ||
+        bs.getLong(4) != st.getLong(4) || bs.getLong(5) != st.getLong(5),
+        s"corrupted $hs x$vs $id decoded to identical planes")
+    }
+  }
+
+  test("arithmetic-coded JPEG (SOF9): detected with dims, every decode tier honest-null") {
+    // round-17 honesty row: neither this engine nor IJG-derived ImageIO
+    // decodes arithmetic entropy coding (T.81 §F) — the contract is
+    // detection without invention.
+    for (id <- 0L until 12L) {
+      val p = MediaSynth.jpegArith(id)
+      assert(graft.functions.JpegDecode.jpeg(p).isNullAt(0),
+        s"gray tier must whole-row-null the arithmetic fixture $id (no Huffman SOF)")
+      assert(graft.functions.JpegDecode.jpegColor(p).isNullAt(0),
+        s"color tier must null the arithmetic fixture $id")
+      assert(graft.functions.JpegDecode.embedGray(p) === null &&
+        graft.functions.JpegDecode.embedColor(p) === null,
+        s"embed tiers must null the arithmetic fixture $id")
+    }
   }
 
   test("color-progressive JPEG (SOF2 4:4:4): kernel equals planted formulas, ImageIO, and the embed fold") {

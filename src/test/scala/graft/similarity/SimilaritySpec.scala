@@ -508,6 +508,41 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.semdedup.storeAssignInputs")
   }
 
+  test("coded dedup: verbatim-dup collapse and chunk grid are verdict-exact") {
+    // round-17 verdict #1: the degenerate regime (verbatim-replicated
+    // embeddings → mega-clusters → quadratic pair scan) is bounded by
+    // (a) the exact-duplicate collapse — bit-identical embeddings group
+    // by (cluster, eh1, eh2), only group reps enter the pair scan, and
+    // non-reps are decided by the ONE pair against their rep — and
+    // (b) the per-cluster chunk grid on the surviving rep joins. Neither
+    // bound may change any verdict.
+    import spark.implicits._
+    val (base, expectBase) = plantedFamilies
+    def decisions(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    // 40 VERBATIM copies of vec 0's embedding under fresh (higher) ids —
+    // one mega collapse group whose rep is original corpus member 0; all
+    // clones must drop via the member-vs-rep rescore (cos = 1 ≥ t), and
+    // every base verdict must be untouched (keep-first only looks at
+    // LOWER-id partners, and all clone ids are higher)
+    val v0 = base.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val clones = (0 until 40).map(i => (1000L + i, v0)).toDF("vec_id", "embedding")
+    val corpus = base.union(clones)
+    val expect = expectBase ++ (0 until 40).map(i => (1000L + i) -> false)
+    val got = decisions(Similarity.semanticDedupCoded(corpus, 4, 0.9))
+    assert(got === expect,
+      "collapse must drop verbatim clones and leave base verdicts intact")
+    // chunk grid: pairChunk=2 makes EVERY multi-rep cluster oversized, so
+    // both chunkedClusterPairs call sites (codes gate + float rescore) run
+    // the gridded shape — verdicts must be bit-identical to the default
+    spark.conf.set("spark.graft.semdedup.pairChunk", "2")
+    try {
+      val chunked = decisions(Similarity.semanticDedupCoded(corpus, 4, 0.9))
+      assert(chunked === got, "chunk-gridded pair scan changed a verdict")
+    } finally spark.conf.unset("spark.graft.semdedup.pairChunk")
+  }
+
   test("semanticDedup routes to the probe-join assignment above the literal-seed threshold") {
     // r14 advice note #2: the seed collect grows with k; above
     // spark.graft.semdedup.maxLiteralSeeds the oracle path must delegate

@@ -99,6 +99,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("adversarial-length runs: heap replay stays exact and near-linear") {
+    // advice r16 #1: the retired min-RESCAN made one long mergeable run
+    // O(L²). The heap replay must (a) still match sequential trainer
+    // application token-for-token on a 20k-char run and (b) complete a
+    // 1M-char run at all — the quadratic kernel needed ~10¹² rank probes
+    // there, so this test doubles as the regression guard.
+    val unit = BpeTrain.wordOf(0) + BpeTrain.wordOf(911 % 32768)
+    val long20k = unit * (20000 / unit.length + 1)
+    assert(graft.functions.BpeCounts.encodeTokens(long20k) === refEncode(long20k),
+      "heap replay diverged from sequential application on a 20k-char run")
+    val mega = unit * (1000000 / unit.length + 1)
+    val toks = graft.functions.BpeCounts.encodeTokens(mega)
+    assert(toks.nonEmpty && toks.map(_.length).sum === mega.length,
+      "mega-run boundaries must partition the input")
+  }
+
   test("a learned piece encodes whole under replay") {
     // "leszaskor" is a learned 9-letter piece: the merge chain that built
     // it during training applies verbatim to the standalone word, so
