@@ -517,8 +517,15 @@ class StreamingSpec extends SparkSpec {
       .filter(!(col("fs") <=> col("fb")) || !(col("es") <=> col("eb")))
       .count()
     assert(mismatches() === 0L)
-    assert(got.filter(col("feature").isNotNull).count() === 30,
-      "every realMediaTable tier decodes since round 15 — the stream must too")
+    // round 17: doc_id 28 (28 % 9 = 1, 28 // 9 ≡ 3 mod 4) is the mixed
+    // table's ARITHMETIC-coded honesty row — undecodable by design, so the
+    // stream must carry its null feature AND null encoder tag; every
+    // Huffman-coded tier still decodes
+    assert(got.filter(col("feature").isNotNull).count() === 29,
+      "every Huffman realMediaTable tier decodes — the stream must too")
+    assert(got.filter(col("media_id") === 28).select("feature", "encoder")
+      .collect().forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      "the arithmetic-coded row must ride the stream as honest null")
     // replay through a FRESH checkpoint: the upsert re-writes identical
     // rows — count and content must not change (idempotent end-to-end)
     Streaming.mediaIngest(spark, landing, tableDir, tmpDir("graft-media-cp2"),
