@@ -1480,7 +1480,8 @@ object JpegDecode {
     * with per-component predictors; non-interleaved AC/DC scans walk the
     * owning component's real blocks), then one dequant + IDCT emission
     * feeds the SAME pixel folds as baseline color — the 4:4:4 per-pixel
-    * stream or the 4:2:0 plane fill + [[fold420Planes]] fancy upsampling.
+    * stream or the subsampled plane fill + the geometry's upsample fold
+    * ([[foldSubsampledPlanes]]: h2v2 / h2v1 / h1v2).
     * `n_ac_coeffs` counts nonzero AC entries of the finished planes, the
     * progressive analogue of the baseline's per-scan count (every planted
     * coefficient ends nonzero, so the fixtures agree across tiers).

@@ -773,10 +773,16 @@ object Similarity {
     val reps = mem.filter(col("vec_id") === col("rep"))
       .select("cluster", "vec_id", "pcodes", "rnrm")
     val chunk = spark.conf.get("spark.graft.semdedup.pairChunk", "4096").toInt
+    // clusters beyond this are pathological (SemDeDup picks k for ~125
+    // members; the r16 probe's collapsed-Lloyd monsters were millions) and
+    // switch from the exact chunk grid to the head-capped fan-out — see
+    // chunkedClusterPairs for the documented recall semantics
+    val clusterCap =
+      spark.conf.get("spark.graft.semdedup.clusterCap", "65536").toInt
     // gate phase over REPS only: the chunk-gridded pair scan STREAMS into
     // a distinct over doc ids — map-side partial aggregation bounds every
     // task's output by ids, so gated-pair mass never hits disk
-    val gated = chunkedClusterPairs(reps, chunk, carryFloats = false)
+    val gated = chunkedClusterPairs(reps, chunk, clusterCap, carryFloats = false)
       .filter(gateCond)
     // DISK_ONLY: on a dup-dense corpus the candidate set approaches the
     // rep set, and a deserialized memory cache of millions of ids competes
@@ -804,7 +810,7 @@ object Similarity {
         .get("spark.graft.semdedup.storeAssignInputs", "true").toBoolean)
         cf0.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       else cf0
-    val dupReps = chunkedClusterPairs(cf, chunk, carryFloats = true)
+    val dupReps = chunkedClusterPairs(cf, chunk, clusterCap, carryFloats = true)
       .filter(gateCond && exactCond)
       .select(col("j").as("dup_id"))
     // rescore phase, member-vs-rep: every non-rep member is decided by the
@@ -834,39 +840,81 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
   }
 
-  /** Per-cluster chunk-gridded i<j self-pairs: clusters above `chunk` rows
-    * split into ns = ceil(n/chunk) hash chunks and the self-join runs on
-    * (cluster, chunkI, chunkJ) — row i replicates across all chunkJ, row j
-    * across all chunkI, so the unordered pair {i, j} meets exactly once,
-    * at (chunk_i, chunk_j), and survives the i<j filter in one
-    * orientation. Every join key group is ≤ chunk rows per side, which is
-    * what bounds the sort-merge buffered-row array (and with it per-task
-    * execution memory) regardless of cluster skew. Clusters at or under
-    * `chunk` take ns = 1 — a single (0,0) grid cell, no replication —
-    * so the default 4096 never engages at SemDeDup's ~125-member cluster
-    * regime; only the oversized-cluster roster is counted and broadcast
-    * (pathological clusters only — tiny in every regime).
+  /** Per-cluster i<j self-pairs with BOUNDED per-task memory AND bounded
+    * row mass, in three regimes by cluster size n:
+    *
+    *  - n ≤ chunk (every real SemDeDup cluster — k is chosen for ~125
+    *    members): one (0,0) grid cell, no replication, exact.
+    *  - chunk < n ≤ clusterCap: the chunk GRID — ns = ceil(n/chunk) hash
+    *    chunks, join key (cluster, chunkI, chunkJ); every key group is
+    *    ≤ chunk rows per side (bounds the sort-merge buffered-row array),
+    *    each unordered pair meets exactly once, exact, at the price of
+    *    ×ns row replication (n·ns ≈ n²/chunk — fine up to the cap, which
+    *    is why the cap exists).
+    *  - n > clusterCap (PATHOLOGICAL — the r16 100M probe's collapsed
+    *    Lloyd mega-clusters; the grid's n²/chunk replication is what blew
+    *    41 GB of scratch and the per-slot sorters there): HEAD-CAPPED
+    *    fan-out, the r16 verdict's documented-recall option. Members pair
+    *    only against the cluster's `chunk` LOWEST-vec_id members (its
+    *    "head"): row mass is linear (head×ns replicas ≈ n), key groups
+    *    stay ≤ chunk per side, and total pair work is n·chunk, not n²/2.
+    *    RECALL SEMANTICS, documented: pairs within the head are exact, so
+    *    the head's keep-first verdicts are the unbounded ones; a beyond-
+    *    head member is tested against every head member and can only
+    *    FALSELY SURVIVE if its sole qualifying earlier partners are all
+    *    beyond the head — on dup-dense data (the only way clusters get
+    *    this big) the earliest members are precisely the retained
+    *    representatives, so the miss band is thin. Precision is never at
+    *    stake: every emitted pair still passes the exact float rescore.
     */
   private def chunkedClusterPairs(rows: DataFrame, chunk: Int,
-      carryFloats: Boolean): DataFrame = {
-    val big = rows.groupBy("cluster").agg(count(lit(1)).as("cn"))
-      .filter(col("cn") > chunk)
-    val ch = rows.join(broadcast(big), Seq("cluster"), "left")
-      .withColumn("ns",
-        coalesce(ceil(col("cn") / lit(chunk.toDouble)).cast("int"), lit(1)))
-      .withColumn("g", pmod(xxhash64(col("vec_id")), col("ns")).cast("int"))
-      .withColumn("x", explode(sequence(lit(0), col("ns") - 1)))
+      clusterCap: Int, carryFloats: Boolean): DataFrame = {
     def sideCols(sfx: String) =
       Seq(col("vec_id").as(sfx), col("pcodes").as(s"p_$sfx"),
         col("rnrm").as(s"n_$sfx")) ++
         (if (carryFloats) Seq(col("embedding").as(s"e_$sfx"),
           col("fn").as(s"fn_$sfx")) else Nil)
+    def names(sfx: String) =
+      Seq(sfx, s"p_$sfx", s"n_$sfx") ++
+        (if (carryFloats) Seq(s"e_$sfx", s"fn_$sfx") else Nil)
+    val pairCols = names("i") ++ names("j")
+    val counts = rows.groupBy("cluster").agg(count(lit(1)).as("cn"))
+    val big = counts.filter(col("cn") > chunk && col("cn") <= clusterCap)
+    val mega = counts.filter(col("cn") > clusterCap)
+    // exact grid over the non-pathological clusters
+    val ch = rows
+      .join(broadcast(mega.select("cluster")), Seq("cluster"), "left_anti")
+      .join(broadcast(big), Seq("cluster"), "left")
+      .withColumn("ns",
+        coalesce(ceil(col("cn") / lit(chunk.toDouble)).cast("int"), lit(1)))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), col("ns")).cast("int"))
+      .withColumn("x", explode(sequence(lit(0), col("ns") - 1)))
     val lhs = ch.select(Seq(col("cluster").as("ca"), col("g").as("pa"),
       col("x").as("qa")) ++ sideCols("i"): _*)
     val rhs = ch.select(Seq(col("cluster").as("cb"), col("x").as("pb"),
       col("g").as("qb")) ++ sideCols("j"): _*)
-    lhs.join(rhs, col("ca") === col("cb") && col("pa") === col("pb") &&
-      col("qa") === col("qb") && col("i") < col("j"))
+    val gridPairs = lhs.join(rhs, col("ca") === col("cb") &&
+      col("pa") === col("pb") && col("qa") === col("qb") &&
+      col("i") < col("j"))
+      .select(pairCols.head, pairCols.tail: _*)
+    // head-capped fan-out over the pathological clusters (empty join when
+    // none exist — the broadcast roster costs one codes-scale scan)
+    val megaRows = rows.join(broadcast(mega), Seq("cluster"))
+    val ranked = megaRows.withColumn("rk", row_number().over(
+      Window.partitionBy("cluster").orderBy("vec_id")))
+    val nsCol = ceil(col("cn") / lit(chunk.toDouble)).cast("int")
+    val lhsM = ranked.filter(col("rk") <= chunk)
+      .withColumn("x", explode(sequence(lit(0), nsCol - 1)))
+      .select(Seq(col("cluster").as("ca"), col("x").as("pa")) ++
+        sideCols("i"): _*)
+    val rhsM = ranked
+      .withColumn("gj", pmod(xxhash64(col("vec_id")), nsCol).cast("int"))
+      .select(Seq(col("cluster").as("cb"), col("gj").as("pb")) ++
+        sideCols("j"): _*)
+    val megaPairs = lhsM.join(rhsM, col("ca") === col("cb") &&
+      col("pa") === col("pb") && col("i") < col("j"))
+      .select(pairCols.head, pairCols.tail: _*)
+    gridPairs.unionByName(megaPairs)
   }
 
   /** Stage-boundary shuffle release (the Stages.released lesson, extended

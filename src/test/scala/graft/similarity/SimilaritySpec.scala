@@ -543,6 +543,46 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.semdedup.pairChunk")
   }
 
+  test("pathological clusters: head-capped fan-out with the documented recall semantics") {
+    // round-17: clusters beyond spark.graft.semdedup.clusterCap abandon
+    // the exact chunk grid (whose n²/chunk row replication is what blew
+    // the 100M probe's scratch) for head-capped pairing — members compare
+    // only against the cluster's pairChunk lowest-vec_id members. Pins:
+    // (a) head-reachable dups still drop, (b) a dup whose ONLY qualifying
+    // partner sits beyond the head is the documented miss (false SURVIVOR,
+    // never a false drop), (c) the cap disengaged reproduces exact.
+    import spark.implicits._
+    def vec(sec: Int, id: Long): Array[Float] = {
+      // shared base dim 0 (one Lloyd cluster), planted near-dup pairs
+      // share `sec`, a tiny per-id tertiary keeps embeddings bit-distinct
+      val v = Array.fill(64)(0.0f)
+      v(0) = 1.0f; v(sec) = 1.0f; v(30 + id.toInt) = 0.01f
+      v
+    }
+    val secOf = Map(0L -> 10, 1L -> 10, 2L -> 12, 3L -> 11, 4L -> 13,
+      5L -> 11, 6L -> 14, 7L -> 10, 8L -> 15, 9L -> 16)
+    val corpus = secOf.toSeq.sortBy(_._1)
+      .map { case (id, s) => (id, vec(s, id)) }.toDF("vec_id", "embedding")
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    // exact regime: 1 and 7 (share sec 10 with 0) and 5 (shares sec 11
+    // with 3) drop
+    val exact = kept(Similarity.semanticDedupCoded(corpus, 1, 0.9))
+    assert(exact === Set(0L, 2L, 3L, 4L, 6L, 8L, 9L), "exact baseline")
+    // capped regime: head = {0, 1}; (0,1) and (0,7)/(1,7) still found;
+    // (3,5) is beyond-head-only → 5 falsely survives, BY CONTRACT
+    spark.conf.set("spark.graft.semdedup.pairChunk", "2")
+    spark.conf.set("spark.graft.semdedup.clusterCap", "4")
+    try {
+      val capped = kept(Similarity.semanticDedupCoded(corpus, 1, 0.9))
+      assert(capped === exact + 5L,
+        "head-capped verdicts must drop head-reachable dups and keep ONLY the documented beyond-head miss")
+    } finally {
+      spark.conf.unset("spark.graft.semdedup.pairChunk")
+      spark.conf.unset("spark.graft.semdedup.clusterCap")
+    }
+  }
+
   test("semanticDedup routes to the probe-join assignment above the literal-seed threshold") {
     // r14 advice note #2: the seed collect grows with k; above
     // spark.graft.semdedup.maxLiteralSeeds the oracle path must delegate
