@@ -1546,10 +1546,32 @@ object Dedup {
     */
   private def unshuffledSets(docs: DataFrame): DataFrame = {
     graft.functions.ShingleHashFunctions.ensureRegistered(docs.sparkSession)
-    docs.select(col("doc_id"),
+    balancedIfNarrow(docs).select(col("doc_id"),
       coalesce(graft.functions.ShingleHashFunctions.wordShingleHashes(col("text"), 3),
         array().cast(ArrayType(LongType))).as("shh"))
       .withColumn("sz", size(col("shh")))
+  }
+
+  /** Scale-adaptive balancing for the compute-bound shingle kernel (r17,
+    * guide §2.5 "input skew"): the kernel's parallelism is whatever the
+    * scan gives it, and a corpus smaller than cores × maxPartitionBytes
+    * arrives as FEWER partitions than cores — at sf0.1 ONE 30 MB file = ONE
+    * task running every phase of the bottom-k pipeline serially (measured:
+    * the pair join alone 537 ms in a single task). Above that size the scan
+    * splits past the core count by itself and the exchange would be the
+    * fourth-decade corpus-width shuffle [[bkSets]] exists to avoid — so the
+    * repartition fires ONLY below it. The trigger reads Catalyst's
+    * sizeInBytes estimate (driver-only, no job): exact for file scans,
+    * conservatively huge for joins (which therefore keep today's
+    * no-exchange behavior). Cost when it fires is bounded by definition:
+    * < cores × maxPartitionBytes of text moves once.
+    */
+  private def balancedIfNarrow(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val split = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(split) * par) docs.repartition(par, col("doc_id")) else docs
   }
 
   /** The corpus materialization every bottom-k consumer reads: sorted
@@ -1575,8 +1597,12 @@ object Dedup {
     val base = unshuffledSets(docs).filter(col("sz") > 0)
     val store = docs.sparkSession.conf
       .get("spark.graft.bottomk.storeSets", "true").toBoolean
+    // LAZY checkpoint (r17): every consumer's next act is `sets.count()` to
+    // size the shards, so eager-then-count paid two full passes over the
+    // arrays (write blocks, then read them back to count). Lazily marked,
+    // the count itself is the materializing action — one pass at any scale.
     if (store)
-      base.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      base.localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     else base
   }
 
@@ -1590,10 +1616,11 @@ object Dedup {
     * build sides here (useful-hash set, candidate ids) are vocabulary-tail
     * / candidate scale at every probed decade, but past the documented
     * scales the failure mode of an unconditional broadcast is an opaque
-    * driver OOM. `right` MUST be eagerly materialized (checkpointed) by
-    * the caller so the count reads cached blocks; above the cap we fall
-    * back to a shuffled semi-join — one extra exchange of the probe side,
-    * but a plan that completes and says why.
+    * driver OOM. `right` MUST be (at least lazily) checkpointed by the
+    * caller so the count doubles as its materializing action and the
+    * broadcast build reads cached blocks; above the cap we fall back to a
+    * shuffled semi-join — one extra exchange of the probe side, but a plan
+    * that completes and says why.
     */
   private def guardedSemiJoin(left: DataFrame, right: DataFrame,
       key: String): DataFrame = {
@@ -1666,7 +1693,11 @@ object Dedup {
         .repartition(parts, col("h"))
         .groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > 1 && col("df") <= dfCap).select("h")
-        .localCheckpoint() // eager: tiny, and frees this shard's exchange
+        // single shard: LAZY — the guard's count() is the materializing
+        // action, so df-agg and count run as one job (r17). Multi-shard
+        // keeps the eager per-shard checkpoint: freeing each shard's
+        // exchange before the next begins is the whole point of sharding.
+        .localCheckpoint(eager = shards > 1)
     }.reduce(_ unionAll _)
     val capped = sets
       .select(col("doc_id"),
@@ -1702,7 +1733,9 @@ object Dedup {
   private def candPrunedSets(sets: DataFrame, cands: DataFrame): DataFrame = {
     val candIds = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
-      .localCheckpoint() // eager: the guard's count must not re-run the distinct
+      // lazy (r17): the guard's count() is the materializing action — the
+      // distinct runs once, its blocks are cached for the semi-join build
+      .localCheckpoint(eager = false)
     // checkpointed: BOTH rescore sides read this frame; materializing the
     // candidate-mass-scale prune once halves the checkpoint re-reads
     guardedSemiJoin(sets, candIds, "doc_id").localCheckpoint()
