@@ -501,12 +501,22 @@ object Dedup {
     * alternating-star as the long-chain escape hatch — which, if taken,
     * also starts from the already-materialized pairs.
     */
-  private def clusterAssignments(pairs: DataFrame): DataFrame = {
+  private def clusterAssignments(pairs: DataFrame): DataFrame =
+    ccAssignments(pairs)
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+
+  /** Raw (doc_id, cluster_id) from connected components — no size window,
+    * no sort (r17): composed consumers either never read cluster_size (the
+    * leakage-safe split) or immediately re-shuffle by cluster_id for their
+    * own window (canonical selection), so the full [[clusterAssignments]]
+    * projection paid one exchange+window and one global sort (plus its
+    * range-partitioner sampling pass) that the composition threw away.
+    */
+  private def ccAssignments(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("i"), col("j")).localCheckpoint()
     val cc = connectedComponentsHybrid(p)
     cc.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .orderBy("doc_id")
   }
 
   /** Cluster assignment for every document that participates in at least
@@ -598,11 +608,16 @@ object Dedup {
     * deterministic tiebreak) per cluster.
     */
   private def canonicalFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val clusters = clusterAssignments(pairs)
+    // both windows ride ONE exchange by cluster_id (r17): size from the
+    // unordered frame, keep-rank from the ordered one — the planner stacks
+    // them over a single hash partitioning instead of shuffling the
+    // assignment frame twice (clusterAssignments' window + a second one
+    // here), and no intermediate global sort runs between them.
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    clusters
+    ccAssignments(pairs)
       .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .withColumn("keep", row_number().over(w) === 1)
       .select("doc_id", "cluster_id", "cluster_size", "n_chars", "keep")
       .orderBy("doc_id")
@@ -646,8 +661,10 @@ object Dedup {
     * (cluster-keyed salted-md5 split; singletons are their own cluster).
     */
   private[graft] def leakageSafeAssignmentsFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val clusters = clusterAssignments(pairs)
-      .select("doc_id", "cluster_id")
+    // raw CC labels (r17): the split never reads cluster_size, so the
+    // size window's exchange and clusterAssignments' global sort were
+    // dead weight here
+    val clusters = ccAssignments(pairs)
     val assign = docs
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1731,8 +1748,10 @@ object Dedup {
     * bloom_filter_agg prune keeps the same shape with no precision cost.
     */
   private def candPrunedSets(sets: DataFrame, cands: DataFrame): DataFrame = {
-    val candIds = cands.select(col("i").as("doc_id"))
-      .union(cands.select(col("j").as("doc_id"))).distinct()
+    // explode, not union (r17): both ends of each pair emit from ONE pass
+    // over the candidate checkpoint instead of two branch scans
+    val candIds = cands
+      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
       // lazy (r17): the guard's count() is the materializing action — the
       // distinct runs once, its blocks are cached for the semi-join build
       .localCheckpoint(eager = false)

@@ -52,6 +52,13 @@ object Analytics {
         element_at(col("ps"), 3).as("p75"),
         element_at(col("ps"), 4).as("p95"),
       )
+      // lazy checkpoint before the presentation sort (r17): the range
+      // exchange samples its child, which re-ran the whole percentile
+      // final merge (measured: two ~700 ms jobs reading the same agg
+      // shuffle). Materializing the K-row agg output once turns the
+      // second execution into block reads — at any scale the agg output
+      // is groups-bounded, so the trade never inverts.
+      .localCheckpoint(eager = false)
       .orderBy("l_returnflag")
   }
 
@@ -478,6 +485,11 @@ object Analytics {
         max("mad").as("mad"),
         count(when(col("absdev") > lit(4.4478) * col("mad"), 1)).as("n_outliers"),
       )
+      // lazy checkpoint before the presentation sort (r17): without it the
+      // range exchange's sampling re-executed the third full pass over the
+      // fact table (scan + broadcast joins + count agg) just to learn the
+      // bounds of a groups-bounded output — same rationale as q_quantiles
+      .localCheckpoint(eager = false)
       .orderBy("l_returnflag")
   }
 

@@ -30,4 +30,21 @@ object EngineDefaults {
         sys.props.getOrElse("spark.io.compression.codec", "zstd"))
       .config("spark.io.compression.zstd.level",
         sys.props.getOrElse("spark.io.compression.zstd.level", "3"))
+      // AQE partition-coalescing floor, 1 MB → 64 KB (round 17, guide
+      // §2.5): the engine's hot frames are hashed-shingle / packed-code
+      // layouts at ~8–16 B per element, so a stage's shuffle BYTES
+      // understate its compute by orders of magnitude — with the default
+      // 1 MB floor, AQE coalesced the PPJoin rank-window/candidate-join
+      // and bottom-k rescore exchanges (2–3 MB) down to 1–2 tasks and the
+      // whole stage ran serially (measured: 300–500 ms single-task stages
+      // at sf0.1 across the dedup family). parallelismFirst already
+      // targets max(bytes / parallelism, floor); the floor only binds
+      // when partitions are tiny, so on large inputs — where bytes /
+      // parallelism ≫ 1 MB — this setting changes NOTHING, at any cluster
+      // size. It is a pure small-exchange parallelism fix, not a local
+      // tuning: the same floor misbehaves on a 100 TB run's small frames
+      // (per-group medians, vocabulary tails, candidate id sets).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.props.getOrElse(
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"))
 }
