@@ -160,9 +160,18 @@ object Dedup {
       .join(freq, "sh_h")
       .withColumn("rank",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("freq"), col("sh_h"))))
+    // materialized ONCE (r17): both sides of the candidate self-join read
+    // this frame, and without the checkpoint each side re-ran the whole
+    // posting -> freq-join -> rank-window pipeline (measured as two
+    // identical ~23 s-CPU jobs at sf0.1) — the same fix containmentJoin's
+    // ranked checkpoint applied after its 10x probe (35 s -> 19.9 s).
+    // Prefix postings are the SMALLER frame (only the first
+    // |A|-ceil(t|A|)+1 tokens per doc), so this materializes less than
+    // the ranked table would.
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("sh_h"), col("doc_id"), col("sz"), col("rank"))
+      .localCheckpoint()
     // Length filter: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ∧ t·|B| ≤ |A|.
     // Positional filter: overlap still reachable after each side's matched
     // prefix position must meet α = ⌈t/(1+t)·(|A|+|B|)⌉ (PPJoin, Xiao et
@@ -1583,13 +1592,8 @@ object Dedup {
     * no-exchange behavior). Cost when it fires is bounded by definition:
     * < cores × maxPartitionBytes of text moves once.
     */
-  private def balancedIfNarrow(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val split = spark.sessionState.conf.filesMaxPartitionBytes
-    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(split) * par) docs.repartition(par, col("doc_id")) else docs
-  }
+  private def balancedIfNarrow(docs: DataFrame): DataFrame =
+    graft.util.Balance.ifNarrow(docs, col("doc_id"))
 
   /** The corpus materialization every bottom-k consumer reads: sorted
     * hashed shingle arrays, DISK_ONLY (8 bytes/gram — the COMPACT corpus

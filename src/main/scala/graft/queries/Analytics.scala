@@ -38,7 +38,10 @@ object Analytics {
     // ONE array-form percentile aggregate: four scalar percentile calls
     // would each keep their own per-group value buffer (4x the aggregation
     // state and sort work); the array form shares one buffer.
-    Tables.lineitem(s, d)
+    // Balanced when the scan is narrower than the core count (r17): the
+    // percentile partial-state build is the compute-dense map side, and a
+    // single-row-group file ran it as one 0.7 s task.
+    graft.util.Balance.ifNarrow(Tables.lineitem(s, d), col("l_extendedprice"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -469,7 +472,12 @@ object Analytics {
       ORDER BY d.l_returnflag
     """),
   ) { (s, d) =>
-    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    // balanced when the scan is narrower than the core count (r17): all
+    // three passes run their compute-dense partial aggregation (percentile
+    // state, counts) at core parallelism instead of one task per file
+    val li = graft.util.Balance.ifNarrow(
+      Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+      col("l_extendedprice"))
     val med = li.groupBy("l_returnflag")
       .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
     val dev = li.join(broadcast(med), Seq("l_returnflag"))
@@ -525,6 +533,9 @@ object Analytics {
       FROM b GROUP BY bucket ORDER BY bucket
     """),
   ) { (s, d) =>
+    // NOT balanced (r17, measured): the bucket pass is a few cheap array
+    // probes per row, and balancing both passes' scans cost more in
+    // exchanges than the parallelism returned (1.0 s -> 1.6 s warm)
     val o = Tables.orders(s, d).select("o_totalprice")
     val cuts = o.agg(percentile(col("o_totalprice"),
       array(lit(0.125), lit(0.25), lit(0.375), lit(0.5),
@@ -739,6 +750,11 @@ object Analytics {
       countDistinct(col(c)).as(s"nd_$c"),
       min(col(c)).cast(DoubleType).as(s"mn_$c"),
       max(col(c)).cast(DoubleType).as(s"mx_$c")))
+    // NOT balanced (r17, measured): the multi-distinct Expand's cost sits
+    // in the post-exchange distinct-merge stages (already 32-way), so a
+    // balancing shuffle of the raw rows only added an exchange (2.33 s ->
+    // 2.50 s warm) — the opposite of the q_cube result, where the map-side
+    // Expand dominates
     Tables.lineitem(s, d)
       .agg(aggs.head, aggs.tail: _*)
       .select(col("n_rows"), explode(array(cols.map(c =>

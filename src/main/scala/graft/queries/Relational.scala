@@ -290,7 +290,8 @@ object Relational {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """),
   ) { (s, d) =>
-    Tables.lineitem(s, d)
+    // balanced when narrow (r17) — same Expand-map rationale as q_cube
+    graft.util.Balance.ifNarrow(Tables.lineitem(s, d), col("l_orderkey"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
@@ -415,7 +416,10 @@ object Relational {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """),
   ) { (s, d) =>
-    Tables.lineitem(s, d)
+    // balanced when the scan is narrower than the core count (r17): CUBE
+    // plans an Expand (4 rows out per row in) on the map side — a
+    // compute-dense stage a single-row-group file serialized to one task
+    graft.util.Balance.ifNarrow(Tables.lineitem(s, d), col("l_orderkey"))
       .cube("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
@@ -568,7 +572,9 @@ object Relational {
       ORDER BY metric
     """),
   ) { (s, d) =>
-    Tables.lineitem(s, d)
+    // balanced when narrow (r17): unpivot expands 4 rows per input row
+    // map-side — same compute-dense-Expand rationale as q_cube
+    graft.util.Balance.ifNarrow(Tables.lineitem(s, d), col("l_orderkey"))
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),

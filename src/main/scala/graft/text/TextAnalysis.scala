@@ -332,10 +332,17 @@ object TextAnalysis {
   ) { (s, d) =>
     val bgType = ArrayType(StructType(Seq(
       StructField("w1", StringType), StructField("w2", StringType))))
-    val f = Tables.documents(s, d)
+    // balanced + materialized ONCE (r17): the token frame feeds FOUR
+    // consumers (unigram counts, bigram counts, vocabulary size via uni,
+    // and the scoring join), and each broadcast build re-ran the
+    // tokenize+explode pipeline as its own single-task job (measured: three
+    // serial ~1.7 s jobs at sf0.1). One balanced checkpoint tokenizes at
+    // core parallelism exactly once; every consumer reads blocks.
+    val f = graft.util.Balance.ifNarrow(Tables.documents(s, d), col("doc_id"))
       // bound toks projection: no CSE through lambda bodies
       .select(col("doc_id"),
         filter(split(lower(col("text")), wsRe), t => t =!= "").as("toks"))
+      .localCheckpoint()
     val t = f.select(col("doc_id"), explode_outer(col("toks")).as("w"))
       .filter(col("w").isNotNull)
     // guard size >= 2: sequence(1, 0) would count DOWN, not produce empty
@@ -347,7 +354,10 @@ object TextAnalysis {
           .otherwise(array().cast(bgType))).as("bg"))
       .filter(col("bg").isNotNull)
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // lazy checkpoint (r17): uni feeds both its own broadcast build and the
+    // vocabulary-size aggregate — one aggregation, two readers
     val uni = t.groupBy(col("w").as("w1")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(eager = false)
     val big = b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val v = uni.agg(count(lit(1)).as("v"))
     b.join(broadcast(big), Seq("w1", "w2"))
