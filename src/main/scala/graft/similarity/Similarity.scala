@@ -529,19 +529,22 @@ object Similarity {
       .select("vec_id", "embedding").collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble))
-    val cosToSeeds = array(seeds.toIndexedSeq.map { sv =>
-      val sLit = typedLit(sv)
-      // sqrt(dot(s,s)) over a foldable literal constant-folds at plan time;
-      // the per-row cost is one VecDot + one division per centroid
-      dot(col("embedding"), sLit) /
-        (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(sLit, sLit)))
-    }: _*)
+    // ONE compiled kernel call per row (r17): the previous form built a
+    // k-wide array of per-seed cosine expressions (k VecDots + divisions +
+    // array_max + array_position per row) — an expression tree that grows
+    // with k and measured ~27 ms/row at k-scale seed books (codegen-hostile
+    // giant projections). NearestVec loops the same argmax inside one
+    // kernel with identical semantics: per-seed cosine computed as
+    // s/(nrm·sqrt(c2)) in the same operation order (bit-identical doubles)
+    // and strict `>` so the FIRST max index wins ties, exactly like
+    // array_position's first occurrence.
+    val bookLit = typedLit(seeds.map(_.toIndexedSeq).toIndexedSeq)
+    val near = VectorFunctions.nearestVec(col("embedding"), bookLit)
     emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-        (array_position(cosToSeeds, array_max(cosToSeeds)) - 1).cast("int")
-          .as("cluster"))
+        near.getField("idx").cast("int").as("cluster"))
   }
 
   /** The intra-cluster keep-first pair scan shared by [[semanticDedup]]

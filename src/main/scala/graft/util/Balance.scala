@@ -24,9 +24,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Balance {
   def ifNarrow(df: DataFrame, keys: Column*): DataFrame = {
     val spark = df.sparkSession
+    // A/B kill-switch (and production escape hatch): results are
+    // balance-invariant by construction, so flipping this only moves
+    // parallelism, never rows.
+    val on = spark.conf.get("spark.graft.balance.enabled", "true").toBoolean
     val par = spark.sparkContext.defaultParallelism
     val split = spark.sessionState.conf.filesMaxPartitionBytes
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(split) * par) df.repartition(par, keys: _*) else df
+    lazy val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (on && est < BigInt(split) * par) df.repartition(par, keys: _*) else df
   }
 }
